@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * One place for every config that affects correctness or scale:
+  *  - UTC session timezone (oracle parity with DuckDB).
+  *  - shuffle partitions sized for the local harness (32 threads); on a
+  *    real cluster this is overridden by AQE coalescing anyway.
+  *  - AQE on: runtime re-planning (skew joins, dynamic coalesce) is our
+  *    substitute for the reference's cascades/cost-based re-optimization
+  *    (reference: src/query/sql/src/planner/optimizer/optimizer.rs).
+  *  - nanosAsLong: the events table is parquet TIMESTAMP(NANOS), which
+  *    Spark's reader otherwise rejects; Tables re-derives a proper
+  *    timestamp column.
+  */
+object GraftSession {
+  def apply(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Defensive: make an externally-created session able to read the
+    * nanos-timestamped events table. Safe to call repeatedly.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    try spark.conf.set("spark.sql.session.timeZone", "UTC")
+    catch { case _: Throwable => () }
+    spark
+  }
+}

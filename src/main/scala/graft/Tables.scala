@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lazy handles to the driver-generated parquet tables of one scale
+  * factor directory (TESTDATA.md). Mirrors the reference's catalog of
+  * base tables (databend FUSE tables are parquet blocks on object
+  * storage — src/query/storages/fuse/src/fuse_table.rs); here the
+  * nearest Spark primitive is a plain parquet scan, which gives us
+  * column pruning + predicate pushdown for free.
+  */
+final class Tables(val spark: SparkSession, val dir: String) {
+  private def read(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  lazy val region: DataFrame = read("region")
+  lazy val nation: DataFrame = read("nation")
+  lazy val customer: DataFrame = read("customer")
+  lazy val supplier: DataFrame = read("supplier")
+  lazy val part: DataFrame = read("part")
+  lazy val orders: DataFrame = read("orders")
+  lazy val lineitem: DataFrame = read("lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and re-derive micros.
+    */
+  lazy val events: DataFrame =
+    read("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  lazy val documents: DataFrame = read("documents")
+  lazy val embeddings: DataFrame = read("embeddings")
+
+  def byName(name: String): DataFrame = name match {
+    case "region"     => region
+    case "nation"     => nation
+    case "customer"   => customer
+    case "supplier"   => supplier
+    case "part"       => part
+    case "orders"     => orders
+    case "lineitem"   => lineitem
+    case "events"     => events
+    case "documents"  => documents
+    case "embeddings" => embeddings
+    case other => throw new IllegalArgumentException(s"unknown table $other")
+  }
+
+  /** Register all tables as temp views so spark.sql(...) can be used. */
+  def registerAll(): Unit =
+    Tables.names.foreach(n => byName(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String): Tables = {
+    GraftSession.tune(spark)
+    new Tables(spark, dir)
+  }
+}

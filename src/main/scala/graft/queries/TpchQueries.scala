@@ -1,0 +1,406 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** TPC-H-shaped headline queries adapted to the driver's synthetic
+  * star schema (TESTDATA.md — some TPC-H columns don't exist, so
+  * filters use the columns that do).
+  *
+  * Mirrors the reference's benchmark suite
+  * (reference: benchmark/tpch/queries/, 22 .sql files) re-expressed
+  * with the DataFrame API so Catalyst plans them: filters and column
+  * pruning reach the parquet scans, small dims are broadcast, big
+  * joins shuffle on their keys, and AQE handles skew at scale.
+  */
+object TpchQueries extends QueryModule {
+
+  private def q(fn: (SparkSession, String) => DataFrame, oracle: String): Q =
+    Q(fn, Some(oracle), headline = true)
+
+  // ---- Q1: pricing summary report (full lineitem scan + agg) ----------
+  private val q1 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+          sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price_c"),
+          sum(chargeCents(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge_c"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  // ---- Q3: shipping priority (3-way join, top-n) ----------------------
+  private val q3 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      val o = t.orders.filter(col("o_orderdate") < lit("1997-01-01"))
+      val l = t.lineitem.filter(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_c DESC, l_orderkey
+      |LIMIT 10""".stripMargin)
+
+  // ---- Q4: order priority checking (EXISTS -> left-semi join) ---------
+  private val q4 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val o = t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01"))
+      o.join(t.lineitem.select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  // ---- Q5: local supplier volume (6-way join incl. broadcast dims) ----
+  private val q5 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val r = t.region.filter(col("r_name") === "ASIA")
+      // region/nation are tiny at any SF — always broadcast
+      t.lineitem
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier,
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    },
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_c DESC, n_name""".stripMargin)
+
+  // ---- Q6: forecasting revenue change (pure scan+filter+agg) ----------
+  private val q6 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"))
+    },
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin)
+
+  // ---- Q7: volume shipping between two nations ------------------------
+  private val q7 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val n1 = t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") <= lit("1997-12-31"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_c"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  // ---- Q9: product type profit (LIKE filter on part) ------------------
+  private val q9 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.part.filter(col("p_name").like("%widget%")), col("l_partkey") === col("p_partkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("profit_c"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin)
+
+  // ---- Q10: returned item reporting (top 20 customers) ----------------
+  private val q10 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    },
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue_c DESC, c_custkey
+      |LIMIT 20""".stripMargin)
+
+  // ---- Q12: priority classes by ship date window ----------------------
+  private val q12 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin)
+
+  // ---- Q13: customer order-count distribution (left outer + 2 aggs) ---
+  private val q13 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val perCust = t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey
+      |) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  // ---- Q14: promo revenue ratio ---------------------------------------
+  private val q14 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-09-01") && col("l_shipdate") < lit("1996-10-01"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            revenueCents(col("l_extendedprice"), col("l_discount"))).otherwise(0L)).as("promo_c"),
+          sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          round(col("promo_c") * 100.0 / col("total_c"), 4).as("promo_pct"))
+    },
+    """SELECT promo_c, total_c, round(promo_c * 100.0 / total_c, 4) AS promo_pct
+      |FROM (
+      |  SELECT
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+      |) t""".stripMargin)
+
+  // ---- Q16: supplier count by part attributes (distinct agg) ----------
+  private val q16 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.part.filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  // ---- Q18: large volume customers (group-having + join back) ---------
+  private val q18 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (
+      |  SELECT l_orderkey AS bok, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+      |) b ON o_orderkey = bok
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin)
+
+  // ---- Q19: disjunctive predicate revenue ------------------------------
+  private val q19 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3") && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_c"))
+    },
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+
+  // ---- Q22: customers with balance above avg and no orders ------------
+  private val q22 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      val cust = t.customer.crossJoin(broadcast(avgBal)).filter(col("c_acctbal") > col("ab"))
+      cust.join(t.orders.filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("cntrycode", col("c_nationkey") % 5)
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum(cents(col("c_acctbal"))).as("totacctbal_c"))
+        .orderBy(col("cntrycode"))
+    },
+    """SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin)
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "tpch_q1" -> q1,
+    "tpch_q3" -> q3,
+    "tpch_q4" -> q4,
+    "tpch_q5" -> q5,
+    "tpch_q6" -> q6,
+    "tpch_q7" -> q7,
+    "tpch_q9" -> q9,
+    "tpch_q10" -> q10,
+    "tpch_q12" -> q12,
+    "tpch_q13" -> q13,
+    "tpch_q14" -> q14,
+    "tpch_q16" -> q16,
+    "tpch_q18" -> q18,
+    "tpch_q19" -> q19,
+    "tpch_q22" -> q22)
+}
