@@ -21,9 +21,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def cmp_values(a, b) -> bool:
-    if a is None and b is None: return True
+    a_na = not isinstance(a, (list, tuple)) and pd.isna(a)
+    b_na = not isinstance(b, (list, tuple)) and pd.isna(b)
+    if a_na or b_na: return bool(a_na and b_na)
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b): return True
         return a == b
     return a == b
 
