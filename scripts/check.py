@@ -15,9 +15,18 @@ import pandas as pd
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+def _cell(v):
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return tuple(_cell(x) for x in v)
+    return v.item() if hasattr(v, "item") else v
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(_cell)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.map(lambda v: str(v)) if s.dtype == object else s)
     return df
 
 def cmp_values(a, b) -> bool:

@@ -3,9 +3,6 @@ package graft.queries
 import graft.{Q, QueryModule}
 
 // Placeholder modules — filled in as operators land (SURVEY.md §2).
-object AggQueries extends QueryModule { def queries: Seq[(String, Q)] = Seq.empty }
-object WindowQueries extends QueryModule { def queries: Seq[(String, Q)] = Seq.empty }
-object SetOpQueries extends QueryModule { def queries: Seq[(String, Q)] = Seq.empty }
 object ScalarFnQueries extends QueryModule { def queries: Seq[(String, Q)] = Seq.empty }
 object SrfQueries extends QueryModule { def queries: Seq[(String, Q)] = Seq.empty }
 object EventQueries extends QueryModule { def queries: Seq[(String, Q)] = Seq.empty }
