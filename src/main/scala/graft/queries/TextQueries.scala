@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over the documents table — the
+  * training-data-preparation surface a 100 TB corpus pipeline needs:
+  * exact dedup, MinHash-LSH near-dup, SimHash, exact n-gram Jaccard,
+  * language scoring, quality scoring, token counting, fingerprinting.
+  *
+  * Scale design: every operator is a hash-shuffle over doc or bucket
+  * keys — no driver-side loops, no pairwise O(n^2) joins except within
+  * LSH buckets (bounded by band width).
+  */
+object TextQueries extends QueryModule {
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** The synthetic corpus has no duplicates, so dedup queries plant
+    * them deterministically: docs with doc_id < 50 are re-keyed
+    * (+100000) and appended — exact copies for exact dedup, first-word-
+    * dropped copies for near-dup detection.
+    */
+  private def withExactDups(x: Tables): DataFrame =
+    x.documents.select(col("doc_id"), col("text"), col("source"))
+      .union(x.documents.filter(col("doc_id") < 50)
+        .select(col("doc_id") + 100000, col("text"), col("source")))
+
+  private def withNearDups(x: Tables): DataFrame =
+    x.documents.select(col("doc_id"), col("text"), col("source"))
+      .union(x.documents.filter(col("doc_id") < 50)
+        .select(col("doc_id") + 100000,
+          expr("substring(text, instr(text, ' ') + 1)"), col("source")))
+
+  // ---- exact dedup: content hash, keep min doc_id ---------------------
+  private val dedupExact = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      withExactDups(x)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keeper"))
+        .select(col("keeper"), col("n_copies"), col("h"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+      |SELECT keeper, n_copies, h FROM (
+      |  SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+      |  FROM d GROUP BY md5(text))
+      |WHERE n_copies > 1 ORDER BY keeper""".stripMargin),
+    headline = true)
+
+  // ---- token count + quality scores (SQL-exact in both engines) -------
+  private val quality = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val tok = toks(col("text"))
+      x.documents.filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          size(tok).as("n_tokens"),
+          size(array_distinct(tok)).as("n_uniq_tokens"),
+          length(col("text")).as("n_chars"),
+          round(length(col("text")).cast("double") / size(tok), 6).as("avg_tok_len"),
+          round(size(expr("filter(split(lower(text), ' '), x -> x IN ('the','a','of','to','and','in','is'))"))
+            .cast("double") / size(tok), 6).as("stopword_ratio"),
+          round((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+            .cast("double") / length(col("text")), 6).as("vowel_ratio"),
+          round(size(array_distinct(tok)).cast("double") / size(tok), 6).as("ttr"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_uniq_tokens,
+      |  length(text) AS n_chars,
+      |  round(CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS avg_tok_len,
+      |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+      |    / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) AS vowel_ratio,
+      |  round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |    / len(string_split(lower(text), ' ')), 6) AS ttr
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+    headline = true)
+
+  // ---- language scoring: per-language stopword hit counts -------------
+  private val langScore = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      def hits(words: String): Column =
+        size(expr(s"filter(split(lower(text), ' '), x -> x IN ($words))"))
+      x.documents.filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"), col("lang"),
+          hits("'the','a','of','and','is'").as("en_hits"),
+          hits("'el','la','de','y','es'").as("es_hits"),
+          hits("'le','la','de','et','est'").as("fr_hits"),
+          hits("'der','die','das','und','ist'").as("de_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','is'))) AS INT) AS en_hits,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','y','es'))) AS INT) AS es_hits,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','de','et','est'))) AS INT) AS fr_hits,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist'))) AS INT) AS de_hits
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  // ---- document fingerprint: polynomial rolling hash over tokens ------
+  private val fingerprint = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.documents.filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          expr("""aggregate(
+            transform(split(lower(text), ' '), x -> CAST(ascii(x) + length(x) * 7 AS BIGINT)),
+            CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)""").as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(lower(text), ' '), x -> CAST(ascii(x) + length(x) * 7 AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+
+  // ---- exact n-gram Jaccard near-dup (within source buckets) ----------
+  // Candidate generation is bucketed by `source` so the pairwise join is
+  // bounded per bucket — the exact-verification stage of a dedup
+  // pipeline. Token sets via 3-gram shingles.
+  private val jaccard = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val shingles = withNearDups(x).filter(col("doc_id") % 100000 < 120)
+        .select(col("doc_id"), col("source"),
+          array_distinct(expr(
+            """transform(
+                 sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),
+                 i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))""")).as("sh"))
+      val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substring(text, strpos(text, ' ') + 1), source
+      |  FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      |      i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+      |  FROM d WHERE doc_id % 100000 < 120)
+      |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  // ---- MinHash + LSH near-dup (engine-deterministic; rows-only) -------
+  // shingle -> 32 minhashes (xxhash64 with per-permutation salt) ->
+  // 8 bands of 4 -> band-bucket join -> candidates -> est. similarity.
+  // The only pairwise work happens inside identical-band buckets.
+  private def minhashDF(spark: SparkSession, dir: String): DataFrame = {
+    val x = t(spark, dir)
+    val nHash = 32
+    val bands = 8
+    val rows = nHash / bands
+    val shingled = withNearDups(x)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          """transform(
+               sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),
+               i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))""")).as("sh"))
+    val mh = shingled.select(col("doc_id"),
+      expr(s"""transform(sequence(0, ${nHash - 1}),
+               p -> array_min(transform(sh, s -> xxhash64(concat(CAST(p AS STRING), ':', s)))))""").as("mh"))
+    val banded = mh.select(col("doc_id"), col("mh"),
+        posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(expr("filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)")).cast("double") / nHash).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val minhash = Q((spark, dir) => minhashDF(spark, dir), None, headline = true)
+
+  // ---- SimHash near-dup (rows-only: engine-specific hash) -------------
+  // 64-bit simhash; candidates must share one of 4 16-bit chunks
+  // (pigeonhole: hamming <= 3 over 64 bits => >= 1 identical chunk), so
+  // the pairwise work is bucket-local — no O(n^2) cross join at scale.
+  private val simhash = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val sim = withNearDups(x).select(col("doc_id"),
+        expr("""aggregate(
+             transform(split(lower(text), ' '), tk -> xxhash64(tk)),
+             CAST(array_repeat(0, 64) AS ARRAY<INT>),
+             (acc, h) -> zip_with(acc, sequence(0, 63),
+               (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
+             acc -> aggregate(zip_with(acc, sequence(0, 63),
+               (v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+               CAST(0 AS BIGINT), (s, x) -> s + x))""").as("simhash"))
+      val chunked = sim.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+      val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col("simhash").as("h_a"))
+      val b = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_b"), col("simhash").as("h_b"))
+      a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr(
+          "size(filter(transform(sequence(0, 63), b -> (shiftright(h_a, b) & 1) = (shiftright(h_b, b) & 1)), v -> NOT v))").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "txt_dedup_exact" -> dedupExact,
+    "txt_quality" -> quality,
+    "txt_lang_score" -> langScore,
+    "txt_fingerprint" -> fingerprint,
+    "txt_jaccard_pairs" -> jaccard,
+    "txt_minhash_lsh" -> minhash,
+    "txt_simhash" -> simhash)
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector / embedding operators (reference: Vector type
+  * src/query/expression/src/types/vector.rs, distance functions
+  * src/query/functions/src/scalars/vector.rs:60-172, HNSW index
+  * src/query/storages/common/index/src/hnsw_index/): brute-force
+  * cosine top-k as the exact baseline, random-hyperplane LSH as the
+  * scale path, bucketed near-dup pairs, and per-label centroids.
+  *
+  * All dot products run through codegen'd higher-order functions
+  * (zip_with + aggregate) in double precision — no UDFs in the hot
+  * path.
+  */
+object VectorQueries extends QueryModule {
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  // ---- brute-force cosine top-k against one query vector --------------
+  // O(n) scan, fully parallel; TakeOrderedAndProject for the top-k.
+  private val knnBrute = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val q = x.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      x.embeddings.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr("""aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)""").as("dp"),
+          expr("""aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""").as("n1"),
+          expr("""aggregate(qv, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""").as("n2"))
+        .select(col("vec_id"), round(col("dp") / sqrt(col("n1") * col("n2")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |p AS (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |    CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS xq
+      |  FROM embeddings WHERE vec_id <> 0),
+      |s AS (SELECT vec_id, sum(xe * xq) AS dp, sum(xe * xe) AS n1, sum(xq * xq) AS n2
+      |  FROM p GROUP BY vec_id)
+      |SELECT vec_id, round(dp / sqrt(n1 * n2), 6) AS cos
+      |FROM s ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin),
+    headline = true)
+
+  // ---- LSH (random hyperplane) bucketed ANN ---------------------------
+  // Deterministic pseudo-random planes derived from xxhash64(dim, plane)
+  // => sign bits => bucket id. Same-bucket candidates only: the scale
+  // path for 100 TB (bucket join instead of full scan). Rows-only:
+  // bucket contents depend on Spark's xxhash64.
+  private val knnLsh = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val nPlanes = 4
+      // plane p component i = hash-derived value in [-1, 1]
+      val bucketExpr = expr(s"""aggregate(
+          transform(sequence(0, ${nPlanes - 1}),
+            p -> CASE WHEN aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1),
+                   i -> CAST(pmod(xxhash64(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0),
+                 (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0
+              THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (a, v) -> a + v)""")
+      val bucketed = x.embeddings.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+      val q = bucketed.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
+      bucketed.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"),
+          expr("""aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)""").as("dp"),
+          expr("""aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""").as("n1"),
+          expr("""aggregate(qv, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""").as("n2"))
+        .select(col("vec_id"), round(col("dp") / sqrt(col("n1") * col("n2")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    None,
+    headline = true)
+
+  // ---- per-label centroid (element-wise mean via posexplode) ----------
+  private val centroid = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.embeddings
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("mean_v"))
+        .filter(col("pos") < 8)
+        .orderBy(col("label"), col("pos"))
+    },
+    Some("""SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(v), 6) AS mean_v
+      |FROM (SELECT label,
+      |        generate_subscripts(embedding, 1) AS pos,
+      |        CAST(unnest(embedding) AS DOUBLE) AS v
+      |      FROM embeddings) t
+      |WHERE pos - 1 < 8
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin))
+
+  // ---- vector norms + distance functions ------------------------------
+  private val distances = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val q = x.embeddings.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+      x.embeddings.filter(col("vec_id") < 50 && col("vec_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(expr("sqrt(aggregate(zip_with(embedding, qv, (x, y) -> pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"), 6).as("l2"),
+          round(expr("aggregate(zip_with(embedding, qv, (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).as("l1"),
+          round(expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).as("inner_product"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+      |p AS (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |    CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS xq
+      |  FROM embeddings WHERE vec_id < 50 AND vec_id <> 1)
+      |SELECT vec_id,
+      |  round(sqrt(sum(pow(xe - xq, 2))), 6) AS l2,
+      |  round(sum(abs(xe - xq)), 6) AS l1,
+      |  round(sum(xe * xq), 6) AS inner_product
+      |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "vec_knn_brute" -> knnBrute,
+    "vec_knn_lsh" -> knnLsh,
+    "vec_centroid" -> centroid,
+    "vec_distances" -> distances)
+}
