@@ -21,7 +21,9 @@ object SparkEntry {
     graft.queries.EventQueries,
     graft.queries.TextQueries,
     graft.queries.VectorQueries,
-    graft.queries.SourceQueries)
+    graft.queries.SourceQueries,
+    graft.queries.CteQueries,
+    graft.queries.RegistryQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.udf
+
+/** The databend-name function surface (SURVEY.md §2.9; alias table
+  * reference src/query/functions/tests/it/scalars/testdata/
+  * function_list.txt:1-121). Spark already implements the semantics;
+  * this registry maps the reference's names onto Spark expressions so
+  * `spark.sql` accepts databend spellings. Aliases resolve to
+  * UnresolvedFunction and are folded by the analyzer — zero runtime
+  * cost, fully codegen'd.
+  */
+object GraftFunctions {
+
+  /** databend name -> spark builtin name (1:1 argument passthrough) */
+  private val aliases: Seq[(String, String)] = Seq(
+    // datetime family (function_list.txt:11-32 style to_* names)
+    "to_year" -> "year",
+    "to_month" -> "month",
+    "to_day_of_month" -> "dayofmonth",
+    "to_day_of_year" -> "dayofyear",
+    "to_hour" -> "hour",
+    "to_minute" -> "minute",
+    "to_second" -> "second",
+    "to_quarter" -> "quarter",
+    "to_week_of_year" -> "weekofyear",
+    "date_sub_alias" -> "date_sub",
+    // aggregate-ish / misc
+    "uniq" -> "approx_count_distinct",
+    "any" -> "any_value",
+    "arg_min" -> "min_by",
+    "arg_max" -> "max_by",
+    "group_array" -> "collect_list",
+    "group_concat" -> "listagg",
+    "count_distinct" -> "count_distinct",
+    // string family
+    "lcase" -> "lower",
+    "ucase" -> "upper",
+    "char_length" -> "char_length",
+    "character_length" -> "character_length",
+    "mid" -> "substring",
+    "locate" -> "locate",
+    "str_to_date" -> "to_timestamp",
+    "regexp_like" -> "regexp_like",
+    "rlike" -> "rlike",
+    // math family
+    "ceiling" -> "ceil",
+    "power" -> "power",
+    "truncate" -> "trunc",
+    "rand_alias" -> "rand",
+    "intdiv" -> "div",
+    "plus" -> "try_add",
+    "minus" -> "try_subtract",
+    "multiply" -> "try_multiply",
+    "divide" -> "try_divide",
+    // conditionals
+    "ifnull" -> "ifnull",
+    "if" -> "if",
+    // json / variant
+    "json_extract_path_text" -> "get_json_object",
+    "parse_json" -> "from_json",
+    "json_to_string" -> "to_json")
+
+  /** names needing argument rewriting */
+  private val rewrites: Map[String, Seq[Expression] => Expression] = Map(
+    "to_start_of_month" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("month")) ++ args, isDistinct = false)),
+    "to_start_of_year" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("year")) ++ args, isDistinct = false)),
+    "to_start_of_week" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("week")) ++ args, isDistinct = false)),
+    "to_start_of_day" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("day")) ++ args, isDistinct = false)),
+    "to_string" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+        org.apache.spark.sql.types.StringType)),
+    "hamming64" -> (args => HammingDistance(args.head, args(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    for ((name, target) <- aliases if name != target) {
+      reg.createOrReplaceTempFunction(
+        name,
+        args => UnresolvedFunction(target, args, isDistinct = false),
+        "scala_udf")
+    }
+    for ((name, builder) <- rewrites) {
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    // typed aggregators exposed as SQL-callable UDAFs
+    spark.udf.register("bitmap_agg",
+      org.apache.spark.sql.functions.udaf(new BitmapAggs.BitmapAgg, org.apache.spark.sql.Encoders.scalaInt))
+    spark.udf.register("bitmap_union_agg",
+      org.apache.spark.sql.functions.udaf(new BitmapAggs.BitmapUnionAgg, org.apache.spark.sql.Encoders.BINARY))
+    spark.udf.register("bitmap_intersect_agg",
+      org.apache.spark.sql.functions.udaf(new BitmapAggs.BitmapIntersectAgg, org.apache.spark.sql.Encoders.BINARY))
+    spark.udf.register("bitmap_count",
+      udf((b: Array[Byte]) => if (b == null) 0L else BitmapAggs.deser(b).getLongCardinality))
+    spark.udf.register("bitmap_contains",
+      udf((b: Array[Byte], v: Int) => if (b == null) false else BitmapAggs.deser(b).contains(v)))
+  }
+
+  /** true if the alias layer is active in this session */
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("to_day_of_month"))
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the databend-name function registry and the
+  * custom Catalyst pieces (bitmap aggregates, hamming64 codegen
+  * expression).
+  */
+object RegistryQueries extends QueryModule {
+
+  private def t(spark: SparkSession, dir: String) = {
+    GraftFunctions.register(spark)
+    Tables(spark, dir)
+  }
+
+  // databend-spelled SQL runs through the alias registry
+  private val aliasNames = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """SELECT o_orderkey,
+          |  to_year(o_orderdate) AS y,
+          |  to_day_of_month(o_orderdate) AS dom,
+          |  to_quarter(o_orderdate) AS q,
+          |  to_start_of_month(o_orderdate) AS som,
+          |  ucase(o_orderpriority) AS up,
+          |  lcase(o_orderstatus) AS lo,
+          |  mid(o_orderpriority, 3, 4) AS mid_,
+          |  ceiling(o_totalprice / 1000.0) AS ceil_k,
+          |  to_string(o_orderkey) AS key_str,
+          |  ifnull(nullif(o_orderstatus, 'P'), 'PENDING') AS status
+          |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  date_trunc('month', o_orderdate) AS som,
+      |  upper(o_orderpriority) AS up,
+      |  lower(o_orderstatus) AS lo,
+      |  substring(o_orderpriority, 3, 4) AS mid_,
+      |  CAST(ceiling(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status
+      |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin))
+
+  // bitmap aggregates: distinct-count semantics checked against plain
+  // COUNT(DISTINCT ...) in the oracle
+  private val bitmap = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """WITH per_nation AS (
+          |  SELECT c_nationkey, bitmap_agg(CAST(c_custkey AS INT)) AS bm
+          |  FROM customer JOIN orders ON c_custkey = o_custkey
+          |  WHERE o_totalprice > 200000.0
+          |  GROUP BY c_nationkey)
+          |SELECT c_nationkey,
+          |  bitmap_count(bm) AS n_active,
+          |  bitmap_contains(bm, 1) AS has_cust1
+          |FROM per_nation ORDER BY c_nationkey""".stripMargin)
+    },
+    Some("""SELECT c_nationkey,
+      |  count(DISTINCT c_custkey) AS n_active,
+      |  bool_or(c_custkey = 1) AS has_cust1
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |WHERE o_totalprice > 200000.0
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  // bitmap union/intersect across groups: customers active in BOTH
+  // halves of the year, via bitmap_intersect_agg over per-month bitmaps
+  private val bitmapSetOps = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """WITH per_q AS (
+          |  SELECT quarter(o_orderdate) AS qr, bitmap_agg(CAST(o_custkey AS INT)) AS bm
+          |  FROM orders WHERE year(o_orderdate) = 1996
+          |  GROUP BY quarter(o_orderdate))
+          |SELECT
+          |  bitmap_count(bitmap_union_agg(bm)) AS n_any_quarter,
+          |  bitmap_count(bitmap_intersect_agg(bm)) AS n_all_quarters
+          |FROM per_q""".stripMargin)
+    },
+    Some("""WITH base AS (
+      |  SELECT o_custkey, count(DISTINCT quarter(o_orderdate)) AS nq
+      |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+      |SELECT count(*) AS n_any_quarter,
+      |  CAST(sum(CASE WHEN nq = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_quarters
+      |FROM base""".stripMargin))
+
+  // hamming64 native (codegen) expression, verified against DuckDB's
+  // bit_count(xor(...)) on deterministic arithmetic-derived longs
+  private val hamming = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """SELECT doc_id,
+          |  hamming64(CAST(doc_id * 2654435761 AS BIGINT), CAST(doc_id * 40503 AS BIGINT)) AS hd,
+          |  hamming64(CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)) AS hd_self
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+    },
+    Some("""SELECT doc_id,
+      |  CAST(bit_count(xor(doc_id * 2654435761, doc_id * 40503)) AS INT) AS hd,
+      |  CAST(bit_count(xor(doc_id, doc_id)) AS INT) AS hd_self
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "reg_alias_names" -> aliasNames,
+    "reg_bitmap_count" -> bitmap,
+    "reg_bitmap_setops" -> bitmapSetOps,
+    "reg_hamming64" -> hamming)
+}
