@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.VectorQueries,
     graft.queries.SourceQueries,
     graft.queries.CteQueries,
-    graft.queries.RegistryQueries)
+    graft.queries.RegistryQueries,
+    graft.queries.DmlQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

@@ -1,0 +1,119 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Storage semantics: snapshots, time travel, file-granular DML,
+  * CDC change feed, COPY INTO idempotence.
+  */
+class StorageSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 8, appName = "graft-storage-test")
+  private def tmp(): String = {
+    val base = Paths.get("target", "tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "gt").toString
+  }
+
+  test("append / overwrite / time travel") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(t.currentVersion == 0)
+    assert(t.read().count() == 2)
+
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(t.currentVersion == 1)
+    assert(t.read().count() == 3)
+    assert(t.readAt(0).count() == 2)                   // AT (SNAPSHOT => 0)
+
+    val ts0 = t.snapshot(0).timestampMs
+    assert(t.readAsOf(ts0).count() == 2)               // AT (TIMESTAMP => ...)
+
+    t.overwrite(Seq((9, "z")).toDF("k", "v"))
+    assert(t.read().count() == 1)
+    assert(t.readAt(1).count() == 3)                   // history preserved
+  }
+
+  test("delete / update rewrite only touched files") {
+    import spark.implicits._
+    val dir = tmp()
+    // two separate appends => at least two files; delete touches one
+    val t = GraftTable.create(spark, dir, (1 to 10).map(i => (i, "lo")).toDF("k", "v"))
+    t.append((11 to 20).map(i => (i, "hi")).toDF("k", "v"))
+    val filesBefore = t.snapshot(t.currentVersion).files.toSet
+
+    t.delete(col("k") === 15)
+    assert(t.read().count() == 19)
+    val filesAfter = t.snapshot(t.currentVersion).files.toSet
+    // files holding only k=1..10 survive untouched
+    assert(filesBefore.intersect(filesAfter).nonEmpty)
+
+    t.update(col("k") <= 2, Map("v" -> lit("XX")))
+    val got = t.read().filter(col("v") === "XX").count()
+    assert(got == 2)
+  }
+
+  test("merge upserts by key") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.mergeByKey(Seq((2, "B2"), (5, "E")).toDF("k", "v"), "k")
+    val rows = t.read().orderBy("k").as[(Int, String)].collect().toSeq
+    assert(rows == Seq((1, "a"), (2, "B2"), (5, "E")))
+  }
+
+  test("changes: append-only fast path and row-diff path") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    val cdc01 = t.changes(0, 1)
+    assert(cdc01.count() == 1)
+    assert(cdc01.select("change$action").head().getString(0) == "INSERT")
+
+    t.delete(col("k") === 1)
+    val cdc12 = t.changes(1, 2).orderBy("k")
+    val acts = cdc12.select(col("k"), col("change$action")).as[(Int, String)].collect().toSeq
+    assert(acts == Seq((1, "DELETE")))
+  }
+
+  test("copy into is idempotent per file") {
+    import spark.implicits._
+    val dir = tmp()
+    val stage = tmp()
+    Seq((1, "x")).toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage + "/f1")
+    Seq((2, "y")).toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage + "/f2")
+    // flatten stage: move part files up with stable names
+    val s = Paths.get(stage)
+    Seq("f1", "f2").foreach { d =>
+      val part = Files.list(s.resolve(d)).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val f = part.next()
+        if (f.toString.endsWith(".parquet")) { Files.move(f, s.resolve(d + ".parquet")); moved = true }
+      }
+      assert(moved)
+    }
+
+    val t = GraftTable.create(spark, tmp(), Seq.empty[(Int, String)].toDF("k", "v"))
+    val (loaded1, skipped1) = t.copyInto(stage)
+    assert(loaded1.size == 2 && skipped1.isEmpty)
+    assert(t.read().count() == 2)
+
+    val (loaded2, skipped2) = t.copyInto(stage)     // rerun: all skipped
+    assert(loaded2.isEmpty && skipped2.size == 2)
+    assert(t.read().count() == 2)
+
+    Seq((3, "z")).toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage + "/f3")
+    val part3 = Files.list(s.resolve("f3")).iterator()
+    while (part3.hasNext) {
+      val f = part3.next()
+      if (f.toString.endsWith(".parquet")) Files.move(f, s.resolve("f3.parquet"))
+    }
+    val (loaded3, skipped3) = t.copyInto(stage)     // only the new file
+    assert(loaded3 == Seq("f3.parquet") && skipped3.size == 2)
+    assert(t.read().count() == 3)
+  }
+}
