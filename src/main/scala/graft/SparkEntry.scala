@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.SourceQueries,
     graft.queries.CteQueries,
     graft.queries.RegistryQueries,
-    graft.queries.DmlQueries)
+    graft.queries.DmlQueries,
+    graft.queries.MultimodalQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

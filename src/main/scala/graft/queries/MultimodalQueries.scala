@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multimodal pipeline queries: binary payload columns derived from the
+  * documents table (UTF-8 bytes standing in for image/video payloads),
+  * run through the per-partition decode/feature path. The stub decoder
+  * is pure byte arithmetic, so the oracle can replay it in SQL — the
+  * Spark-side plumbing (binary columns, mapPartitions, schema) is
+  * fully exercised and value-checked.
+  */
+object MultimodalQueries extends QueryModule {
+
+  private val mmFeatures = Q(
+    (spark, dir) => {
+      val x = Tables(spark, dir)
+      val bin = x.documents.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(spark, bin)
+        .withColumn("mean_byte", round(col("mean_byte"), 6))
+        .orderBy(col("doc_id"))
+    },
+    // documents are ASCII, so byte arithmetic == codepoint arithmetic
+    Some("""SELECT doc_id,
+      |  CAST(32 + (octet_length(CAST(text AS BLOB)) % 224) AS INT) AS width,
+      |  CAST(32 + ((octet_length(CAST(text AS BLOB)) * 7) % 224) AS INT) AS height,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+      |  round(list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> ascii(substring(text, i, 1)))) * 1.0 / length(text), 6) AS mean_byte,
+      |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 4.0) AS INT) AS n_frames
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "mm_features" -> mmFeatures)
+}
