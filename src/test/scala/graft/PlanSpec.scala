@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that decide whether these
+  * queries survive a 100x scale-up — filter/column pushdown into the
+  * parquet scans, broadcast of small dimensions, fused top-n, and
+  * window-group-limit pushdown. Catching a plan regression here is
+  * cheaper than catching it in the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 8, appName = "graft-plan-test")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.all(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("tpch_q6 pushes filters and prunes columns at the parquet scan") {
+    val plan = planOf("tpch_q6")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("l_shipdate"), "shipdate filter should reach the scan")
+    // projection pruning: the scan must not read l_returnflag etc.
+    assert(!plan.contains("l_returnflag"), "scan should prune unused columns")
+  }
+
+  test("tpch_q5 broadcasts the small dimensions") {
+    val plan = planOf("tpch_q5")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"region/nation should broadcast:\n$plan")
+  }
+
+  test("tpch_q3 top-n is fused (TakeOrderedAndProject)") {
+    val plan = planOf("tpch_q3")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected fused top-n:\n$plan")
+  }
+
+  test("win_topn_per_group uses WindowGroupLimit pushdown") {
+    val plan = planOf("win_topn_per_group")
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
+  test("join_asof plans a single shuffle, not a nested-loop join") {
+    val plan = planOf("join_asof")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asof must not fall back to nested-loop:\n$plan")
+    assert(plan.contains("Window"), "asof rewrite should use a running window")
+  }
+
+  test("agg queries keep whole-stage codegen in the hot path") {
+    val df = SparkEntry.all("tpch_q1").fn(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen"), s"expected codegen spans:\n$plan")
+  }
+
+  test("semi/anti subqueries become hash joins") {
+    val plan = planOf("join_semi")
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    val plan2 = planOf("join_anti")
+    assert(plan2.contains("LeftAnti"), s"expected anti join:\n$plan2")
+  }
+}
