@@ -172,9 +172,12 @@ object TextQueries extends QueryModule {
       |ORDER BY id_a, id_b""".stripMargin))
 
   // ---- MinHash + LSH near-dup (engine-deterministic; rows-only) -------
-  // shingle -> 32 minhashes (xxhash64 with per-permutation salt) ->
-  // 8 bands of 4 -> band-bucket join -> candidates -> est. similarity.
-  // The only pairwise work happens inside identical-band buckets.
+  // shingle -> 2 base hashes -> 32 minhash permutations via the
+  // double-hashing construction h_i = h1 + i*h2 (2 xxhash64 calls per
+  // shingle instead of 32; the i-th permutation min is a codegen'd MIN
+  // aggregate over the exploded shingles) -> 8 bands of 4 ->
+  // band-bucket join -> candidates -> est. similarity. The only
+  // pairwise work happens inside identical-band buckets.
   private def minhashDF(spark: SparkSession, dir: String): DataFrame = {
     val x = t(spark, dir)
     val nHash = 32
@@ -186,9 +189,19 @@ object TextQueries extends QueryModule {
           """transform(
                sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),
                i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))""")).as("sh"))
-    val mh = shingled.select(col("doc_id"),
-      expr(s"""transform(sequence(0, ${nHash - 1}),
-               p -> array_min(transform(sh, s -> xxhash64(concat(CAST(p AS STRING), ':', s)))))""").as("mh"))
+    // pmod into 31-bit range: i*h2 + h1 stays far below 2^63, so the
+    // combination is ANSI-overflow-safe
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("s")), lit(2147483647L)).as("h1"),
+        (pmod(xxhash64(concat(lit("graft-salt:"), col("s"))), lit(2147483629L)) + 1L).as("h2"))
+    val minAggs = (0 until nHash).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"mh_$i"))
+    val mh = exploded.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nHash).map(i => col(s"mh_$i")): _*).as("mh"))
     val banded = mh.select(col("doc_id"), col("mh"),
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
           b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
