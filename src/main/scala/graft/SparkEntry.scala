@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.CteQueries,
     graft.queries.RegistryQueries,
     graft.queries.DmlQueries,
-    graft.queries.MultimodalQueries)
+    graft.queries.MultimodalQueries,
+    graft.queries.HitsQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

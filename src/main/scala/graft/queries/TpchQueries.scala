@@ -182,6 +182,123 @@ object TpchQueries extends QueryModule {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
 
+  // ---- Q8: market share of one nation within a region -----------------
+  private val q8 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val r = t.region.filter(col("r_name") === "EUROPE")
+      val cn = t.nation.select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+      val sn = t.nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("crk") === col("r_regionkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("vol_c", revenueCents(col("l_extendedprice"), col("l_discount")))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("vol_c")).otherwise(0L)).as("nation_c"),
+          sum(col("vol_c")).as("total_c"))
+        .select(col("o_year"), col("nation_c"), col("total_c"),
+          round(col("nation_c") * 1.0 / col("total_c"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    """SELECT o_year, nation_c, total_c, round(nation_c * 1.0 / total_c, 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+      |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_c,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'EUROPE'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY o_year) t
+      |ORDER BY o_year""".stripMargin)
+
+  // ---- Q15: top supplier by revenue (view + max scalar subquery) ------
+  private val q15 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("total_rev_c"))
+      val maxRev = revenue.agg(max(col("total_rev_c")).as("mx"))
+      revenue.crossJoin(broadcast(maxRev))
+        .filter(col("total_rev_c") === col("mx"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+        .orderBy(col("s_suppkey"))
+    },
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev_c
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev_c = (SELECT max(total_rev_c) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  // ---- Q17: small-quantity-order revenue (correlated avg subquery) ----
+  private val q17 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val avgQty = t.lineitem.groupBy(col("l_partkey").as("ap"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      t.lineitem
+        .join(t.part.filter(col("p_brand") === "Brand#5"), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(floor(sum(cents(col("l_extendedprice"))) / 7).as("avg_yearly_c"))
+    },
+    """SELECT CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 7) AS BIGINT) AS avg_yearly_c
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#5'
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)
+
+  // ---- Q21: suppliers whose lineitems are the late ones (exists/not) --
+  private val q21 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      // per order: max shipdate, supplier count
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(max(col("l_shipdate")).as("max_ship"), countDistinct(col("l_suppkey")).as("n_supp"))
+      li.join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("l_shipdate") === col("max_ship") && col("n_supp") > 1)
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    """WITH per_order AS (
+      |  SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship, count(DISTINCT l_suppkey) AS n_supp
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+      |FROM lineitem
+      |JOIN per_order ON l_orderkey = ok
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_shipdate = max_ship AND n_supp > 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin)
+
   // ---- Q9: product type profit (LIKE filter on part) ------------------
   private val q9 = q(
     (spark, dir) => {
@@ -394,7 +511,11 @@ object TpchQueries extends QueryModule {
     "tpch_q5" -> q5,
     "tpch_q6" -> q6,
     "tpch_q7" -> q7,
+    "tpch_q8" -> q8,
     "tpch_q9" -> q9,
+    "tpch_q15" -> q15,
+    "tpch_q17" -> q17,
+    "tpch_q21" -> q21,
     "tpch_q10" -> q10,
     "tpch_q12" -> q12,
     "tpch_q13" -> q13,
