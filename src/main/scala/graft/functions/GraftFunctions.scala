@@ -78,7 +78,12 @@ object GraftFunctions {
     "to_string" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Cast(args.head,
         org.apache.spark.sql.types.StringType)),
-    "hamming64" -> (args => HammingDistance(args.head, args(1))))
+    "hamming64" -> (args => HammingDistance(
+      org.apache.spark.sql.catalyst.expressions.Cast(args.head, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))),
+    // Snowflake/databend-style lateral FLATTEN (custom Generator)
+    "flatten_json" -> (args => JsonFlatten(args.head, recursive = false)),
+    "flatten_json_recursive" -> (args => JsonFlatten(args.head, recursive = true)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

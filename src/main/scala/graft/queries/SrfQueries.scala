@@ -118,7 +118,37 @@ object SrfQueries extends QueryModule {
       |  CAST(unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS INT) AS v
       |FROM b ORDER BY n_nationkey, v NULLS FIRST""".stripMargin))
 
+  // Snowflake/databend-style FLATTEN via the custom JsonFlatten
+  // Generator: recursive walk of a constructed nested document
+  private val flatten = Q(
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """SELECT n_nationkey, f.key, f.path, f.index, f.value
+          |FROM nation
+          |LATERAL VIEW flatten_json_recursive(
+          |  concat('{"k": ', n_nationkey, ', "arr": [', n_nationkey, ', ', n_nationkey + 1, ']}')
+          |) f AS key, path, index, value
+          |WHERE n_nationkey < 5
+          |ORDER BY n_nationkey, path""".stripMargin)
+    },
+    Some("""WITH f AS (
+      |  SELECT n_nationkey, 'k' AS key, 'k' AS path, CAST(NULL AS INT) AS index,
+      |    CAST(n_nationkey AS VARCHAR) AS value FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, 'arr', 'arr', NULL,
+      |    '[' || n_nationkey || ',' || (n_nationkey + 1) || ']' FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, NULL, 'arr[0]', 0, CAST(n_nationkey AS VARCHAR) FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, NULL, 'arr[1]', 1, CAST(n_nationkey + 1 AS VARCHAR) FROM nation)
+      |SELECT n_nationkey, key, path, index, value FROM f
+      |WHERE n_nationkey < 5 ORDER BY n_nationkey, path""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "srf_flatten" -> flatten,
     "srf_posexplode" -> explodeWords,
     "srf_generate_series" -> series,
     "srf_numbers_tvf" -> numbers,

@@ -168,6 +168,22 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** CLUSTER BY-style rewrite (reference: benchmark/tpch/create.sql
+    * CLUSTER BY keys + hilbert recluster, src/query/expression/src/
+    * hilbert/): repartition by range on the cluster keys and sort
+    * within partitions before writing, so every data file covers a
+    * narrow key range and parquet min/max (zone-map) pruning can skip
+    * whole files for selective key predicates.
+    */
+  def recluster(keys: Seq[String], numFiles: Int = 8): Long = {
+    val prev = snapshot(currentVersion)
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val clustered = readFiles(prev.files)
+      .repartitionByRange(numFiles, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    commit(writeParts(clustered), prev.ledger, s"RECLUSTER-${keys.mkString(",")}")
+  }
+
   // ---- COPY INTO ------------------------------------------------------
 
   /** COPY INTO with per-file idempotence: files already in the ledger

@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions injection + cluster-by write path. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects functions into a fresh session") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT hamming64(7, 56) AS hd,
+          |  to_year(TIMESTAMP '2020-03-04') AS y,
+          |  uniq(x) AS u
+          |FROM VALUES (1), (2), (2) t(x)
+          |GROUP BY 1, 2""".stripMargin).head()
+      assert(r.getInt(0) == java.lang.Long.bitCount(7L ^ 56L))
+      assert(r.getInt(1) == 2020)
+      assert(r.getLong(2) == 2L)
+      val fl = spark.sql(
+        "SELECT f.path, f.value FROM VALUES (1) t(x) " +
+        "LATERAL VIEW flatten_json('{\"a\": [10, 20]}') f AS key, path, index, value")
+        .collect().map(r2 => (r2.getString(0), r2.getString(1))).toSeq
+      assert(fl == Seq(("a", "[10,20]")))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("recluster produces range-disjoint files enabling zone-map pruning") {
+    val spark = GraftSession(cpus = 4, appName = "graft-recluster-test")
+    import spark.implicits._
+    val base = java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target", "tmp"))
+    val dir = java.nio.file.Files.createTempDirectory(base, "clus").toString
+    // keys deliberately interleaved so unclustered files all span the full range
+    val df = (0 until 10000).map(i => ((i * 37) % 1000, s"row$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, dir, df.repartition(8))
+    t.recluster(Seq("k"), numFiles = 8)
+
+    val files = t.snapshot(t.currentVersion).files
+    assert(files.size > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(s"$dir/$f").agg(min($"k"), max($"k")).head()
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    // ranges must not overlap: file i's max < file i+1's min (range partitioned)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    // a selective key predicate now maps to exactly one file's range
+    val hit = ranges.count { case (lo, hi) => lo <= 500 && 500 <= hi }
+    assert(hit == 1)
+    assert(t.read().count() == 10000)
+  }
+}
