@@ -504,8 +504,129 @@ object TpchQueries extends QueryModule {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin)
 
+  // ---- Q2: minimum-cost supplier (derived partsupp; min-per-group) ----
+  // The synthetic schema has no partsupp table, so the part↔supplier
+  // relation is derived from lineitem's (l_partkey, l_suppkey) pairs with
+  // supply cost = min line price (reference: benchmark/tpch/queries/02.sql).
+  private val q2 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val ps = t.lineitem
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(cents(col("l_extendedprice"))).as("ps_cost_c"))
+      val elig = ps
+        .join(t.part.filter(col("p_size") === 15 && col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("s_acctbal"), col("n_name"), col("ps_cost_c"))
+      val minCost = elig.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("ps_cost_c")).as("min_cost_c"))
+      elig.join(minCost, col("p_partkey") === col("mk") && col("ps_cost_c") === col("min_cost_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_cost_c"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ps_cost_c
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |elig AS (
+      |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, ps_cost_c
+      |  FROM ps
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost_c
+      |FROM elig
+      |WHERE ps_cost_c = (SELECT min(e2.ps_cost_c) FROM elig e2 WHERE e2.p_partkey = elig.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin)
+
+  // ---- Q11: important stock (HAVING vs global-total scalar subquery) --
+  private val q11 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val value = t.lineitem
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation.filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+      val total = value.agg((sum(col("value_c")) * lit(0.001)).as("thr"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value_c") > col("thr"))
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("l_partkey"))
+    },
+    """WITH val AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, value_c FROM val
+      |WHERE value_c > (SELECT 0.001 * sum(value_c) FROM val)
+      |ORDER BY value_c DESC, l_partkey""".stripMargin)
+
+  // ---- Q20: above-average suppliers of a part family (nested semis) ---
+  private val q20 = q(
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val qty = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val avgQ = qty.groupBy(col("l_partkey").as("ap"))
+        .agg(avg(col("qty")).as("aq"))
+      val excess = qty
+        .join(avgQ, col("l_partkey") === col("ap"))
+        .join(t.part.filter(col("p_name").like("%widget%")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("qty") > col("aq") * lit(1.5))
+        .select(col("l_suppkey")).distinct()
+      val asiaNations = broadcast(
+        t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey")))
+      t.supplier
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+    """WITH qty AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_partkey, l_suppkey),
+      |avg_q AS (SELECT l_partkey AS ap, avg(qty) AS aq FROM qty GROUP BY l_partkey),
+      |excess AS (
+      |  SELECT DISTINCT q.l_suppkey
+      |  FROM qty q
+      |  JOIN avg_q ON q.l_partkey = ap
+      |  JOIN part ON q.l_partkey = p_partkey
+      |  WHERE p_name LIKE '%widget%' AND q.qty > aq * 1.5)
+      |SELECT s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+      |  AND s_nationkey IN (
+      |    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA')
+      |ORDER BY s_name""".stripMargin)
+
   override def queries: Seq[(String, Q)] = Seq(
     "tpch_q1" -> q1,
+    "tpch_q2" -> q2,
+    "tpch_q11" -> q11,
+    "tpch_q20" -> q20,
     "tpch_q3" -> q3,
     "tpch_q4" -> q4,
     "tpch_q5" -> q5,
