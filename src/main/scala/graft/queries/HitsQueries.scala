@@ -94,10 +94,182 @@ object HitsQueries extends QueryModule {
       |  max(CAST(ts AS TIMESTAMP)) AS last_seen
       |FROM events GROUP BY user_id ORDER BY n_types DESC, user_id LIMIT 25""".stripMargin))
 
+  // hits Q0-2 shape: whole-table scan stats (count/sum/avg/min/max)
+  private val scanStats = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nu"),
+        sum(cents(col("value"))).as("value_c"),
+        round(avg(col("value")), 5).as("avg_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+    },
+    Some("""SELECT count(*) AS n, count(DISTINCT user_id) AS nu,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+      |  round(avg(value), 5) AS avg_value,
+      |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+      |  max(CAST(ts AS TIMESTAMP)) AS last_ts
+      |FROM events""".stripMargin))
+
+  // hits quantile shape: per-type value percentiles (exact interpolated)
+  private val valueQuantiles = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 5).as("p50"),
+          round(expr("percentile(value, 0.9)"), 5).as("p90"),
+          round(expr("percentile(value, 0.99)"), 5).as("p99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 5) AS p50,
+      |  round(quantile_cont(value, 0.9), 5) AS p90,
+      |  round(quantile_cont(value, 0.99), 5) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    headline = true)
+
+  // hits top-k URL shape: high-cardinality group-by on an extracted key
+  private val topProps = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .withColumn("k", get_json_object(col("props"), "$.k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+        .orderBy(col("n").desc, col("k"))
+        .limit(20)
+    },
+    Some("""SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
+      |  count(DISTINCT user_id) AS nu
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY k ORDER BY n DESC, k LIMIT 20""".stripMargin),
+    headline = true)
+
+  // hits argMin/argMax shape: first and last event type per user
+  // (databend arg_min/arg_max — reference:
+  //  src/query/functions/src/aggregates/aggregator.rs:84-85)
+  private val firstLast = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"), col("ts")).as("first_type"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("user_id"))
+    },
+    // (user_id, ts) is unique in the synthetic data, so ts alone is a
+    // deterministic ordering key for arg_min/arg_max.
+    Some("""SELECT user_id,
+      |  arg_min(event_type, CAST(ts AS TIMESTAMP)) AS first_type,
+      |  arg_max(event_type, CAST(ts AS TIMESTAMP)) AS last_type,
+      |  count(*) AS n
+      |FROM events GROUP BY user_id HAVING count(*) >= 10
+      |ORDER BY user_id""".stripMargin))
+
+  // hits share-of-total shape: per-type share via window over aggregate
+  private val typeShare = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = t(spark, dir)
+      x.events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_pct",
+          round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 4))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      |  round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS share_pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // hits WoW shape: weekly active users + lag delta (window over agg)
+  private val weeklyActive = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = t(spark, dir)
+      x.events
+        .groupBy(date_trunc("week", col("ts")).as("wk"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .withColumn("prev_wau", lag(col("wau"), 1).over(Window.orderBy(col("wk"))))
+        .withColumn("delta", col("wau") - coalesce(col("prev_wau"), lit(0L)))
+        .orderBy(col("wk"))
+    },
+    Some("""SELECT wk, wau,
+      |  lag(wau, 1) OVER (ORDER BY wk) AS prev_wau,
+      |  wau - coalesce(lag(wau, 1) OVER (ORDER BY wk), 0) AS delta
+      |FROM (
+      |  SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+      |    count(DISTINCT user_id) AS wau
+      |  FROM events GROUP BY wk)
+      |ORDER BY wk""".stripMargin))
+
+  // hits regexp shape: extract digits from the JSON text by regex
+  private val regexpExtract = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .withColumn("kv", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .filter(col("kv").isNotNull)
+        .groupBy((col("kv") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS INT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      |FROM events
+      |WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+      |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  // hits gap shape: median inter-event gap per heavy user (lag + agg)
+  private val interEventGap = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = t(spark, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      x.events
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_us, 0.5)"), 2).as("median_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .filter(col("n_gaps") >= 20)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n_gaps,
+      |  round(quantile_cont(gap_us, 0.5), 2) AS median_gap_us,
+      |  max(gap_us) AS max_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |              OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      |  FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id HAVING count(*) >= 20
+      |ORDER BY user_id""".stripMargin),
+    headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
     "hits_top_users" -> topUsers,
     "hits_daily_traffic" -> dailyTraffic,
     "hits_props_search" -> propsSearch,
     "hits_hour_histogram" -> hourHistogram,
-    "hits_user_diversity" -> userDiversity)
+    "hits_user_diversity" -> userDiversity,
+    "hits_scan_stats" -> scanStats,
+    "hits_value_quantiles" -> valueQuantiles,
+    "hits_top_props" -> topProps,
+    "hits_first_last" -> firstLast,
+    "hits_type_share" -> typeShare,
+    "hits_weekly_active" -> weeklyActive,
+    "hits_regexp_extract" -> regexpExtract,
+    "hits_inter_event_gap" -> interEventGap)
 }
