@@ -63,7 +63,49 @@ object GraftFunctions {
     // json / variant
     "json_extract_path_text" -> "get_json_object",
     "parse_json" -> "from_json",
-    "json_to_string" -> "to_json")
+    "json_to_string" -> "to_json",
+    // arithmetic spellings (function_list.txt:2,56-59,104)
+    "add" -> "try_add",
+    "subtract" -> "try_subtract",
+    "neg" -> "negative",
+    "negate" -> "negative",
+    "modulo" -> "mod",
+    "pow" -> "pow",
+    // array spellings (function_list.txt:3-7)
+    "array_get" -> "get",
+    "array_length" -> "size",
+    "array_size" -> "size",
+    "array_slice" -> "slice",
+    "array_intersection" -> "array_intersect",
+    "array_overlap" -> "arrays_overlap",
+    "unnest" -> "explode",
+    // binary/encoding (function_list.txt:8-9,33-34,107-108)
+    "base64_encode" -> "base64",
+    "base64_decode_binary" -> "unbase64",
+    "hex_encode" -> "hex",
+    "hex_decode_binary" -> "unhex",
+    "chr" -> "char",
+    // datetime spellings (function_list.txt:21-31,89-91,119-121)
+    "today" -> "current_date",
+    "to_datetime" -> "to_timestamp",
+    "str_to_timestamp" -> "to_timestamp",
+    "try_to_datetime" -> "try_to_timestamp",
+    "to_week" -> "weekofyear",
+    "to_day_of_week" -> "dayofweek",
+    "to_unix_timestamp" -> "unix_timestamp",
+    "from_unixtime_alias" -> "from_unixtime",
+    // string spellings (function_list.txt:53,92-96)
+    "length_utf8" -> "length",
+    "substr_utf8" -> "substr",
+    "substring_utf8" -> "substr",
+    "sha" -> "sha1",
+    "regexp" -> "rlike",
+    // json (Spark ships these under the same semantics)
+    "json_object_keys" -> "json_object_keys",
+    "json_array_length" -> "json_array_length",
+    "json_array_distinct" -> "array_distinct",
+    // misc (function_list.txt:118)
+    "gen_random_uuid" -> "uuid")
 
   /** names needing argument rewriting */
   private val rewrites: Map[String, Seq[Expression] => Expression] = Map(
@@ -83,7 +125,43 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))),
     // Snowflake/databend-style lateral FLATTEN (custom Generator)
     "flatten_json" -> (args => JsonFlatten(args.head, recursive = false)),
-    "flatten_json_recursive" -> (args => JsonFlatten(args.head, recursive = true)))
+    "flatten_json_recursive" -> (args => JsonFlatten(args.head, recursive = true)),
+    // more to_start_of_* units (reference scalars/timestamp family)
+    "to_start_of_quarter" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("quarter")) ++ args, isDistinct = false)),
+    "to_start_of_hour" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("hour")) ++ args, isDistinct = false)),
+    "to_start_of_minute" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("minute")) ++ args, isDistinct = false)),
+    "to_start_of_second" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("second")) ++ args, isDistinct = false)),
+    "to_monday" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("week")) ++ args, isDistinct = false)),
+    "to_start_of_iso_week" -> (args =>
+      UnresolvedFunction("date_trunc", Seq(Literal("week")) ++ args, isDistinct = false)),
+    // ClickHouse-style yyyymm shorthands (reference scalars/timestamp)
+    "to_yyyymm" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("date_format", args :+ Literal("yyyyMM"), isDistinct = false),
+        org.apache.spark.sql.types.IntegerType)),
+    "to_yyyymmdd" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("date_format", args :+ Literal("yyyyMMdd"), isDistinct = false),
+        org.apache.spark.sql.types.IntegerType)),
+    "to_yyyymmddhhmmss" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("date_format", args :+ Literal("yyyyMMddHHmmss"), isDistinct = false),
+        org.apache.spark.sql.types.LongType)),
+    // variadic object/array constructors -> JSON text (variant analog)
+    "json_object" -> (args =>
+      UnresolvedFunction("to_json",
+        Seq(UnresolvedFunction("map", args, isDistinct = false)), isDistinct = false)),
+    "object_construct" -> (args =>
+      UnresolvedFunction("to_json",
+        Seq(UnresolvedFunction("map", args, isDistinct = false)), isDistinct = false)),
+    "json_array" -> (args =>
+      UnresolvedFunction("to_json",
+        Seq(UnresolvedFunction("array", args, isDistinct = false)), isDistinct = false)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -107,6 +185,28 @@ object GraftFunctions {
       udf((b: Array[Byte]) => if (b == null) 0L else BitmapAggs.deser(b).getLongCardinality))
     spark.udf.register("bitmap_contains",
       udf((b: Array[Byte], v: Int) => if (b == null) false else BitmapAggs.deser(b).contains(v)))
+    // IPv4 conversions (reference scalars: inet_aton/inet_ntoa,
+    // function_list.txt:36-37) — tiny non-hot-path UDFs
+    spark.udf.register("inet_aton", udf((s: String) =>
+      if (s == null) None
+      else {
+        val p = s.split('.')
+        if (p.length != 4) None
+        else try Some(p.foldLeft(0L)((acc, o) => acc * 256 + o.toInt))
+        catch { case _: NumberFormatException => None }
+      }))
+    spark.udf.register("inet_ntoa", udf((n: Long) =>
+      s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"))
+    spark.udf.register("ipv4_string_to_num", udf((s: String) =>
+      if (s == null) None
+      else {
+        val p = s.split('.')
+        if (p.length != 4) None
+        else try Some(p.foldLeft(0L)((acc, o) => acc * 256 + o.toInt))
+        catch { case _: NumberFormatException => None }
+      }))
+    spark.udf.register("ipv4_num_to_string", udf((n: Long) =>
+      s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"))
   }
 
   /** true if the alias layer is active in this session */

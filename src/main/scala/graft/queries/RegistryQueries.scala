@@ -112,8 +112,63 @@ object RegistryQueries extends QueryModule {
       |  CAST(bit_count(xor(doc_id, doc_id)) AS INT) AS hd_self
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
 
+  // the wider alias surface: arithmetic/array/encoding spellings,
+  // ClickHouse-style yyyymm shorthands, JSON constructors, IPv4
+  private val aliasNames2 = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """SELECT o_orderkey,
+          |  add(o_orderkey, 1) AS k1,
+          |  subtract(o_orderkey, 1) AS km1,
+          |  modulo(o_orderkey, 7) AS mod7,
+          |  neg(o_orderkey) AS negk,
+          |  pow(2.0, 3.0) AS p8,
+          |  to_yyyymm(o_orderdate) AS ym,
+          |  to_yyyymmdd(o_orderdate) AS ymd,
+          |  to_monday(o_orderdate) AS monday,
+          |  to_day_of_week(o_orderdate) AS dow,
+          |  to_unix_timestamp(o_orderdate) AS epoch_s,
+          |  array_get(split(o_orderpriority, '-'), 0) AS prio_num,
+          |  array_length(split(o_orderpriority, '-')) AS prio_parts,
+          |  hex_encode(o_orderstatus) AS status_hex,
+          |  base64_encode(o_orderstatus) AS status_b64,
+          |  chr(65 + CAST(modulo(o_orderkey, 26) AS INT)) AS letter,
+          |  json_object('s', o_orderstatus) AS jo,
+          |  json_array(o_orderkey) AS ja,
+          |  inet_ntoa(o_orderkey + 167772160) AS ip,
+          |  inet_aton('10.0.0.1') AS ipnum
+          |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+      |  o_orderkey + 1 AS k1,
+      |  o_orderkey - 1 AS km1,
+      |  o_orderkey % 7 AS mod7,
+      |  -o_orderkey AS negk,
+      |  pow(2.0, 3.0) AS p8,
+      |  CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+      |  CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS ymd,
+      |  date_trunc('week', o_orderdate) AS monday,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+      |  split_part(o_orderpriority, '-', 1) AS prio_num,
+      |  CAST(len(string_split(o_orderpriority, '-')) AS INT) AS prio_parts,
+      |  hex(o_orderstatus) AS status_hex,
+      |  base64(encode(o_orderstatus)) AS status_b64,
+      |  chr(65 + CAST(o_orderkey % 26 AS INT)) AS letter,
+      |  '{"s":"' || o_orderstatus || '"}' AS jo,
+      |  '[' || CAST(o_orderkey AS VARCHAR) || ']' AS ja,
+      |  CAST((o_orderkey + 167772160) // 16777216 % 256 AS VARCHAR) || '.' ||
+      |    CAST((o_orderkey + 167772160) // 65536 % 256 AS VARCHAR) || '.' ||
+      |    CAST((o_orderkey + 167772160) // 256 % 256 AS VARCHAR) || '.' ||
+      |    CAST((o_orderkey + 167772160) % 256 AS VARCHAR) AS ip,
+      |  CAST(167772161 AS BIGINT) AS ipnum
+      |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "reg_alias_names" -> aliasNames,
+    "reg_alias_names2" -> aliasNames2,
     "reg_bitmap_count" -> bitmap,
     "reg_bitmap_setops" -> bitmapSetOps,
     "reg_hamming64" -> hamming)

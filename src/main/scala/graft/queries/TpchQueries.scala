@@ -523,9 +523,10 @@ object TpchQueries extends QueryModule {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"),
           col("s_acctbal"), col("n_name"), col("ps_cost_c"))
-      val minCost = elig.groupBy(col("p_partkey").as("mk"))
-        .agg(min(col("ps_cost_c")).as("min_cost_c"))
-      elig.join(minCost, col("p_partkey") === col("mk") && col("ps_cost_c") === col("min_cost_c"))
+      // min-per-part via window (one shuffle) instead of agg + self-join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+      elig.withColumn("min_cost_c", min(col("ps_cost_c")).over(w))
+        .filter(col("ps_cost_c") === col("min_cost_c"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("ps_cost_c"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
