@@ -137,12 +137,15 @@ object TextQueries extends QueryModule {
   private val jaccard = Q(
     (spark, dir) => {
       val x = t(spark, dir)
+      // tokens materialized once per row (an attribute, not re-split
+      // inside the lambda — that would be O(tokens^2) per doc)
       val shingles = withNearDups(x).filter(col("doc_id") % 100000 < 120)
+        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
         .select(col("doc_id"), col("source"),
           array_distinct(expr(
             """transform(
-                 sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),
-                 i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))""")).as("sh"))
+                 sequence(1, greatest(size(tk) - 2, 1)),
+                 i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
       val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
@@ -184,11 +187,12 @@ object TextQueries extends QueryModule {
     val bands = 8
     val rows = nHash / bands
     val shingled = withNearDups(x)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"),
         array_distinct(expr(
           """transform(
-               sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),
-               i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))""")).as("sh"))
+               sequence(1, greatest(size(tk) - 2, 1)),
+               i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
     // pmod into 31-bit range: i*h2 + h1 stays far below 2^63, so the
     // combination is ANSI-overflow-safe
     val exploded = shingled

@@ -138,6 +138,7 @@ object VectorQueries extends QueryModule {
     val x = t(spark, dir)
     val dbl = x.embeddings
       .select(col("vec_id"), expr("transform(embedding, e -> CAST(e AS DOUBLE))").as("v"))
+      .cache() // scanned once per Lloyd iteration + the final probe
     // deterministic seeds: the k smallest vec_ids
     var cents: Array[Array[Double]] = dbl.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
