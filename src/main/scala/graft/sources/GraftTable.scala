@@ -168,6 +168,21 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** changes() plus the reference's change$is_update pairing
+    * (src/query/expression/src/schema.rs:78-80): an INSERT and a DELETE
+    * of the same key inside one interval are the two halves of an
+    * UPDATE, and both carry change$is_update = true. `key` plays the
+    * role of the reference's row-lineage id (stream_table.rs:36-38).
+    */
+  def changesByKey(fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(org.apache.spark.sql.functions.col(key))
+    import org.apache.spark.sql.functions._
+    changes(fromVersion, toVersion)
+      .withColumn("change$is_update",
+        max(when(col("change$action") === "INSERT", 1).otherwise(0)).over(w) === 1 &&
+          max(when(col("change$action") === "DELETE", 1).otherwise(0)).over(w) === 1)
+  }
+
   /** CLUSTER BY-style rewrite (reference: benchmark/tpch/create.sql
     * CLUSTER BY keys + hilbert recluster, src/query/expression/src/
     * hilbert/): repartition by range on the cluster keys and sort

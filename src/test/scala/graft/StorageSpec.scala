@@ -116,4 +116,67 @@ class StorageSpec extends AnyFunSuite {
     assert(loaded3 == Seq("f3.parquet") && skipped3.size == 2)
     assert(t.read().count() == 3)
   }
+
+  test("named STREAM cursor: hasData, consume advances, append-only mode") {
+    import spark.implicits._
+    import graft.sources.GraftStream
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("k", "v"))
+    val s = GraftStream.create(t, "s1")                     // CREATE STREAM
+    assert(!s.hasData)                                      // starts empty
+
+    t.append(Seq((2, "b"), (3, "c")).toDF("k", "v"))
+    assert(s.hasData)
+    assert(s.read().count() == 2)                           // peek, no advance
+    assert(s.read().count() == 2)
+
+    val n = s.consume(_.count())                            // task consumes
+    assert(n == 2 && !s.hasData)
+    assert(s.read().count() == 0)
+
+    // re-open by name: offset persisted
+    val s2 = GraftStream.open(t, "s1")
+    assert(s2.offset == s.offset)
+
+    // append-only stream ignores the DELETE half of a rewrite
+    val ao = GraftStream.create(t, "ao", GraftStream.AppendOnly)
+    t.update(col("k") === 2, Map("v" -> lit("B")))
+    val acts = ao.read().select("change$action").distinct().as[String].collect()
+    assert(acts.toSet == Set("INSERT"))
+  }
+
+  test("changesByKey pairs UPDATE halves with change$is_update") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val v0 = t.currentVersion
+    t.update(col("k") === 2, Map("v" -> lit("B")))
+    t.append(Seq((4, "d")).toDF("k", "v"))
+    val ch = t.changesByKey(v0, t.currentVersion, "k")
+      .select(col("k"), col("change$action"), col("change$is_update"))
+      .as[(Int, String, Boolean)].collect().toSet
+    assert(ch.contains((2, "INSERT", true)) && ch.contains((2, "DELETE", true)))
+    assert(ch.contains((4, "INSERT", false)))
+    assert(!ch.exists { case (k, _, upd) => k != 2 && upd })
+  }
+
+  test("multi-table INSERT ALL / INSERT FIRST") {
+    import spark.implicits._
+    import graft.sources.MultiInsert
+    val src = Seq((1, 10), (2, 150), (3, 250)).toDF("k", "amt")
+
+    val lo = GraftTable.create(spark, tmp(), Seq.empty[(Int, Int)].toDF("k", "amt"))
+    val hi = GraftTable.create(spark, tmp(), Seq.empty[(Int, Int)].toDF("k", "amt"))
+    MultiInsert.insertAll(src, Seq(
+      (col("amt") < 200) -> lo,                   // rows 1,2
+      (col("amt") > 100) -> hi))                  // rows 2,3 (overlap OK)
+    assert(lo.read().count() == 2 && hi.read().count() == 2)
+
+    val first = GraftTable.create(spark, tmp(), Seq.empty[(Int, Int)].toDF("k", "amt"))
+    val rest = GraftTable.create(spark, tmp(), Seq.empty[(Int, Int)].toDF("k", "amt"))
+    MultiInsert.insertFirst(src, Seq(
+      (col("amt") < 200) -> first,                // rows 1,2
+      (col("amt") > 100) -> rest))                // only row 3 (2 already taken)
+    assert(first.read().count() == 2)
+    assert(rest.read().as[(Int, Int)].collect().toSeq == Seq((3, 250)))
+  }
 }
