@@ -27,15 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionBuilder { def apply(args: Seq[Expression]): Expression = builder(args) }))
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    inject(e, "hamming64", args =>
-      HammingDistance(Cast(args.head, LongType), Cast(args(1), LongType)))
-    inject(e, "flatten_json", args => JsonFlatten(args.head, recursive = false))
-    inject(e, "flatten_json_recursive", args => JsonFlatten(args.head, recursive = true))
-    // a few reference-name aliases usable without GraftFunctions.register
-    inject(e, "to_year", args => UnresolvedFunction("year", args, isDistinct = false))
-    inject(e, "to_day_of_month", args => UnresolvedFunction("dayofmonth", args, isDistinct = false))
-    inject(e, "to_start_of_month",
-      args => UnresolvedFunction("date_trunc", Literal("month") +: args, isDistinct = false))
-    inject(e, "uniq", args => UnresolvedFunction("approx_count_distinct", args, isDistinct = false))
+    // the full expression-level surface from GraftFunctions: every
+    // alias spelling plus every rewrite (hamming64, flatten_json,
+    // keypath gets, yyyymm shorthands, ...)
+    for ((name, target) <- graft.functions.GraftFunctions.aliases if name != target)
+      inject(e, name, args => UnresolvedFunction(target, args, isDistinct = false))
+    for ((name, builder) <- graft.functions.GraftFunctions.rewrites)
+      inject(e, name, builder)
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions.udf
 object GraftFunctions {
 
   /** databend name -> spark builtin name (1:1 argument passthrough) */
-  private val aliases: Seq[(String, String)] = Seq(
+  val aliases: Seq[(String, String)] = Seq(
     // datetime family (function_list.txt:11-32 style to_* names)
     "to_year" -> "year",
     "to_month" -> "month",
@@ -108,7 +108,7 @@ object GraftFunctions {
     "gen_random_uuid" -> "uuid")
 
   /** names needing argument rewriting */
-  private val rewrites: Map[String, Seq[Expression] => Expression] = Map(
+  val rewrites: Map[String, Seq[Expression] => Expression] = Map(
     "to_start_of_month" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("month")) ++ args, isDistinct = false)),
     "to_start_of_year" -> (args =>
@@ -161,7 +161,30 @@ object GraftFunctions {
         Seq(UnresolvedFunction("map", args, isDistinct = false)), isDistinct = false)),
     "json_array" -> (args =>
       UnresolvedFunction("to_json",
-        Seq(UnresolvedFunction("array", args, isDistinct = false)), isDistinct = false)))
+        Seq(UnresolvedFunction("array", args, isDistinct = false)), isDistinct = false)),
+    // databend keypath get (reference scalars/variant.rs; SURVEY
+    // known-hard #6): '{a,b,0}' translates at bind time to the
+    // JSONPath '$.a.b[0]' of Spark's get_json_object. Digit segments
+    // index arrays; quoted segments are literal keys.
+    "get_by_keypath" -> (args => {
+      val path = args(1) match {
+        case Literal(s, _) if s != null =>
+          val inner = s.toString.trim.stripPrefix("{").stripSuffix("}")
+          val segs = if (inner.isEmpty) Seq.empty else inner.split(',').toSeq
+          segs.map(_.trim.stripPrefix("\"").stripSuffix("\"")).map { seg =>
+            if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
+          }.mkString("$", "", "")
+        case other =>
+          throw new IllegalArgumentException(
+            s"get_by_keypath requires a literal keypath, got $other")
+      }
+      UnresolvedFunction("get_json_object",
+        Seq(args.head, Literal(path)), isDistinct = false)
+    }),
+    "get_by_keypath_string" -> (args => {
+      val inner = UnresolvedFunction("get_by_keypath", args, isDistinct = false)
+      inner // get_json_object already yields unquoted strings
+    }))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

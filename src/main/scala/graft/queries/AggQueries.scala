@@ -120,13 +120,19 @@ object AggQueries extends QueryModule {
   private val quantiles = Q(
     (spark, dir) => {
       val x = t(spark, dir)
+      // one percentile buffer per column (array form), not one per
+      // quantile — the buffer collects all group values, so fewer
+      // buffers = less shuffled state; median == q50 reuses the array
       x.lineitem.groupBy(col("l_linestatus"))
         .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
-          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          round(expr("median(l_quantity)"), 6).as("med_qty"))
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .select(col("l_linestatus"),
+          round(col("qs")(0), 6).as("q25"),
+          round(col("qs")(1), 6).as("q50"),
+          round(col("qs")(2), 6).as("q75"),
+          col("p90_price"),
+          round(col("qs")(1), 6).as("med_qty"))
         .orderBy(col("l_linestatus"))
     },
     Some("""SELECT l_linestatus,

@@ -34,6 +34,14 @@ class ExtensionsSpec extends AnyFunSuite {
         "LATERAL VIEW flatten_json('{\"a\": [10, 20]}') f AS key, path, index, value")
         .collect().map(r2 => (r2.getString(0), r2.getString(1))).toSeq
       assert(fl == Seq(("a", "[10,20]")))
+      // databend keypath syntax -> JSONPath at bind time
+      val kp = spark.sql(
+        """SELECT get_by_keypath('{"a": {"b": [10, 20]}}', '{a,b,1}') AS v,
+          |  get_by_keypath_string('{"a": {"name": "x"}}', '{a,name}') AS s,
+          |  get_by_keypath('{"a": 1}', '{missing}') AS miss""".stripMargin).head()
+      assert(kp.getString(0) == "20")
+      assert(kp.getString(1) == "x")
+      assert(kp.isNullAt(2))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
