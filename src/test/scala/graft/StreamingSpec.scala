@@ -67,6 +67,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.contains((2L, 50L, 2)))    // user 2 session (50, 800) closed
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L // away from epoch 0 so watermark math is sane
+    def ts(s: Long) = new java.sql.Timestamp((base + s) * 1000L)
+
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = GraftStreams.attributeClicks(
+      imps.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"),
+      within = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+
+    imps.addData((1L, ts(0)), (2L, ts(0)))
+    clicks.addData((1L, ts(600)))            // within 30 min -> attributed
+    q.processAllAvailable()
+    clicks.addData((2L, ts(3600)))           // 1h later -> NOT attributed
+    clicks.addData((1L, ts(1200)))           // second click, also within
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib")
+      .select("user_id", "click_ts").as[(Long, java.sql.Timestamp)]
+      .collect().map { case (u, c) => (u, c.getTime / 1000 - 1700000000L) }.toSet
+    assert(rows == Set((1L, 600L), (1L, 1200L)))
+
+    // identical transform over batch frames gives the same answer
+    val bImps = Seq((1L, ts(0)), (2L, ts(0))).toDF("user_id", "ts")
+    val bClicks = Seq((1L, ts(600)), (2L, ts(3600)), (1L, ts(1200))).toDF("user_id", "ts")
+    val batch = GraftStreams.attributeClicks(bImps, bClicks)
+      .select("user_id", "click_ts").as[(Long, java.sql.Timestamp)]
+      .collect().map { case (u, c) => (u, c.getTime / 1000 - 1700000000L) }.toSet
+    assert(batch == rows)
+  }
+
   test("open-session flush matches batch sessionize semantics") {
     import spark.implicits._
     val evs = Seq(Ev(7, 0), Ev(7, 500), Ev(7, 5000), Ev(8, 10)).toDS()
