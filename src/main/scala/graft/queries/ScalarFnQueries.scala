@@ -292,7 +292,69 @@ object ScalarFnQueries extends QueryModule {
       |  n_name AS plain_name
       |FROM nation ORDER BY n_nationkey""".stripMargin))
 
+  // ---- decimal exactness (SURVEY known-hard #1) -----------------------
+  // Money as DECIMAL built from exact integer cents: multiplication
+  // scale rules (s1+s2) and decimal SUM/MIN/MAX agree bit-exactly with
+  // DuckDB — the decimal path of the reference's Decimal128 arithmetic
+  // (reference: src/query/expression/src/types/decimal.rs).
+  private val decimalFns = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val priceD = (Exact.cents(col("l_extendedprice")) * lit(BigDecimal("0.01"))).as("price_d")
+      x.lineitem
+        .select(col("l_returnflag"), priceD,
+          (Exact.cents(col("l_discount") * 100) * lit(BigDecimal("0.0001"))).as("disc_d"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("price_d")).as("sum_d"),
+          min(col("price_d")).as("min_d"),
+          max(col("price_d")).as("max_d"),
+          sum(col("disc_d")).as("sumdisc_d"),
+          count(lit(1)).as("n"))
+        // aggregate IN decimal (exact), compare as canonical strings —
+        // pandas turns small-precision DuckDB decimals into float64
+        .select(col("l_returnflag"),
+          col("sum_d").cast("string").as("sum_price_d"),
+          col("min_d").cast("string").as("min_price_d"),
+          col("max_d").cast("string").as("max_price_d"),
+          col("sumdisc_d").cast("string").as("sum_disc_d"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2))) AS VARCHAR) AS sum_price_d,
+      |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2))) AS VARCHAR) AS min_price_d,
+      |  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2))) AS VARCHAR) AS max_price_d,
+      |  CAST(sum(CAST(round(l_discount * 100 * 100) AS BIGINT) * CAST(0.0001 AS DECIMAL(5,4))) AS VARCHAR) AS sum_disc_d,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // ---- interval arithmetic (reference scalars/timestamp interval) -----
+  private val intervalFns = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.orders.filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          expr("o_orderdate + INTERVAL 3 MONTH").as("plus_3m"),
+          expr("o_orderdate - INTERVAL 90 DAY").as("minus_90d"),
+          add_months(to_date(col("o_orderdate")), 14).cast("timestamp").as("plus_14m_d"),
+          last_day(to_date(col("o_orderdate"))).cast("timestamp").as("eom"),
+          datediff(lit("1998-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_98"),
+          date_trunc("quarter", col("o_orderdate")).as("qstart"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+      |  o_orderdate - INTERVAL 90 DAY AS minus_90d,
+      |  CAST(CAST(o_orderdate + INTERVAL 14 MONTH AS DATE) AS TIMESTAMP) AS plus_14m_d,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+      |  date_trunc('quarter', o_orderdate) AS qstart
+      |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "sfn_decimal" -> decimalFns,
+    "sfn_interval" -> intervalFns,
     "sfn_string" -> stringFns,
     "sfn_math" -> mathFns,
     "sfn_datetime" -> datetimeFns,
