@@ -70,4 +70,48 @@ object BitmapAggs {
     override def bufferEncoder: Encoder[Option[RoaringBitmap]] = Encoders.kryo[Option[RoaringBitmap]]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
+
+  // ---- scalar bitmap ops (reference scalars/bitmap.rs name set) -------
+
+  private def binop(a: Array[Byte], b: Array[Byte])(
+      op: (RoaringBitmap, RoaringBitmap) => Unit): Array[Byte] = {
+    val x = deser(a); op(x, deser(b)); ser(x)
+  }
+
+  def buildBitmap(xs: Seq[Int]): Array[Byte] = {
+    val bm = new RoaringBitmap(); xs.foreach(bm.add); ser(bm)
+  }
+  /** to_bitmap('1,2,3') */
+  def parseBitmap(s: String): Array[Byte] =
+    buildBitmap(s.split(',').iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+  def and(a: Array[Byte], b: Array[Byte]): Array[Byte] = binop(a, b)(_ and _)
+  def or(a: Array[Byte], b: Array[Byte]): Array[Byte] = binop(a, b)(_ or _)
+  def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] = binop(a, b)(_ xor _)
+  /** bitmap_and_not / bitmap_not: values of a not in b */
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = binop(a, b)(_ andNot _)
+  def hasAny(a: Array[Byte], b: Array[Byte]): Boolean =
+    RoaringBitmap.intersects(deser(a), deser(b))
+  /** every value of b is in a */
+  def hasAll(a: Array[Byte], b: Array[Byte]): Boolean =
+    RoaringBitmap.andNot(deser(b), deser(a)).isEmpty
+  def bmMin(a: Array[Byte]): Option[Long] = {
+    val bm = deser(a); if (bm.isEmpty) None else Some(bm.first().toLong & 0xffffffffL)
+  }
+  def bmMax(a: Array[Byte]): Option[Long] = {
+    val bm = deser(a); if (bm.isEmpty) None else Some(bm.last().toLong & 0xffffffffL)
+  }
+  def toArray(a: Array[Byte]): Seq[Int] = deser(a).toArray.toSeq
+  def toStr(a: Array[Byte]): String = deser(a).toArray.mkString(",")
+  /** sub_bitmap(b, offset, len): `len` values starting at position `offset` */
+  def subBitmap(a: Array[Byte], offset: Int, len: Int): Array[Byte] =
+    buildBitmap(deser(a).toArray.toSeq.slice(offset, offset + len))
+  /** bitmap_subset_in_range(b, start, end): values in [start, end) */
+  def subsetInRange(a: Array[Byte], start: Long, end: Long): Array[Byte] = {
+    val bm = deser(a)
+    val range = new RoaringBitmap(); range.add(start, end)
+    bm.and(range); ser(bm)
+  }
+  /** bitmap_subset_limit(b, start, limit): first `limit` values >= start */
+  def subsetLimit(a: Array[Byte], start: Long, limit: Int): Array[Byte] =
+    buildBitmap(deser(a).toArray.toSeq.filter(v => (v.toLong & 0xffffffffL) >= start).take(limit))
 }

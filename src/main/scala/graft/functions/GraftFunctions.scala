@@ -208,6 +208,29 @@ object GraftFunctions {
       udf((b: Array[Byte]) => if (b == null) 0L else BitmapAggs.deser(b).getLongCardinality))
     spark.udf.register("bitmap_contains",
       udf((b: Array[Byte], v: Int) => if (b == null) false else BitmapAggs.deser(b).contains(v)))
+    // scalar bitmap ops — the reference's full scalars/bitmap.rs name
+    // set (bitmap_and/or/xor/not, subsets, min/max, conversions)
+    spark.udf.register("build_bitmap", udf((xs: Seq[Int]) => BitmapAggs.buildBitmap(xs)))
+    spark.udf.register("to_bitmap", udf((s: String) => BitmapAggs.parseBitmap(s)))
+    spark.udf.register("bitmap_and", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.and(a, b)))
+    spark.udf.register("bitmap_or", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.or(a, b)))
+    spark.udf.register("bitmap_xor", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.xor(a, b)))
+    spark.udf.register("bitmap_not", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.andNot(a, b)))
+    spark.udf.register("bitmap_and_not", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.andNot(a, b)))
+    spark.udf.register("bitmap_has_any", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.hasAny(a, b)))
+    spark.udf.register("bitmap_has_all", udf((a: Array[Byte], b: Array[Byte]) => BitmapAggs.hasAll(a, b)))
+    spark.udf.register("bitmap_min", udf((a: Array[Byte]) => BitmapAggs.bmMin(a)))
+    spark.udf.register("bitmap_max", udf((a: Array[Byte]) => BitmapAggs.bmMax(a)))
+    spark.udf.register("bitmap_to_array", udf((a: Array[Byte]) => BitmapAggs.toArray(a)))
+    spark.udf.register("bitmap_to_string", udf((a: Array[Byte]) => BitmapAggs.toStr(a)))
+    spark.udf.register("sub_bitmap",
+      udf((a: Array[Byte], off: Int, len: Int) => BitmapAggs.subBitmap(a, off, len)))
+    spark.udf.register("bitmap_subset_in_range",
+      udf((a: Array[Byte], s: Long, e: Long) => BitmapAggs.subsetInRange(a, s, e)))
+    spark.udf.register("bitmap_subset_limit",
+      udf((a: Array[Byte], s: Long, n: Int) => BitmapAggs.subsetLimit(a, s, n)))
+    spark.udf.register("bitmap_cardinality",
+      udf((b: Array[Byte]) => if (b == null) 0L else BitmapAggs.deser(b).getLongCardinality))
     // IPv4 conversions (reference scalars: inet_aton/inet_ntoa,
     // function_list.txt:36-37) — tiny non-hot-path UDFs
     spark.udf.register("inet_aton", udf((s: String) =>

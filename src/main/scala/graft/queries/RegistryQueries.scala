@@ -95,6 +95,66 @@ object RegistryQueries extends QueryModule {
       |  CAST(sum(CASE WHEN nq = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_quarters
       |FROM base""".stripMargin))
 
+  // the full scalar bitmap algebra (and/or/xor/and_not, min/max,
+  // has_any/has_all, subsets, to_bitmap) with a set-algebra oracle:
+  // two per-nation customer sets (big spenders vs urgent-priority),
+  // bitmap ops vs DuckDB full-join set arithmetic
+  private val bitmapAlgebra = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """WITH hi AS (
+          |  SELECT c_nationkey AS nk, bitmap_agg(CAST(o_custkey AS INT)) AS bm
+          |  FROM orders JOIN customer ON c_custkey = o_custkey
+          |  WHERE o_totalprice > 200000.0 GROUP BY c_nationkey),
+          |urg AS (
+          |  SELECT c_nationkey AS nk, bitmap_agg(CAST(o_custkey AS INT)) AS bm
+          |  FROM orders JOIN customer ON c_custkey = o_custkey
+          |  WHERE o_orderpriority = '1-URGENT' GROUP BY c_nationkey)
+          |SELECT hi.nk,
+          |  bitmap_count(bitmap_and(hi.bm, urg.bm)) AS n_and,
+          |  bitmap_count(bitmap_or(hi.bm, urg.bm)) AS n_or,
+          |  bitmap_count(bitmap_xor(hi.bm, urg.bm)) AS n_xor,
+          |  bitmap_count(bitmap_and_not(hi.bm, urg.bm)) AS n_hi_only,
+          |  bitmap_min(bitmap_or(hi.bm, urg.bm)) AS mn,
+          |  bitmap_max(bitmap_or(hi.bm, urg.bm)) AS mx,
+          |  bitmap_has_any(hi.bm, urg.bm) AS any_common,
+          |  bitmap_has_all(hi.bm, bitmap_and(hi.bm, urg.bm)) AS all_and_in_hi,
+          |  bitmap_count(bitmap_subset_in_range(hi.bm, 0, 500)) AS n_lt500,
+          |  bitmap_count(sub_bitmap(hi.bm, 0, 3)) AS n_first3,
+          |  bitmap_to_string(bitmap_subset_limit(bitmap_and(hi.bm, urg.bm), 0, 2)) AS first2_and
+          |FROM hi JOIN urg ON hi.nk = urg.nk
+          |ORDER BY hi.nk""".stripMargin)
+    },
+    Some("""WITH hi AS (
+      |  SELECT DISTINCT c_nationkey AS nk, o_custkey AS ck
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE o_totalprice > 200000.0),
+      |urg AS (
+      |  SELECT DISTINCT c_nationkey AS nk, o_custkey AS ck
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |j AS (
+      |  SELECT coalesce(hi.nk, urg.nk) AS nk,
+      |         hi.ck AS hck, urg.ck AS uck, coalesce(hi.ck, urg.ck) AS ck
+      |  FROM hi FULL JOIN urg ON hi.nk = urg.nk AND hi.ck = urg.ck
+      |  WHERE coalesce(hi.nk, urg.nk) IN (SELECT nk FROM hi)
+      |    AND coalesce(hi.nk, urg.nk) IN (SELECT nk FROM urg))
+      |SELECT nk,
+      |  count(*) FILTER (WHERE hck IS NOT NULL AND uck IS NOT NULL) AS n_and,
+      |  count(*) AS n_or,
+      |  count(*) FILTER (WHERE hck IS NULL OR uck IS NULL) AS n_xor,
+      |  count(*) FILTER (WHERE hck IS NOT NULL AND uck IS NULL) AS n_hi_only,
+      |  min(ck) AS mn,
+      |  max(ck) AS mx,
+      |  count(*) FILTER (WHERE hck IS NOT NULL AND uck IS NOT NULL) > 0 AS any_common,
+      |  true AS all_and_in_hi,
+      |  count(*) FILTER (WHERE hck IS NOT NULL AND ck < 500) AS n_lt500,
+      |  CAST(least(count(*) FILTER (WHERE hck IS NOT NULL), 3) AS BIGINT) AS n_first3,
+      |  array_to_string(list_sort(list(ck) FILTER (WHERE hck IS NOT NULL AND uck IS NOT NULL))[1:2], ',') AS first2_and
+      |FROM j GROUP BY nk ORDER BY nk""".stripMargin))
+
   // hamming64 native (codegen) expression, verified against DuckDB's
   // bit_count(xor(...)) on deterministic arithmetic-derived longs
   private val hamming = Q(
@@ -171,5 +231,6 @@ object RegistryQueries extends QueryModule {
     "reg_alias_names2" -> aliasNames2,
     "reg_bitmap_count" -> bitmap,
     "reg_bitmap_setops" -> bitmapSetOps,
+    "reg_bitmap_algebra" -> bitmapAlgebra,
     "reg_hamming64" -> hamming)
 }
