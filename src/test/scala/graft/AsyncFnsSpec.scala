@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.AsyncFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Sequences (nextval) and dict_get — SURVEY §2.11 async functions. */
+class AsyncFnsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 8, appName = "graft-async-test")
+  private def tmp(): String = {
+    val base = Paths.get("target", "tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "seq").toString
+  }
+
+  test("nextval assigns unique ids above the high-water mark, persists") {
+    import spark.implicits._
+    val dir = tmp()
+    val seq = AsyncFns.createSequence(dir, "order_id")
+
+    val a = seq.nextval((1 to 100).toDF("x").repartition(8), "id")
+    val idsA = a.select("id").as[Long].collect()
+    assert(idsA.distinct.length == 100)          // unique
+    assert(idsA.forall(_ >= 1))                  // above initial mark
+    val hwm1 = seq.highWaterMark
+    assert(hwm1 == idsA.max)
+
+    val b = seq.nextval((1 to 50).toDF("x").repartition(4), "id")
+    val idsB = b.select("id").as[Long].collect()
+    assert(idsB.forall(_ > hwm1))                // strictly above prior mark
+    assert((idsA.toSet & idsB.toSet).isEmpty)    // never reused
+
+    // reopen by name: mark survives
+    val reopened = AsyncFns.openSequence(dir, "order_id")
+    assert(reopened.highWaterMark == idsB.max)
+  }
+
+  test("dict_get broadcast lookup with default on miss") {
+    import spark.implicits._
+    val facts = Seq((1, "a"), (2, "b"), (9, "z")).toDF("k", "payload")
+    val dict = Seq((1, "one"), (2, "two")).toDF("k", "label")
+    val out = AsyncFns.dictGet(facts, dict, "k", "label", lit("<unknown>"))
+      .select("k", "label").as[(Int, String)].collect().toSet
+    assert(out == Set((1, "one"), (2, "two"), (9, "<unknown>")))
+    // plan must broadcast the dictionary
+    val plan = AsyncFns.dictGet(facts, dict, "k", "label", lit("?"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
