@@ -190,13 +190,46 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * narrow key range and parquet min/max (zone-map) pruning can skip
     * whole files for selective key predicates.
     */
-  def recluster(keys: Seq[String], numFiles: Int = 8): Long = {
+  def recluster(keys: Seq[String], numFiles: Int = 8,
+                curve: String = "linear"): Long = {
+    import org.apache.spark.sql.functions._
     val prev = snapshot(currentVersion)
-    val keyCols = keys.map(org.apache.spark.sql.functions.col)
-    val clustered = readFiles(prev.files)
-      .repartitionByRange(numFiles, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-    commit(writeParts(clustered), prev.ledger, s"RECLUSTER-${keys.mkString(",")}")
+    val df = readFiles(prev.files)
+    val clustered = curve match {
+      case "linear" =>
+        df.repartitionByRange(numFiles, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+      case "hilbert" | "zorder" =>
+        // space-filling-curve recluster for multi-key pruning
+        // (reference: src/query/expression/src/hilbert/,
+        // physical_recluster.rs): normalize both keys to 16-bit ranks
+        // by min/max, map to the curve index, range-partition + sort on
+        // it. Every file then covers a narrow range in EVERY key, so
+        // zone maps prune on any clustered column, not just the first.
+        require(keys.length == 2, s"$curve recluster takes exactly 2 keys")
+        val Seq(a, b) = keys
+        val bounds = df.agg(
+          min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).collect()(0)
+        val (aMin, aMax) = (bounds.getDouble(0), bounds.getDouble(1))
+        val (bMin, bMax) = (bounds.getDouble(2), bounds.getDouble(3))
+        def rank(c: String, lo: Double, hi: Double) = {
+          val span = if (hi > lo) hi - lo else 1.0
+          least(lit(65535), greatest(lit(0),
+            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)).cast("long")))
+        }
+        val curveFn = if (curve == "hilbert")
+          udf((x: Long, y: Long) => GraftTable.hilbertIndex(16, x, y))
+        else
+          udf((x: Long, y: Long) => GraftTable.zorderIndex(x, y))
+        val withIdx = df.withColumn("__curve",
+          curveFn(rank(a, aMin, aMax), rank(b, bMin, bMax)))
+        withIdx.repartitionByRange(numFiles, col("__curve"))
+          .sortWithinPartitions(col("__curve"))
+          .drop("__curve")
+      case other => throw new IllegalArgumentException(s"unknown curve $other")
+    }
+    commit(writeParts(clustered), prev.ledger, s"RECLUSTER-$curve-${keys.mkString(",")}")
   }
 
   // ---- COPY INTO ------------------------------------------------------
@@ -222,6 +255,38 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  /** 2-D Hilbert curve index (order = bits per dimension), the classic
+    * iterative xy→d mapping. Locality: consecutive d are adjacent
+    * cells, so range-partitioning on d keeps both dimensions tight.
+    */
+  def hilbertIndex(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s: Long = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate quadrant
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Z-order (Morton) index: interleave the low 16 bits of x and y. */
+  def zorderIndex(x: Long, y: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 16) {
+      r |= ((x >> i) & 1L) << (2 * i)
+      r |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    r
+  }
 
   final case class Snapshot(version: Long, timestampMs: Long,
       files: Seq[String], ledger: Seq[String], operation: String) {

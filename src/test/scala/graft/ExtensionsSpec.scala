@@ -75,4 +75,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hit == 1)
     assert(t.read().count() == 10000)
   }
+
+  test("hilbert recluster keeps BOTH key ranges narrow per file") {
+    val spark = GraftSession(cpus = 4, appName = "graft-hilbert-test")
+    import spark.implicits._
+    val base = java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target", "tmp"))
+    // a 100x100 grid: lexicographic sort on (x, y) makes every file
+    // span the FULL y domain; the hilbert curve keeps both tight
+    val grid = (0 until 10000).map(i => (i / 100, i % 100)).toDF("x", "y")
+
+    def avgSpans(t: GraftTable): (Double, Double) = {
+      val spans = t.snapshot(t.currentVersion).files.map { f =>
+        val r = spark.read.parquet(s"${t.path}/$f")
+          .agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+        (r.getInt(1) - r.getInt(0), r.getInt(3) - r.getInt(2))
+      }
+      (spans.map(_._1).sum.toDouble / spans.size,
+       spans.map(_._2).sum.toDouble / spans.size)
+    }
+
+    val lin = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory(base, "lin").toString, grid.repartition(8))
+    lin.recluster(Seq("x", "y"), numFiles = 16)
+    val (_, linY) = avgSpans(lin)
+
+    val hil = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory(base, "hil").toString, grid.repartition(8))
+    hil.recluster(Seq("x", "y"), numFiles = 16, curve = "hilbert")
+    val (hilX, hilY) = avgSpans(hil)
+
+    // lexicographic: y spans ~the full 0..99 domain in every file
+    assert(linY > 90, s"expected full y span under linear sort, got $linY")
+    // hilbert: both dimensions stay well under half the domain
+    assert(hilX < 50 && hilY < 50, s"hilbert spans too wide: x=$hilX y=$hilY")
+    assert(hil.read().count() == 10000)
+
+    // hilbert index sanity: consecutive d values are grid neighbours
+    val pts = (0 until 256).map { d0 =>
+      val d = d0.toLong
+      (0 until 256).collectFirst {
+        case i if GraftTable.hilbertIndex(4, i / 16, i % 16) == d => (i / 16, i % 16)
+      }.get
+    }
+    pts.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"hilbert discontinuity between ($x1,$y1) and ($x2,$y2)")
+    }
+  }
 }
