@@ -60,4 +60,34 @@ class PlanSpec extends AnyFunSuite {
     val plan2 = planOf("join_anti")
     assert(plan2.contains("LeftAnti"), s"expected anti join:\n$plan2")
   }
+
+  test("tpch_q2 min-per-part is a window, not an aggregate self-join") {
+    val plan = planOf("tpch_q2")
+    assert(plan.contains("Window"), s"expected window min:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "dims should broadcast")
+    // one shuffle for the derived partsupp agg; the min-per-part must
+    // not add an agg + re-join of the same subtree
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.split("SortMergeJoin").length <= 2,
+      s"min-per-part should not self-join:\n$plan")
+  }
+
+  test("tpch_q11 threshold is a broadcast, not a shuffled join") {
+    val plan = planOf("tpch_q11")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"scalar threshold should broadcast:\n$plan")
+  }
+
+  test("hits_first_last keeps min_by/max_by in one aggregate") {
+    val plan = planOf("hits_first_last")
+    // one partial + one final hash aggregate pair, no join, no window
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"argmin/argmax must be a plain aggregate:\n$plan")
+  }
+
+  test("events scans prune to the referenced columns only") {
+    val plan = planOf("hits_top_users")
+    assert(!plan.contains("props"), s"props must be pruned:\n$plan")
+    assert(!plan.contains("event_type"), s"event_type must be pruned:\n$plan")
+  }
 }
