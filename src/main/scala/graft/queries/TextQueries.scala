@@ -252,7 +252,68 @@ object TextQueries extends QueryModule {
     },
     None)
 
+  // ---- composed corpus pipeline: dedup -> quality gate -> budget ------
+  // The end-to-end shape of a training-data preparation job: exact
+  // dedup (keep lowest doc_id), quality filters, then admit documents
+  // per source until a token budget is hit (running-sum window). Every
+  // stage is a hash shuffle or a window — the whole pipeline is one
+  // Catalyst plan, no materialization between stages.
+  private val pipeline = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = t(spark, dir)
+      val tok = toks(col("text"))
+      val deduped = withExactDups(x)
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
+        .filter(col("doc_id") === col("keeper"))
+      val scored = deduped.select(col("doc_id"), col("source"),
+          size(tok).as("n_tokens"),
+          (size(expr("filter(split(lower(text), ' '), x -> x IN ('the','a','of','to','and','in','is'))"))
+            .cast("double") / size(tok)).as("stop_ratio"))
+        .filter(col("n_tokens") >= 20 && col("stop_ratio") > 0.0)
+      scored
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .filter(col("cum_tokens") <= 20000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id < 50),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, text, source,
+      |      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |    FROM d) WHERE doc_id = keeper),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |        x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+      |      / len(string_split(lower(text), ' ')) AS stop_ratio
+      |  FROM dedup),
+      |gated AS (
+      |  SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio > 0.0),
+      |budgeted AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+      |  FROM gated)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  max(doc_id) AS last_doc
+      |FROM budgeted WHERE cum_tokens <= 20000
+      |GROUP BY source ORDER BY source""".stripMargin),
+    headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,
     "txt_quality" -> quality,
     "txt_lang_score" -> langScore,
