@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Minimal sqllogictest-format runner (the reference's primary test
+  * harness: tests/sqllogictests/suites/, 1011 .test files, runner
+  * tests/sqllogictests/src/main.rs) re-expressed over `spark.sql`.
+  *
+  * Supported directives:
+  *   statement ok          — run SQL, expect success
+  *   statement error       — run SQL, expect an exception
+  *   query <types>         — run SQL, compare formatted rows in order
+  *   query <types> rowsort — same, rows sorted lexicographically
+  * Expected rows follow a `----` line, one row per line, columns
+  * TAB-separated.
+  *
+  * Cell formatting (canonical, both sides authored to match):
+  * null → "NULL"; booleans → true/false; doubles → up to 6 significant
+  * decimals with trailing zeros trimmed; everything else → toString.
+  */
+object Slt {
+
+  sealed trait Case { def sql: String; def line: Int }
+  final case class Statement(sql: String, line: Int, expectError: Boolean) extends Case
+  final case class Query(sql: String, line: Int, expected: Seq[String], rowsort: Boolean)
+      extends Case
+
+  def parse(text: String): Seq[Case] = {
+    val lines = text.linesIterator.toVector
+    val out = Vector.newBuilder[Case]
+    var i = 0
+    def collectSql(start: Int, stop: String => Boolean): (String, Int) = {
+      var j = start
+      val sb = new StringBuilder
+      while (j < lines.length && !stop(lines(j))) {
+        sb.append(lines(j)).append('\n'); j += 1
+      }
+      (sb.toString.trim, j)
+    }
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.isEmpty || l.startsWith("#")) { i += 1 }
+      else if (l.startsWith("statement")) {
+        val expectError = l.contains("error")
+        val (sql, j) = collectSql(i + 1, _.trim.isEmpty)
+        out += Statement(sql, i + 1, expectError)
+        i = j
+      } else if (l.startsWith("query")) {
+        val rowsort = l.split("\\s+").contains("rowsort")
+        val (sql, j) = collectSql(i + 1, _.trim == "----")
+        var k = j + 1 // skip ----
+        val exp = Vector.newBuilder[String]
+        while (k < lines.length && lines(k).trim.nonEmpty) {
+          exp += lines(k); k += 1
+        }
+        out += Query(sql, i + 1, exp.result(), rowsort)
+        i = k
+      } else sys.error(s"slt parse error at line ${i + 1}: $l")
+    }
+    out.result()
+  }
+
+  def formatCell(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.lang.Double => formatDouble(d)
+    case f: java.lang.Float => formatDouble(f.doubleValue())
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: Seq[_] => s.map(formatCell).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  private def formatDouble(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return d.toString
+    val s = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    if (s == "-0") "0" else s
+  }
+
+  def formatRow(r: Row): String = r.toSeq.map(formatCell).mkString("\t")
+
+  /** Run one file's cases; returns failure messages (empty = pass). */
+  def run(spark: SparkSession, name: String, text: String): Seq[String] = {
+    parse(text).flatMap {
+      case Statement(sql, line, expectError) =>
+        val r = try { spark.sql(sql).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e) }
+        (r, expectError) match {
+          case (None, true) => Seq(s"$name:$line expected error, statement succeeded")
+          case (Some(e), false) => Seq(s"$name:$line statement failed: ${e.getMessage}")
+          case _ => Nil
+        }
+      case Query(sql, line, expected, rowsort) =>
+        try {
+          var got = spark.sql(sql).collect().map(formatRow).toSeq
+          var exp = expected
+          if (rowsort) { got = got.sorted; exp = exp.sorted }
+          if (got == exp) Nil
+          else Seq(s"$name:$line mismatch\n  expected: ${exp.mkString(" | ")}\n  got:      ${got.mkString(" | ")}")
+        } catch {
+          case e: Throwable => Seq(s"$name:$line query failed: ${e.getMessage}")
+        }
+    }
+  }
+}
