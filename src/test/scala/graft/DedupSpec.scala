@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library dedup surface: planted-duplicate recall on the documents
+  * table (the same quality bar as the benchmarked txt_* queries).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 8, appName = "graft-dedup-test")
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    .select(col("doc_id"), col("text"))
+
+  // plant 50 exact copies and 50 first-word-dropped near-copies
+  private lazy val withExact = docs.union(
+    docs.filter(col("doc_id") < 50).select(col("doc_id") + 100000, col("text")))
+  private lazy val withNear = docs.union(
+    docs.filter(col("doc_id") < 50).select(col("doc_id") + 100000,
+      expr("substring(text, instr(text, ' ') + 1)")))
+
+  test("dropExactDuplicates removes exactly the planted copies") {
+    val n = docs.count()
+    val kept = Dedup.dropExactDuplicates(withExact, "doc_id", "text")
+    assert(kept.count() == n)
+    // keeper is always the original, never the +100000 replant
+    assert(kept.filter(col("doc_id") >= 100000).count() == 0)
+  }
+
+  test("minhashLsh finds the planted near-duplicates (recall >= 0.9)") {
+    val pairs = Dedup.minhashLsh(withNear, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 50L).count(i => pairs.contains((i, i + 100000)))
+    assert(found >= 45, s"recall ${found}/50")
+    // no candidate explosion: the corpus has some naturally-similar
+    // doc pairs beyond the 50 planted ones, but the LSH bucket join
+    // must stay far from O(n^2) (500 docs -> ~125k possible pairs)
+    assert(pairs.size <= 200, s"${pairs.size} pairs reported")
+  }
+
+  test("simhashPairs finds planted near-duplicates within hamming 3") {
+    val pairs = Dedup.simhashPairs(withNear, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 50L).count(i => pairs.contains((i, i + 100000)))
+    assert(found >= 40, s"recall ${found}/50")
+  }
+}
