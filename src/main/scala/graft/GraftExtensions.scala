@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       inject(e, name, args => UnresolvedFunction(target, args, isDistinct = false))
     for ((name, builder) <- graft.functions.GraftFunctions.rewrites)
       inject(e, name, builder)
+    // aggregating-index rewrite (no-op until AggIndex.register is called)
+    e.injectOptimizerRule(session => new graft.plans.AggIndexRule(session))
   }
 }
