@@ -232,7 +232,46 @@ object JoinQueries extends QueryModule {
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin))
 
+  // ---- large-large interval self-join via time-bucketing --------------
+  // The scale path for non-equi joins when NEITHER side broadcasts
+  // (reference: IEJoin, physical_range_join.rs / ie_join_state.rs —
+  // re-expressed as the bucketed-equi-join decomposition): bucket the
+  // left side by a window of the join bound, replicate the right side
+  // to its bucket ± 1, hash-join on (key, bucket), then apply the exact
+  // interval predicate. Each pair matches exactly once; the pairwise
+  // work is bounded per bucket instead of O(n^2) global.
+  private val intervalBucket = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val winUs = 7200L * 1000000L // 2 hours
+      val e = x.events.select(col("event_id"), col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+      val a = e.withColumn("bucket", floor(col("tus") / winUs))
+        .select(col("bucket"), col("event_type"),
+          col("event_id").as("id_a"), col("user_id").as("u_a"), col("tus").as("t_a"))
+      val b = e
+        .select(col("event_type"), col("event_id").as("id_b"), col("user_id").as("u_b"),
+          col("tus").as("t_b"),
+          explode(array(floor(col("tus") / winUs) - 1, floor(col("tus") / winUs),
+            floor(col("tus") / winUs) + 1)).as("bucket"))
+      a.join(b, Seq("event_type", "bucket"))
+        .filter(col("id_a") < col("id_b") && col("u_a") =!= col("u_b") &&
+          abs(col("t_a") - col("t_b")) <= winUs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT a.event_type, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.event_type = b.event_type
+      | AND a.event_id < b.event_id
+      | AND a.user_id <> b.user_id
+      | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 7200000000
+      |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin),
+    headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "join_interval_bucket" -> intervalBucket,
     "join_inner" -> inner,
     "join_left" -> left,
     "join_right" -> right,
