@@ -36,6 +36,26 @@ class AsyncFnsSpec extends AnyFunSuite {
     assert(reopened.highWaterMark == idsB.max)
   }
 
+  test("system_query_log records completed actions") {
+    import graft.operators.QueryLog
+    import spark.implicits._
+    QueryLog.clear()
+    QueryLog.register(spark)
+    Seq(1, 2, 3).toDF("x").filter(col("x") > 1).count()
+    Seq("a").toDF("s").collect()
+    // listener delivery is async; poll briefly
+    var tries = 0
+    while (QueryLog.refreshView(spark).count() < 2 && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    val log = spark.sql(
+      "SELECT action, status, duration_ms FROM system_query_log WHERE status = 'ok'")
+      .collect()
+    assert(log.length >= 2, s"got ${log.length} entries")
+    assert(log.forall(_.getDouble(2) >= 0.0))
+    assert(log.map(_.getString(0)).exists(a => a == "count" || a == "collect"))
+  }
+
   test("dict_get broadcast lookup with default on miss") {
     import spark.implicits._
     val facts = Seq((1, "a"), (2, "b"), (9, "z")).toDF("k", "payload")
