@@ -208,6 +208,16 @@ object GraftFunctions {
       udf((b: Array[Byte]) => if (b == null) 0L else BitmapAggs.deser(b).getLongCardinality))
     spark.udf.register("bitmap_contains",
       udf((b: Array[Byte], v: Int) => if (b == null) false else BitmapAggs.deser(b).contains(v)))
+    // t-digest quantile sketch, `_state`-combinator style (reference:
+    // quantile_tdigest aggregator.rs:106-119, `_state` :196)
+    spark.udf.register("tdigest_agg",
+      org.apache.spark.sql.functions.udaf(new TDigest.TDigestAgg,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    spark.udf.register("tdigest_merge_agg",
+      org.apache.spark.sql.functions.udaf(new TDigest.TDigestMergeAgg,
+        org.apache.spark.sql.Encoders.BINARY))
+    spark.udf.register("tdigest_quantile",
+      udf((state: Array[Byte], q: Double) => TDigest.quantile(TDigest.deser(state), q)))
     // scalar bitmap ops — the reference's full scalars/bitmap.rs name
     // set (bitmap_and/or/xor/not, subsets, min/max, conversions)
     spark.udf.register("build_bitmap", udf((xs: Seq[Int]) => BitmapAggs.buildBitmap(xs)))
