@@ -258,7 +258,87 @@ object HitsQueries extends QueryModule {
       |ORDER BY user_id""".stripMargin),
     headline = true)
 
+  // hits LIKE shape: pattern-filtered counts (ClickBench URL LIKE)
+  private val likeCounts = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .agg(
+          sum(when(col("props").like("%\"k\": 1%"), 1L).otherwise(0L)).as("k1x"),
+          sum(when(col("props").like("%\"k\": 42%"), 1L).otherwise(0L)).as("k42"),
+          sum(when(col("event_type").like("p%"), 1L).otherwise(0L)).as("p_types"))
+    },
+    Some("""SELECT
+      |  CAST(sum(CASE WHEN props LIKE '%"k": 1%' THEN 1 ELSE 0 END) AS BIGINT) AS k1x,
+      |  CAST(sum(CASE WHEN props LIKE '%"k": 42%' THEN 1 ELSE 0 END) AS BIGINT) AS k42,
+      |  CAST(sum(CASE WHEN event_type LIKE 'p%' THEN 1 ELSE 0 END) AS BIGINT) AS p_types
+      |FROM events""".stripMargin))
+
+  // hits multi-key top-k: (type, hour) cells ranked by volume
+  private val twoKeyTopk = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"), col("h"))
+        .limit(10)
+    },
+    Some("""SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS n
+      |FROM events GROUP BY event_type, h
+      |ORDER BY n DESC, event_type, h LIMIT 10""".stripMargin))
+
+  // hits behavior shape: users who both viewed and purchased
+  private val usersWithBoth = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+        .filter(col("has_view") === 1 && col("has_purchase") === 1)
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""SELECT count(*) AS n_users FROM (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+      |  FROM events GROUP BY user_id)
+      |WHERE hv = 1 AND hp = 1""".stripMargin))
+
+  // hits histogram shape: fixed-width value buckets
+  private val valueHistogram = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .groupBy(least(floor(col("value") / 100.0), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 5).as("avg_v"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(least(floor(value / 100.0), 9) AS BIGINT) AS bucket,
+      |  count(*) AS n, round(avg(value), 5) AS avg_v
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  // hits rollup shape: month x type distinct users with subtotals
+  private val monthRollup = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .rollup(date_trunc("month", col("ts")).as("m"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nu"))
+        .orderBy(col("m").asc_nulls_first, col("event_type").asc_nulls_first)
+    },
+    Some("""SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS m, event_type,
+      |  count(DISTINCT user_id) AS nu
+      |FROM events GROUP BY ROLLUP(m, event_type)
+      |ORDER BY m NULLS FIRST, event_type NULLS FIRST""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "hits_like_counts" -> likeCounts,
+    "hits_two_key_topk" -> twoKeyTopk,
+    "hits_users_with_both" -> usersWithBoth,
+    "hits_value_histogram" -> valueHistogram,
+    "hits_month_rollup" -> monthRollup,
     "hits_top_users" -> topUsers,
     "hits_daily_traffic" -> dailyTraffic,
     "hits_props_search" -> propsSearch,
