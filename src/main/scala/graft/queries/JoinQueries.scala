@@ -220,6 +220,7 @@ object JoinQueries extends QueryModule {
           leftKey = col("user_id"), rightKey = col("v_user"),
           leftTime = col("ts"), rightTime = col("v_ts"),
           rightPayload = Seq(col("v_ts") -> "last_view_ts", col("v_id") -> "last_view_id"))
+        .drop("asof_matched")
         .orderBy(col("event_id"))
     },
     Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
