@@ -232,6 +232,38 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     commit(writeParts(clustered), prev.ledger, s"RECLUSTER-$curve-${keys.mkString(",")}")
   }
 
+  /** Small-file compaction (reference: CompactBlock mutation,
+    * physical_compact_block / OPTIMIZE TABLE ... COMPACT): rewrite the
+    * current file set into ~`targetFiles` larger files. History is
+    * preserved — compaction is just another snapshot.
+    */
+  def compact(targetFiles: Int = 4): Long = {
+    val prev = snapshot(currentVersion)
+    val compacted = readFiles(prev.files).coalesce(targetFiles)
+    commit(writeParts(compacted), prev.ledger, s"COMPACT-$targetFiles")
+  }
+
+  /** VACUUM (reference: VACUUM TABLE — drop data files no snapshot in
+    * the retained history references, and truncate the log). Keeps the
+    * most recent `keepVersions` snapshots; time travel earlier than
+    * that is gone afterwards. Returns the deleted file names.
+    */
+  def vacuum(keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val all = versions
+    val keep = all.takeRight(keepVersions)
+    val referenced = keep.flatMap(v => snapshot(v).files).toSet
+    val live = Files.list(Paths.get(path)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".parquet") && !referenced.contains(f)).toSeq
+    live.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    all.dropRight(keepVersions).foreach { v =>
+      Files.deleteIfExists(logDir.resolve(f"$v%08d.json"))
+    }
+    live
+  }
+
   // ---- COPY INTO ------------------------------------------------------
 
   /** COPY INTO with per-file idempotence: files already in the ledger

@@ -4,6 +4,7 @@ import graft.sources.GraftTable
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Storage semantics: snapshots, time travel, file-granular DML,
   * CDC change feed, COPY INTO idempotence.
@@ -157,6 +158,31 @@ class StorageSpec extends AnyFunSuite {
     assert(ch.contains((2, "INSERT", true)) && ch.contains((2, "DELETE", true)))
     assert(ch.contains((4, "INSERT", false)))
     assert(!ch.exists { case (k, _, upd) => k != 2 && upd })
+  }
+
+  test("compact merges small files; vacuum drops unreferenced history") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, (1 to 100).toDF("x").repartition(8))
+    t.append((101 to 200).toDF("x").repartition(8))
+    val before = t.snapshot(t.currentVersion).files.size
+    assert(before > 4)
+
+    t.compact(targetFiles = 2)
+    assert(t.snapshot(t.currentVersion).files.size <= 2)
+    assert(t.read().count() == 200)
+    // history still time-travels to the uncompacted snapshot
+    assert(t.readAt(1).count() == 200)
+
+    val onDiskBefore = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val deleted = t.vacuum(keepVersions = 1)
+    assert(deleted.nonEmpty)
+    val onDiskAfter = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(onDiskAfter == onDiskBefore - deleted.size)
+    assert(t.read().count() == 200)          // current version intact
+    assert(t.versions == Seq(t.currentVersion)) // old log entries gone
   }
 
   test("TASK-style incremental pipeline: stream feeds a derived table") {
