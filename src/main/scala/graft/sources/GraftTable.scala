@@ -232,6 +232,56 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     commit(writeParts(clustered), prev.ledger, s"RECLUSTER-$curve-${keys.mkString(",")}")
   }
 
+  /** ANALYZE TABLE (reference: per-column NDV/stats snapshots,
+    * src/query/storages/common/table_meta/src/meta/v1/
+    * table_snapshot_statistics.rs:26-34, consumed by the optimizer's
+    * cardinality estimation): one aggregation pass computes row count
+    * and per-column ndv / null_count / min / max, persisted next to
+    * the snapshot it describes.
+    */
+  def analyze(): GraftTable.TableStats = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion
+    val df = read()
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ df.columns.flatMap { c =>
+      Seq(
+        approx_count_distinct(col(c)).as(s"ndv__$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),
+        min(col(c)).cast("string").as(s"min__$c"),
+        max(col(c)).cast("string").as(s"max__$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cols = df.columns.map { c =>
+      c -> GraftTable.ColStats(
+        ndv = r.getAs[Long](s"ndv__$c"),
+        nullCount = r.getAs[Long](s"nulls__$c"),
+        min = String.valueOf(r.getAs[Any](s"min__$c")),
+        max = String.valueOf(r.getAs[Any](s"max__$c")))
+    }.toMap
+    val stats = GraftTable.TableStats(v, r.getAs[Long]("__rows"), cols)
+    Files.createDirectories(Paths.get(path, "_graft_stats"))
+    Files.writeString(Paths.get(path, "_graft_stats", f"$v%08d.json"), stats.toJson)
+    stats
+  }
+
+  /** Most recent persisted stats at or before the current version. */
+  def stats(): Option[GraftTable.TableStats] = {
+    val dir = Paths.get(path, "_graft_stats")
+    if (!Files.isDirectory(dir)) return None
+    val latest = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).filter(_ <= currentVersion)
+      .maxOption
+    latest.map(v => GraftTable.TableStats.fromJson(
+      Files.readString(Paths.get(path, "_graft_stats", f"$v%08d.json"))))
+  }
+
+  /** count(*) from metadata when stats are current (reference:
+    * FoldCountAggregate over snapshot row counts).
+    */
+  def fastCount(): Option[Long] =
+    stats().filter(_.version == currentVersion).map(_.rowCount)
+
   /** Small-file compaction (reference: CompactBlock mutation,
     * physical_compact_block / OPTIMIZE TABLE ... COMPACT): rewrite the
     * current file set into ~`targetFiles` larger files. History is
@@ -287,6 +337,34 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  final case class ColStats(ndv: Long, nullCount: Long, min: String, max: String)
+
+  final case class TableStats(version: Long, rowCount: Long, cols: Map[String, ColStats]) {
+    def toJson: String = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val colsJson = cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        s""""${esc(n)}": {"ndv": ${c.ndv}, "nulls": ${c.nullCount}, "min": "${esc(c.min)}", "max": "${esc(c.max)}"}"""
+      }.mkString(",")
+      s"""{"version": $version, "rows": $rowCount, "cols": {$colsJson}}"""
+    }
+  }
+
+  object TableStats {
+    def fromJson(s: String): TableStats = {
+      def longField(name: String): Long =
+        ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toLong
+      val colRe =
+        """"([^"]+)": \{"ndv": (-?\d+), "nulls": (-?\d+), "min": "((?:[^"\\]|\\.)*)", "max": "((?:[^"\\]|\\.)*)"\}""".r
+      val cols = colRe.findAllMatchIn(s).map { m =>
+        m.group(1) -> ColStats(m.group(2).toLong, m.group(3).toLong, m.group(4), m.group(5))
+      }.toMap
+      TableStats(longField("version"), longField("rows"), cols)
+    }
+  }
 
   /** 2-D Hilbert curve index (order = bits per dimension), the classic
     * iterative xy→d mapping. Locality: consecutive d are adjacent

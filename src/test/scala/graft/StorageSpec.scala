@@ -160,6 +160,29 @@ class StorageSpec extends AnyFunSuite {
     assert(!ch.exists { case (k, _, upd) => k != 2 && upd })
   }
 
+  test("analyze persists ndv/min/max stats; fastCount answers from metadata") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      (1 to 1000).map(i => (i.toLong, s"v${i % 10}")).toDF("k", "v"))
+    assert(t.fastCount().isEmpty)            // no stats yet
+
+    val st = t.analyze()
+    assert(st.rowCount == 1000)
+    assert(st.cols("v").ndv >= 9 && st.cols("v").ndv <= 11)   // approx NDV
+    assert(st.cols("k").min == "1" && st.cols("k").max == "1000")
+    assert(st.cols("k").nullCount == 0)
+
+    // reopen: stats survive and fastCount uses them
+    val t2 = GraftTable.open(spark, t.path)
+    assert(t2.fastCount().contains(1000L))
+    assert(t2.stats().get.cols("v").ndv == st.cols("v").ndv)
+
+    // stale after a write: fastCount refuses, stats() still available
+    t2.append(Seq((1001L, "x")).toDF("k", "v"))
+    assert(t2.fastCount().isEmpty)
+    assert(t2.stats().nonEmpty)
+  }
+
   test("compact merges small files; vacuum drops unreferenced history") {
     import spark.implicits._
     val dir = tmp()
