@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.RegistryQueries,
     graft.queries.DmlQueries,
     graft.queries.MultimodalQueries,
-    graft.queries.HitsQueries)
+    graft.queries.HitsQueries,
+    graft.queries.MoreScalarQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

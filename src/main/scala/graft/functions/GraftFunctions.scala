@@ -91,7 +91,7 @@ object GraftFunctions {
     "str_to_timestamp" -> "to_timestamp",
     "try_to_datetime" -> "try_to_timestamp",
     "to_week" -> "weekofyear",
-    "to_day_of_week" -> "dayofweek",
+    "week" -> "weekofyear",
     "to_unix_timestamp" -> "unix_timestamp",
     "from_unixtime_alias" -> "from_unixtime",
     // string spellings (function_list.txt:53,92-96)
@@ -109,6 +109,13 @@ object GraftFunctions {
 
   /** names needing argument rewriting */
   val rewrites: Map[String, Seq[Expression] => Expression] = Map(
+    // ISO day-of-week, Monday=1..Sunday=7 (reference date_helper.rs
+    // ToDayOfWeek uses to_monday_one_offset); Spark's dayofweek is
+    // Sunday=1, so rewrite to weekday()+1 (weekday is Monday=0)
+    "to_day_of_week" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Add(
+        UnresolvedFunction("weekday", args, isDistinct = false),
+        Literal(1))),
     "to_start_of_month" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("month")) ++ args, isDistinct = false)),
     "to_start_of_year" -> (args =>

@@ -119,18 +119,21 @@ object TDigest {
     Digest(m, w)
   }
 
-  /** buffered Aggregator: batch raw values, fold into the digest */
-  final case class Buf(digest: Digest, pending: List[Double])
+  /** buffered Aggregator: batch raw values, fold into the digest.
+    * `nPending` tracks the list size so the hot reduce path is O(1)
+    * per row (List.length is an O(n) walk).
+    */
+  final case class Buf(digest: Digest, pending: List[Double], nPending: Int)
 
   private def flush(b: Buf): Digest = addAll(b.digest, b.pending.toArray)
 
   class TDigestAgg extends Aggregator[Double, Buf, Array[Byte]] {
-    override def zero: Buf = Buf(TDigest.empty, Nil)
+    override def zero: Buf = Buf(TDigest.empty, Nil, 0)
     override def reduce(b: Buf, v: Double): Buf =
-      if (b.pending.length >= 512) Buf(flush(b), List(v))
-      else Buf(b.digest, v :: b.pending)
+      if (b.nPending >= 512) Buf(flush(b), List(v), 1)
+      else Buf(b.digest, v :: b.pending, b.nPending + 1)
     override def merge(a: Buf, b: Buf): Buf =
-      Buf(compress(TDigest.merge(flush(a), flush(b))), Nil)
+      Buf(compress(TDigest.merge(flush(a), flush(b))), Nil, 0)
     override def finish(b: Buf): Array[Byte] = ser(flush(b))
     override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -19,33 +19,55 @@ import java.nio.file.{Files, Paths}
   */
 object AsyncFns {
 
-  /** CREATE SEQUENCE: a named, persisted high-water mark. */
+  /** CREATE SEQUENCE: a named, persisted high-water mark.
+    *
+    * Single-writer per sequence within one JVM: reserve/advance is
+    * serialized through a process-wide lock per sequence file, and the
+    * hwm write is an atomic tmp-file rename so a concurrent reader never
+    * observes a torn file. Cross-process writers need external
+    * coordination (same caveat as GraftTable's single-writer contract).
+    */
   final class GraftSequence private[AsyncFns] (dir: String, val name: String) {
     private def file = Paths.get(dir, s"_graft_seq_$name.json")
+    private def lock = AsyncFns.lockFor(file.toString)
 
     def highWaterMark: Long = {
       val s = Files.readString(file)
       "\"hwm\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
     }
 
-    private[AsyncFns] def setHwm(v: Long): Unit =
-      Files.writeString(file, s"""{"hwm": $v}""")
+    private[AsyncFns] def setHwm(v: Long): Unit = {
+      val tmp = Paths.get(dir, s"_graft_seq_$name.json.tmp")
+      Files.writeString(tmp, s"""{"hwm": $v}""")
+      Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     /** nextval over a whole DataFrame: adds `colName` with ids strictly
       * above the high-water mark, unique across partitions
       * (monotonically_increasing_id packs partition id in the high
       * bits — no shuffle, no driver round-trip per row). Advances the
       * mark past everything assigned.
+      *
+      * localCheckpoint (not cache) pins the assigned ids: a cached plan
+      * could be evicted and recomputed with different partition layouts,
+      * letting downstream reads observe ids that were never reserved.
       */
-    def nextval(df: DataFrame, colName: String): DataFrame = {
+    def nextval(df: DataFrame, colName: String): DataFrame = lock.synchronized {
       val start = highWaterMark + 1
       val out = df.withColumn(colName, monotonically_increasing_id() + lit(start))
-      val cached = out.cache()
-      val assignedMax = cached.agg(max(col(colName))).collect()(0).getLong(0)
-      setHwm(assignedMax)
-      cached
+        .localCheckpoint()
+      val maxRow = out.agg(max(col(colName))).collect()(0)
+      // empty input: nothing assigned, leave the mark untouched
+      if (!maxRow.isNullAt(0)) setHwm(maxRow.getLong(0))
+      out
     }
   }
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
 
   def createSequence(dir: String, name: String): GraftSequence = {
     Files.createDirectories(Paths.get(dir))

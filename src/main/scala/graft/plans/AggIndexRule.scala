@@ -30,9 +30,23 @@ object AggIndex {
 
   def clear(): Unit = entries.clear()
 
+  /** Strip URI scheme and trailing slashes so `file:/data/x` and
+    * `/data/x/` compare equal.
+    */
+  private def normalize(p: String): String = {
+    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+    val trimmed = noScheme.replaceAll("/+$", "")
+    if (trimmed.isEmpty) "/" else trimmed
+  }
+
   private[plans] def lookup(paths: Seq[String]): Option[Entry] = {
     import scala.jdk.CollectionConverters._
-    entries.values.asScala.find(e => paths.exists(_.contains(e.sourcePath)))
+    // exact match or a path below the registered root — a plain substring
+    // test would also match siblings like `/data/events_v2`
+    entries.values.asScala.find { e =>
+      val src = normalize(e.sourcePath)
+      paths.map(normalize).exists(p => p == src || p.startsWith(src + "/"))
+    }
   }
 }
 
@@ -64,8 +78,6 @@ class AggIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the summary relation, resolved fresh
     val summary = spark.read.parquet(entry.summaryPath).queryExecution.analyzed
     val byName = summary.output.map(a => a.name -> a).toMap
-
-    def summaryCol(name: String): Attribute = byName.getOrElse(name, return null)
 
     val newGroupings = groupAttrs.map(a => byName.getOrElse(a.name, return None))
 

@@ -120,19 +120,22 @@ object AggQueries extends QueryModule {
   private val quantiles = Q(
     (spark, dir) => {
       val x = t(spark, dir)
-      // one percentile buffer per column (array form), not one per
-      // quantile — the buffer collects all group values, so fewer
-      // buffers = less shuffled state; median == q50 reuses the array
-      x.lineitem.groupBy(col("l_linestatus"))
-        .agg(
-          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      // distributed sort-based exact quantiles (operators.Quantiles):
+      // Spark's built-in `percentile` merges per-group value maps on a
+      // single reducer — for the ~all-distinct price column that map is
+      // the whole column. The sort-based plan stays distributed.
+      val qty = graft.operators.Quantiles.cont(x.lineitem,
+        Seq("l_linestatus"), "l_quantity",
+        Seq(0.25, 0.5, 0.75), Seq("q25r", "q50r", "q75r"))
+      val price = graft.operators.Quantiles.cont(x.lineitem,
+        Seq("l_linestatus"), "l_extendedprice", Seq(0.9), Seq("p90r"))
+      qty.join(price, "l_linestatus")
         .select(col("l_linestatus"),
-          round(col("qs")(0), 6).as("q25"),
-          round(col("qs")(1), 6).as("q50"),
-          round(col("qs")(2), 6).as("q75"),
-          col("p90_price"),
-          round(col("qs")(1), 6).as("med_qty"))
+          round(col("q25r"), 6).as("q25"),
+          round(col("q50r"), 6).as("q50"),
+          round(col("q75r"), 6).as("q75"),
+          round(col("p90r"), 4).as("p90_price"),
+          round(col("q50r"), 6).as("med_qty"))
         .orderBy(col("l_linestatus"))
     },
     Some("""SELECT l_linestatus,
@@ -181,15 +184,17 @@ object AggQueries extends QueryModule {
   private val collect = Q(
     (spark, dir) => {
       val x = t(spark, dir)
+      // arrays serialized to JSON text: the harness compares cell
+      // values via pandas, which cannot sort/hash raw array cells
       x.nation.groupBy(col("n_regionkey"))
         .agg(
-          array_sort(collect_list(col("n_name"))).as("nations"),
+          to_json(array_sort(collect_list(col("n_name")))).as("nations"),
           concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations_csv"),
           count(lit(1)).as("n"))
         .orderBy(col("n_regionkey"))
     },
     Some("""SELECT n_regionkey,
-      |  list_sort(list(n_name)) AS nations,
+      |  CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS nations,
       |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
@@ -256,7 +261,7 @@ object AggQueries extends QueryModule {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"),
           expr("any_value(l_suppkey)").as("any_supp"),
-          expr("histogram_numeric(l_quantity, 5)").as("hist"))
+          to_json(expr("histogram_numeric(l_quantity, 5)")).as("hist"))
         .orderBy(col("l_returnflag"))
     },
     None)

@@ -113,15 +113,18 @@ object HitsQueries extends QueryModule {
       |  max(CAST(ts AS TIMESTAMP)) AS last_ts
       |FROM events""".stripMargin))
 
-  // hits quantile shape: per-type value percentiles (exact interpolated)
+  // hits quantile shape: per-type value percentiles (exact interpolated,
+  // distributed sort — see operators.Quantiles scaladoc)
   private val valueQuantiles = Q(
     (spark, dir) => {
       val x = t(spark, dir)
-      x.events.groupBy(col("event_type"))
-        .agg(
-          round(expr("percentile(value, 0.5)"), 5).as("p50"),
-          round(expr("percentile(value, 0.9)"), 5).as("p90"),
-          round(expr("percentile(value, 0.99)"), 5).as("p99"))
+      graft.operators.Quantiles.cont(x.events,
+          Seq("event_type"), "value",
+          Seq(0.5, 0.9, 0.99), Seq("p50r", "p90r", "p99r"))
+        .select(col("event_type"),
+          round(col("p50r"), 5).as("p50"),
+          round(col("p90r"), 5).as("p90"),
+          round(col("p99r"), 5).as("p99"))
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type,

@@ -210,7 +210,7 @@ object RegistryQueries extends QueryModule {
       |  CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
       |  CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS ymd,
       |  date_trunc('week', o_orderdate) AS monday,
-      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(isodow(o_orderdate) AS INT) AS dow,
       |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
       |  split_part(o_orderpriority, '-', 1) AS prio_num,
       |  CAST(len(string_split(o_orderpriority, '-')) AS INT) AS prio_parts,

@@ -240,16 +240,18 @@ object ScalarFnQueries extends QueryModule {
           size(col("seq")).as("n"),
           array_contains(col("seq"), 3).as("has3"),
           element_at(col("seq"), 1).as("first_el"),
-          slice(col("seq"), 1, 2).as("first2"),
-          reverse(col("seq")).as("rev"),
+          // array results as JSON text — the harness compares cells via
+          // pandas, which cannot sort/hash raw array cells
+          to_json(slice(col("seq"), 1, 2)).as("first2"),
+          to_json(reverse(col("seq"))).as("rev"),
           array_max(col("seq")).as("mx"),
           array_min(col("seq")).as("mn"),
-          expr("transform(seq, x -> x * 10)").as("x10"),
-          expr("filter(seq, x -> x % 2 = 0)").as("evens"),
+          to_json(expr("transform(seq, x -> x * 10)")).as("x10"),
+          to_json(expr("filter(seq, x -> x % 2 = 0)")).as("evens"),
           expr("aggregate(seq, 0, (a, x) -> a + x * x)").as("sum_sq"),
-          concat(col("seq"), col("seq")).as("doubled"),
-          sort_array(array_distinct(concat(col("seq"), col("seq")))).as("dedup"),
-          sort_array(reverse(col("seq"))).as("resorted"))
+          to_json(concat(col("seq"), col("seq"))).as("doubled"),
+          to_json(sort_array(array_distinct(concat(col("seq"), col("seq"))))).as("dedup"),
+          to_json(sort_array(reverse(col("seq")))).as("resorted"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
     Some("""WITH b AS (SELECT l_orderkey, l_linenumber,
@@ -259,16 +261,16 @@ object ScalarFnQueries extends QueryModule {
       |  CAST(len(seq) AS INT) AS n,
       |  list_contains(seq, 3) AS has3,
       |  CAST(seq[1] AS INT) AS first_el,
-      |  CAST(list_slice(seq, 1, 2) AS INT[]) AS first2,
-      |  CAST(list_reverse(seq) AS INT[]) AS rev,
+      |  CAST(to_json(CAST(list_slice(seq, 1, 2) AS INT[])) AS VARCHAR) AS first2,
+      |  CAST(to_json(CAST(list_reverse(seq) AS INT[])) AS VARCHAR) AS rev,
       |  CAST(list_max(seq) AS INT) AS mx,
       |  CAST(list_min(seq) AS INT) AS mn,
-      |  CAST(list_transform(seq, x -> x * 10) AS INT[]) AS x10,
-      |  CAST(list_filter(seq, x -> x % 2 = 0) AS INT[]) AS evens,
+      |  CAST(to_json(CAST(list_transform(seq, x -> x * 10) AS INT[])) AS VARCHAR) AS x10,
+      |  CAST(to_json(CAST(list_filter(seq, x -> x % 2 = 0) AS INT[])) AS VARCHAR) AS evens,
       |  CAST(list_reduce(list_prepend(0, list_transform(seq, x -> x * x)), (a, x) -> a + x) AS INT) AS sum_sq,
-      |  CAST(list_concat(seq, seq) AS INT[]) AS doubled,
-      |  CAST(list_sort(list_distinct(list_concat(seq, seq))) AS INT[]) AS dedup,
-      |  CAST(list_sort(list_reverse(seq)) AS INT[]) AS resorted
+      |  CAST(to_json(CAST(list_concat(seq, seq) AS INT[])) AS VARCHAR) AS doubled,
+      |  CAST(to_json(CAST(list_sort(list_distinct(list_concat(seq, seq))) AS INT[])) AS VARCHAR) AS dedup,
+      |  CAST(to_json(CAST(list_sort(list_reverse(seq)) AS INT[])) AS VARCHAR) AS resorted
       |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
   private val structMap = Q(
@@ -281,13 +283,14 @@ object ScalarFnQueries extends QueryModule {
           element_at(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")), "b").as("b_val"),
           col("n_name").as("plain_name"))
         .select(col("n_nationkey"), col("info.name").as("info_name"),
-          col("info.rk").as("info_rk"), col("mkeys"), col("b_val"), col("plain_name"))
+          col("info.rk").as("info_rk"), to_json(col("mkeys")).as("mkeys"),
+          col("b_val"), col("plain_name"))
         .orderBy(col("n_nationkey"))
     },
     Some("""SELECT n_nationkey,
       |  struct_extract(struct_pack(name := n_name, rk := n_regionkey), 'name') AS info_name,
       |  struct_extract(struct_pack(name := n_name, rk := n_regionkey), 'rk') AS info_rk,
-      |  map_keys(map(['a','b'], [n_nationkey, n_regionkey])) AS mkeys,
+      |  CAST(to_json(map_keys(map(['a','b'], [n_nationkey, n_regionkey]))) AS VARCHAR) AS mkeys,
       |  map_extract(map(['a','b'], [n_nationkey, n_regionkey]), 'b')[1] AS b_val,
       |  n_name AS plain_name
       |FROM nation ORDER BY n_nationkey""".stripMargin))

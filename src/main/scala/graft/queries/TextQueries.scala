@@ -312,6 +312,30 @@ object TextQueries extends QueryModule {
       |GROUP BY source ORDER BY source""".stripMargin),
     headline = true)
 
+  // ---- deterministic keyed sampling (operators.Sampling) --------------
+  // md5-keyed membership is engine-portable, so the oracle can replay it
+  // exactly; fraction filter is map-side, budget is one shuffle.
+  private val detSample = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val sampled = graft.operators.Sampling.hashSample(
+        x.documents, col("doc_id"), 0.25)
+      graft.operators.Sampling.stratifiedBudget(
+          sampled, Seq(col("source")), col("doc_id"), 5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH sampled AS (
+      |  SELECT * FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM sampled)
+      |SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 5
+      |ORDER BY source, doc_id""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,
@@ -320,5 +344,6 @@ object TextQueries extends QueryModule {
     "txt_fingerprint" -> fingerprint,
     "txt_jaccard_pairs" -> jaccard,
     "txt_minhash_lsh" -> minhash,
-    "txt_simhash" -> simhash)
+    "txt_simhash" -> simhash,
+    "txt_det_sample" -> detSample)
 }

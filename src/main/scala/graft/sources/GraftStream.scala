@@ -103,8 +103,13 @@ object MultiInsert {
     try {
       var notPrior: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)
       branches.foreach { case (cond, t) =>
-        t.append(cached.filter(notPrior && cond))
-        notPrior = notPrior && !cond
+        // WHEN semantics: a NULL condition is "did not match", so the row
+        // must stay eligible for later branches — null-safe the
+        // accumulator with <=> (plain `&& !cond` turns NULL into NULL and
+        // drops the row from every subsequent filter)
+        val matched = cond <=> org.apache.spark.sql.functions.lit(true)
+        t.append(cached.filter(notPrior && matched))
+        notPrior = notPrior && !matched
       }
     } finally cached.unpersist()
   }
