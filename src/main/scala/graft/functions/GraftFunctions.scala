@@ -60,9 +60,10 @@ object GraftFunctions {
     // conditionals
     "ifnull" -> "ifnull",
     "if" -> "if",
-    // json / variant
+    // json / variant — parse_json is NOT aliased: Spark 4's native
+    // parse_json already returns VARIANT, matching the reference's
+    // parse_json -> Variant (scalars/variant.rs)
     "json_extract_path_text" -> "get_json_object",
-    "parse_json" -> "from_json",
     "json_to_string" -> "to_json",
     // arithmetic spellings (function_list.txt:2,56-59,104)
     "add" -> "try_add",

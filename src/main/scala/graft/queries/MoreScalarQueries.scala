@@ -135,9 +135,33 @@ object MoreScalarQueries extends QueryModule {
       |  greatest(o_orderdate, DATE '1995-01-01') AS clamped
       |FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""".stripMargin))
 
+  // VARIANT type (reference: Variant JSONB columns, values.rs:210,
+  // scalars/variant.rs) — Spark 4 native VariantType: parse once,
+  // typed-path extraction, canonical JSON round-trip. The binary
+  // variant encoding is the columnar analog of the reference's JSONB.
+  private val variantFns = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.filter(col("event_id") < 500)
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("missing"),
+          expr("is_variant_null(v)").as("is_null_v"),
+          expr("cast(v as string)").as("canon"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+      |  CAST(NULL AS INT) AS missing,
+      |  false AS is_null_v,
+      |  replace(props, ': ', ':') AS canon
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "sfn_bit" -> bitFns,
     "sfn_regexp" -> regexpFns,
     "sfn_pad_trim" -> padTrim,
-    "sfn_date_arith" -> dateArith)
+    "sfn_date_arith" -> dateArith,
+    "sfn_variant" -> variantFns)
 }

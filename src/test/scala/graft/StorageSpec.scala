@@ -257,4 +257,21 @@ class StorageSpec extends AnyFunSuite {
     assert(first.read().count() == 2)
     assert(rest.read().as[(Int, Int)].collect().toSeq == Seq((3, 250)))
   }
+
+  test("INSERT FIRST: NULL branch condition means no-match, row falls through") {
+    import spark.implicits._
+    import graft.sources.MultiInsert
+    // amt NULL -> branch-1 condition evaluates to SQL NULL: WHEN
+    // semantics treat that as false, so the row must reach branch 2's
+    // catch-all instead of vanishing
+    val src = Seq((1, Integer.valueOf(10)), (2, null.asInstanceOf[Integer]))
+      .toDF("k", "amt")
+    val a = GraftTable.create(spark, tmp(), Seq.empty[(Int, Integer)].toDF("k", "amt"))
+    val b = GraftTable.create(spark, tmp(), Seq.empty[(Int, Integer)].toDF("k", "amt"))
+    MultiInsert.insertFirst(src, Seq(
+      (col("amt") < 200) -> a,                    // row 1 only (NULL skips)
+      lit(true) -> b))                            // row 2 lands here
+    assert(a.read().select("k").as[Int].collect().toSeq == Seq(1))
+    assert(b.read().select("k").as[Int].collect().toSeq == Seq(2))
+  }
 }
