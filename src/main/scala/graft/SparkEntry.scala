@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.DmlQueries,
     graft.queries.MultimodalQueries,
     graft.queries.HitsQueries,
-    graft.queries.MoreScalarQueries)
+    graft.queries.MoreScalarQueries,
+    graft.queries.GeoQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

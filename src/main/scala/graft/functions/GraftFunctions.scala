@@ -192,7 +192,39 @@ object GraftFunctions {
     "get_by_keypath_string" -> (args => {
       val inner = UnresolvedFunction("get_by_keypath", args, isDistinct = false)
       inner // get_json_object already yields unquoted strings
-    }))
+    }),
+    // geo distances (reference geographic/geo.rs:119-143, arg order
+    // lon1,lat1,lon2,lat2) — haversine built from codegen'd trig
+    // builtins, no UDF in the scan path
+    "great_circle_distance" -> (args => GraftFunctions.haversineMeters(args)),
+    "geo_distance" -> (args => GraftFunctions.haversineMeters(args)),
+    "great_circle_angle" -> (args =>
+      UnresolvedFunction("degrees", Seq(
+        org.apache.spark.sql.catalyst.expressions.Divide(
+          GraftFunctions.haversineMeters(args),
+          Literal(graft.functions.Geo.EarthRadius))), isDistinct = false)))
+
+  /** haversine great-circle distance in meters as an expression tree
+    * over builtin trig (reference GeoMethod::SphereMeters, geo.rs:727;
+    * EARTH_RADIUS geo.rs:69)
+    */
+  private def haversineMeters(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply, Subtract}
+    require(args.length == 4, "great_circle_distance(lon1, lat1, lon2, lat2)")
+    def f(name: String, as: Expression*) =
+      UnresolvedFunction(name, as.toSeq, isDistinct = false)
+    val Seq(lon1, lat1, lon2, lat2) = args
+    val dLat = Divide(f("radians", Subtract(lat2, lat1)), Literal(2.0))
+    val dLon = Divide(f("radians", Subtract(lon2, lon1)), Literal(2.0))
+    val a = Add(
+      f("pow", f("sin", dLat), Literal(2.0)),
+      Multiply(
+        Multiply(f("cos", f("radians", lat1)), f("cos", f("radians", lat2))),
+        f("pow", f("sin", dLon), Literal(2.0))))
+    Multiply(
+      Literal(2.0 * graft.functions.Geo.EarthRadius),
+      f("asin", f("least", Literal(1.0), f("sqrt", a))))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -271,6 +303,8 @@ object GraftFunctions {
       }))
     spark.udf.register("ipv4_num_to_string", udf((n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"))
+    // geohash (reference geographic/geo.rs:145-196)
+    Geo.register(spark)
   }
 
   /** true if the alias layer is active in this session */

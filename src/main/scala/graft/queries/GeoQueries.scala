@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+import graft.operators.GeoJoin
+
+/** Geo surface (reference geographic/geo.rs) + spatial radius join
+  * (reference physical_spatial_join.rs). The testdata has no
+  * coordinate columns, so both engines derive deterministic synthetic
+  * lon/lat from integer keys with identical arithmetic — the oracle
+  * replays the same formulas, so distances and join pairs are exact.
+  */
+object GeoQueries extends QueryModule {
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  // identical on both sides: lat in [-58, 58], lon in [-170, 170]
+  private def lat(key: String) = (pmod(col(key) * 37, lit(116)) - 58) + lit(0.25)
+  private def lon(key: String) = (pmod(col(key) * 91, lit(340)) - 170) + lit(0.5)
+  private val latSql = (k: String) => s"(($k * 37) % 116 + 116) % 116 - 58 + 0.25"
+  private val lonSql = (k: String) => s"(($k * 91) % 340 + 340) % 340 - 170 + 0.5"
+
+  // haversine distances customer -> a fixed point + geohash cell id
+  private val geoFns = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.customer.filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          lon("c_custkey").as("lon"), lat("c_custkey").as("lat"))
+        .select(col("c_custkey"), col("lon"), col("lat"),
+          round(Geo.greatCircleDistance(col("lon"), col("lat"), lit(2.35), lit(48.85)) / 1000.0, 3)
+            .as("km_to_paris"),
+          round(Geo.greatCircleAngle(col("lon"), col("lat"), lit(0.0), lit(0.0)), 5)
+            .as("angle_to_origin"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""SELECT c_custkey,
+      |  ${lonSql("c_custkey")} AS lon,
+      |  ${latSql("c_custkey")} AS lat,
+      |  round(2 * 6371007.180918475 *
+      |    asin(least(1.0, sqrt(
+      |      pow(sin(radians(48.85 - (${latSql("c_custkey")})) / 2), 2) +
+      |      cos(radians(${latSql("c_custkey")})) * cos(radians(48.85)) *
+      |      pow(sin(radians(2.35 - (${lonSql("c_custkey")})) / 2), 2)))) / 1000.0, 3)
+      |    AS km_to_paris,
+      |  round(degrees(2 *
+      |    asin(least(1.0, sqrt(
+      |      pow(sin(radians(0.0 - (${latSql("c_custkey")})) / 2), 2) +
+      |      cos(radians(${latSql("c_custkey")})) * cos(radians(0.0)) *
+      |      pow(sin(radians(0.0 - (${lonSql("c_custkey")})) / 2), 2))))), 5)
+      |    AS angle_to_origin
+      |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin))
+
+  // spatial radius join: customers within 750 km of a supplier "hub"
+  // (grid-cell decomposition — no cross join; oracle brute-forces the
+  // same pairs at sf0.01 scale)
+  private val radiusJoin = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val cust = x.customer
+        .select(col("c_custkey"), lon("c_custkey").as("clon"), lat("c_custkey").as("clat"))
+      val hubs = x.supplier.filter(col("s_suppkey") < 40)
+        .select(col("s_suppkey"), lon("s_suppkey").as("slon"), lat("s_suppkey").as("slat"))
+      GeoJoin.radiusJoin(cust, col("clon"), col("clat"),
+          hubs, col("slon"), col("slat"), 750000.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("distance_m") / 1000.0, 3).as("km"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+    Some(s"""WITH cust AS (
+      |  SELECT c_custkey, ${lonSql("c_custkey")} AS clon, ${latSql("c_custkey")} AS clat
+      |  FROM customer),
+      |hubs AS (
+      |  SELECT s_suppkey, ${lonSql("s_suppkey")} AS slon, ${latSql("s_suppkey")} AS slat
+      |  FROM supplier WHERE s_suppkey < 40),
+      |pairs AS (
+      |  SELECT c_custkey, s_suppkey,
+      |    2 * 6371007.180918475 * asin(least(1.0, sqrt(
+      |      pow(sin(radians(slat - clat) / 2), 2) +
+      |      cos(radians(clat)) * cos(radians(slat)) *
+      |      pow(sin(radians(slon - clon) / 2), 2)))) AS d
+      |  FROM cust CROSS JOIN hubs)
+      |SELECT c_custkey, s_suppkey, round(d / 1000.0, 3) AS km
+      |FROM pairs WHERE d <= 750000.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin))
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "geo_fns" -> geoFns,
+    "geo_radius_join" -> radiusJoin)
+}
