@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text inverted index (reference: tantivy-backed inverted index
+  * in the fuse pruning stack, src/query/storages/common/index/src/
+  * inverted_index.rs:70 — SURVEY §4.2 "hard extras"), re-expressed
+  * Spark-first: the index IS a parquet postings table
+  * `(token, doc_id, tf)` written sorted by token, so a term lookup is
+  * a pushed-down `token IN (...)` scan that row-group-prunes on the
+  * token min/max — at 100 TB a query touches only the row groups whose
+  * token range intersects the query terms, never the corpus.
+  *
+  * Search is relational: term filter → per-doc AND/OR semantics via a
+  * grouped distinct-term count → TF-IDF score → top-k. No driver-side
+  * state; the index is rebuildable incrementally by appending postings
+  * for new docs and re-sorting (recluster).
+  */
+object InvertedIndex {
+
+  /** lowercase alpha-numeric tokens, same rule everywhere (and cheap to
+    * replay in another engine for oracle checks)
+    */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Build (or rebuild) the index: postings sorted by token + a stats
+    * side table with document frequencies and corpus size.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$indexPath/postings")
+    val spark = docs.sparkSession
+    val stats = postings.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    stats.repartitionByRange(col("token")).sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    spark.createDataFrame(Seq(Tuple1(docs.count())))
+      .toDF("n_docs").write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Search: docs containing terms (`all = true` → every term, AND;
+    * false → any term, OR), ranked by summed TF-IDF
+    * (idf = ln(n_docs / df)). Term filter is a pushed-down IN list.
+    */
+  def search(spark: SparkSession, indexPath: String, terms: Seq[String],
+             all: Boolean = true, k: Int = 10): DataFrame = {
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val nDocs = spark.read.parquet(s"$indexPath/meta").head().getLong(0)
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("token").isin(normTerms: _*))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .filter(col("token").isin(normTerms: _*))
+    val scored = post.join(broadcast(stats), "token")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"), sum(col("w")).as("score"))
+    val hits = if (all) scored.filter(col("n_terms") === normTerms.length) else scored
+    hits.select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -336,7 +336,43 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 5
       |ORDER BY source, doc_id""".stripMargin))
 
+  // ---- inverted full-text index (operators.InvertedIndex) -------------
+  // build postings (sorted parquet) then AND-search two terms with
+  // TF-IDF scores; the oracle replays tokenization + idf in SQL. The
+  // result set is the (deterministic) match set ordered by doc_id —
+  // ranking itself is covered in InvertedIndexSpec.
+  private val fulltext = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "ftidx").toString
+      graft.operators.InvertedIndex.build(x.documents, "doc_id", "text", idx)
+      graft.operators.InvertedIndex
+        .search(spark, idx, Seq("data", "vector"), all = true, k = 1000000)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, u.t AS token
+      |  FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      |  WHERE u.t <> ''),
+      |post AS (
+      |  SELECT token, doc_id, count(*) AS tf
+      |  FROM tok WHERE token IN ('data', 'vector')
+      |  GROUP BY token, doc_id),
+      |stats AS (
+      |  SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, count(DISTINCT p.token) AS n_terms,
+      |    sum(p.tf * ln(CAST(n_docs AS DOUBLE) / df)) AS s
+      |  FROM post p JOIN stats USING (token) CROSS JOIN n
+      |  GROUP BY doc_id)
+      |SELECT doc_id, round(s, 6) AS score FROM scored
+      |WHERE n_terms = 2 ORDER BY doc_id""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "txt_fulltext" -> fulltext,
     "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,
     "txt_quality" -> quality,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Inverted full-text index (SURVEY §4.2 pruning-stack extra):
+  * build → AND/OR search → TF-IDF ranking.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 8, appName = "graft-ftidx-test")
+
+  private def tmp(): String = {
+    val base = Paths.get("target", "tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "ftidx").toString
+  }
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark sql engine for big data"),
+      (2L, "data data data everywhere"),
+      (3L, "vector search over embeddings"),
+      (4L, "big data and vector search together"),
+      (5L, "Unrelated! Text; with PUNCTUATION.")
+    ).toDF("doc_id", "text")
+  }
+
+  test("AND search returns only docs with every term") {
+    val idx = tmp()
+    InvertedIndex.build(corpus, "doc_id", "text", idx)
+    val hits = InvertedIndex.search(spark, idx, Seq("data", "vector"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(4L))
+  }
+
+  test("OR search unions matches; higher tf ranks first") {
+    val idx = tmp()
+    InvertedIndex.build(corpus, "doc_id", "text", idx)
+    val rows = InvertedIndex.search(spark, idx, Seq("data"), all = false)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    // doc 2 has tf=3 for "data" -> must rank first
+    assert(rows.head.getLong(0) == 2L)
+  }
+
+  test("tokenizer is case/punctuation-insensitive") {
+    val idx = tmp()
+    InvertedIndex.build(corpus, "doc_id", "text", idx)
+    val hits = InvertedIndex.search(spark, idx, Seq("PUNCTUATION"), all = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(5L))
+  }
+
+  test("term scan is a pushed-down filter on the postings parquet") {
+    val idx = tmp()
+    InvertedIndex.build(corpus, "doc_id", "text", idx)
+    val plan = InvertedIndex.search(spark, idx, Seq("data", "vector"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("token"), plan)
+  }
+}
