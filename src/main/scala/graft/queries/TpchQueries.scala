@@ -511,12 +511,18 @@ object TpchQueries extends QueryModule {
   private val q2 = q(
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // selective part filter joined BELOW the aggregation (broadcast):
+      // the (partkey, suppkey) min-cost agg then runs over ~1% of
+      // lineitem instead of all of it — Catalyst won't push a join
+      // under an aggregate on its own, so order it by hand
+      val filteredPart = t.part
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
       val ps = t.lineitem
-        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(filteredPart), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"), col("p_name"))
         .agg(min(cents(col("l_extendedprice"))).as("ps_cost_c"))
       val elig = ps
-        .join(t.part.filter(col("p_size") === 15 && col("p_type") === "STANDARD"),
-          col("l_partkey") === col("p_partkey"))
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
