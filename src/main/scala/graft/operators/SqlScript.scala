@@ -30,12 +30,48 @@ object SqlScript {
   private final case class Scalar(lit: String) extends V // SQL literal text
   private final case class Rs(df: DataFrame) extends V
 
+  /** render a JVM value as SQL literal text */
+  private def litOf(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case other => other.toString
+  }
+
   private class Ctl(val kind: String) extends RuntimeException // break/continue
   private class Ret(val df: DataFrame) extends RuntimeException
 
   /** Run `EXECUTE IMMEDIATE`-style text: unwraps $$..$$ and BEGIN..END. */
   def executeImmediate(spark: SparkSession, text: String): DataFrame =
     execute(spark, text)
+
+  // ---- stored procedures (reference: CREATE PROCEDURE / CALL,
+  // tests/sqllogictests/suites/base/15_procedure/15_0009_procedure_call
+  // .test; procedures are named scripts with positional args) ----------
+  final case class Procedure(name: String, argNames: Seq[String], body: String)
+
+  private val procedures =
+    new java.util.concurrent.ConcurrentHashMap[String, Procedure]()
+
+  def createProcedure(name: String, argNames: Seq[String], body: String): Unit =
+    procedures.put(name.toLowerCase, Procedure(name, argNames, body))
+
+  def dropProcedure(name: String): Unit = procedures.remove(name.toLowerCase)
+
+  /** CALL name(args...): binds positional args as a LET prelude. */
+  def call(spark: SparkSession, name: String, args: Seq[Any] = Nil): DataFrame = {
+    val p = Option(procedures.get(name.toLowerCase))
+      .getOrElse(throw new IllegalArgumentException(s"unknown procedure $name"))
+    require(args.length == p.argNames.length,
+      s"procedure $name expects ${p.argNames.length} args, got ${args.length}")
+    val prelude = p.argNames.zip(args)
+      .map { case (n, v) => s"LET $n := ${litOf(v)};" }.mkString(" ")
+    val inner = p.body.trim.stripPrefix("$$").stripSuffix("$$").trim
+    val stripped = "(?is)^BEGIN\\b(.*)\\bEND\\s*;?\\s*$".r
+      .findFirstMatchIn(inner).map(_.group(1)).getOrElse(inner)
+    execute(spark, s"BEGIN $prelude $stripped END;")
+  }
 
   def execute(spark: SparkSession, text: String): DataFrame = {
     var body = text.trim.stripPrefix("$$").stripSuffix("$$").trim
@@ -60,14 +96,6 @@ object SqlScript {
     def evalScalar(expr: String): String = {
       val row = spark.sql(s"SELECT ${subst(expr)}").head()
       litOf(row.get(0))
-    }
-
-    def litOf(v: Any): String = v match {
-      case null => "NULL"
-      case s: String => "'" + s.replace("'", "''") + "'"
-      case d: java.sql.Date => s"DATE '$d'"
-      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
-      case other => other.toString
     }
 
     def evalBool(expr: String): Boolean = {

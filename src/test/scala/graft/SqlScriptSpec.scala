@@ -103,6 +103,20 @@ class SqlScriptSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("CREATE PROCEDURE / CALL with positional args") {
+    SqlScript.createProcedure("add_n", Seq("a", "b"),
+      """$$
+        |BEGIN
+        |  LET s := a + b;
+        |  RETURN s;
+        |END;
+        |$$""".stripMargin)
+    assert(SqlScript.call(spark, "add_n", Seq(19, 23)).head().get(0).toString.toInt == 42)
+    assert(SqlScript.call(spark, "ADD_N", Seq(1, 1)).head().get(0).toString.toInt == 2)
+    SqlScript.dropProcedure("add_n")
+    intercept[IllegalArgumentException](SqlScript.call(spark, "add_n", Seq(1, 2)))
+  }
+
   test("statements execute for effect (temp view visible to script)") {
     val out = run1(
       """$$
