@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TableFunctions
+import graft.sources.GraftTable
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Introspection TVFs: list_stage, infer_schema, fuse_snapshot analog
+  * (SURVEY §2.2 table functions).
+  */
+class TableFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 8, appName = "graft-tvf-test")
+
+  private def tmp(): String = {
+    val base = Paths.get("target", "tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "tvf").toString
+  }
+
+  test("list_stage lists files with sizes") {
+    val dir = tmp()
+    Files.writeString(Paths.get(dir, "a.csv"), "x,y\n1,2\n")
+    Files.createDirectories(Paths.get(dir, "sub"))
+    Files.writeString(Paths.get(dir, "sub", "b.json"), """{"k":1}""")
+    val rows = TableFunctions.listStage(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a.csv", s"sub${java.io.File.separator}b.json"))
+    assert(rows.forall(_.getLong(1) > 0))
+    // empty / missing dir -> empty resultset, no error
+    assert(TableFunctions.listStage(spark, dir + "_nope").count() == 0)
+  }
+
+  test("infer_schema reports columns in order for csv and parquet") {
+    import spark.implicits._
+    val dir = tmp()
+    Files.writeString(Paths.get(dir, "f.csv"), "name,n\nalpha,1\nbeta,2\n")
+    val csv = TableFunctions.inferSchema(spark, s"$dir/f.csv", "csv").collect()
+    assert(csv.map(r => (r.getString(0), r.getInt(3))).toSeq == Seq(("name", 0), ("n", 1)))
+    assert(csv(1).getString(1) == "int")
+
+    val pq = tmp()
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite").parquet(pq)
+    val cols = TableFunctions.inferSchema(spark, pq).collect()
+    assert(cols.map(_.getString(0)).toSeq == Seq("id", "s"))
+    assert(cols(0).getString(1) == "bigint")
+  }
+
+  test("snapshots exposes the table's version chain") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    t.delete(org.apache.spark.sql.functions.col("k") === 1)
+    val snaps = TableFunctions.snapshots(spark, t).collect()
+    assert(snaps.length == t.versions.length)
+    assert(snaps.map(_.getLong(0)).toSeq == t.versions)
+    assert(snaps.map(_.getString(1)).contains("DELETE") ||
+      snaps.map(_.getString(1)).exists(_.nonEmpty))
+  }
+}
