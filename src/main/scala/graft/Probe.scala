@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Scratch benchmarking probe (not part of the library surface). */
 object Probe {
@@ -15,51 +14,67 @@ object Probe {
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
-    // current: built-in exact percentile
-    def current() = x.lineitem.groupBy(col("l_linestatus"))
-      .agg(
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
-      .select(col("l_linestatus"),
-        round(col("qs")(0), 6).as("q25"),
-        round(col("qs")(1), 6).as("q50"),
-        round(col("qs")(2), 6).as("q75"),
-        col("p90_price"),
-        round(col("qs")(1), 6).as("med_qty"))
-      .orderBy(col("l_linestatus"))
+    val nHash = 32
+    val bands = 8
+    val rows = nHash / bands
+    def toks(c: org.apache.spark.sql.Column) = split(lower(c), " ")
+    def nearDups = x.documents.select(col("doc_id"), col("text"), col("source"))
+      .union(x.documents.filter(col("doc_id") < 50)
+        .select(col("doc_id") + 100000,
+          expr("substring(text, instr(text, ' ') + 1)"), col("source")))
 
-    // sort-based: row_number window + interpolation
-    def sorted(valueCol: String, qs: Seq[Double]) = {
-      val w = Window.partitionBy(col("l_linestatus")).orderBy(col(valueCol))
-      val ranked = x.lineitem.select(col("l_linestatus"), col(valueCol))
-        .withColumn("i", row_number().over(w) - 1)
-      val counts = x.lineitem.groupBy(col("l_linestatus")).agg(count(col(valueCol)).as("n"))
-      val j = ranked.join(broadcast(counts), "l_linestatus")
-      val keep = qs.map { q =>
-        val p = (col("n") - 1) * q
-        (col("i") === floor(p)) || (col("i") === ceil(p))
-      }.reduce(_ || _)
-      val kept = j.filter(keep)
-      val aggs = qs.zipWithIndex.flatMap { case (q, k) =>
-        val p = (col("n") - 1) * q
-        val frac = p - floor(p)
-        Seq(
-          sum(when(col("i") === floor(p), col(valueCol) * (lit(1.0) - frac)).otherwise(0.0)).as(s"lo_$k"),
-          sum(when((col("i") === ceil(p)) && (ceil(p) =!= floor(p)), col(valueCol) * frac).otherwise(0.0)).as(s"hi_$k"))
-      }
-      kept.groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)
-        .select(col("l_linestatus") +: qs.indices.map(k => (col(s"lo_$k") + col(s"hi_$k")).as(s"q_$k")): _*)
+    def shingled = nearDups
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          """transform(
+               sequence(1, greatest(size(tk) - 2, 1)),
+               i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
+    def exploded = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("s")), lit(2147483647L)).as("h1"),
+        (pmod(xxhash64(concat(lit("graft-salt:"), col("s"))), lit(2147483629L)) + 1L).as("h2"))
+    val minAggs = (0 until nHash).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"mh_$i"))
+    def mh = exploded.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nHash).map(i => col(s"mh_$i")): _*).as("mh"))
+    def banded = mh.select(col("doc_id"), col("mh"),
+        posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    def full = {
+      val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
+      val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
+      l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(expr("filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)")).cast("double") / nHash).as("est_sim"))
+        .distinct()
+        .filter(col("est_sim") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     }
 
-    time("warmup")(x.lineitem.count())
-    time("current-1")(current().write.format("noop").mode("overwrite").save())
-    time("current-2")(current().write.format("noop").mode("overwrite").save())
-    time("sorted-qty-1")(sorted("l_quantity", Seq(0.25, 0.5, 0.75)).write.format("noop").mode("overwrite").save())
-    time("sorted-qty-2")(sorted("l_quantity", Seq(0.25, 0.5, 0.75)).write.format("noop").mode("overwrite").save())
-    time("sorted-price")(sorted("l_extendedprice", Seq(0.9)).write.format("noop").mode("overwrite").save())
-    sorted("l_quantity", Seq(0.25, 0.5, 0.75)).show()
-    sorted("l_extendedprice", Seq(0.9)).show()
-    current().show()
+    def fullReuse = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(filter(zip_with(col("a.mh"), col("b.mh"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / nHash).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+    time("warmup")(x.documents.count())
+    time("full-1")(full.write.format("noop").mode("overwrite").save())
+    time("full-2")(full.write.format("noop").mode("overwrite").save())
+    time("reuse-1")(fullReuse.write.format("noop").mode("overwrite").save())
+    time("reuse-2")(fullReuse.write.format("noop").mode("overwrite").save())
+    println("REUSE-PLAN-HAS-REUSEDEXCHANGE=" +
+      fullReuse.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+    println("rows-old=" + full.count() + " rows-new=" + fullReuse.count())
     spark.stop()
   }
 }

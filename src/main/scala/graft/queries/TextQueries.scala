@@ -210,11 +210,17 @@ object TextQueries extends QueryModule {
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
           b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(expr("filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)")).cast("double") / nHash).as("est_sim"))
+    // aliased self-join: both sides stay canonically identical, so the
+    // shuffle is planned once and ReusedExchange serves the probe side —
+    // renamed projections per side would compute the whole minhash
+    // pipeline twice
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(filter(zip_with(col("a.mh"), col("b.mh"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / nHash).as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
