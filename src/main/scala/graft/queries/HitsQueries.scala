@@ -336,7 +336,106 @@ object HitsQueries extends QueryModule {
       |FROM events GROUP BY ROLLUP(m, event_type)
       |ORDER BY m NULLS FIRST, event_type NULLS FIRST""".stripMargin))
 
+  // hits raw-fetch shape (ClickBench Q24-ish): latest events, no agg —
+  // a fused TakeOrderedAndProject, not a global sort
+  private val latestRows = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(10)
+    },
+    Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY ts DESC, event_id LIMIT 10""".stripMargin))
+
+  // hits minute-grain shape (ClickBench Q18-ish): per (user, minute)
+  // event counts — very high-cardinality group-by, top-k
+  private val userMinute = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("n").desc, col("user_id"), col("m"))
+        .limit(20)
+    },
+    Some("""SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+      |  count(*) AS n
+      |FROM events GROUP BY user_id, m HAVING count(*) > 1
+      |ORDER BY n DESC, user_id, m LIMIT 20""".stripMargin))
+
+  // hits wide conditional-agg shape (ClickBench Q30-ish): one pass,
+  // many filtered sums — partial aggregation keeps it single-shuffle
+  private val wideCondAgg = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      def slot(h0: Int, h1: Int) =
+        sum(when(hour(col("ts")).between(h0, h1), cents(col("value"))).otherwise(0L))
+      x.events.groupBy(col("event_type"))
+        .agg(
+          slot(0, 5).as("night_c"), slot(6, 11).as("morning_c"),
+          slot(12, 17).as("afternoon_c"), slot(18, 23).as("evening_c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      |  CAST(sum(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 0 AND 5 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS night_c,
+      |  CAST(sum(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS morning_c,
+      |  CAST(sum(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 17 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS afternoon_c,
+      |  CAST(sum(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 18 AND 23 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS evening_c,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // hits pagination shape (ClickBench Q38/39-ish): LIMIT + OFFSET over
+  // a ranked aggregate (offset pushes into the fused top-n)
+  private val pagination = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .offset(50)
+        .limit(10)
+    },
+    Some("""SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      |ORDER BY n DESC, user_id LIMIT 10 OFFSET 50""".stripMargin))
+
+  // hits distinct-user ranking (ClickBench Q8-ish): types by reach
+  private val typeReach = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nu"))
+        .orderBy(col("nu").desc, col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS nu
+      |FROM events GROUP BY event_type ORDER BY nu DESC, event_type""".stripMargin))
+
+  // hits normalize-then-group shape (ClickBench Q28-ish): strip the
+  // numbers out of props, group by the pattern skeleton
+  private val patternGroup = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.events
+        .groupBy(regexp_replace(col("props"), "\\d+", "#").as("skeleton"))
+        .agg(count(lit(1)).as("n"), min(length(col("props"))).as("min_len"))
+        .orderBy(col("n").desc, col("skeleton"))
+        .limit(5)
+    },
+    Some("""SELECT regexp_replace(props, '\d+', '#', 'g') AS skeleton,
+      |  count(*) AS n, CAST(min(length(props)) AS INT) AS min_len
+      |FROM events GROUP BY skeleton ORDER BY n DESC, skeleton LIMIT 5""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "hits_latest_rows" -> latestRows,
+    "hits_user_minute" -> userMinute,
+    "hits_wide_cond_agg" -> wideCondAgg,
+    "hits_pagination" -> pagination,
+    "hits_type_reach" -> typeReach,
+    "hits_pattern_group" -> patternGroup,
     "hits_like_counts" -> likeCounts,
     "hits_two_key_topk" -> twoKeyTopk,
     "hits_users_with_both" -> usersWithBoth,
