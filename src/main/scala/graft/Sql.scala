@@ -20,8 +20,19 @@ object Sql {
     Tables(spark, dataDir).registerAll()
 
     def run(sql: String): Unit =
-      try spark.sql(sql).show(100, truncate = false)
-      catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+      try {
+        val t = sql.trim
+        // procedural scripts route to the script interpreter
+        val isScript = t.startsWith("$$") ||
+          t.toUpperCase.startsWith("BEGIN") ||
+          t.toUpperCase.startsWith("EXECUTE IMMEDIATE")
+        val df =
+          if (isScript)
+            graft.operators.SqlScript.executeImmediate(spark,
+              t.replaceAll("(?i)^EXECUTE\\s+IMMEDIATE\\s*", ""))
+          else spark.sql(sql)
+        df.show(100, truncate = false)
+      } catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
 
     if (args.length > 1) args.drop(1).foreach(run)
     else {
