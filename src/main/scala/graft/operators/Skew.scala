@@ -35,4 +35,24 @@ object Skew {
     saltedAgg(df, Seq(key), salts)(
       Seq(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt")))(
       Seq(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count")))
+
+  /** Salted join for a hot-keyed big side against a modest dim side:
+    * big rows scatter over `salts` sub-keys, the dim side replicates
+    * once per salt, and the join runs on (key, salt) — the hot key's
+    * probe work spreads across `salts` reducers instead of pinning
+    * one. The salt values themselves don't affect the result, only
+    * the spread, so output equals the unsalted join. Supports inner
+    * and left_outer (unmatched big rows survive with their salt).
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, bigKey: Column, dimKey: Column,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts > 1, "salts must exceed 1")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val b = big.withColumn("__salt_b",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val d = dim.withColumn("__salt_d", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(d, bigKey === dimKey && col("__salt_b") === col("__salt_d"), joinType)
+      .drop("__salt_b", "__salt_d")
+  }
 }

@@ -32,4 +32,29 @@ class SkewSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(spread >= 8, s"hot key only hit $spread salt groups")
   }
+
+  test("salted join == plain join, inner and left") {
+    import spark.implicits._
+    // hot-keyed fact side, small dim missing some keys
+    val fact = (1 to 20000).map { i =>
+      (if (i % 20 != 0) 1L else (i % 7 + 2).toLong, i.toLong)
+    }.toDF("k", "v").repartition(8)
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (5L, "c"))
+      .toDF("dk", "name")
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+
+    val plainInner = norm(fact.join(dim, col("k") === col("dk"), "inner"))
+    val saltedInner = norm(Skew.saltedJoin(fact, dim, col("k"), col("dk"), salts = 8))
+    assert(saltedInner == plainInner)
+
+    val plainLeft = norm(fact.join(dim, col("k") === col("dk"), "left"))
+    val saltedLeft = norm(Skew.saltedJoin(fact, dim, col("k"), col("dk"),
+      salts = 8, joinType = "left"))
+    assert(saltedLeft == plainLeft)
+    // left join kept the dim-missing keys
+    assert(saltedLeft.exists(_._3.isEmpty))
+  }
 }
