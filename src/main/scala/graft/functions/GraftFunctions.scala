@@ -112,7 +112,12 @@ object GraftFunctions {
   val rewrites: Map[String, Seq[Expression] => Expression] = Map(
     // ISO day-of-week, Monday=1..Sunday=7 (reference date_helper.rs
     // ToDayOfWeek uses to_monday_one_offset); Spark's dayofweek is
-    // Sunday=1, so rewrite to weekday()+1 (weekday is Monday=0)
+    // Sunday=1, so rewrite to weekday()+1 (weekday is Monday=0).
+    // NOTE: the bare name `dayofweek` stays Spark's builtin
+    // (Sunday=1..Saturday=7); the reference's `dayofweek` is
+    // Sunday=0..Saturday=6 (date_helper.rs DayOfWeek) — overriding a
+    // Spark builtin would silently break stock-Spark callers, so only
+    // the databend-specific spelling gets databend semantics.
     "to_day_of_week" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Add(
         UnresolvedFunction("weekday", args, isDistinct = false),

@@ -21,12 +21,33 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * measures are `sum_<col>`, `min_<col>`, `max_<col>`, and `cnt`.
   */
 object AggIndex {
-  final case class Entry(sourcePath: String, keys: Set[String], summaryPath: String)
+  /** A registered index. `coveredFiles`, when present, pins the index
+    * to one exact file set (= one table version): only a scan of
+    * precisely those files is rewritten. Without it, only a scan whose
+    * root IS the registered directory matches. Prefix/subset matching
+    * is deliberately absent — a scan of a SUBSET of a table's files
+    * (time travel, CDC delta, post-compaction leftovers) must never be
+    * served the full summary.
+    */
+  final case class Entry(sourcePath: String, keys: Set[String],
+      summaryPath: String, coveredFiles: Option[Set[String]])
 
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Register for a static parquet directory: matches scans rooted at
+    * exactly this directory.
+    */
   def register(sourcePath: String, keys: Seq[String], summaryPath: String): Unit =
-    entries.put(sourcePath, Entry(sourcePath, keys.toSet, summaryPath))
+    entries.put(sourcePath, Entry(sourcePath, keys.toSet, summaryPath, None))
+
+  /** Register for a versioned table: the summary covers exactly
+    * `files` (one snapshot's file list). Re-register after each
+    * refresh so the index tracks the version it summarizes.
+    */
+  def registerFiles(sourcePath: String, keys: Seq[String], summaryPath: String,
+      files: Seq[String]): Unit =
+    entries.put(sourcePath,
+      Entry(sourcePath, keys.toSet, summaryPath, Some(files.map(normalize).toSet)))
 
   def clear(): Unit = entries.clear()
 
@@ -41,11 +62,12 @@ object AggIndex {
 
   private[plans] def lookup(paths: Seq[String]): Option[Entry] = {
     import scala.jdk.CollectionConverters._
-    // exact match or a path below the registered root — a plain substring
-    // test would also match siblings like `/data/events_v2`
+    val scanned = paths.map(normalize).toSet
     entries.values.asScala.find { e =>
-      val src = normalize(e.sourcePath)
-      paths.map(normalize).exists(p => p == src || p.startsWith(src + "/"))
+      e.coveredFiles match {
+        case Some(covered) => scanned == covered
+        case None => scanned == Set(normalize(e.sourcePath))
+      }
     }
   }
 }

@@ -90,4 +90,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("props"), s"props must be pruned:\n$plan")
     assert(!plan.contains("event_type"), s"event_type must be pruned:\n$plan")
   }
+
+  test("hits_latest_rows raw fetch is a fused top-n, not a global sort") {
+    val plan = planOf("hits_latest_rows")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hits_pagination offset+limit stays fused with the ordering") {
+    val plan = planOf("hits_pagination")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("agg_quantiles avoids the single-reducer percentile value map") {
+    // the sort-based operator plans window sorts, never the built-in
+    // `percentile` aggregate whose map merge concentrates on one task
+    val plan = planOf("agg_quantiles")
+    assert(!plan.contains("percentile"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("geo_radius_join is an equi-join on grid cells, no NLJ") {
+    val plan = planOf("geo_radius_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
