@@ -86,7 +86,37 @@ object GeoQueries extends QueryModule {
       |FROM pairs WHERE d <= 750000.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin))
 
+  // geo aggregates on point columns (reference st_envelope_agg /
+  // st_collect / st_centroid, aggregator.rs:182-185 — the WKB wrapper
+  // is out of scope; the aggregation semantics are these min/max/mean
+  // folds): per-region bounding box + centroid of customer points
+  private val envelope = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.customer
+        .select((col("c_nationkey") % 5).as("zone"),
+          lon("c_custkey").as("lon"), lat("c_custkey").as("lat"))
+        .groupBy(col("zone"))
+        .agg(
+          min(col("lon")).as("env_min_lon"), min(col("lat")).as("env_min_lat"),
+          max(col("lon")).as("env_max_lon"), max(col("lat")).as("env_max_lat"),
+          round(avg(col("lon")), 6).as("centroid_lon"),
+          round(avg(col("lat")), 6).as("centroid_lat"),
+          count(lit(1)).as("n_points"))
+        .orderBy(col("zone"))
+    },
+    Some(s"""SELECT c_nationkey % 5 AS zone,
+      |  min(${lonSql("c_custkey")}) AS env_min_lon,
+      |  min(${latSql("c_custkey")}) AS env_min_lat,
+      |  max(${lonSql("c_custkey")}) AS env_max_lon,
+      |  max(${latSql("c_custkey")}) AS env_max_lat,
+      |  round(avg(${lonSql("c_custkey")}), 6) AS centroid_lon,
+      |  round(avg(${latSql("c_custkey")}), 6) AS centroid_lat,
+      |  count(*) AS n_points
+      |FROM customer GROUP BY zone ORDER BY zone""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "geo_fns" -> geoFns,
-    "geo_radius_join" -> radiusJoin)
+    "geo_radius_join" -> radiusJoin,
+    "geo_envelope" -> envelope)
 }
