@@ -117,6 +117,6 @@ object GeoQueries extends QueryModule {
 
   override def queries: Seq[(String, Q)] = Seq(
     "geo_fns" -> geoFns,
-    "geo_radius_join" -> radiusJoin,
+    "geo_radius_join" -> radiusJoin.copy(headline = true),
     "geo_envelope" -> envelope)
 }

@@ -378,7 +378,7 @@ object TextQueries extends QueryModule {
       |WHERE n_terms = 2 ORDER BY doc_id""".stripMargin))
 
   override def queries: Seq[(String, Q)] = Seq(
-    "txt_fulltext" -> fulltext,
+    "txt_fulltext" -> fulltext.copy(headline = true),
     "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,
     "txt_quality" -> quality,
