@@ -105,6 +105,20 @@ object GraftFunctions {
     "json_object_keys" -> "json_object_keys",
     "json_array_length" -> "json_array_length",
     "json_array_distinct" -> "array_distinct",
+    // date/timestamp constructors (function_list.txt:25,98)
+    "date_from_parts" -> "make_date",
+    "datefromparts" -> "make_date",
+    "timestamp_from_parts" -> "make_timestamp",
+    "timestampfromparts" -> "make_timestamp",
+    "date" -> "to_date",
+    // encoding spellings (function_list.txt:9-10,33-34,107-113)
+    "to_hex" -> "hex",
+    "from_hex" -> "unhex",
+    "try_from_hex" -> "unhex",
+    "try_hex_decode_binary" -> "unhex",
+    "to_base64" -> "base64",
+    "from_base64" -> "unbase64",
+    "try_base64_decode_binary" -> "unbase64",
     // misc (function_list.txt:118)
     "gen_random_uuid" -> "uuid")
 
@@ -133,6 +147,33 @@ object GraftFunctions {
     "to_string" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Cast(args.head,
         org.apache.spark.sql.types.StringType)),
+    // to_string spellings (function_list.txt:100-106)
+    "to_char" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+        org.apache.spark.sql.types.StringType)),
+    "to_text" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+        org.apache.spark.sql.types.StringType)),
+    "to_varchar" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+        org.apache.spark.sql.types.StringType)),
+    // str_to_year (function_list.txt:92)
+    "str_to_year" -> (args =>
+      UnresolvedFunction("year",
+        Seq(UnresolvedFunction("to_date", args, isDistinct = false)),
+        isDistinct = false)),
+    // databend range/array_generate_range is end-EXCLUSIVE; Spark
+    // sequence is inclusive (function_list.txt:3)
+    "array_generate_range" -> (args =>
+      UnresolvedFunction("sequence", Seq(args.head,
+        org.apache.spark.sql.catalyst.expressions.Subtract(args(1), Literal(1))),
+        isDistinct = false)),
+    // assume_not_null / remove_nullable (function_list.txt:63):
+    // nullability assertion via KnownNotNull — a pure planner fact
+    "assume_not_null" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(args.head)),
+    "remove_nullable" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(args.head)),
     "hamming64" -> (args => HammingDistance(
       org.apache.spark.sql.catalyst.expressions.Cast(args.head, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))),
