@@ -174,6 +174,31 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.KnownNotNull(args.head)),
     "remove_nullable" -> (args =>
       org.apache.spark.sql.catalyst.expressions.KnownNotNull(args.head)),
+    // diff_* family (reference datetime.rs:1482-1631; arg order is
+    // (end, start); units truncate each operand then subtract —
+    // EvalTimesImpl::eval_timestamp_diff, date_helper.rs:1002)
+    "diff_years" -> (args => GraftFunctions.diffByField("year", args)),
+    "diff_months" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Subtract}
+      def ym(e: Expression) = Add(
+        Multiply(UnresolvedFunction("year", Seq(e), isDistinct = false), Literal(12)),
+        UnresolvedFunction("month", Seq(e), isDistinct = false))
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Subtract(ym(args.head), ym(args(1))),
+        org.apache.spark.sql.types.LongType)
+    }),
+    "diff_days" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("datediff", args, isDistinct = false),
+        org.apache.spark.sql.types.LongType)),
+    "between_days" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("datediff", args, isDistinct = false),
+        org.apache.spark.sql.types.LongType)),
+    "diff_hours" -> (args => GraftFunctions.diffBySeconds(3600L, args)),
+    "diff_minutes" -> (args => GraftFunctions.diffBySeconds(60L, args)),
+    "diff_seconds" -> (args => GraftFunctions.diffBySeconds(1L, args)),
+    "diff_epochs" -> (args => GraftFunctions.diffBySeconds(1L, args)),
     "hamming64" -> (args => HammingDistance(
       org.apache.spark.sql.catalyst.expressions.Cast(args.head, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))),
@@ -249,6 +274,32 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Divide(
           GraftFunctions.haversineMeters(args),
           Literal(graft.functions.Geo.EarthRadius))), isDistinct = false)))
+
+  /** diff by calendar field: field(end) - field(start), as long */
+  private def diffByField(field: String, args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Subtract
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      Subtract(
+        UnresolvedFunction(field, Seq(args.head), isDistinct = false),
+        UnresolvedFunction(field, Seq(args(1)), isDistinct = false)),
+      org.apache.spark.sql.types.LongType)
+  }
+
+  /** diff by time unit: floor(epoch/unit) per operand, then subtract
+    * (reference truncates each side before differencing)
+    */
+  private def diffBySeconds(unit: Long, args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Subtract}
+    def bucket(e: Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("floor", Seq(Divide(
+          UnresolvedFunction("unix_seconds",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(e,
+              org.apache.spark.sql.types.TimestampType)), isDistinct = false),
+          Literal(unit.toDouble))), isDistinct = false),
+        org.apache.spark.sql.types.LongType)
+    Subtract(bucket(args.head), bucket(args(1)))
+  }
 
   /** haversine great-circle distance in meters as an expression tree
     * over builtin trig (reference GeoMethod::SphereMeters, geo.rs:727;
