@@ -199,6 +199,22 @@ object GraftFunctions {
     "diff_minutes" -> (args => GraftFunctions.diffBySeconds(60L, args)),
     "diff_seconds" -> (args => GraftFunctions.diffBySeconds(1L, args)),
     "diff_epochs" -> (args => GraftFunctions.diffBySeconds(1L, args)),
+    // variant type predicates (reference scalars/variant.rs is_* fns;
+    // aliases is_double/is_real -> is_float, function_list.txt:38-39):
+    // dispatch on schema_of_variant's type string
+    "is_array" -> (args => GraftFunctions.variantKind(args, Seq("ARRAY"))),
+    "is_object" -> (args => GraftFunctions.variantKind(args, Seq("OBJECT"))),
+    "is_string" -> (args => GraftFunctions.variantKind(args, Seq("STRING"))),
+    "is_boolean" -> (args => GraftFunctions.variantKind(args, Seq("BOOLEAN"))),
+    "is_integer" -> (args =>
+      GraftFunctions.variantKind(args, Seq("BIGINT", "INT", "SMALLINT", "TINYINT"))),
+    "is_float" -> (args =>
+      GraftFunctions.variantKind(args, Seq("DECIMAL", "DOUBLE", "FLOAT"))),
+    "is_double" -> (args =>
+      GraftFunctions.variantKind(args, Seq("DECIMAL", "DOUBLE", "FLOAT"))),
+    "is_real" -> (args =>
+      GraftFunctions.variantKind(args, Seq("DECIMAL", "DOUBLE", "FLOAT"))),
+    "is_null_value" -> (args => GraftFunctions.variantKind(args, Seq("VOID"))),
     "hamming64" -> (args => HammingDistance(
       org.apache.spark.sql.catalyst.expressions.Cast(args.head, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))),
@@ -274,6 +290,17 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Divide(
           GraftFunctions.haversineMeters(args),
           Literal(graft.functions.Geo.EarthRadius))), isDistinct = false)))
+
+  /** variant type predicate: schema_of_variant(v) starts with one of
+    * `kinds` (ARRAY<...>, OBJECT<...>, DECIMAL(p,s) carry payloads, so
+    * prefix match; scalar kinds match exactly by the same test)
+    */
+  private def variantKind(args: Seq[Expression], kinds: Seq[String]): Expression = {
+    val schema = UnresolvedFunction("schema_of_variant", args, isDistinct = false)
+    kinds.map[Expression] { k =>
+      UnresolvedFunction("startswith", Seq(schema, Literal(k)), isDistinct = false)
+    }.reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
+  }
 
   /** diff by calendar field: field(end) - field(start), as long */
   private def diffByField(field: String, args: Seq[Expression]): Expression = {
