@@ -55,9 +55,28 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     v
   }
 
+  // ---- bloom index (reference: bloom_index.rs in the fuse pruning
+  // stack) — parquet bloom filters on declared point-lookup columns;
+  // parquet-mr consults them during row-group filtering, so an
+  // equality probe skips row groups whose filter excludes the value.
+  private def bloomFile = Paths.get(path, "_graft_bloom.json")
+
+  /** Declare bloom-indexed columns; applies to every subsequent write. */
+  def setBloomColumns(cols: Seq[String]): Unit =
+    Files.write(bloomFile,
+      cols.mkString("[\"", "\",\"", "\"]").getBytes("UTF-8"))
+
+  def bloomColumns: Seq[String] =
+    if (!Files.exists(bloomFile)) Seq.empty
+    else "\"([^\"]+)\"".r.findAllMatchIn(new String(Files.readAllBytes(bloomFile), "UTF-8"))
+      .map(_.group(1)).toSeq
+
   private def writeParts(df: DataFrame): Seq[String] = {
     val stage = Paths.get(path, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val writer = bloomColumns.foldLeft(df.write.mode(SaveMode.Overwrite)) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(stage.toString)
     val parts = Files.list(stage).iterator().asScala
       .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
     val named = parts.map { f =>

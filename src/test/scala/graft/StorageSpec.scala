@@ -258,6 +258,38 @@ class StorageSpec extends AnyFunSuite {
     assert(rest.read().as[(Int, Int)].collect().toSeq == Seq((3, 250)))
   }
 
+  test("bloom-indexed columns write parquet bloom filters") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    t.setBloomColumns(Seq("k"))
+    t.append((1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(t.bloomColumns == Seq("k"))
+
+    // the appended files carry a bloom filter for k and none for v
+    val files = t.snapshot(t.currentVersion).files.map(f => s"$dir/$f")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val withBloom = files.exists { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val rg = reader.getRowGroups.get(0)
+        val kCol = rg.getColumns.asScala.find(_.getPath.toDotString == "k").get
+        val vCol = rg.getColumns.asScala.find(_.getPath.toDotString == "v").get
+        val bloomK = reader.getBloomFilterDataReader(rg).readBloomFilter(kCol)
+        val bloomV = reader.getBloomFilterDataReader(rg).readBloomFilter(vCol)
+        bloomK != null && bloomV == null
+      } finally reader.close()
+    }
+    assert(withBloom, "expected at least one appended file with a bloom filter on k only")
+
+    // reads with an equality probe still return correct results
+    assert(t.read().filter(col("k") === 4321L).count() == 1)
+  }
+
   test("INSERT FIRST: NULL branch condition means no-match, row falls through") {
     import spark.implicits._
     import graft.sources.MultiInsert
