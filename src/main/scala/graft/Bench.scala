@@ -2,13 +2,17 @@ package graft
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{...}}. Each query runs
-  * twice; the second (warm: parquet footers & JIT hot) time is reported,
-  * which is closer to steady-state cluster behavior than a cold run.
+  * once cold then three warm; the minimum warm (parquet footers & JIT
+  * hot) time is reported. Single-sample timings at sf0.1 are dominated
+  * by scheduler noise (observed ±2x run-to-run on identical code), so
+  * min-of-3 is the smallest sample that makes a real 2x regression
+  * distinguishable from jitter.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession(cpus, "graft-bench")
 
     def time(name: String): Double = {
@@ -19,10 +23,11 @@ object Bench {
         catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      if (a < 0) return -1.0
-      val b = once()
-      math.min(a, b)
+      val cold = once()
+      if (cold < 0) return -1.0
+      val warm = Seq.fill(warmRuns)(once())
+      if (warm.exists(_ < 0)) return -1.0
+      (cold +: warm).min
     }
 
     val results = SparkEntry.headline.map(n => n -> time(n))

@@ -85,19 +85,55 @@ object Dedup {
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming
     * (must be <= 3 for the 4-chunk pigeonhole bucketing to be exact).
+    *
+    * Two-level pigeonhole for scale: the primary bucketing is on one of
+    * four 16-bit chunks (any pair with hamming <= 3 shares at least one
+    * chunk). A 16-bit key gives at most 65536 buckets per chunk, so at
+    * billion-doc scale a bucket holds ~n/65536 docs and the bucket-local
+    * self-join explodes quadratically. Buckets larger than `hotBucket`
+    * are therefore refined by a secondary pigeonhole that is also exact:
+    * inside a shared-chunk bucket the remaining 48 bits differ by <= 3,
+    * so splitting them into four 12-bit subchunks guarantees at least
+    * one equal subchunk. The hot-bucket join key becomes
+    * (chunk, cval, sub, subval) — each hot bucket shatters into up to
+    * 4x4096 sub-buckets.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, hotBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
     val sim = simhash(df, idCol, textCol).select(col(idCol).as("__id"), col("simhash"))
     val chunked = sim.select(col("__id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
-    val a = chunked.select(col("chunk"), col("cval"), col("__id").as("id_a"), col("simhash").as("h_a"))
-    val b = chunked.select(col("chunk"), col("cval"), col("__id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), expr(
-        "size(filter(transform(sequence(0, 63), b -> (shiftright(h_a, b) & 1) = (shiftright(h_b, b) & 1)), v -> NOT v))").as("hamming"))
+    // bucket sizes decide which buckets take the refined path; the join
+    // back is on the same (chunk, cval) key so the exchange is reused
+    val sized = chunked.join(
+      chunked.groupBy(col("chunk"), col("cval")).agg(count(lit(1)).as("__n")),
+      Seq("chunk", "cval"))
+    def pairsOf(src: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = src.select(keys.map(col) :+ col("__id").as("id_a") :+ col("simhash").as("h_a"): _*)
+      val b = src.select(keys.map(col) :+ col("__id").as("id_b") :+ col("simhash").as("h_b"): _*)
+      a.join(b, keys).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr(
+          "size(filter(transform(sequence(0, 63), b -> (shiftright(h_a, b) & 1) = (shiftright(h_b, b) & 1)), v -> NOT v))").as("hamming"))
+    }
+    val cold = pairsOf(sized.filter(col("__n") <= hotBucket), Seq("chunk", "cval"))
+    // remaining 48 bits (the three chunks != this one, low-to-high) as a
+    // 48-bit value, split into four 12-bit subchunks
+    val hot = sized.filter(col("__n") > hotBucket)
+      .withColumn("rem", expr(
+        """aggregate(
+             filter(sequence(0, 3), k -> k != chunk),
+             named_struct('acc', CAST(0 AS BIGINT), 'i', 0),
+             (st, k) -> named_struct(
+               'acc', st.acc + shiftleft(shiftright(simhash, k * 16) & 65535, st.i * 16),
+               'i', st.i + 1),
+             st -> st.acc)"""))
+      .select(col("__id"), col("simhash"), col("chunk"), col("cval"),
+        posexplode(expr("transform(sequence(0, 3), s -> shiftright(rem, s * 12) & 4095)")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subval")
+    val hotPairs = pairsOf(hot, Seq("chunk", "cval", "sub", "subval"))
+    cold.unionByName(hotPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

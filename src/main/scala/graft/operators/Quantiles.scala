@@ -16,15 +16,19 @@ import org.apache.spark.sql.functions._
   *
   *  1. `groupBy(keys :+ value).count()` — shuffle with map-side
   *     combine; duplicate values compress to (value, weight).
-  *  2. one window sort per group over DISTINCT values — cumulative
-  *     weight locates the two rows bracketing each target rank.
+  *  2. range-partition the distinct (group, value) rows, compute a
+  *     partition-local running weight per (partition, group) slice, and
+  *     add per-slice prefix offsets from a tiny (partition, group)
+  *     totals table — a classic two-pass distributed cumulative sum.
+  *     No task ever sorts more than one RANGE SLICE of a group, so a
+  *     hot group (even one group = the whole table) spreads across all
+  *     shuffle partitions instead of landing in one task.
   *  3. filter to ≤ 2·|qs| bracketing rows per group, then a tiny final
   *     aggregate applies linear interpolation.
   *
-  * Nothing ever concentrates more than one group's distinct values in
-  * one task, and the only wide state is the sorted distinct column —
-  * the same floor any exact-quantile algorithm pays. For groups too hot
-  * even for that (one group = most of 100 TB), the approximate path is
+  * The only wide state is the sorted distinct column — the same floor
+  * any exact-quantile algorithm pays — and it is range-spread. For
+  * columns too hot even for that the approximate path is
   * `functions.TDigest` — mergeable, bounded state.
   */
 object Quantiles {
@@ -47,18 +51,42 @@ object Quantiles {
       .groupBy((g :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__w"))
 
-    val sortW =
-      if (groupCols.isEmpty) Window.orderBy(col(valueCol))
-      else Window.partitionBy(g: _*).orderBy(col(valueCol))
-    val allW =
+    // -- two-pass distributed cumulative weight --------------------------
+    // Range partitioning on (group, value) keeps each group's values
+    // globally ordered across partitions while spreading a hot group
+    // over many partitions (equal keys always co-locate, and `weighted`
+    // rows are distinct per (group, value), so ranges cut cleanly).
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 2)
+    val ranged = weighted
+      .repartitionByRange(parts, (g :+ col(valueCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+
+    // pass 1: running weight within each (partition, group) slice —
+    // parallelism is the number of range partitions, not groups
+    val pidG: Seq[Column] = col("__pid") +: g
+    val sliceW = Window.partitionBy(pidG: _*).orderBy(col(valueCol))
+    val local = ranged.withColumn("__lcum", sum(col("__w")).over(sliceW))
+
+    // pass 2: per-slice totals (≤ #groups + #partitions rows) give each
+    // slice its prefix offset and each group its total weight
+    val totals = ranged.groupBy(pidG: _*).agg(sum(col("__w")).as("__pt"))
+    val offW =
+      (if (groupCols.isEmpty) Window.orderBy(col("__pid"))
+       else Window.partitionBy(g: _*).orderBy(col("__pid")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val totW =
       (if (groupCols.isEmpty) Window.partitionBy()
        else Window.partitionBy(g: _*))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__pt")).over(totW))
+      .drop("__pt")
 
     // row covers 0-indexed positions [cum - w, cum - 1]
-    val ranked = weighted
-      .withColumn("__cum", sum(col("__w")).over(sortW))
-      .withColumn("__n", sum(col("__w")).over(allW))
+    val ranked = local
+      .join(offsets, "__pid" +: groupCols)
+      .withColumn("__cum", col("__lcum") + col("__off"))
 
     def pos(q: Double): Column = (col("__n") - 1) * q
     def covers(target: Column): Column =

@@ -133,8 +133,19 @@ object SqlScript {
           case _ => spark.sql(subst(src))
         }
         val cols = df.columns
+        // Cursor loops run on the coordinator (as in the reference's
+        // script executor), so an unbounded result set would OOM the
+        // driver. Cap like the reference's result-set paging: error past
+        // the limit rather than silently truncate.
+        val cap = spark.conf.getOption("graft.script.forRowsLimit")
+          .map(_.toInt).getOrElse(10000)
+        val rows = df.take(cap + 1)
+        if (rows.length > cap)
+          throw new IllegalStateException(
+            s"FOR-loop result set exceeds graft.script.forRowsLimit=$cap rows; " +
+              "raise the limit or aggregate in SQL instead of looping")
         var break = false
-        for (row <- df.collect() if !break) {
+        for (row <- rows if !break) {
           // bind v.col occurrences as literals
           val saved = vars.toMap
           cols.zipWithIndex.foreach { case (c, i) =>

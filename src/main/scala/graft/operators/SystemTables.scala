@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `system.tables` / `system.columns` / `system.functions` analogs
+  * (reference: src/query/storages/system/src/{tables_table, columns_table,
+  * functions_table}.rs). The reference materializes catalog metadata as
+  * queryable tables; here the same metadata comes from `spark.catalog`
+  * and is exposed as temp views so it composes with any query. These are
+  * driver-side metadata enumerations (small by construction), the same
+  * shape as the reference's system-table reads.
+  */
+object SystemTables {
+
+  /** One row per table/view visible in the current catalog:
+    * (database, name, table_type, is_temporary).
+    */
+  def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq.map { t =>
+      (Option(t.database).getOrElse(""), t.name, t.tableType, t.isTemporary)
+    }.toDF("database", "name", "table_type", "is_temporary")
+  }
+
+  /** One row per column of every visible table:
+    * (table_name, column_name, data_type, nullable, is_partition).
+    */
+  def columns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      try {
+        spark.catalog.listColumns(t.name).collect().toSeq.map { c =>
+          (t.name, c.name, c.dataType, c.nullable, c.isPartition)
+        }
+      } catch { case _: Exception => Seq.empty } // dropped concurrently
+    }
+    rows.toDF("table_name", "column_name", "data_type", "nullable", "is_partition")
+  }
+
+  /** One row per registered SQL function: (name, class_name, is_temporary).
+    * Covers built-ins plus everything GraftExtensions/GraftFunctions
+    * registered — the surface a user probes with SHOW FUNCTIONS.
+    */
+  def functions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listFunctions().collect().toSeq.map { f =>
+      (f.name, Option(f.className).getOrElse(""), f.isTemporary)
+    }.toDF("name", "class_name", "is_temporary")
+  }
+
+  /** Register all three as `system_*` temp views (snapshot semantics:
+    * re-register to refresh, matching QueryLog.refreshView).
+    */
+  def register(spark: SparkSession): Unit = {
+    tables(spark).createOrReplaceTempView("system_tables")
+    columns(spark).createOrReplaceTempView("system_columns")
+    functions(spark).createOrReplaceTempView("system_functions")
+  }
+}

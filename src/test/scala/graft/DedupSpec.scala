@@ -46,4 +46,14 @@ class DedupSpec extends AnyFunSuite {
     val found = (0L until 50L).count(i => pairs.contains((i, i + 100000)))
     assert(found >= 40, s"recall ${found}/50")
   }
+
+  test("simhashPairs hot-bucket refinement is exact (same pairs either path)") {
+    // hotBucket = 0 forces EVERY bucket through the secondary 12-bit
+    // subchunk pigeonhole; for hamming <= 3 that path must lose nothing
+    val normal = Dedup.simhashPairs(withNear, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Dedup.simhashPairs(withNear, "doc_id", "text", hotBucket = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined == normal, s"refined path lost ${(normal -- refined).take(5)}")
+  }
 }

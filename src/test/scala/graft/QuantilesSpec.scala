@@ -52,6 +52,24 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out.getDouble(2) == 9.0)
   }
 
+  test("hot group spreads across range partitions (no single-task sort)") {
+    import spark.implicits._
+    // 1 group x 1e6 distinct values: the old per-group window sort put
+    // all of this in ONE task; the range-partitioned two-pass must not
+    val df = spark.range(1000000)
+      .select(lit("hot").as("grp"), (col("id") * 7 % 1000003).cast("double").as("v"))
+    val out = Quantiles.cont(df, Seq("grp"), "v", Seq(0.5), Seq("med"))
+    // plan proof: the running-sum window is keyed by (__pid, grp), so a
+    // single group's sort is spread over the range partitions
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), "expected partition-local cumulative pass in plan")
+    // value proof against the closed form: v = (id*7) % 1000003 over
+    // id < 1e6 hits 1e6 distinct values; median = interpolated middle
+    val sorted = (0L until 1000000L).map(i => (i * 7 % 1000003).toDouble).sorted.toArray
+    val got = out.collect()(0).getDouble(1)
+    assert(math.abs(got - ref(sorted, 0.5)) < 1e-9, s"got $got")
+  }
+
   test("single-value group: all quantiles equal that value") {
     import spark.implicits._
     val df = Seq(("a", 42.0)).toDF("grp", "v")

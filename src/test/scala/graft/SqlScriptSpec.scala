@@ -56,6 +56,34 @@ class SqlScriptSpec extends AnyFunSuite {
         |$$""".stripMargin).toString.toInt == 45)
   }
 
+  test("FOR loop errors past graft.script.forRowsLimit instead of collecting") {
+    spark.conf.set("graft.script.forRowsLimit", "5")
+    try {
+      val e = intercept[IllegalStateException](run1(
+        """$$
+          |BEGIN
+          |  LET n := 0;
+          |  FOR r IN SELECT id FROM range(10) DO
+          |    n := n + 1;
+          |  END FOR;
+          |  RETURN n;
+          |END;
+          |$$""".stripMargin))
+      assert(e.getMessage.contains("forRowsLimit"))
+      // under the cap still works
+      assert(run1(
+        """$$
+          |BEGIN
+          |  LET n := 0;
+          |  FOR r IN SELECT id FROM range(4) DO
+          |    n := n + 1;
+          |  END FOR;
+          |  RETURN n;
+          |END;
+          |$$""".stripMargin).toString.toInt == 4)
+    } finally spark.conf.unset("graft.script.forRowsLimit")
+  }
+
   test("LET RESULTSET cursor + FOR over it") {
     assert(run1(
       """$$

@@ -44,6 +44,23 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(cols(0).getString(1) == "bigint")
   }
 
+  test("system tables/columns/functions views reflect the catalog") {
+    import spark.implicits._
+    import graft.operators.SystemTables
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("systbl_probe")
+    SystemTables.register(spark)
+    val t = spark.sql("SELECT * FROM system_tables WHERE name = 'systbl_probe'").collect()
+    assert(t.length == 1 && t(0).getAs[Boolean]("is_temporary"))
+    val c = spark.sql(
+      "SELECT column_name, data_type FROM system_columns WHERE table_name = 'systbl_probe' ORDER BY column_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(c == Seq(("k", "int"), ("v", "string")))
+    // built-ins and graft registrations both visible
+    val f = spark.sql("SELECT count(*) FROM system_functions").head().getLong(0)
+    assert(f > 300, s"only $f functions listed")
+    assert(spark.sql("SELECT * FROM system_functions WHERE name = 'abs'").count() == 1)
+  }
+
   test("snapshots exposes the table's version chain") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("k", "v"))
