@@ -123,74 +123,28 @@ object VectorQueries extends QueryModule {
       |  round(sum(xe * xq), 6) AS inner_product
       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
-  // ---- IVF ANN: k-means coarse quantizer + probe nearest lists --------
-  // The classic inverted-file index (reference: HNSW/vector-index role,
-  // src/query/storages/common/index/src/hnsw_index/hnsw.rs — re-expressed
-  // as IVF because it fits Spark's batch model): train k centroids with
-  // distributed Lloyd iterations (assignment = broadcast-join + min_by,
-  // update = posexplode + groupBy mean), then answer the query by probing
-  // only the nProbe nearest lists. At 100 TB the assignment table is the
-  // index: candidates are one `cid IN (...)` partition-prunable filter,
-  // not a full scan. Rows-only: list contents depend on float summation
-  // order; recall vs brute force is asserted in VectorSpec.
-  private def ivfAssignments(spark: SparkSession, dir: String, k: Int, iters: Int)
-      : (DataFrame, Array[Array[Double]]) = {
-    val x = t(spark, dir)
-    val dbl = x.embeddings
-      .select(col("vec_id"), expr("transform(embedding, e -> CAST(e AS DOUBLE))").as("v"))
-      .cache() // scanned once per Lloyd iteration + the final probe
-    // deterministic seeds: the k smallest vec_ids
-    var cents: Array[Array[Double]] = dbl.orderBy(col("vec_id")).limit(k).collect()
-      .map(_.getSeq[Double](1).toArray)
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      val cdf = broadcast(
-        spark.createDataFrame(cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-          .toDF("cid", "cv"))
-      assigned = dbl.crossJoin(cdf)
-        .withColumn("d",
-          expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (s, e) -> s + e)"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), col("d")).as("cid"), first(col("v")).as("v"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCid = means.groupBy(_.getInt(0))
-      cents = cents.indices.map { i =>
-        byCid.get(i) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-          case None       => cents(i) // empty list keeps its centroid
-        }
-      }.toArray
-    }
-    (assigned.select(col("vec_id"), col("cid"), col("v")), cents)
-  }
+  // ---- IVF ANN over the PERSISTED index (operators.VectorIndex) -------
+  // The index is built once (trained k-means, assignments partitioned by
+  // list id, file-set version pin) and every query is probe-only: driver
+  // picks the nProbe nearest centroids, the scan partition-prunes on
+  // `cid IN (...)`. `ensure` rebuilds only when the source file set
+  // changed — the same staleness rule as AggIndex. Rows-only: list
+  // contents depend on float summation order; recall vs brute force is
+  // asserted in VectorSpec.
+  private def ivfIndexPath(dir: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/ivf_" +
+      Integer.toHexString(dir.hashCode)
 
   private def knnIvfDf(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, cents) = ivfAssignments(spark, dir, k = 16, iters = 2)
-    val cached = assigned.cache()
-    val qv = cached.filter(col("vec_id") === 0).select(col("v")).collect()(0)
-      .getSeq[Double](0).toArray
-    def l2sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val probe = cents.zipWithIndex.sortBy { case (c, _) => l2sq(c, qv) }
-      .take(4).map(_._2)
-    val q = broadcast(cached.filter(col("vec_id") === 0).select(col("v").as("qv")))
-    cached
-      .filter(col("vec_id") =!= 0 && col("cid").isin(probe.toSeq: _*))
-      .crossJoin(q)
-      .select(col("vec_id"),
-        expr("""aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, e) -> a + e)""").as("dp"),
-        expr("""aggregate(v, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)""").as("n1"),
-        expr("""aggregate(qv, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)""").as("n2"))
-      .select(col("vec_id"), round(col("dp") / sqrt(col("n1") * col("n2")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+    import graft.operators.VectorIndex
+    val x = t(spark, dir)
+    val idx = VectorIndex.ensure(x.embeddings, "vec_id", "embedding",
+      ivfIndexPath(dir), k = 16, iters = 2)
+    val qv = x.embeddings.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, e -> CAST(e AS DOUBLE))"))
+      .head().getSeq[Double](0).toArray
+    VectorIndex.search(spark, idx, qv, nProbe = 4, k = 10, excludeIds = Seq(0L))
+      .withColumnRenamed("id", "vec_id")
   }
 
   private val knnIvf = Q((spark, dir) => knnIvfDf(spark, dir), None, headline = true)

@@ -29,4 +29,23 @@ class VectorSpec extends AnyFunSuite {
     assert(candidates.count() <= 10)
     assert(n == 500) // fixture sanity
   }
+
+  test("IVF index persists: second query is probe-only, stale pin rebuilds") {
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    VectorIndex.ensure(emb, "vec_id", "embedding", idx, k = 8, iters = 1)
+    assert(VectorIndex.isFresh(spark, idx, emb))
+    val assignFile = java.nio.file.Files.walk(java.nio.file.Paths.get(idx, "assignments"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val mtime = java.nio.file.Files.getLastModifiedTime(assignFile)
+    // ensure() again must NOT retrain (same file set)
+    VectorIndex.ensure(emb, "vec_id", "embedding", idx, k = 8, iters = 1)
+    assert(java.nio.file.Files.getLastModifiedTime(assignFile) == mtime)
+    // a different source file set must read as stale (exact-set pin)
+    val other = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(10).select(col("doc_id").as("vec_id"), expr("array(1.0, 2.0)").as("embedding"))
+    assert(!VectorIndex.isFresh(spark, idx, other))
+  }
 }
