@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.MultimodalQueries,
     graft.queries.HitsQueries,
     graft.queries.MoreScalarQueries,
-    graft.queries.GeoQueries)
+    graft.queries.GeoQueries,
+    graft.queries.TpcdsQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)
