@@ -342,7 +342,318 @@ object TpcdsQueries extends QueryModule {
     ORDER BY c_last_name NULLS FIRST, ss_ticket_number NULLS FIRST
     LIMIT 100""")
 
+  // ---- Q6: states where customers buy pricier-than-category items -----
+  // (two scalar/correlated subqueries: month_seq lookup + per-category avg)
+  private val q6 = q("""
+    SELECT a.ca_state state,
+           count(*) cnt
+    FROM customer_address a, customer c, store_sales s, date_dim d, item i
+    WHERE a.ca_address_sk = c.c_current_addr_sk
+      AND c.c_customer_sk = s.ss_customer_sk
+      AND s.ss_sold_date_sk = d.d_date_sk
+      AND s.ss_item_sk = i.i_item_sk
+      AND d.d_month_seq =
+        (SELECT DISTINCT (d_month_seq)
+         FROM date_dim
+         WHERE d_year = 2001 AND d_moy = 1)
+      AND i.i_current_price > 1.2 *
+        (SELECT avg(j.i_current_price)
+         FROM item j
+         WHERE j.i_category = i.i_category)
+    GROUP BY a.ca_state
+    HAVING count(*) >= 10
+    ORDER BY cnt NULLS FIRST, a.ca_state NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q15: catalog sales by zip for a quarter ------------------------
+  private val q15 = q("""
+    SELECT ca_zip,
+           CAST(sum(CAST(round(cs_sales_price * 100) AS BIGINT)) AS BIGINT) sum_sales_c
+    FROM catalog_sales, customer, customer_address, date_dim
+    WHERE cs_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND (SUBSTRING(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                       '86475', '85392', '85460', '80348', '81792')
+           OR ca_state IN ('CA', 'WA', 'GA')
+           OR cs_sales_price > 500)
+      AND cs_sold_date_sk = d_date_sk
+      AND d_qoy = 2
+      AND d_year = 2001
+    GROUP BY ca_zip
+    ORDER BY ca_zip NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q37: items in inventory band also sold via catalog -------------
+  private val q37 = q("""
+    SELECT i_item_id,
+           i_item_desc,
+           i_current_price
+    FROM item, inventory, date_dim, catalog_sales
+    WHERE i_current_price BETWEEN 68 AND 68 + 30
+      AND inv_item_sk = i_item_sk
+      AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN cast('2000-02-01' AS date) AND cast('2000-04-01' AS date)
+      AND i_manufact_id IN (677, 940, 694, 808)
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND cs_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 100""")
+
+  // ---- Q93: actual sales net of returns for one return reason ---------
+  private val q93 = q("""
+    SELECT ss_customer_sk,
+           CAST(sum(CAST(round(act_sales * 100) AS BIGINT)) AS BIGINT) sumsales_c
+    FROM
+      (SELECT ss_item_sk,
+              ss_ticket_number,
+              ss_customer_sk,
+              CASE WHEN sr_return_quantity IS NOT NULL
+                   THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                   ELSE (ss_quantity * ss_sales_price)
+              END act_sales
+       FROM store_sales
+       LEFT OUTER JOIN store_returns ON (sr_item_sk = ss_item_sk
+                                         AND sr_ticket_number = ss_ticket_number),
+            reason
+       WHERE sr_reason_sk = r_reason_sk
+         AND r_reason_desc = 'reason 28') t
+    GROUP BY ss_customer_sk
+    ORDER BY sumsales_c NULLS FIRST, ss_customer_sk NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q62: web shipping-latency buckets ------------------------------
+  private val q62 = q("""
+    SELECT w_substr,
+           sm_type,
+           web_name,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                          AND (ws_ship_date_sk - ws_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                          AND (ws_ship_date_sk - ws_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                          AND (ws_ship_date_sk - ws_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
+    FROM web_sales,
+      (SELECT SUBSTRING(w_warehouse_name, 1, 20) w_substr, * FROM warehouse) sq1,
+         ship_mode, web_site, date_dim
+    WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+      AND ws_ship_date_sk = d_date_sk
+      AND ws_warehouse_sk = w_warehouse_sk
+      AND ws_ship_mode_sk = sm_ship_mode_sk
+      AND ws_web_site_sk = web_site_sk
+    GROUP BY w_substr, sm_type, web_name
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q99: catalog shipping-latency buckets --------------------------
+  private val q99 = q("""
+    SELECT w_substr,
+           sm_type,
+           LOWER(cc_name) cc_name_lower,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                          AND (cs_ship_date_sk - cs_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                          AND (cs_ship_date_sk - cs_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                          AND (cs_ship_date_sk - cs_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
+    FROM catalog_sales,
+      (SELECT SUBSTRING(w_warehouse_name, 1, 20) w_substr, * FROM warehouse) AS sq1,
+         ship_mode, call_center, date_dim
+    WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+      AND cs_ship_date_sk = d_date_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_ship_mode_sk = sm_ship_mode_sk
+      AND cs_call_center_sk = cc_call_center_sk
+    GROUP BY w_substr, sm_type, cc_name
+    ORDER BY w_substr NULLS FIRST, sm_type NULLS FIRST, cc_name_lower NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q12/Q20/Q98: revenue ratio within class (window over agg) ------
+  private def revenueRatio(fact: String, pfx: String, limit: String): Q = q(s"""
+    SELECT i_item_id,
+           i_item_desc,
+           i_category,
+           i_class,
+           i_current_price,
+           CAST(sum(CAST(round(${pfx}_ext_sales_price * 100) AS BIGINT)) AS BIGINT) AS itemrevenue_c,
+           round(CAST(sum(CAST(round(${pfx}_ext_sales_price * 100) AS BIGINT)) AS DOUBLE) * 100.0
+             / CAST(sum(sum(CAST(round(${pfx}_ext_sales_price * 100) AS BIGINT))) OVER (PARTITION BY i_class) AS DOUBLE), 6) AS revenueratio
+    FROM $fact, item, date_dim
+    WHERE ${pfx}_item_sk = i_item_sk
+      AND i_category IN ('Sports', 'Books', 'Home')
+      AND ${pfx}_sold_date_sk = d_date_sk
+      AND d_date BETWEEN cast('1999-02-22' AS date) AND cast('1999-03-24' AS date)
+    GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+    ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS FIRST,
+             i_item_desc NULLS FIRST, revenueratio NULLS FIRST
+    $limit""")
+
+  private val q12 = revenueRatio("web_sales", "ws", "LIMIT 100")
+  private val q20 = revenueRatio("catalog_sales", "cs", "LIMIT 100")
+  private val q98 = revenueRatio("store_sales", "ss", "")
+
+  // ---- Q36: gross margin over a category/class rollup + rank ----------
+  // (reference Q36 text spells the rollup as a UNION of grouping levels;
+  // ported as written — Catalyst sees the same shape)
+  private val q36 = q("""
+    WITH results AS
+      (SELECT CAST(sum(CAST(round(ss_net_profit * 100) AS BIGINT)) AS BIGINT) AS np_c,
+              CAST(sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS BIGINT) AS sp_c,
+              i_category,
+              i_class
+       FROM store_sales, date_dim d1, item, store
+       WHERE d1.d_year = 2001
+         AND d1.d_date_sk = ss_sold_date_sk
+         AND i_item_sk = ss_item_sk
+         AND s_store_sk = ss_store_sk
+         AND s_state = 'TN'
+       GROUP BY i_category, i_class),
+         results_rollup AS
+      (SELECT round(CAST(np_c AS DOUBLE) / CAST(sp_c AS DOUBLE), 6) AS gross_margin,
+              i_category, i_class,
+              0 AS t_category, 0 AS t_class, 0 AS lochierarchy
+       FROM results
+       UNION SELECT round(CAST(sum(np_c) AS DOUBLE) / CAST(sum(sp_c) AS DOUBLE), 6) AS gross_margin,
+                    i_category, NULL AS i_class,
+                    0 AS t_category, 1 AS t_class, 1 AS lochierarchy
+       FROM results GROUP BY i_category
+       UNION SELECT round(CAST(sum(np_c) AS DOUBLE) / CAST(sum(sp_c) AS DOUBLE), 6) AS gross_margin,
+                    NULL AS i_category, NULL AS i_class,
+                    1 AS t_category, 1 AS t_class, 2 AS lochierarchy
+       FROM results)
+    SELECT gross_margin,
+           i_category,
+           i_class,
+           lochierarchy,
+           rank() OVER (PARTITION BY lochierarchy,
+                          CASE WHEN t_class = 0 THEN i_category END
+                        ORDER BY gross_margin ASC) AS rank_within_parent
+    FROM results_rollup
+    ORDER BY lochierarchy DESC NULLS FIRST,
+             CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+             rank_within_parent NULLS FIRST,
+             i_category NULLS FIRST,
+             i_class NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q70: profit rollup over state/county with ranked-state filter --
+  private val q70 = q("""
+    SELECT CAST(sum(CAST(round(ss_net_profit * 100) AS BIGINT)) AS BIGINT) AS total_sum_c,
+           s_state,
+           s_county,
+           grouping(s_state) + grouping(s_county) AS lochierarchy,
+           rank() OVER (PARTITION BY grouping(s_state) + grouping(s_county),
+                          CASE WHEN grouping(s_county) = 0 THEN s_state END
+                        ORDER BY sum(CAST(round(ss_net_profit * 100) AS BIGINT)) DESC) AS rank_within_parent
+    FROM store_sales, date_dim d1, store
+    WHERE d1.d_month_seq BETWEEN 1200 AND 1200 + 11
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND s_store_sk = ss_store_sk
+      AND s_state IN
+        (SELECT s_state
+         FROM
+           (SELECT s_state AS s_state,
+                   rank() OVER (PARTITION BY s_state
+                                ORDER BY sum(CAST(round(ss_net_profit * 100) AS BIGINT)) DESC) AS ranking
+            FROM store_sales, store, date_dim
+            WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+              AND d_date_sk = ss_sold_date_sk
+              AND s_store_sk = ss_store_sk
+            GROUP BY s_state) tmp1
+         WHERE ranking <= 5)
+    GROUP BY rollup(s_state, s_county)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN grouping(s_state) + grouping(s_county) = 0 THEN s_state END,
+             rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q89: monthly sales vs in-partition average --------------------
+  private val q89 = q("""
+    SELECT * FROM
+      (SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+              CAST(sum(CAST(round(ss_sales_price * 100) AS BIGINT)) AS BIGINT) sum_sales_c,
+              round(avg(sum(CAST(round(ss_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY i_category, i_brand, s_store_name, s_company_name), 4) avg_monthly_sales_c
+       FROM item, store_sales, date_dim, store
+       WHERE ss_item_sk = i_item_sk
+         AND ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND d_year = 1999
+         AND ((i_category IN ('Books', 'Electronics', 'Sports')
+               AND i_class IN ('computers', 'stereo', 'football'))
+              OR (i_category IN ('Men', 'Jewelry', 'Women')
+                  AND i_class IN ('shirts', 'birdal', 'dresses')))
+       GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name, d_moy) tmp1
+    WHERE CASE WHEN (avg_monthly_sales_c <> 0)
+               THEN (abs(sum_sales_c - avg_monthly_sales_c) / avg_monthly_sales_c)
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales_c - avg_monthly_sales_c, s_store_name, 1, 2, 3, 5, 6, 7, 8
+    LIMIT 100""")
+
+  // ---- Q51: cumulative web-vs-store sales crossover (full outer) ------
+  private val q51 = q("""
+    WITH web_v1 AS
+      (SELECT ws_item_sk item_sk, d_date,
+              sum(sum(CAST(round(ws_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                      ROWS BETWEEN unbounded preceding AND CURRENT ROW) cume_sales
+       FROM web_sales, date_dim
+       WHERE ws_sold_date_sk = d_date_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+         AND ws_item_sk IS NOT NULL
+       GROUP BY ws_item_sk, d_date),
+         store_v1 AS
+      (SELECT ss_item_sk item_sk, d_date,
+              sum(sum(CAST(round(ss_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                      ROWS BETWEEN unbounded preceding AND CURRENT ROW) cume_sales
+       FROM store_sales, date_dim
+       WHERE ss_sold_date_sk = d_date_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+         AND ss_item_sk IS NOT NULL
+       GROUP BY ss_item_sk, d_date)
+    SELECT item_sk,
+           CAST(d_date AS TIMESTAMP) AS d_date,
+           web_sales_c,
+           store_sales_c,
+           web_cumulative,
+           store_cumulative
+    FROM
+      (SELECT item_sk, d_date, web_sales_c, store_sales_c,
+              max(web_sales_c) OVER (PARTITION BY item_sk ORDER BY d_date
+                    ROWS BETWEEN unbounded preceding AND CURRENT ROW) web_cumulative,
+              max(store_sales_c) OVER (PARTITION BY item_sk ORDER BY d_date
+                    ROWS BETWEEN unbounded preceding AND CURRENT ROW) store_cumulative
+       FROM
+         (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END item_sk,
+                 CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END d_date,
+                 web.cume_sales web_sales_c,
+                 store.cume_sales store_sales_c
+          FROM web_v1 web
+          FULL OUTER JOIN store_v1 store ON (web.item_sk = store.item_sk
+                                             AND web.d_date = store.d_date)) x) y
+    WHERE web_cumulative > store_cumulative
+    ORDER BY item_sk NULLS FIRST, d_date NULLS FIRST
+    LIMIT 100""", headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q12" -> q12,
+    "tpcds_q20" -> q20,
+    "tpcds_q36" -> q36,
+    "tpcds_q51" -> q51,
+    "tpcds_q70" -> q70,
+    "tpcds_q89" -> q89,
+    "tpcds_q98" -> q98,
+    "tpcds_q6" -> q6,
+    "tpcds_q15" -> q15,
+    "tpcds_q37" -> q37,
+    "tpcds_q62" -> q62,
+    "tpcds_q93" -> q93,
+    "tpcds_q99" -> q99,
     "tpcds_q3" -> q3,
     "tpcds_q7" -> q7,
     "tpcds_q13" -> q13,

@@ -81,7 +81,7 @@ object Tpcds {
       storeSales: Long, catalogSales: Long, webSales: Long)
 
   private def sizes(sf: Double): Sizes = Sizes(
-    items = math.max(200, (18000 * sf).toLong),
+    items = math.max(2000, (18000 * sf).toLong), // >= 2000 so 3-digit i_manufact_id constants (Q37's 677/940/...) resolve
     customers = math.max(1000, (100000 * sf).toLong),
     addrs = math.max(500, (50000 * sf).toLong),
     stores = math.max(6, (60 * sf).toLong),
@@ -197,13 +197,20 @@ object Tpcds {
         pick("idesc", col("id"), colors)).as("i_item_desc"),
       pick("icat", col("id"), categories).as("i_category"),
       (pmod(col("id"), lit(categories.length)) + 1).cast("int").as("i_category_id"),
-      concat(pick("icat", col("id"), categories), lit(" class "),
-        pmod(col("id"), lit(5))).as("i_class"),
-      (pmod(col("id"), lit(5)) + 1).cast("int").as("i_class_id"),
+      // real dsdgen class names so query constants (Q89's 'computers',
+      // 'football', Q36's output classes) resolve; drawn independently
+      // of category like a hash, which keeps every (category, class)
+      // combination populated
+      pick("iclass", col("id"), Seq("computers", "stereo", "football",
+        "shirts", "birdal", "dresses", "womens", "pants", "glassware",
+        "swimwear", "flatware", "scanners", "classical", "fiction",
+        "romance", "mystery", "baseball", "basketball", "camping",
+        "optics")).as("i_class"),
+      (pmod(col("id"), lit(20)) + 1).cast("int").as("i_class_id"),
       (lit(1001001) + pmod(col("id"), lit(900)).cast("int")).as("i_brand_id"),
       concat(lit("brand#"), lit(1001001) + pmod(col("id"), lit(900)).cast("int")).as("i_brand"),
-      pmod(col("id"), lit(200)).cast("int").as("i_manufact_id"),
-      concat(lit("mfg#"), pmod(col("id"), lit(200))).as("i_manufact"),
+      pmod(col("id"), lit(1000)).cast("int").as("i_manufact_id"),
+      concat(lit("mfg#"), pmod(col("id"), lit(1000))).as("i_manufact"),
       ((H("iprice", col("id"), 9900) + 100) / 100.0).as("i_current_price"),
       ((H("iwhole", col("id"), 6000) + 50) / 100.0).as("i_wholesale_cost"),
       pick("icolor", col("id"), colors).as("i_color"),
