@@ -640,7 +640,181 @@ object TpcdsQueries extends QueryModule {
     ORDER BY item_sk NULLS FIRST, d_date NULLS FIRST
     LIMIT 100""", headline = true)
 
+  // ---- Q25: store buy -> store return -> catalog re-buy profit --------
+  private val q25 = q("""
+    SELECT i_item_id,
+           i_item_desc,
+           s_store_id,
+           s_store_name,
+           CAST(sum(CAST(round(ss_net_profit * 100) AS BIGINT)) AS BIGINT) AS store_sales_profit_c,
+           CAST(sum(CAST(round(sr_net_loss * 100) AS BIGINT)) AS BIGINT) AS store_returns_loss_c,
+           CAST(sum(CAST(round(cs_net_profit * 100) AS BIGINT)) AS BIGINT) AS catalog_sales_profit_c
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE d1.d_moy = 4
+      AND d1.d_year = 2001
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_moy BETWEEN 4 AND 10
+      AND d2.d_year = 2001
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_moy BETWEEN 4 AND 10
+      AND d3.d_year = 2001
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+    LIMIT 100""", headline = true)
+
+  // ---- Q29: same triple-channel path, quantities ----------------------
+  private val q29 = q("""
+    SELECT i_item_id,
+           i_item_desc,
+           s_store_id,
+           s_store_name,
+           CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+           CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+           CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE d1.d_moy = 9
+      AND d1.d_year = 1999
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_moy BETWEEN 9 AND 9 + 3
+      AND d2.d_year = 1999
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_year IN (1999, 1999+1, 1999+2)
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+    LIMIT 100""")
+
+  // ---- Q50: return-latency buckets per store --------------------------
+  private val q50 = q("""
+    SELECT s_store_name,
+           s_company_id,
+           s_street_number,
+           s_street_name,
+           s_street_type,
+           s_suite_number,
+           s_city,
+           s_county,
+           s_state,
+           s_zip,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                          AND (sr_returned_date_sk - ss_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                          AND (sr_returned_date_sk - ss_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                          AND (sr_returned_date_sk - ss_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
+    FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+    WHERE d2.d_year = 2001
+      AND d2.d_moy = 8
+      AND ss_ticket_number = sr_ticket_number
+      AND ss_item_sk = sr_item_sk
+      AND ss_sold_date_sk = d1.d_date_sk
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_store_sk = s_store_sk
+    GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+    ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+    LIMIT 100""")
+
+  // ---- Q65: items selling under 10% of their store's average ----------
+  private val q65 = q("""
+    SELECT s_store_name,
+           i_item_desc,
+           sc.revenue_c,
+           i_current_price,
+           i_wholesale_cost,
+           i_brand
+    FROM store, item,
+      (SELECT ss_store_sk, avg(revenue_c) AS ave
+       FROM
+         (SELECT ss_store_sk, ss_item_sk,
+                 sum(CAST(round(ss_sales_price * 100) AS BIGINT)) AS revenue_c
+          FROM store_sales, date_dim
+          WHERE ss_sold_date_sk = d_date_sk
+            AND d_month_seq BETWEEN 1176 AND 1176 + 11
+          GROUP BY ss_store_sk, ss_item_sk) sa
+       GROUP BY ss_store_sk) sb,
+      (SELECT ss_store_sk, ss_item_sk,
+              CAST(sum(CAST(round(ss_sales_price * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+       FROM store_sales, date_dim
+       WHERE ss_sold_date_sk = d_date_sk
+         AND d_month_seq BETWEEN 1176 AND 1176 + 11
+       GROUP BY ss_store_sk, ss_item_sk) sc
+    WHERE sb.ss_store_sk = sc.ss_store_sk
+      AND sc.revenue_c <= 0.1 * sb.ave
+      AND s_store_sk = sc.ss_store_sk
+      AND i_item_sk = sc.ss_item_sk
+    ORDER BY s_store_name NULLS FIRST, i_item_desc NULLS FIRST, sc.revenue_c
+    LIMIT 100""", headline = true)
+
+  // ---- Q92: discounts above 1.3x the item's average -------------------
+  private val q92 = q("""
+    SELECT CAST(sum(CAST(round(ws_ext_discount_amt * 100) AS BIGINT)) AS BIGINT) AS excess_discount_c
+    FROM web_sales, item, date_dim
+    WHERE i_manufact_id = 350
+      AND i_item_sk = ws_item_sk
+      AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
+      AND d_date_sk = ws_sold_date_sk
+      AND ws_ext_discount_amt >
+        (SELECT 1.3 * avg(ws_ext_discount_amt)
+         FROM web_sales, date_dim
+         WHERE ws_item_sk = i_item_sk
+           AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
+           AND d_date_sk = ws_sold_date_sk)
+    ORDER BY excess_discount_c
+    LIMIT 100""")
+
+  // ---- Q94: multi-warehouse unreturned web orders (EXISTS/NOT EXISTS) -
+  private val q94 = q("""
+    SELECT count(DISTINCT ws_order_number) AS order_count,
+           CAST(sum(CAST(round(ws_ext_ship_cost * 100) AS BIGINT)) AS BIGINT) AS total_ship_cost_c,
+           CAST(sum(CAST(round(ws_net_profit * 100) AS BIGINT)) AS BIGINT) AS total_net_profit_c
+    FROM web_sales ws1, date_dim, customer_address, web_site
+    WHERE d_date BETWEEN '1999-02-01' AND cast('1999-04-02' AS date)
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND ws1.ws_ship_addr_sk = ca_address_sk
+      AND ca_state = 'IL'
+      AND ws1.ws_web_site_sk = web_site_sk
+      AND web_company_name = 'pri'
+      AND EXISTS
+        (SELECT *
+         FROM web_sales ws2
+         WHERE ws1.ws_order_number = ws2.ws_order_number
+           AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      AND NOT EXISTS
+        (SELECT *
+         FROM web_returns wr1
+         WHERE ws1.ws_order_number = wr1.wr_order_number)
+    ORDER BY order_count
+    LIMIT 100""", headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q25" -> q25,
+    "tpcds_q29" -> q29,
+    "tpcds_q50" -> q50,
+    "tpcds_q65" -> q65,
+    "tpcds_q92" -> q92,
+    "tpcds_q94" -> q94,
     "tpcds_q12" -> q12,
     "tpcds_q20" -> q20,
     "tpcds_q36" -> q36,

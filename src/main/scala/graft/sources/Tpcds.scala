@@ -312,7 +312,12 @@ object Tpcds {
       lit(1).as("s_company_id"),
       lit("Unknown").as("s_company_name"),
       lpad((H("szip", col("id"), 90000) + 10000).cast("string"), 5, "0").as("s_zip"),
-      lit(-5.0).as("s_gmt_offset"))
+      lit(-5.0).as("s_gmt_offset"),
+      (H("ssn", col("id"), 999) + 1).cast("string").as("s_street_number"),
+      pick("ssnm", col("id"), Seq("Main", "Oak", "First", "Elm", "Park",
+        "Cedar", "Maple", "Pine")).as("s_street_name"),
+      pick("sst", col("id"), Seq("St", "Ave", "Blvd", "Way", "Dr")).as("s_street_type"),
+      concat(lit("Suite "), H("ssu", col("id"), 600)).as("s_suite_number"))
     save(store, "store", parts = 1)
 
     val promo = rng(z.promos).select(
@@ -385,10 +390,22 @@ object Tpcds {
     save(cp, "catalog_page", parts = 1)
 
     // ---- store_sales: ~3 line items per ticket; ticket-level attrs are
-    // keyed by ticket so baskets are coherent --------------------------
+    // keyed by ticket so baskets are coherent. Half the line items come
+    // from the customer's 5 "favorite" items — a joint (customer, item)
+    // distribution shared with catalog_sales so cross-channel queries
+    // (Q25/Q29: store buy -> store return -> catalog re-buy by the same
+    // customer+item) actually find matches -----------------------------
+    def favoriteItem(cust: Column, slot: Column): Column =
+      pmod(xxhash64(lit("affin"), cust, slot), lit(z.items))
     val ssParts = math.max(8, (z.storeSales / 200000L).toInt)
     val ss = rng(z.storeSales)
       .withColumn("tkt", idiv(col("id"), 3))
+      .withColumn("cust", when(H("sscn", col("tkt"), 50) === 0, lit(null: java.lang.Long))
+        .otherwise(H("ssc", col("tkt"), z.customers)))
+      .withColumn("itm",
+        when(H("ssaff", col("id"), 2) === 0 && col("cust").isNotNull,
+          favoriteItem(col("cust"), H("ssfav", col("id"), 5)))
+          .otherwise(H("ssi", col("id"), z.items)))
       .withColumn("qty", (H("ssq", col("id"), 100) + 1).cast("int"))
       .withColumn("wc_c", H("sswc", col("id"), 6000) + 50)
       .withColumn("lp_c", idiv(col("wc_c") * (lit(120) + H("sslp", col("id"), 80)), 100))
@@ -399,9 +416,8 @@ object Tpcds {
       .select(
         H("ssd", col("tkt"), nDates).as("ss_sold_date_sk"),
         H("sst", col("tkt"), nTimes).as("ss_sold_time_sk"),
-        H("ssi", col("id"), z.items).as("ss_item_sk"),
-        when(H("sscn", col("tkt"), 50) === 0, lit(null: java.lang.Long))
-          .otherwise(H("ssc", col("tkt"), z.customers)).as("ss_customer_sk"),
+        col("itm").as("ss_item_sk"),
+        col("cust").as("ss_customer_sk"),
         H("sscd", col("tkt"), nCdemo).as("ss_cdemo_sk"),
         H("ssh", col("tkt"), nHdemo).as("ss_hdemo_sk"),
         H("ssa", col("tkt"), z.addrs).as("ss_addr_sk"),
@@ -460,6 +476,11 @@ object Tpcds {
     val csParts = math.max(4, (z.catalogSales / 200000L).toInt)
     val cs = rng(z.catalogSales)
       .withColumn("ord", idiv(col("id"), 4))
+      .withColumn("cust", H("csc", col("ord"), z.customers))
+      .withColumn("itm",
+        when(H("csaff", col("id"), 2) === 0,
+          favoriteItem(col("cust"), H("csfav", col("id"), 5)))
+          .otherwise(H("csi", col("id"), z.items)))
       .withColumn("qty", (H("csq", col("id"), 100) + 1).cast("int"))
       .withColumn("wc_c", H("cswc", col("id"), 6000) + 50)
       .withColumn("lp_c", idiv(col("wc_c") * (lit(120) + H("cslp", col("id"), 80)), 100))
@@ -472,11 +493,11 @@ object Tpcds {
         H("csd", col("ord"), nDates).as("cs_sold_date_sk"),
         least(H("csd", col("ord"), nDates) + 2 + H("cssd", col("id"), 90),
           lit(nDates - 1)).as("cs_ship_date_sk"),
-        H("csc", col("ord"), z.customers).as("cs_bill_customer_sk"),
+        col("cust").as("cs_bill_customer_sk"),
         H("cscd", col("ord"), nCdemo).as("cs_bill_cdemo_sk"),
         H("csh", col("ord"), nHdemo).as("cs_bill_hdemo_sk"),
         H("csa", col("ord"), z.addrs).as("cs_bill_addr_sk"),
-        when(H("cssame", col("ord"), 10) < 8, H("csc", col("ord"), z.customers))
+        when(H("cssame", col("ord"), 10) < 8, col("cust"))
           .otherwise(H("csc2", col("ord"), z.customers)).as("cs_ship_customer_sk"),
         when(H("cssame", col("ord"), 10) < 8, H("csa", col("ord"), z.addrs))
           .otherwise(H("csa2", col("ord"), z.addrs)).as("cs_ship_addr_sk"),
@@ -484,7 +505,7 @@ object Tpcds {
         H("cscp", col("id"), z.catalogPages).as("cs_catalog_page_sk"),
         H("cssm", col("ord"), 20).as("cs_ship_mode_sk"),
         H("csw", col("id"), z.warehouses).as("cs_warehouse_sk"),
-        H("csi", col("id"), z.items).as("cs_item_sk"),
+        col("itm").as("cs_item_sk"),
         when(H("cspn", col("id"), 20) === 0, lit(null: java.lang.Long))
           .otherwise(H("csp", col("id"), z.promos)).as("cs_promo_sk"),
         col("ord").as("cs_order_number"),
