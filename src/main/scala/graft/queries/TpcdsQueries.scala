@@ -808,7 +808,230 @@ object TpcdsQueries extends QueryModule {
     ORDER BY order_count
     LIMIT 100""", headline = true)
 
+  // ---- Q1: customers returning more than 1.2x their store's average ---
+  private val q1 = q("""
+    WITH customer_total_return AS
+      (SELECT sr_customer_sk AS ctr_customer_sk,
+              sr_store_sk AS ctr_store_sk,
+              sum(CAST(round(sr_return_amt * 100) AS BIGINT)) AS ctr_total_return
+       FROM store_returns, date_dim
+       WHERE sr_returned_date_sk = d_date_sk
+         AND d_year = 2000
+       GROUP BY sr_customer_sk, sr_store_sk)
+    SELECT c_customer_id
+    FROM customer_total_return ctr1, store, customer
+    WHERE ctr1.ctr_total_return >
+        (SELECT avg(ctr_total_return) * 1.2
+         FROM customer_total_return ctr2
+         WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      AND s_store_sk = ctr1.ctr_store_sk
+      AND s_state = 'TN'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id
+    LIMIT 100""", headline = true)
+
+  // ---- Q2: web+catalog weekday sales year-over-year ratios ------------
+  // (reference uses a 53-week offset from dsdgen's week_seq numbering;
+  // this calendar's 2001->2002 same-week offset is 52)
+  private val q2 = q("""
+    WITH wscs AS
+      (SELECT sold_date_sk, sales_price
+       FROM
+         (SELECT ws_sold_date_sk sold_date_sk, ws_ext_sales_price sales_price
+          FROM web_sales
+          UNION ALL SELECT cs_sold_date_sk sold_date_sk, cs_ext_sales_price sales_price
+          FROM catalog_sales) sq1),
+         wswscs AS
+      (SELECT d_week_seq,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Sunday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) sun_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Monday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) mon_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Tuesday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) tue_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Wednesday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) wed_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Thursday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) thu_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Friday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) fri_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Saturday') THEN sales_price ELSE NULL END * 100) AS BIGINT)) sat_sales
+       FROM wscs, date_dim
+       WHERE d_date_sk = sold_date_sk
+       GROUP BY d_week_seq)
+    SELECT d_week_seq1,
+           round(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 2) r1,
+           round(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 2) r2,
+           round(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 2) r3,
+           round(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 2) r4,
+           round(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 2) r5,
+           round(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 2) r6,
+           round(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 2) r7
+    FROM
+      (SELECT wswscs.d_week_seq d_week_seq1,
+              sun_sales sun_sales1, mon_sales mon_sales1, tue_sales tue_sales1,
+              wed_sales wed_sales1, thu_sales thu_sales1, fri_sales fri_sales1,
+              sat_sales sat_sales1
+       FROM wswscs, date_dim
+       WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001) y,
+      (SELECT wswscs.d_week_seq d_week_seq2,
+              sun_sales sun_sales2, mon_sales mon_sales2, tue_sales tue_sales2,
+              wed_sales wed_sales2, thu_sales thu_sales2, fri_sales fri_sales2,
+              sat_sales sat_sales2
+       FROM wswscs, date_dim
+       WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001 + 1) z
+    WHERE d_week_seq1 = d_week_seq2 - 52
+    ORDER BY d_week_seq1 NULLS FIRST""", headline = true)
+
+  // ---- Q16: multi-warehouse unreturned catalog orders -----------------
+  private val q16 = q("""
+    SELECT count(DISTINCT cs_order_number) AS order_count,
+           CAST(sum(CAST(round(cs_ext_ship_cost * 100) AS BIGINT)) AS BIGINT) AS total_ship_cost_c,
+           CAST(sum(CAST(round(cs_net_profit * 100) AS BIGINT)) AS BIGINT) AS total_net_profit_c
+    FROM catalog_sales cs1, date_dim, customer_address, call_center
+    WHERE d_date BETWEEN '2002-02-01' AND cast('2002-04-02' AS date)
+      AND cs1.cs_ship_date_sk = d_date_sk
+      AND cs1.cs_ship_addr_sk = ca_address_sk
+      AND ca_state = 'GA'
+      AND cs1.cs_call_center_sk = cc_call_center_sk
+      AND cc_county = 'Williamson County'
+      AND EXISTS
+        (SELECT *
+         FROM catalog_sales cs2
+         WHERE cs1.cs_order_number = cs2.cs_order_number
+           AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+      AND NOT EXISTS
+        (SELECT *
+         FROM catalog_returns cr1
+         WHERE cs1.cs_order_number = cr1.cr_order_number)
+    ORDER BY order_count
+    LIMIT 100""")
+
+  // ---- Q38: customers active in all three channels (INTERSECT) --------
+  private val q38 = q("""
+    SELECT count(*) cnt
+    FROM
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM store_sales, date_dim, customer
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+       INTERSECT
+       SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM catalog_sales, date_dim, customer
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+       INTERSECT
+       SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM web_sales, date_dim, customer
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11) hot_cust
+    LIMIT 100""", headline = true)
+
+  // ---- Q87: store-only customers (EXCEPT chain) -----------------------
+  private val q87 = q("""
+    SELECT count(*) cnt
+    FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+           FROM store_sales, date_dim, customer
+           WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+             AND store_sales.ss_customer_sk = customer.c_customer_sk
+             AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+          EXCEPT
+          (SELECT DISTINCT c_last_name, c_first_name, d_date
+           FROM catalog_sales, date_dim, customer
+           WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+             AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+             AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+          EXCEPT
+          (SELECT DISTINCT c_last_name, c_first_name, d_date
+           FROM web_sales, date_dim, customer
+           WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+             AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+             AND d_month_seq BETWEEN 1200 AND 1200 + 11)) cool_cust""")
+
+  // ---- Q88: 8 half-hour store traffic counts (cross join of scalars) --
+  private def q88block(alias: String, hour: Int, minuteCond: String): String = s"""
+      (SELECT count(*) $alias
+       FROM store_sales, household_demographics, time_dim, store
+       WHERE ss_sold_time_sk = time_dim.t_time_sk
+         AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         AND ss_store_sk = s_store_sk
+         AND time_dim.t_hour = $hour
+         AND time_dim.t_minute $minuteCond
+         AND ((household_demographics.hd_dep_count = 4
+               AND household_demographics.hd_vehicle_count <= 4 + 2)
+              OR (household_demographics.hd_dep_count = 2
+                  AND household_demographics.hd_vehicle_count <= 2 + 2)
+              OR (household_demographics.hd_dep_count = 0
+                  AND household_demographics.hd_vehicle_count <= 0 + 2))
+         AND store.s_store_name = 'ese')"""
+
+  private val q88 = q(s"""
+    SELECT *
+    FROM
+    ${q88block("h8_30_to_9", 8, ">= 30")} s1,
+    ${q88block("h9_to_9_30", 9, "< 30")} s2,
+    ${q88block("h9_30_to_10", 9, ">= 30")} s3,
+    ${q88block("h10_to_10_30", 10, "< 30")} s4,
+    ${q88block("h10_30_to_11", 10, ">= 30")} s5,
+    ${q88block("h11_to_11_30", 11, "< 30")} s6,
+    ${q88block("h11_30_to_12", 11, ">= 30")} s7,
+    ${q88block("h12_to_12_30", 12, "< 30")} s8""")
+
+  // ---- Q90: AM/PM web-order ratio -------------------------------------
+  private val q90 = q("""
+    SELECT CASE WHEN pmc = 0 THEN NULL
+                ELSE round(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 6) END am_pm_ratio
+    FROM
+      (SELECT count(*) amc
+       FROM web_sales, household_demographics, time_dim, web_page
+       WHERE ws_sold_time_sk = time_dim.t_time_sk
+         AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         AND ws_web_page_sk = web_page.wp_web_page_sk
+         AND time_dim.t_hour BETWEEN 8 AND 8 + 1
+         AND household_demographics.hd_dep_count = 6
+         AND web_page.wp_char_count BETWEEN 5000 AND 5200) at_c,
+      (SELECT count(*) pmc
+       FROM web_sales, household_demographics, time_dim, web_page
+       WHERE ws_sold_time_sk = time_dim.t_time_sk
+         AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         AND ws_web_page_sk = web_page.wp_web_page_sk
+         AND time_dim.t_hour BETWEEN 19 AND 19 + 1
+         AND household_demographics.hd_dep_count = 6
+         AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+    ORDER BY am_pm_ratio
+    LIMIT 100""")
+
+  // ---- Q97: store/catalog channel overlap (full outer over groups) ----
+  private val q97 = q("""
+    WITH ssci AS
+      (SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+       FROM store_sales, date_dim
+       WHERE ss_sold_date_sk = d_date_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+       GROUP BY ss_customer_sk, ss_item_sk),
+         csci AS
+      (SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+       FROM catalog_sales, date_dim
+       WHERE cs_sold_date_sk = d_date_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+       GROUP BY cs_bill_customer_sk, cs_item_sk)
+    SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) store_only,
+           CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+                          AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) catalog_only,
+           CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) store_and_catalog
+    FROM ssci
+    FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+                             AND ssci.item_sk = csci.item_sk)
+    LIMIT 100""", headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q1" -> q1,
+    "tpcds_q2" -> q2,
+    "tpcds_q16" -> q16,
+    "tpcds_q38" -> q38,
+    "tpcds_q87" -> q87,
+    "tpcds_q88" -> q88,
+    "tpcds_q90" -> q90,
+    "tpcds_q97" -> q97,
     "tpcds_q25" -> q25,
     "tpcds_q29" -> q29,
     "tpcds_q50" -> q50,

@@ -581,6 +581,7 @@ object Tpcds {
         H("wsc", col("ord"), z.customers).as("ws_bill_customer_sk"),
         H("wscd", col("ord"), nCdemo).as("ws_bill_cdemo_sk"),
         H("wsh", col("ord"), nHdemo).as("ws_bill_hdemo_sk"),
+        H("wsh", col("ord"), nHdemo).as("ws_ship_hdemo_sk"),
         H("wsa", col("ord"), z.addrs).as("ws_bill_addr_sk"),
         H("wsc", col("ord"), z.customers).as("ws_ship_customer_sk"),
         H("wsa", col("ord"), z.addrs).as("ws_ship_addr_sk"),
