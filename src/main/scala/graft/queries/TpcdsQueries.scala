@@ -1023,7 +1023,80 @@ object TpcdsQueries extends QueryModule {
                              AND ssci.item_sk = csci.item_sk)
     LIMIT 100""", headline = true)
 
+  // ---- Q47: months deviating >10% from the year average, with
+  // previous/next month via rank self-joins -----------------------------
+  private val q47 = q("""
+    WITH v1 AS
+      (SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+              CAST(sum(CAST(round(ss_sales_price * 100) AS BIGINT)) AS BIGINT) sum_sales_c,
+              round(avg(sum(CAST(round(ss_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY i_category, i_brand, s_store_name,
+                                   s_company_name, d_year), 4) avg_monthly_sales_c,
+              rank() OVER (PARTITION BY i_category, i_brand, s_store_name, s_company_name
+                           ORDER BY d_year, d_moy) rn
+       FROM item, store_sales, date_dim, store
+       WHERE ss_item_sk = i_item_sk
+         AND ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND (d_year = 1999
+              OR (d_year = 1999 - 1 AND d_moy = 12)
+              OR (d_year = 1999 + 1 AND d_moy = 1))
+       GROUP BY i_category, i_brand, s_store_name, s_company_name, d_year, d_moy),
+         v2 AS
+      (SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+              v1.d_year, v1.d_moy, v1.avg_monthly_sales_c, v1.sum_sales_c,
+              v1_lag.sum_sales_c psum_c,
+              v1_lead.sum_sales_c nsum_c
+       FROM v1, v1 v1_lag, v1 v1_lead
+       WHERE v1.i_category = v1_lag.i_category
+         AND v1.i_category = v1_lead.i_category
+         AND v1.i_brand = v1_lag.i_brand
+         AND v1.i_brand = v1_lead.i_brand
+         AND v1.s_store_name = v1_lag.s_store_name
+         AND v1.s_store_name = v1_lead.s_store_name
+         AND v1.s_company_name = v1_lag.s_company_name
+         AND v1.s_company_name = v1_lead.s_company_name
+         AND v1.rn = v1_lag.rn + 1
+         AND v1.rn = v1_lead.rn - 1)
+    SELECT *
+    FROM v2
+    WHERE d_year = 1999
+      AND avg_monthly_sales_c > 0
+      AND CASE WHEN avg_monthly_sales_c > 0
+               THEN abs(sum_sales_c - avg_monthly_sales_c) / avg_monthly_sales_c
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales_c - avg_monthly_sales_c, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+    LIMIT 100""", headline = true)
+
+  // ---- Q95: returned multi-warehouse web orders (CTE reused twice) ----
+  private val q95 = q("""
+    WITH ws_wh AS
+      (SELECT ws1.ws_order_number, ws1.ws_warehouse_sk wh1, ws2.ws_warehouse_sk wh2
+       FROM web_sales ws1, web_sales ws2
+       WHERE ws1.ws_order_number = ws2.ws_order_number
+         AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+    SELECT count(DISTINCT ws_order_number) AS order_count,
+           CAST(sum(CAST(round(ws_ext_ship_cost * 100) AS BIGINT)) AS BIGINT) AS total_ship_cost_c,
+           CAST(sum(CAST(round(ws_net_profit * 100) AS BIGINT)) AS BIGINT) AS total_net_profit_c
+    FROM web_sales ws1, date_dim, customer_address, web_site
+    WHERE d_date BETWEEN '1999-02-01' AND cast('1999-04-02' AS date)
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND ws1.ws_ship_addr_sk = ca_address_sk
+      AND ca_state = 'IL'
+      AND ws1.ws_web_site_sk = web_site_sk
+      AND web_company_name = 'pri'
+      AND ws1.ws_order_number IN
+        (SELECT ws_order_number FROM ws_wh)
+      AND ws1.ws_order_number IN
+        (SELECT wr_order_number
+         FROM web_returns, ws_wh
+         WHERE wr_order_number = ws_wh.ws_order_number)
+    ORDER BY order_count
+    LIMIT 100""")
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q47" -> q47,
+    "tpcds_q95" -> q95,
     "tpcds_q1" -> q1,
     "tpcds_q2" -> q2,
     "tpcds_q16" -> q16,
