@@ -429,6 +429,8 @@ object GraftFunctions {
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"))
     // geohash (reference geographic/geo.rs:145-196)
     Geo.register(spark)
+    // round-4 name-surface expansion (~140 more reference names)
+    MoreAliases.register(spark)
   }
 
   /** true if the alias layer is active in this session */

@@ -1,0 +1,465 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.udf
+
+/** Round-4 expansion of the databend-name surface (reference registry:
+  * src/query/functions/tests/it/scalars/testdata/function_list.txt —
+  * 486 origin names + 120 aliases). Everything here is a bind-time
+  * rewrite onto Spark builtins (zero runtime cost, codegen'd) except a
+  * handful of genuinely-new scalars (humanize_*, jaro_winkler, vector
+  * distances) that are driver-registered UDFs, matching the
+  * reference's own non-vectorized scalar tier.
+  *
+  * Intentionally NOT mapped (recorded in COVERAGE.md aliases section):
+  * h3 family (needs an H3 library), st_ geometry/WKB family (geometry
+  * engine out of scope v0), siphash/city64/blake3 (hash ports),
+  * markov/feistel_obfuscate/sleep, tz-typed functions (no TIMESTAMP_TZ
+  * parity), time_slice (variadic unit grammar).
+  */
+object MoreAliases {
+
+  private def f(name: String, as: Expression*): Expression =
+    UnresolvedFunction(name, as.toSeq, isDistinct = false)
+  private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
+  private def tryCast(e: Expression, t: DataType): Expression =
+    Cast(e, t, None, EvalMode.TRY)
+
+  /** plain 1:1 name aliases */
+  val aliases: Seq[(String, String)] = Seq(
+    "array_concat" -> "concat",
+    "array_flatten" -> "flatten",
+    "array_indexof" -> "array_position",
+    "array_reverse" -> "reverse",
+    "array_unique" -> "array_distinct",
+    "array_to_string" -> "array_join",
+    "json_array_except" -> "array_except",
+    "json_array_insert" -> "array_insert",
+    "json_array_intersection" -> "array_intersect",
+    "json_array_overlap" -> "arrays_overlap",
+    "object_keys" -> "json_object_keys",
+    "regexp_split_to_array" -> "split",
+    "map_cat" -> "map_concat",
+    "map_size" -> "size",
+    "unicode" -> "ascii",
+    "ord" -> "ascii",
+    "to_last_of_month" -> "last_day",
+    "date_add_months" -> "add_months",
+    "epoch" -> "unix_timestamp",
+    "bit_not" -> "bitwise_not",
+    "bit_shift_left" -> "shiftleft",
+    "bit_shift_right" -> "shiftright",
+    "is_not_null" -> "isnotnull",
+    "try_from_base64" -> "unbase64",
+    "try_inet_aton" -> "inet_aton",
+    "try_ipv4_string_to_num" -> "inet_aton",
+    "try_inet_ntoa" -> "inet_ntoa",
+    "try_ipv4_num_to_string" -> "inet_ntoa",
+    "try_json_object" -> "json_object",
+    "try_json_object_keep_null" -> "json_object",
+    "json_object_keep_null" -> "json_object",
+    "object_construct_keep_null" -> "json_object",
+    "strftime" -> "date_format")
+
+  /** names needing argument/shape rewriting (bind-time, codegen'd) */
+  val rewrites: Map[String, Seq[Expression] => Expression] = {
+
+    // ---- datetime add/subtract by unit (reference datetime.rs
+    // add_/subtract_ families; Timestamp-typed result like TimestampAdd)
+    def tsAdd(unit: String, neg: Boolean)(args: Seq[Expression]): Expression = {
+      val qty = if (neg) UnaryMinus(args(1)) else args(1)
+      TimestampAdd(unit, qty, args.head)
+    }
+    // date-preserving day/week adds (reference returns Date for Date)
+    def dAdd(mult: Int)(args: Seq[Expression]): Expression =
+      f("date_add", args.head, cast(Multiply(args(1), Literal(mult)), IntegerType))
+    def dSub(mult: Int)(args: Seq[Expression]): Expression =
+      f("date_sub", args.head, cast(Multiply(args(1), Literal(mult)), IntegerType))
+
+    // ---- diff/between by unit: truncate each operand, then subtract
+    // (reference date_helper.rs EvalTimesImpl) -------------------------
+    def bySeconds(unit: Long)(args: Seq[Expression]): Expression = {
+      def b(e: Expression) = cast(f("floor", Divide(
+        f("unix_seconds", cast(e, TimestampType)), Literal(unit.toDouble))), LongType)
+      Subtract(b(args.head), b(args(1)))
+    }
+    def byMicros(unit: Long)(args: Seq[Expression]): Expression = {
+      def b(e: Expression) = cast(f("floor", Divide(
+        f("unix_micros", cast(e, TimestampType)), Literal(unit.toDouble))), LongType)
+      Subtract(b(args.head), b(args(1)))
+    }
+    def byYearsDiv(div: Int)(args: Seq[Expression]): Expression = {
+      def b(e: Expression) = cast(f("floor", Divide(
+        cast(f("year", e), DoubleType), Literal(div.toDouble))), LongType)
+      Subtract(b(args.head), b(args(1)))
+    }
+    def byMonths(q: Int)(args: Seq[Expression]): Expression = {
+      def ym(e: Expression) = Add(
+        Multiply(f("year", e), Literal(12)), Subtract(f("month", e), Literal(1)))
+      cast(Subtract(
+        f("floor", Divide(cast(ym(args.head), DoubleType), Literal(q.toDouble))),
+        f("floor", Divide(cast(ym(args(1)), DoubleType), Literal(q.toDouble)))), LongType)
+    }
+    def byWeeks(args: Seq[Expression]): Expression = {
+      // week buckets aligned to the epoch Monday (1970-01-05 = day 4)
+      def b(e: Expression) = cast(f("floor", Divide(
+        cast(Subtract(f("datediff", e, Literal("1970-01-05")), Literal(0)), DoubleType),
+        Literal(7.0))), LongType)
+      Subtract(b(args.head), b(args(1)))
+    }
+    def byDays(args: Seq[Expression]): Expression =
+      cast(f("datediff", args.head, args(1)), LongType)
+    def byIsoYears(args: Seq[Expression]): Expression = {
+      def b(e: Expression) = f("date_part", Literal("YEAROFWEEK"), e)
+      cast(Subtract(b(args.head), b(args(1))), LongType)
+    }
+
+    // ---- interval constructors (reference to_days(n) = INTERVAL n DAY)
+    def dtInterval(d: Expression = Literal(0), h: Expression = Literal(0),
+                   m: Expression = Literal(0), s: Expression = Literal(0.0)): Expression =
+      f("make_dt_interval", d, h, m, s)
+    def ymInterval(y: Expression, m: Expression): Expression =
+      f("make_ym_interval", y, m)
+
+    def variantKind(args: Seq[Expression], kinds: Seq[String]): Expression = {
+      val schema = f("schema_of_variant", args.head)
+      kinds.map[Expression](k => f("startswith", schema, Literal(k))).reduce(Or(_, _))
+    }
+    def variantGet(t: String)(args: Seq[Expression]): Expression =
+      f("try_variant_get", args.head, Literal("$"), Literal(t))
+
+    Map[String, Seq[Expression] => Expression](
+      // arithmetic comparison names (reference comparisons.rs)
+      "eq" -> (a => EqualTo(a.head, a(1))),
+      "noteq" -> (a => Not(EqualTo(a.head, a(1)))),
+      "gt" -> (a => GreaterThan(a.head, a(1))),
+      "gte" -> (a => GreaterThanOrEqual(a.head, a(1))),
+      "lt" -> (a => LessThan(a.head, a(1))),
+      "lte" -> (a => LessThanOrEqual(a.head, a(1))),
+      "xor" -> (a => Not(EqualTo(cast(a.head, BooleanType), cast(a(1), BooleanType)))),
+      "div0" -> (a => CaseWhen(
+        Seq((EqualTo(cast(a(1), DoubleType), Literal(0.0)), Literal(0.0))),
+        Some(Divide(cast(a.head, DoubleType), cast(a(1), DoubleType))))),
+      "divnull" -> (a =>
+        Divide(cast(a.head, DoubleType), f("nullif", cast(a(1), DoubleType), Literal(0.0)))),
+      "isinf" -> (a => Or(
+        EqualTo(cast(a.head, DoubleType), Literal(Double.PositiveInfinity)),
+        EqualTo(cast(a.head, DoubleType), Literal(Double.NegativeInfinity)))),
+      "oct" -> (a => f("conv", cast(a.head, LongType), Literal(10), Literal(8))),
+      "strcmp" -> (a => CaseWhen(Seq(
+        (LessThan(a.head, a(1)), Literal(-1)),
+        (GreaterThan(a.head, a(1)), Literal(1))), Some(Literal(0)))),
+      "is_true" -> (a => EqualNullSafe(cast(a.head, BooleanType), Literal(true))),
+
+      // integer/float cast names incl. the unsigned widening rules
+      // (SURVEY §1.2: u8->Short u16->Int u32->Long u64->Decimal(20,0))
+      "to_int8" -> (a => cast(a.head, ByteType)),
+      "to_int16" -> (a => cast(a.head, ShortType)),
+      "to_int32" -> (a => cast(a.head, IntegerType)),
+      "to_int64" -> (a => cast(a.head, LongType)),
+      "to_uint8" -> (a => cast(a.head, ShortType)),
+      "to_uint16" -> (a => cast(a.head, IntegerType)),
+      "to_uint32" -> (a => cast(a.head, LongType)),
+      "to_uint64" -> (a => cast(a.head, DecimalType(20, 0))),
+      "to_float32" -> (a => cast(a.head, FloatType)),
+      "to_float64" -> (a => cast(a.head, DoubleType)),
+      "to_boolean" -> (a => cast(a.head, BooleanType)),
+      "to_numeric" -> (a => cast(a.head, DecimalType(38, 10))),
+      "try_to_int8" -> (a => tryCast(a.head, ByteType)),
+      "try_to_int16" -> (a => tryCast(a.head, ShortType)),
+      "try_to_int32" -> (a => tryCast(a.head, IntegerType)),
+      "try_to_int64" -> (a => tryCast(a.head, LongType)),
+      "try_to_uint8" -> (a => tryCast(a.head, ShortType)),
+      "try_to_uint16" -> (a => tryCast(a.head, IntegerType)),
+      "try_to_uint32" -> (a => tryCast(a.head, LongType)),
+      "try_to_uint64" -> (a => tryCast(a.head, DecimalType(20, 0))),
+      "try_to_float32" -> (a => tryCast(a.head, FloatType)),
+      "try_to_float64" -> (a => tryCast(a.head, DoubleType)),
+      "try_to_boolean" -> (a => tryCast(a.head, BooleanType)),
+      "try_to_numeric" -> (a => tryCast(a.head, DecimalType(38, 10))),
+      "try_to_string" -> (a => tryCast(a.head, StringType)),
+      "try_to_variant" -> (a => f("try_parse_json", cast(a.head, StringType))),
+
+      // string trims (reference trim_both('xay','a'); StringTrim handles
+      // the optional trim set)
+      "trim_both" -> (a =>
+        if (a.length == 1) StringTrim(a.head) else StringTrim(a.head, a(1))),
+      "trim_leading" -> (a =>
+        if (a.length == 1) StringTrimLeft(a.head) else StringTrimLeft(a.head, a(1))),
+      "trim_trailing" -> (a =>
+        if (a.length == 1) StringTrimRight(a.head) else StringTrimRight(a.head, a(1))),
+      "insert" -> (a => f("overlay", a.head, a(3), a(1), a(2))),
+
+      // datetime add/subtract families
+      "add_days" -> dAdd(1) _,
+      "add_weeks" -> dAdd(7) _,
+      "subtract_days" -> dSub(1) _,
+      "subtract_weeks" -> dSub(7) _,
+      "add_hours" -> tsAdd("HOUR", neg = false) _,
+      "add_minutes" -> tsAdd("MINUTE", neg = false) _,
+      "add_seconds" -> tsAdd("SECOND", neg = false) _,
+      "subtract_hours" -> tsAdd("HOUR", neg = true) _,
+      "subtract_minutes" -> tsAdd("MINUTE", neg = true) _,
+      "subtract_seconds" -> tsAdd("SECOND", neg = true) _,
+      "add_years" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(12)), IntegerType))),
+      "add_quarters" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(3)), IntegerType))),
+      "subtract_years" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(-12)), IntegerType))),
+      "subtract_quarters" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(-3)), IntegerType))),
+      "subtract_months" -> (a => f("add_months", a.head, cast(UnaryMinus(a(1)), IntegerType))),
+      "date_subtract_months" -> (a => f("add_months", a.head, cast(UnaryMinus(a(1)), IntegerType))),
+
+      // diff/between unit families (between_* share diff_* semantics;
+      // the reference aliases between_dows/doys/isodows -> between_days)
+      "diff_quarters" -> byMonths(3) _,
+      "diff_weeks" -> byWeeks _,
+      "diff_yearweeks" -> byWeeks _,
+      "diff_dows" -> byDays _,
+      "diff_doys" -> byDays _,
+      "diff_isodows" -> byDays _,
+      "diff_isoyears" -> byIsoYears _,
+      "diff_microseconds" -> byMicros(1L) _,
+      "diff_milliseconds" -> byMicros(1000L) _,
+      "diff_millenniums" -> byYearsDiv(1000) _,
+      "between_hours" -> bySeconds(3600L) _,
+      "between_minutes" -> bySeconds(60L) _,
+      "between_seconds" -> bySeconds(1L) _,
+      "between_epochs" -> bySeconds(1L) _,
+      "between_microseconds" -> byMicros(1L) _,
+      "between_milliseconds" -> byMicros(1000L) _,
+      "between_months" -> byMonths(1) _,
+      "between_quarters" -> byMonths(3) _,
+      "between_years" -> (a => byYearsDiv(1)(a)),
+      "between_millenniums" -> byYearsDiv(1000) _,
+      "between_weeks" -> byWeeks _,
+      "between_yearweeks" -> byWeeks _,
+      "between_dows" -> byDays _,
+      "between_doys" -> byDays _,
+      "between_isodows" -> byDays _,
+      "between_isoyears" -> byIsoYears _,
+
+      // calendar anchors
+      "yesterday" -> (_ => f("date_sub", f("current_date"), Literal(1))),
+      "tomorrow" -> (_ => f("date_add", f("current_date"), Literal(1))),
+      "yearweek" -> (a => cast(Add(
+        Multiply(f("date_part", Literal("YEAROFWEEK"), a.head), Literal(100)),
+        f("weekofyear", a.head)), IntegerType)),
+      "to_iso_year" -> (a => cast(f("date_part", Literal("YEAROFWEEK"), a.head), IntegerType)),
+      "millennium" -> (a => cast(f("ceil",
+        Divide(cast(f("year", a.head), DoubleType), Literal(1000.0))), IntegerType)),
+      "to_last_of_year" -> (a => f("make_date", f("year", a.head), Literal(12), Literal(31))),
+      "to_last_of_quarter" -> (a =>
+        f("last_day", f("add_months", f("date_trunc", Literal("quarter"), a.head), Literal(2)))),
+      "to_last_of_week" -> (a =>
+        f("date_add", cast(f("date_trunc", Literal("week"), a.head), DateType), Literal(6))),
+      "to_next_monday" -> (a => f("next_day", a.head, Literal("Monday"))),
+      "to_next_tuesday" -> (a => f("next_day", a.head, Literal("Tuesday"))),
+      "to_next_wednesday" -> (a => f("next_day", a.head, Literal("Wednesday"))),
+      "to_next_thursday" -> (a => f("next_day", a.head, Literal("Thursday"))),
+      "to_next_friday" -> (a => f("next_day", a.head, Literal("Friday"))),
+      "to_next_saturday" -> (a => f("next_day", a.head, Literal("Saturday"))),
+      "to_next_sunday" -> (a => f("next_day", a.head, Literal("Sunday"))),
+      "to_previous_monday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Monday"))),
+      "to_previous_tuesday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Tuesday"))),
+      "to_previous_wednesday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Wednesday"))),
+      "to_previous_thursday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Thursday"))),
+      "to_previous_friday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Friday"))),
+      "to_previous_saturday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Saturday"))),
+      "to_previous_sunday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Sunday"))),
+      "to_start_of_five_minutes" -> (a => f("timestamp_seconds",
+        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(300.0))), LongType), Literal(300L)))),
+      "to_start_of_ten_minutes" -> (a => f("timestamp_seconds",
+        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(600.0))), LongType), Literal(600L)))),
+      "to_start_of_fifteen_minutes" -> (a => f("timestamp_seconds",
+        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(900.0))), LongType), Literal(900L)))),
+      "time_slot" -> (a => f("timestamp_seconds",
+        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(1800.0))), LongType), Literal(1800L)))),
+      "to_start_of_iso_year" -> (a => cast(f("date_trunc", Literal("week"),
+        f("make_date", f("date_part", Literal("YEAROFWEEK"), a.head), Literal(1), Literal(4))), DateType)),
+      "to_microsecond" -> (a => cast(Pmod(f("unix_micros", cast(a.head, TimestampType)), Literal(1000000L)), IntegerType)),
+
+      // interval constructors
+      "to_days" -> (a => dtInterval(d = a.head)),
+      "to_hours" -> (a => dtInterval(h = a.head)),
+      "to_minutes" -> (a => dtInterval(m = a.head)),
+      "to_seconds" -> (a => dtInterval(s = cast(a.head, DoubleType))),
+      "to_milliseconds" -> (a => dtInterval(s = Divide(cast(a.head, DoubleType), Literal(1000.0)))),
+      "to_microseconds" -> (a => dtInterval(s = Divide(cast(a.head, DoubleType), Literal(1000000.0)))),
+      "to_weeks" -> (a => dtInterval(d = Multiply(a.head, Literal(7)))),
+      "to_months" -> (a => ymInterval(Literal(0), a.head)),
+      "to_years" -> (a => ymInterval(a.head, Literal(0))),
+      "to_decades" -> (a => ymInterval(Multiply(a.head, Literal(10)), Literal(0))),
+      "to_centuries" -> (a => ymInterval(Multiply(a.head, Literal(100)), Literal(0))),
+      "to_millennia" -> (a => ymInterval(Multiply(a.head, Literal(1000)), Literal(0))),
+
+      // variant accessors/predicates (Spark 4 native VARIANT)
+      "as_string" -> variantGet("string") _,
+      "get_string" -> variantGet("string") _,
+      "as_integer" -> variantGet("bigint") _,
+      "as_float" -> variantGet("double") _,
+      "as_boolean" -> variantGet("boolean") _,
+      "as_date" -> variantGet("date") _,
+      "as_timestamp" -> variantGet("timestamp") _,
+      "is_date" -> (a => variantKind(a, Seq("DATE"))),
+      "is_timestamp" -> (a => variantKind(a, Seq("TIMESTAMP"))),
+      "is_binary" -> (a => variantKind(a, Seq("BINARY"))),
+      "is_decimal" -> (a => variantKind(a, Seq("DECIMAL"))),
+      "json_typeof" -> (a => {
+        val schema = f("schema_of_variant", a.head)
+        CaseWhen(Seq(
+          (f("startswith", schema, Literal("OBJECT")), Literal("object")),
+          (f("startswith", schema, Literal("ARRAY")), Literal("array")),
+          (f("startswith", schema, Literal("STRING")), Literal("string")),
+          (f("startswith", schema, Literal("BOOLEAN")), Literal("boolean")),
+          (f("startswith", schema, Literal("VOID")), Literal("null"))),
+          Some(Literal("number")))
+      }),
+      "json_exists_key" -> (a =>
+        f("array_contains", f("json_object_keys", cast(a.head, StringType)), a(1))),
+      "json_exists_any_keys" -> (a =>
+        f("arrays_overlap", f("json_object_keys", cast(a.head, StringType)),
+          CreateArray(a.tail))),
+      "json_exists_all_keys" -> (a =>
+        EqualTo(Size(ArrayExcept(CreateArray(a.tail),
+          f("json_object_keys", cast(a.head, StringType)))), Literal(0))),
+      "get_path" -> (a => a(1) match {
+        case Literal(s, _) if s != null =>
+          f("get_json_object", cast(a.head, StringType), Literal("$." + s.toString))
+        case other => throw new IllegalArgumentException(
+          s"get_path requires a literal path, got $other")
+      }),
+      "map_insert" -> (a => f("map_concat", a.head, f("map", a(1), a(2)))),
+
+      // array edits/sorts (reference array.rs)
+      "array_remove_first" -> (a => f("slice", a.head, Literal(2),
+        f("greatest", Subtract(Size(a.head), Literal(1)), Literal(0)))),
+      "array_remove_last" -> (a => f("slice", a.head, Literal(1),
+        f("greatest", Subtract(Size(a.head), Literal(1)), Literal(0)))),
+      "array_sort_asc_null_first" -> (a => f("sort_array", a.head, Literal(true))),
+      "array_sort_asc_null_last" -> (a => f("array_sort", a.head)),
+      "array_sort_desc_null_first" -> (a => f("reverse", f("array_sort", a.head))),
+      "array_sort_desc_null_last" -> (a => f("reverse", f("sort_array", a.head, Literal(true)))),
+      "to_yyyymmddhh" -> (a => cast(
+        f("date_format", a.head, Literal("yyyyMMddHH")), LongType)),
+      "to_nullable" -> (a => a.head),
+      "as_array" -> variantGet("array<variant>") _,
+      "check_json" -> (a => CaseWhen(Seq(
+        (And(IsNotNull(cast(a.head, StringType)),
+          IsNull(f("try_parse_json", cast(a.head, StringType)))),
+          Literal("invalid JSON"))), Some(Literal(null, StringType)))),
+
+      // misc
+      "bucket" -> (a => f("width_bucket", a: _*)),
+      "age" -> (a => {
+        val Seq(end, start) = a.take(2)
+        dtInterval(d = f("datediff", cast(end, DateType), cast(start, DateType)))
+      }),
+      "timestamp_diff" -> bySeconds(1L) _)
+  }
+
+  // ---- UDF tier: genuinely-new scalars (driver-registered; not in
+  // scan-critical paths — the codegen'd query-library variants cover
+  // the hot paths) -----------------------------------------------------
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Jaro-Winkler similarity in [0,1] (reference string fns) */
+  private[functions] def jaroWinkler(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    if (s1.isEmpty || s2.isEmpty) return 0.0
+    val window = math.max(s1.length, s2.length) / 2 - 1
+    val m1 = Array.fill(s1.length)(false)
+    val m2 = Array.fill(s2.length)(false)
+    var matches = 0
+    for (i <- s1.indices) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(s2.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1(i) == s2(j)) { m1(i) = true; m2(j) = true; matches += 1; found = true }
+        j += 1
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0; var k = 0
+    for (i <- s1.indices if m1(i)) {
+      while (!m2(k)) k += 1
+      if (s1(i) != s2(k)) t += 1
+      k += 1
+    }
+    val m = matches.toDouble
+    // transpositions floor-halved, winkler boost only above 0.7 —
+    // the common convention (and DuckDB's), verified value-exact
+    val jaro = (m / s1.length + m / s2.length + (m - (t / 2)) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    val prefix = s1.zip(s2).take(4).takeWhile { case (x, y) => x == y }.length
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+
+  private def humanNumber(v: Double): String = {
+    val abs = math.abs(v)
+    val (scaled, unit) =
+      if (abs >= 1e12) (v / 1e12, " trillion")
+      else if (abs >= 1e9) (v / 1e9, " billion")
+      else if (abs >= 1e6) (v / 1e6, " million")
+      else if (abs >= 1e3) (v / 1e3, " thousand")
+      else (v, "")
+    val s = BigDecimal(scaled).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    s + unit
+  }
+
+  private def humanSize(v: Double): String = {
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    var x = v; var i = 0
+    while (math.abs(x) >= 1024 && i < units.length - 1) { x /= 1024; i += 1 }
+    val s = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    s"$s ${units(i)}"
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    for ((name, target) <- aliases if name != target) {
+      reg.createOrReplaceTempFunction(name,
+        args => UnresolvedFunction(target, args, isDistinct = false), "scala_udf")
+    }
+    for ((name, builder) <- rewrites) {
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    // vector distances (reference scalars/vector.rs:60-172; arrays of
+    // float/double; the benched ANN paths use the codegen'd zip_with
+    // forms — these names are the scalar-call surface)
+    spark.udf.register("cosine_distance", udf((a: Seq[Double], b: Seq[Double]) => {
+      val d = dot(a, b)
+      val n = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (n == 0) 1.0 else 1.0 - d / n
+    }))
+    spark.udf.register("l2_distance", udf((a: Seq[Double], b: Seq[Double]) =>
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)))
+    spark.udf.register("l1_distance", udf((a: Seq[Double], b: Seq[Double]) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum))
+    spark.udf.register("inner_product", udf((a: Seq[Double], b: Seq[Double]) => dot(a, b)))
+    // haversine(lat1, lon1, lat2, lon2) in km (reference geo.rs)
+    spark.udf.register("haversine", udf((lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
+      val dLat = math.toRadians(lat2 - lat1) / 2
+      val dLon = math.toRadians(lon2 - lon1) / 2
+      val h = math.pow(math.sin(dLat), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dLon), 2)
+      2 * (Geo.EarthRadius / 1000.0) * math.asin(math.min(1.0, math.sqrt(h)))
+    }))
+    spark.udf.register("jaro_winkler", udf((a: String, b: String) =>
+      if (a == null || b == null) None else Some(jaroWinkler(a, b))))
+    spark.udf.register("humanize_number", udf((v: Double) => humanNumber(v)))
+    spark.udf.register("humanize_size", udf((v: Double) => humanSize(v)))
+  }
+}

@@ -226,9 +226,117 @@ object RegistryQueries extends QueryModule {
       |  CAST(167772161 AS BIGINT) AS ipnum
       |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin))
 
+  // round-4 surface (functions.MoreAliases): comparisons-as-names,
+  // cast spellings incl. unsigned widening, trim/insert, datetime
+  // add/diff units, calendar anchors, variant accessors, vector
+  // distances, jaro_winkler/humanize
+  private val aliasNames3 = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """SELECT o_orderkey,
+          |  eq(o_orderkey, 5) AS is5,
+          |  gt(o_orderkey, 10) AS gt10,
+          |  lte(o_orderkey, 10) AS lte10,
+          |  noteq(o_orderkey, 3) AS ne3,
+          |  xor(eq(o_orderkey % 2, 0), eq(o_orderkey % 3, 0)) AS x23,
+          |  div0(CAST(o_orderkey AS DOUBLE), 0.0) AS dz,
+          |  divnull(CAST(o_orderkey AS DOUBLE), 0.0) AS dn,
+          |  oct(64) AS o64,
+          |  strcmp(o_orderstatus, 'O') AS sc,
+          |  isinf(CAST('Infinity' AS DOUBLE)) AS inf,
+          |  to_int16(o_orderkey % 100) AS i16,
+          |  to_string(to_uint64(o_orderkey)) AS u64s,
+          |  try_to_int32(o_orderpriority) AS bad_int,
+          |  try_to_int32('42') AS good_int,
+          |  trim_both(concat('xx', o_orderstatus, 'x'), 'x') AS tb,
+          |  trim_leading(concat('xx', o_orderstatus), 'x') AS tl,
+          |  trim_trailing(concat(o_orderstatus, 'xx'), 'x') AS tt,
+          |  insert('abcdef', 2, 3, 'ZZ') AS ins,
+          |  CAST(add_days(o_orderdate, 10) AS TIMESTAMP) AS d10,
+          |  CAST(add_hours(CAST(o_orderdate AS TIMESTAMP), 5) AS TIMESTAMP) AS h5,
+          |  CAST(subtract_weeks(o_orderdate, 2) AS TIMESTAMP) AS wm2,
+          |  CAST(add_quarters(o_orderdate, 1) AS TIMESTAMP) AS q1,
+          |  diff_weeks(o_orderdate, DATE '1995-01-02') AS dw,
+          |  between_months(o_orderdate, DATE '1995-06-15') AS bm,
+          |  diff_quarters(o_orderdate, DATE '1995-06-15') AS dq,
+          |  between_years(o_orderdate, DATE '1995-06-15') AS by_,
+          |  yearweek(o_orderdate) AS yw,
+          |  to_iso_year(o_orderdate) AS iy,
+          |  millennium(o_orderdate) AS mil,
+          |  CAST(to_last_of_month(o_orderdate) AS TIMESTAMP) AS lom,
+          |  CAST(to_last_of_quarter(o_orderdate) AS TIMESTAMP) AS loq,
+          |  CAST(to_next_friday(o_orderdate) AS TIMESTAMP) AS nf,
+          |  CAST(to_previous_monday(o_orderdate) AS TIMESTAMP) AS pm,
+          |  CAST(to_start_of_five_minutes(add_minutes(CAST(o_orderdate AS TIMESTAMP), o_orderkey % 60)) AS TIMESTAMP) AS s5m,
+          |  round(jaro_winkler(o_orderpriority, 'URGENT'), 4) AS jw,
+          |  humanize_number(1234567.0) AS hn,
+          |  humanize_size(1048576.0) AS hs,
+          |  json_typeof(parse_json('{"a":1}')) AS jt,
+          |  as_integer(parse_json(CAST(o_orderkey AS STRING))) AS ai,
+          |  as_string(parse_json('"hi"')) AS astr,
+          |  json_exists_key(parse_json('{"a":1,"b":2}'), 'a') AS jek,
+          |  get_path(parse_json('{"a":{"b":2}}'), 'a.b') AS gp,
+          |  l2_distance(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l2,
+          |  l1_distance(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l1,
+          |  inner_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ip,
+          |  round(cosine_distance(array(1.0D, 0.0D), array(0.0D, 1.0D)), 6) AS cd
+          |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+      |  o_orderkey = 5 AS is5,
+      |  o_orderkey > 10 AS gt10,
+      |  o_orderkey <= 10 AS lte10,
+      |  o_orderkey <> 3 AS ne3,
+      |  (o_orderkey % 2 = 0) <> (o_orderkey % 3 = 0) AS x23,
+      |  0.0 AS dz,
+      |  CAST(NULL AS DOUBLE) AS dn,
+      |  to_base(64, 8) AS o64,
+      |  CASE WHEN o_orderstatus < 'O' THEN -1 WHEN o_orderstatus > 'O' THEN 1 ELSE 0 END AS sc,
+      |  isinf(CAST('Infinity' AS DOUBLE)) AS inf,
+      |  CAST(o_orderkey % 100 AS SMALLINT) AS i16,
+      |  CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS u64s,
+      |  try_cast(o_orderpriority AS INT) AS bad_int,
+      |  CAST(42 AS INT) AS good_int,
+      |  trim(('xx' || o_orderstatus || 'x'), 'x') AS tb,
+      |  ltrim(('xx' || o_orderstatus), 'x') AS tl,
+      |  rtrim((o_orderstatus || 'xx'), 'x') AS tt,
+      |  'aZZef' AS ins,
+      |  CAST(CAST(o_orderdate AS DATE) + 10 AS TIMESTAMP) AS d10,
+      |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 HOUR AS h5,
+      |  CAST(CAST(o_orderdate AS DATE) - 14 AS TIMESTAMP) AS wm2,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS q1,
+      |  datediff('week', DATE '1995-01-02', CAST(o_orderdate AS DATE)) AS dw,
+      |  datediff('month', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS bm,
+      |  datediff('quarter', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS dq,
+      |  datediff('year', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS by_,
+      |  CAST(isoyear(o_orderdate) * 100 + week(o_orderdate) AS INT) AS yw,
+      |  CAST(isoyear(o_orderdate) AS INT) AS iy,
+      |  CAST(millennium(o_orderdate) AS INT) AS mil,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS lom,
+      |  CAST(last_day(CAST(date_trunc('quarter', o_orderdate) AS DATE) + INTERVAL 2 MONTH) AS TIMESTAMP) AS loq,
+      |  CAST(CAST(o_orderdate AS DATE) + CAST((((5 - isodow(o_orderdate) + 6) % 7) + 1) AS INTEGER) AS TIMESTAMP) AS nf,
+      |  CAST(CAST(o_orderdate AS DATE) - CAST((((isodow(o_orderdate) - 1 + 6) % 7) + 1) AS INTEGER) AS TIMESTAMP) AS pm,
+      |  time_bucket(INTERVAL 5 MINUTE, CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 60) * INTERVAL 1 MINUTE) AS s5m,
+      |  round(jaro_winkler_similarity(o_orderpriority, 'URGENT'), 4) AS jw,
+      |  '1.23 million' AS hn,
+      |  '1 MiB' AS hs,
+      |  'object' AS jt,
+      |  o_orderkey AS ai,
+      |  'hi' AS astr,
+      |  true AS jek,
+      |  '2' AS gp,
+      |  5.0 AS l2,
+      |  7.0 AS l1,
+      |  11.0 AS ip,
+      |  1.0 AS cd
+      |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "reg_alias_names" -> aliasNames,
     "reg_alias_names2" -> aliasNames2,
+    "reg_alias_names3" -> aliasNames3,
     "reg_bitmap_count" -> bitmap,
     "reg_bitmap_setops" -> bitmapSetOps,
     "reg_bitmap_algebra" -> bitmapAlgebra,
