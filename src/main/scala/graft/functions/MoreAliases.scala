@@ -28,6 +28,18 @@ object MoreAliases {
   private def tryCast(e: Expression, t: DataType): Expression =
     Cast(e, t, None, EvalMode.TRY)
 
+  /** unsigned cast with range enforcement (functions.Types widening:
+    * the widened signed type holds values the uN range excludes, so
+    * out-of-range results become NULL — the reference's try_ behavior;
+    * the non-try spelling shares it rather than erroring)
+    */
+  private def uintCast(t: DataType, max: Literal, tryMode: Boolean)
+                      (a: Seq[Expression]): Expression = {
+    val c = if (tryMode) tryCast(a.head, t) else cast(a.head, t)
+    val zero = Cast(Literal(0), t)
+    CaseWhen(Seq((And(GreaterThanOrEqual(c, zero), LessThanOrEqual(c, max)), c)), None)
+  }
+
   /** plain 1:1 name aliases */
   val aliases: Seq[(String, String)] = Seq(
     "array_concat" -> "concat",
@@ -160,10 +172,11 @@ object MoreAliases {
       "to_int16" -> (a => cast(a.head, ShortType)),
       "to_int32" -> (a => cast(a.head, IntegerType)),
       "to_int64" -> (a => cast(a.head, LongType)),
-      "to_uint8" -> (a => cast(a.head, ShortType)),
-      "to_uint16" -> (a => cast(a.head, IntegerType)),
-      "to_uint32" -> (a => cast(a.head, LongType)),
-      "to_uint64" -> (a => cast(a.head, DecimalType(20, 0))),
+      "to_uint8" -> uintCast(ShortType, Literal(255.toShort, ShortType), tryMode = false) _,
+      "to_uint16" -> uintCast(IntegerType, Literal(65535), tryMode = false) _,
+      "to_uint32" -> uintCast(LongType, Literal(4294967295L), tryMode = false) _,
+      "to_uint64" -> uintCast(DecimalType(20, 0),
+        Literal(Decimal("18446744073709551615"), DecimalType(20, 0)), tryMode = false) _,
       "to_float32" -> (a => cast(a.head, FloatType)),
       "to_float64" -> (a => cast(a.head, DoubleType)),
       "to_boolean" -> (a => cast(a.head, BooleanType)),
@@ -172,10 +185,11 @@ object MoreAliases {
       "try_to_int16" -> (a => tryCast(a.head, ShortType)),
       "try_to_int32" -> (a => tryCast(a.head, IntegerType)),
       "try_to_int64" -> (a => tryCast(a.head, LongType)),
-      "try_to_uint8" -> (a => tryCast(a.head, ShortType)),
-      "try_to_uint16" -> (a => tryCast(a.head, IntegerType)),
-      "try_to_uint32" -> (a => tryCast(a.head, LongType)),
-      "try_to_uint64" -> (a => tryCast(a.head, DecimalType(20, 0))),
+      "try_to_uint8" -> uintCast(ShortType, Literal(255.toShort, ShortType), tryMode = true) _,
+      "try_to_uint16" -> uintCast(IntegerType, Literal(65535), tryMode = true) _,
+      "try_to_uint32" -> uintCast(LongType, Literal(4294967295L), tryMode = true) _,
+      "try_to_uint64" -> uintCast(DecimalType(20, 0),
+        Literal(Decimal("18446744073709551615"), DecimalType(20, 0)), tryMode = true) _,
       "try_to_float32" -> (a => tryCast(a.head, FloatType)),
       "try_to_float64" -> (a => tryCast(a.head, DoubleType)),
       "try_to_boolean" -> (a => tryCast(a.head, BooleanType)),

@@ -158,10 +158,50 @@ object MoreScalarQueries extends QueryModule {
       |  replace(props, ': ', ':') AS canon
       |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin))
 
+  // unsigned widening rules (SURVEY §1.2 / functions.Types): u8->Short
+  // u16->Int u32->Long u64->Decimal(20,0), exercised at the type
+  // boundaries incl. the 2^63..2^64-1 band signed 64-bit can't hold.
+  // Values compare as strings (pandas decodes Spark DECIMAL and DuckDB
+  // DECIMAL differently, but their canonical text forms agree).
+  private val unsignedFns = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql(
+        """SELECT o_orderkey,
+          |  to_string(to_uint8('255')) AS u8max,
+          |  to_string(to_uint16('65535')) AS u16max,
+          |  to_string(to_uint32('4294967295')) AS u32max,
+          |  to_string(to_uint64('18446744073709551615')) AS u64max,
+          |  to_string(to_uint64('9223372036854775808')) AS two63,
+          |  to_string(to_uint64('18446744073709551615') + 1) AS u64max_plus1,
+          |  to_string(to_uint64('9223372036854775807') + to_uint64(o_orderkey)) AS cross63,
+          |  to_uint64('18446744073709551615') > to_uint64('9223372036854775808') AS cmp_hi,
+          |  to_string(to_uint64('18446744073709551615') % to_uint64('4294967296')) AS mod32,
+          |  try_to_uint8('256') IS NULL AS u8_overflow_nulls,
+          |  try_to_uint64('not a number') IS NULL AS bad_parse_nulls
+          |FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+      |  '255' AS u8max,
+      |  '65535' AS u16max,
+      |  '4294967295' AS u32max,
+      |  '18446744073709551615' AS u64max,
+      |  '9223372036854775808' AS two63,
+      |  CAST(CAST('18446744073709551615' AS DECIMAL(21,0)) + 1 AS VARCHAR) AS u64max_plus1,
+      |  CAST(CAST('9223372036854775807' AS DECIMAL(21,0)) + o_orderkey AS VARCHAR) AS cross63,
+      |  true AS cmp_hi,
+      |  CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) % CAST('4294967296' AS DECIMAL(20,0)) AS VARCHAR) AS mod32,
+      |  true AS u8_overflow_nulls,
+      |  true AS bad_parse_nulls
+      |FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "sfn_bit" -> bitFns,
     "sfn_regexp" -> regexpFns,
     "sfn_pad_trim" -> padTrim,
     "sfn_date_arith" -> dateArith,
-    "sfn_variant" -> variantFns)
+    "sfn_variant" -> variantFns,
+    "sfn_unsigned" -> unsignedFns)
 }
