@@ -71,8 +71,67 @@ object SourceQueries extends QueryModule {
       |  (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)) t(k, s, v)
       |WHERE k > 1 ORDER BY k""".stripMargin))
 
+  // ---- ORC / Avro stage reads (reference file_format.rs:67-76) --------
+  // DuckDB reads neither format, so the check is a ROUNDTRIP oracle:
+  // Spark writes a slice of orders to ORC/Avro, reads it back, and
+  // aggregates; the oracle computes the same aggregate straight from
+  // the parquet the slice came from. Any reader/writer corruption
+  // (types, nulls, timestamps) breaks the hash match.
+  private def roundtrip(fmt: String) = Q(
+    (spark, dir) => {
+      val stage = s"/tmp/graft_stage/${new java.io.File(dir).getName}/$fmt"
+      val src = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      src.write.mode("overwrite").format(fmt).save(stage)
+      spark.read.format(fmt).load(stage)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          max(col("o_orderdate").cast("timestamp")).as("max_date"),
+          min(col("o_orderpriority")).as("min_prio"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(max(o_orderdate) AS TIMESTAMP) AS max_date,
+      |  min(o_orderpriority) AS min_prio
+      |FROM orders WHERE o_orderkey < 2000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  private val orcParse = roundtrip("orc")
+
+  // Avro via sources.AvroStage (no spark-avro module in this distro;
+  // the container-file roundtrip runs on avro-core directly)
+  private val avroParse = Q(
+    (spark, dir) => {
+      val stage = s"/tmp/graft_stage/${new java.io.File(dir).getName}/avro"
+      val src = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      graft.sources.AvroStage.write(src, stage)
+      graft.sources.AvroStage.read(spark, stage, src.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          max(col("o_orderdate").cast("timestamp")).as("max_date"),
+          min(col("o_orderpriority")).as("min_prio"))
+        .orderBy(col("o_orderstatus"))
+    },
+    roundtrip("orc").oracle) // same aggregate, same oracle
+
   override def queries: Seq[(String, Q)] = Seq(
     "src_csv_parse" -> csvParse,
     "src_json_parse" -> jsonParse,
+    "src_orc_parse" -> orcParse,
+    "src_avro_parse" -> avroParse,
     "src_constant_scan" -> constantScan)
 }

@@ -187,6 +187,32 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** latest version committed at-or-before `timestampMs` (the version
+    * resolution step of AT (TIMESTAMP => ...), fuse_table.rs:1418-1432)
+    */
+  def versionAsOf(timestampMs: Long): Long =
+    versions.map(snapshot).filter(_.timestampMs <= timestampMs)
+      .map(_.version).lastOption
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at or before $timestampMs"))
+
+  /** CHANGES AT (TIMESTAMP => ts): everything that changed since the
+    * snapshot current at `timestampMs` (reference
+    * fuse_table.rs:1418-1432 — the timestamp-addressed change interval
+    * resolves to a version pair, then diffs like the version form).
+    */
+  def changesAsOf(timestampMs: Long): DataFrame =
+    changes(versionAsOf(timestampMs), currentVersion)
+
+  /** CHANGES AT (OFFSET => -seconds): offset relative to now; an
+    * offset older than the table clamps to its first snapshot (the
+    * whole history).
+    */
+  def changesOffset(offsetSeconds: Long): DataFrame = {
+    val ts = System.currentTimeMillis() - math.abs(offsetSeconds) * 1000L
+    val first = versions.map(snapshot).head
+    changesAsOf(math.max(ts, first.timestampMs))
+  }
+
   /** changes() plus the reference's change$is_update pairing
     * (src/query/expression/src/schema.rs:78-80): an INSERT and a DELETE
     * of the same key inside one interval are the two halves of an

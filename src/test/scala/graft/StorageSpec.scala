@@ -80,6 +80,25 @@ class StorageSpec extends AnyFunSuite {
     assert(acts == Seq((1, "DELETE")))
   }
 
+  test("changesAsOf resolves the version pair by timestamp (fuse CHANGES AT)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("k", "v"))
+    Thread.sleep(5)
+    val midTs = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    // as of midTs only version 0 existed -> changes since then = rows 2,3
+    assert(t.versionAsOf(midTs) == 0)
+    val rows = t.changesAsOf(midTs).orderBy("k")
+      .select(col("k"), col("change$action")).as[(Int, String)].collect().toSeq
+    assert(rows == Seq((2, "INSERT"), (3, "INSERT")))
+    // offset form: everything within the last hour = same interval or more
+    assert(t.changesOffset(3600).count() >= 2)
+    // before the table existed -> error
+    intercept[IllegalArgumentException](t.versionAsOf(0L))
+  }
+
   test("copy into is idempotent per file") {
     import spark.implicits._
     val dir = tmp()
