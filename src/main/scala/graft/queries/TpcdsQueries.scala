@@ -124,7 +124,7 @@ object TpcdsQueries extends QueryModule {
       AND d_year = 2000
     GROUP BY i_item_id
     ORDER BY i_item_id
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q26: same shape over catalog_sales -----------------------------
   private val q26 = q("""
@@ -290,7 +290,7 @@ object TpcdsQueries extends QueryModule {
     ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
              SUBSTRING(s_city, 1, 30) NULLS FIRST, profit_c NULLS FIRST,
              ss_ticket_number
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q96: count of a time/demographic/store slice -------------------
   private val q96 = q("""
@@ -363,7 +363,7 @@ object TpcdsQueries extends QueryModule {
     GROUP BY a.ca_state
     HAVING count(*) >= 10
     ORDER BY cnt NULLS FIRST, a.ca_state NULLS FIRST
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q15: catalog sales by zip for a quarter ------------------------
   private val q15 = q("""
@@ -445,7 +445,7 @@ object TpcdsQueries extends QueryModule {
       AND ws_web_site_sk = web_site_sk
     GROUP BY w_substr, sm_type, web_name
     ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q99: catalog shipping-latency buckets --------------------------
   private val q99 = q("""
@@ -569,7 +569,7 @@ object TpcdsQueries extends QueryModule {
     ORDER BY lochierarchy DESC,
              CASE WHEN grouping(s_state) + grouping(s_county) = 0 THEN s_state END,
              rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q89: monthly sales vs in-partition average --------------------
   private val q89 = q("""
@@ -669,7 +669,7 @@ object TpcdsQueries extends QueryModule {
       AND d3.d_year = 2001
     GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
     ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q29: same triple-channel path, quantities ----------------------
   private val q29 = q("""
@@ -765,7 +765,7 @@ object TpcdsQueries extends QueryModule {
       AND s_store_sk = sc.ss_store_sk
       AND i_item_sk = sc.ss_item_sk
     ORDER BY s_store_name NULLS FIRST, i_item_desc NULLS FIRST, sc.revenue_c
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q92: discounts above 1.3x the item's average -------------------
   private val q92 = q("""
@@ -875,7 +875,7 @@ object TpcdsQueries extends QueryModule {
        FROM wswscs, date_dim
        WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001 + 1) z
     WHERE d_week_seq1 = d_week_seq2 - 52
-    ORDER BY d_week_seq1 NULLS FIRST""", headline = true)
+    ORDER BY d_week_seq1 NULLS FIRST""")
 
   // ---- Q16: multi-warehouse unreturned catalog orders -----------------
   private val q16 = q("""
@@ -922,7 +922,7 @@ object TpcdsQueries extends QueryModule {
        WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
          AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
          AND d_month_seq BETWEEN 1200 AND 1200 + 11) hot_cust
-    LIMIT 100""", headline = true)
+    LIMIT 100""")
 
   // ---- Q87: store-only customers (EXCEPT chain) -----------------------
   private val q87 = q("""

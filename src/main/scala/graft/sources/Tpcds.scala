@@ -52,9 +52,16 @@ object Tpcds {
     element_at(arr, (H(seed, k, vs.length) + 1).cast("int"))
   }
 
-  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, DataFrame)]]()
 
-  /** Generate (if missing) and register temp views; returns the data dir. */
+  /** Generate (if missing) and register temp views; returns the data
+    * dir. Views are RE-registered on every call from cached DataFrames
+    * (cheap — no footer re-read): `customer` collides with the TPC-H
+    * view name that other query modules register into the same
+    * session, so a one-time registration would be silently clobbered
+    * between queries.
+    */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val out = dataDir(sfDir)
     val marker = java.nio.file.Paths.get(out, "_GRAFT_OK")
@@ -62,15 +69,12 @@ object Tpcds {
       generate(spark, sfOf(sfDir), out)
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.write(marker, "ok".getBytes)
-      registered.removeIf(_.startsWith(out + "@"))
+      registered.keySet.removeIf(_.startsWith(out + "@"))
     }
     val key = out + "@" + System.identityHashCode(spark)
-    if (!registered.contains(key)) {
-      tableNames.foreach { t =>
-        spark.read.parquet(s"$out/$t").createOrReplaceTempView(t)
-      }
-      registered.add(key)
-    }
+    val dfs = registered.computeIfAbsent(key, _ =>
+      tableNames.map(t => t -> spark.read.parquet(s"$out/$t")))
+    dfs.foreach { case (t, df) => df.createOrReplaceTempView(t) }
     out
   }
 
