@@ -1094,7 +1094,431 @@ object TpcdsQueries extends QueryModule {
     ORDER BY order_count
     LIMIT 100""")
 
+  // ---- Q9: five quantity-band scalar-subquery CASEs -------------------
+  private def q9band(i: Int, lo: Int, hi: Int, threshold: Int): String = s"""
+       CASE WHEN (SELECT count(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN $lo AND $hi) > $threshold
+            THEN (SELECT round(avg(CAST(round(ss_ext_discount_amt * 100) AS BIGINT)) / 100.0, 6)
+                  FROM store_sales WHERE ss_quantity BETWEEN $lo AND $hi)
+            ELSE (SELECT round(avg(CAST(round(ss_net_paid * 100) AS BIGINT)) / 100.0, 6)
+                  FROM store_sales WHERE ss_quantity BETWEEN $lo AND $hi)
+       END bucket$i"""
+
+  private val q9 = q(s"""
+    SELECT ${q9band(1, 1, 20, 74129)},
+           ${q9band(2, 21, 40, 122840)},
+           ${q9band(3, 41, 60, 56580)},
+           ${q9band(4, 61, 80, 10097)},
+           ${q9band(5, 81, 100, 165306)}
+    FROM reason
+    WHERE r_reason_sk = 1""")
+
+  // ---- Q21: inventory before/after a date, ratio-banded ---------------
+  private val q21 = q("""
+    SELECT *
+    FROM
+      (SELECT w_warehouse_name,
+              i_item_id,
+              CAST(sum(CASE WHEN (cast(d_date AS date) < CAST('2000-03-11' AS date))
+                            THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+              CAST(sum(CASE WHEN (cast(d_date AS date) >= CAST('2000-03-11' AS date))
+                            THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
+       FROM inventory, warehouse, item, date_dim
+       WHERE i_current_price BETWEEN 0.99 AND 1.49
+         AND i_item_sk = inv_item_sk
+         AND inv_warehouse_sk = w_warehouse_sk
+         AND inv_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-02-10' AS date) AND CAST('2000-04-10' AS date)
+       GROUP BY w_warehouse_name, i_item_id) x
+    WHERE (CASE WHEN inv_before > 0 THEN (inv_after * 1.0) / inv_before ELSE NULL END)
+          BETWEEN 2.0/3.0 AND 3.0/2.0
+    ORDER BY w_warehouse_name NULLS FIRST, i_item_id NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q27: demographic averages over a state grouping ladder ---------
+  private val q27 = q("""
+    WITH results AS
+      (SELECT i_item_id, s_state, 0 AS g_state,
+              ss_quantity agg1, ss_list_price agg2,
+              ss_coupon_amt agg3, ss_sales_price agg4
+       FROM store_sales, customer_demographics, date_dim, store, item
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_item_sk = i_item_sk
+         AND ss_store_sk = s_store_sk
+         AND ss_cdemo_sk = cd_demo_sk
+         AND cd_gender = 'M'
+         AND cd_marital_status = 'S'
+         AND cd_education_status = 'College'
+         AND d_year = 2002
+         AND s_state = 'TN')
+    SELECT i_item_id, s_state, g_state, agg1, agg2, agg3, agg4
+    FROM
+      (SELECT i_item_id, s_state, 0 AS g_state,
+              round(avg(agg1), 6) agg1,
+              round(avg(CAST(round(agg2 * 100) AS BIGINT)) / 100.0, 6) agg2,
+              round(avg(CAST(round(agg3 * 100) AS BIGINT)) / 100.0, 6) agg3,
+              round(avg(CAST(round(agg4 * 100) AS BIGINT)) / 100.0, 6) agg4
+       FROM results GROUP BY i_item_id, s_state
+       UNION ALL SELECT i_item_id, NULL AS s_state, 1 AS g_state,
+              round(avg(agg1), 6) agg1,
+              round(avg(CAST(round(agg2 * 100) AS BIGINT)) / 100.0, 6) agg2,
+              round(avg(CAST(round(agg3 * 100) AS BIGINT)) / 100.0, 6) agg3,
+              round(avg(CAST(round(agg4 * 100) AS BIGINT)) / 100.0, 6) agg4
+       FROM results GROUP BY i_item_id
+       UNION ALL SELECT NULL AS i_item_id, NULL AS s_state, 1 AS g_state,
+              round(avg(agg1), 6) agg1,
+              round(avg(CAST(round(agg2 * 100) AS BIGINT)) / 100.0, 6) agg2,
+              round(avg(CAST(round(agg3 * 100) AS BIGINT)) / 100.0, 6) agg3,
+              round(avg(CAST(round(agg4 * 100) AS BIGINT)) / 100.0, 6) agg4
+       FROM results) foo
+    ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q34: 15-20 item baskets for high-buy-potential households ------
+  private val q34 = q("""
+    SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+           ss_ticket_number, cnt
+    FROM
+      (SELECT ss_ticket_number, ss_customer_sk, count(*) cnt
+       FROM store_sales, date_dim, store, household_demographics
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_store_sk = store.s_store_sk
+         AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+         AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+         AND (household_demographics.hd_buy_potential = '>10000'
+              OR household_demographics.hd_buy_potential = 'Unknown')
+         AND household_demographics.hd_vehicle_count > 0
+         AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                   THEN (household_demographics.hd_dep_count * 1.0) / household_demographics.hd_vehicle_count
+                   ELSE NULL END) > 1.2
+         AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+         AND store.s_county = 'Williamson County'
+       GROUP BY ss_ticket_number, ss_customer_sk) dn,
+         customer
+    WHERE ss_customer_sk = c_customer_sk
+      AND cnt BETWEEN 15 AND 20
+    ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+             c_salutation NULLS FIRST, c_preferred_cust_flag DESC NULLS FIRST,
+             ss_ticket_number NULLS FIRST""")
+
+  // ---- Q41: manufacturers with fancy-combination items (correlated
+  // count subquery over item itself) ------------------------------------
+  private val q41 = q("""
+    SELECT distinct(i_product_name)
+    FROM item i1
+    WHERE i_manufact_id BETWEEN 738 AND 738 + 40
+      AND
+        (SELECT count(*) AS item_cnt
+         FROM item
+         WHERE (i_manufact = i1.i_manufact
+                AND ((i_category = 'Women'
+                      AND (i_color = 'powder' OR i_color = 'khaki')
+                      AND (i_units = 'Ounce' OR i_units = 'Oz')
+                      AND (i_size = 'medium' OR i_size = 'extra large'))
+                     OR (i_category = 'Women'
+                         AND (i_color = 'brown' OR i_color = 'honeydew')
+                         AND (i_units = 'Bunch' OR i_units = 'Ton')
+                         AND (i_size = 'N/A' OR i_size = 'small'))
+                     OR (i_category = 'Men'
+                         AND (i_color = 'floral' OR i_color = 'deep')
+                         AND (i_units = 'N/A' OR i_units = 'Dozen')
+                         AND (i_size = 'petite' OR i_size = 'petite'))
+                     OR (i_category = 'Men'
+                         AND (i_color = 'light' OR i_color = 'cornflower')
+                         AND (i_units = 'Box' OR i_units = 'Pound')
+                         AND (i_size = 'medium' OR i_size = 'extra large'))))
+           OR (i_manufact = i1.i_manufact
+               AND ((i_category = 'Women'
+                     AND (i_color = 'midnight' OR i_color = 'snow')
+                     AND (i_units = 'Pallet' OR i_units = 'Gross')
+                     AND (i_size = 'medium' OR i_size = 'extra large'))
+                    OR (i_category = 'Women'
+                        AND (i_color = 'cyan' OR i_color = 'papaya')
+                        AND (i_units = 'Cup' OR i_units = 'Dram')
+                        AND (i_size = 'N/A' OR i_size = 'small'))
+                    OR (i_category = 'Men'
+                        AND (i_color = 'orange' OR i_color = 'frosted')
+                        AND (i_units = 'Each' OR i_units = 'Tbl')
+                        AND (i_size = 'petite' OR i_size = 'petite'))
+                    OR (i_category = 'Men'
+                        AND (i_color = 'forest' OR i_color = 'ghost')
+                        AND (i_units = 'Lb' OR i_units = 'Bundle')
+                        AND (i_size = 'medium' OR i_size = 'extra large'))))) > 0
+    ORDER BY i_product_name
+    LIMIT 100""")
+
+  // ---- Q45: web sales by zip with item-id IN subquery -----------------
+  private val q45 = q("""
+    SELECT ca_zip,
+           ca_city,
+           CAST(sum(CAST(round(ws_sales_price * 100) AS BIGINT)) AS BIGINT) AS sum_sales_c
+    FROM web_sales, customer, customer_address, date_dim, item
+    WHERE ws_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND ws_item_sk = i_item_sk
+      AND (SUBSTRING(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                       '86475', '85392', '85460', '80348', '81792')
+           OR i_item_id IN
+             (SELECT i_item_id
+              FROM item
+              WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+      AND ws_sold_date_sk = d_date_sk
+      AND d_qoy = 2
+      AND d_year = 2001
+    GROUP BY ca_zip, ca_city
+    ORDER BY ca_zip, ca_city
+    LIMIT 100""")
+
+  // ---- Q46: weekend baskets bought outside the home city --------------
+  private val q46 = q("""
+    SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+           amt_c, profit_c
+    FROM
+      (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+              CAST(sum(CAST(round(ss_coupon_amt * 100) AS BIGINT)) AS BIGINT) amt_c,
+              CAST(sum(CAST(round(ss_net_profit * 100) AS BIGINT)) AS BIGINT) profit_c
+       FROM store_sales, date_dim, store, household_demographics, customer_address
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_store_sk = store.s_store_sk
+         AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+         AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+         AND (household_demographics.hd_dep_count = 4
+              OR household_demographics.hd_vehicle_count = 3)
+         AND date_dim.d_dow IN (6, 0)
+         AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+         AND store.s_city IN ('Fairview', 'Midway')
+       GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+         customer,
+         customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND customer.c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+    ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+             ca_city NULLS FIRST, bought_city NULLS FIRST,
+             ss_ticket_number NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q48: quantity over demographic/address OR-bands ----------------
+  private val q48 = q("""
+    SELECT CAST(SUM(ss_quantity) AS BIGINT) AS sum_qty
+    FROM store_sales, store, customer_demographics, customer_address, date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 2000
+      AND ((cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'M'
+            AND cd_education_status = '4 yr Degree'
+            AND ss_sales_price BETWEEN 100.00 AND 150.00)
+           OR (cd_demo_sk = ss_cdemo_sk
+               AND cd_marital_status = 'D'
+               AND cd_education_status = '2 yr Degree'
+               AND ss_sales_price BETWEEN 50.00 AND 100.00)
+           OR (cd_demo_sk = ss_cdemo_sk
+               AND cd_marital_status = 'S'
+               AND cd_education_status = 'College'
+               AND ss_sales_price BETWEEN 150.00 AND 200.00))
+      AND ((ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('CO', 'OH', 'TX')
+            AND ss_net_profit BETWEEN 0 AND 2000)
+           OR (ss_addr_sk = ca_address_sk
+               AND ca_country = 'United States'
+               AND ca_state IN ('OR', 'MN', 'KY')
+               AND ss_net_profit BETWEEN 150 AND 3000)
+           OR (ss_addr_sk = ca_address_sk
+               AND ca_country = 'United States'
+               AND ca_state IN ('VA', 'CA', 'MS')
+               AND ss_net_profit BETWEEN 50 AND 25000))""")
+
+  // ---- Q53: manufacturer quarterly sales vs average -------------------
+  private val q53 = q("""
+    SELECT *
+    FROM
+      (SELECT i_manufact_id,
+              CAST(sum(CAST(round(ss_sales_price * 100) AS BIGINT)) AS BIGINT) sum_sales_c,
+              round(avg(sum(CAST(round(ss_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY i_manufact_id), 4) avg_quarterly_sales_c
+       FROM item, store_sales, date_dim, store
+       WHERE ss_item_sk = i_item_sk
+         AND ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND d_month_seq IN (1200, 1200+1, 1200+2, 1200+3, 1200+4, 1200+5,
+                             1200+6, 1200+7, 1200+8, 1200+9, 1200+10, 1200+11)
+         AND ((i_category IN ('Books', 'Children', 'Electronics')
+               AND i_class IN ('personal', 'portable', 'reference', 'self-help')
+               AND i_brand IN ('scholaramalgamalg #14', 'scholaramalgamalg #7',
+                               'exportiunivamalg #9', 'scholaramalgamalg #9'))
+              OR (i_category IN ('Women', 'Music', 'Men')
+                  AND i_class IN ('accessories', 'classical', 'fragrances', 'pants')
+                  AND i_brand IN ('amalgimporto #1', 'edu packscholar #1',
+                                  'exportiimporto #1', 'importoamalg #1')))
+       GROUP BY i_manufact_id, d_qoy) tmp1
+    WHERE CASE WHEN avg_quarterly_sales_c > 0
+               THEN ABS(sum_sales_c - avg_quarterly_sales_c) / avg_quarterly_sales_c
+               ELSE NULL END > 0.1
+    ORDER BY avg_quarterly_sales_c, sum_sales_c, i_manufact_id
+    LIMIT 100""")
+
+  // ---- Q59: store weekday sales, year-over-year ratio matrix ----------
+  // (52-week offset for this calendar, as in Q2)
+  private val q59 = q("""
+    WITH wss AS
+      (SELECT d_week_seq, ss_store_sk,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) sun_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) mon_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) tue_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) wed_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) thu_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) fri_sales,
+              sum(CAST(round(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END * 100) AS BIGINT)) sat_sales
+       FROM store_sales, date_dim
+       WHERE d_date_sk = ss_sold_date_sk
+       GROUP BY d_week_seq, ss_store_sk)
+    SELECT s_store_name1, s_store_id1, d_week_seq1,
+           round(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 6) AS sun_sales_ratio,
+           round(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 6) AS mon_sales_ratio,
+           round(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 6) AS tue_sales_ratio,
+           round(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 6) AS wed_sales_ratio,
+           round(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 6) AS thu_sales_ratio,
+           round(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 6) AS fri_sales_ratio,
+           round(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 6) AS sat_sales_ratio
+    FROM
+      (SELECT s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+              s_store_id s_store_id1, sun_sales sun_sales1, mon_sales mon_sales1,
+              tue_sales tue_sales1, wed_sales wed_sales1, thu_sales thu_sales1,
+              fri_sales fri_sales1, sat_sales sat_sales1
+       FROM wss, store, date_dim d
+       WHERE d.d_week_seq = wss.d_week_seq
+         AND ss_store_sk = s_store_sk
+         AND d_month_seq BETWEEN 1212 AND 1212 + 11) y,
+      (SELECT s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+              s_store_id s_store_id2, sun_sales sun_sales2, mon_sales mon_sales2,
+              tue_sales tue_sales2, wed_sales wed_sales2, thu_sales thu_sales2,
+              fri_sales fri_sales2, sat_sales sat_sales2
+       FROM wss, store, date_dim d
+       WHERE d.d_week_seq = wss.d_week_seq
+         AND ss_store_sk = s_store_sk
+         AND d_month_seq BETWEEN 1212 + 12 AND 1212 + 23) x
+    WHERE s_store_id1 = s_store_id2
+      AND d_week_seq1 = d_week_seq2 - 52
+    ORDER BY s_store_name1 NULLS FIRST, s_store_id1 NULLS FIRST,
+             d_week_seq1 NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q61: promotional share of category sales -----------------------
+  private val q61 = q("""
+    SELECT promotions_c,
+           total_c,
+           round(CAST(promotions_c AS DOUBLE) / CAST(total_c AS DOUBLE) * 100, 6) AS promo_pct
+    FROM
+      (SELECT CAST(sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS BIGINT) promotions_c
+       FROM store_sales, store, promotion, date_dim, customer, customer_address, item
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND ss_promo_sk = p_promo_sk
+         AND ss_customer_sk = c_customer_sk
+         AND ca_address_sk = c_current_addr_sk
+         AND ss_item_sk = i_item_sk
+         AND ca_gmt_offset = -5
+         AND i_category = 'Jewelry'
+         AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+         AND s_gmt_offset = -5
+         AND d_year = 1998
+         AND d_moy = 11) promotional_sales,
+      (SELECT CAST(sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS BIGINT) total_c
+       FROM store_sales, store, date_dim, customer, customer_address, item
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND ss_customer_sk = c_customer_sk
+         AND ca_address_sk = c_current_addr_sk
+         AND ss_item_sk = i_item_sk
+         AND ca_gmt_offset = -5
+         AND i_category = 'Jewelry'
+         AND s_gmt_offset = -5
+         AND d_year = 1998
+         AND d_moy = 11) all_sales
+    ORDER BY promotions_c, total_c
+    LIMIT 100""")
+
+  // ---- Q76: sales with NULL channel keys ------------------------------
+  private val q76 = q("""
+    SELECT channel, col_name, d_year, d_qoy, i_category,
+           COUNT(*) sales_cnt,
+           CAST(SUM(CAST(round(ext_sales_price * 100) AS BIGINT)) AS BIGINT) sales_amt_c
+    FROM
+      (SELECT 'store' AS channel, 'ss_store_sk' col_name, d_year, d_qoy,
+              i_category, ss_ext_sales_price ext_sales_price
+       FROM store_sales, item, date_dim
+       WHERE ss_store_sk IS NULL
+         AND ss_sold_date_sk = d_date_sk
+         AND ss_item_sk = i_item_sk
+       UNION ALL SELECT 'web' AS channel, 'ws_ship_customer_sk' col_name, d_year,
+              d_qoy, i_category, ws_ext_sales_price ext_sales_price
+       FROM web_sales, item, date_dim
+       WHERE ws_ship_customer_sk IS NULL
+         AND ws_sold_date_sk = d_date_sk
+         AND ws_item_sk = i_item_sk
+       UNION ALL SELECT 'catalog' AS channel, 'cs_ship_addr_sk' col_name, d_year,
+              d_qoy, i_category, cs_ext_sales_price ext_sales_price
+       FROM catalog_sales, item, date_dim
+       WHERE cs_ship_addr_sk IS NULL
+         AND cs_sold_date_sk = d_date_sk
+         AND cs_item_sk = i_item_sk) foo
+    GROUP BY channel, col_name, d_year, d_qoy, i_category
+    ORDER BY channel NULLS FIRST, col_name NULLS FIRST, d_year NULLS FIRST,
+             d_qoy NULLS FIRST, i_category NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q82: items in inventory band also sold in store ----------------
+  private val q82 = q("""
+    SELECT i_item_id, i_item_desc, i_current_price
+    FROM item, inventory, date_dim, store_sales
+    WHERE i_current_price BETWEEN 62 AND 62 + 30
+      AND inv_item_sk = i_item_sk
+      AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN cast('2000-05-25' AS date) AND cast('2000-07-24' AS date)
+      AND i_manufact_id IN (129, 270, 821, 423)
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND ss_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 100""")
+
+  // ---- Q86: web rollup with rank-within-parent ------------------------
+  private val q86 = q("""
+    SELECT CAST(sum(CAST(round(ws_net_paid * 100) AS BIGINT)) AS BIGINT) AS total_sum_c,
+           i_category,
+           i_class,
+           grouping(i_category) + grouping(i_class) AS lochierarchy,
+           rank() OVER (PARTITION BY grouping(i_category) + grouping(i_class),
+                          CASE WHEN grouping(i_class) = 0 THEN i_category END
+                        ORDER BY sum(CAST(round(ws_net_paid * 100) AS BIGINT)) DESC) AS rank_within_parent
+    FROM web_sales, date_dim d1, item
+    WHERE d1.d_month_seq BETWEEN 1200 AND 1200 + 11
+      AND d1.d_date_sk = ws_sold_date_sk
+      AND i_item_sk = ws_item_sk
+    GROUP BY rollup(i_category, i_class)
+    ORDER BY lochierarchy DESC NULLS FIRST,
+             CASE WHEN grouping(i_category) + grouping(i_class) = 0 THEN i_category END NULLS FIRST,
+             rank_within_parent NULLS FIRST,
+             i_category NULLS FIRST, i_class NULLS FIRST
+    LIMIT 100""")
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q9" -> q9,
+    "tpcds_q21" -> q21,
+    "tpcds_q27" -> q27,
+    "tpcds_q34" -> q34,
+    "tpcds_q41" -> q41,
+    "tpcds_q45" -> q45,
+    "tpcds_q46" -> q46,
+    "tpcds_q48" -> q48,
+    "tpcds_q53" -> q53,
+    "tpcds_q59" -> q59,
+    "tpcds_q61" -> q61,
+    "tpcds_q76" -> q76,
+    "tpcds_q82" -> q82,
+    "tpcds_q86" -> q86,
     "tpcds_q47" -> q47,
     "tpcds_q95" -> q95,
     "tpcds_q1" -> q1,

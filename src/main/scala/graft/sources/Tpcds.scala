@@ -62,13 +62,20 @@ object Tpcds {
     * session, so a one-time registration would be silently clobbered
     * between queries.
     */
+  /** bump when generation logic/domains change: a stale on-disk dataset
+    * regenerates instead of silently serving old domains
+    */
+  private val genVersion = "graft-tpcds-v2"
+
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val out = dataDir(sfDir)
     val marker = java.nio.file.Paths.get(out, "_GRAFT_OK")
-    if (!java.nio.file.Files.exists(marker)) {
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)) == genVersion
+    if (!fresh) {
       generate(spark, sfOf(sfDir), out)
       java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.write(marker, "ok".getBytes)
+      java.nio.file.Files.write(marker, genVersion.getBytes)
       registered.keySet.removeIf(_.startsWith(out + "@"))
     }
     val key = out + "@" + System.identityHashCode(spark)
@@ -138,7 +145,14 @@ object Tpcds {
     "Cedar Grove", "Farmington", "Jamestown", "Clifton", "Waterloo")
   private val colors = Seq("red", "blue", "green", "yellow", "black",
     "white", "purple", "orange", "pink", "brown", "gray", "cyan",
-    "magenta", "olive", "navy", "teal", "maroon", "beige", "ivory", "gold")
+    "magenta", "olive", "navy", "teal", "maroon", "beige", "ivory", "gold",
+    // dsdgen color vocabulary referenced by query constants (Q41 etc.)
+    "powder", "khaki", "honeydew", "floral", "deep", "light",
+    "cornflower", "midnight", "snow", "papaya", "frosted", "forest", "ghost")
+  private val brandBases = Seq("amalgamalg", "importoamalg", "edu packamalg",
+    "exportiamalg", "scholaramalgamalg", "amalgimporto", "edu packscholar",
+    "exportiimporto", "exportiunivamalg", "univamalgamalg", "amalgnameless",
+    "maxibrand")
   private val buyPotentials = Seq(">10000", "5001-10000", "1001-5000",
     "501-1000", "0-500", "Unknown")
   private val eduLevels = Seq("Primary", "Secondary", "College",
@@ -209,17 +223,22 @@ object Tpcds {
         "shirts", "birdal", "dresses", "womens", "pants", "glassware",
         "swimwear", "flatware", "scanners", "classical", "fiction",
         "romance", "mystery", "baseball", "basketball", "camping",
-        "optics")).as("i_class"),
+        "optics", "personal", "portable", "reference", "self-help",
+        "accessories", "fragrances")).as("i_class"),
       (pmod(col("id"), lit(20)) + 1).cast("int").as("i_class_id"),
       (lit(1001001) + pmod(col("id"), lit(900)).cast("int")).as("i_brand_id"),
-      concat(lit("brand#"), lit(1001001) + pmod(col("id"), lit(900)).cast("int")).as("i_brand"),
+      // dsdgen-style brand names so brand-constant filters (Q53's
+      // 'scholaramalgamalg #14' etc.) resolve
+      concat(pick("ibrand", col("id"), brandBases), lit(" #"),
+        (H("ibrandn", col("id"), 15) + 1)).as("i_brand"),
       pmod(col("id"), lit(1000)).cast("int").as("i_manufact_id"),
       concat(lit("mfg#"), pmod(col("id"), lit(1000))).as("i_manufact"),
       ((H("iprice", col("id"), 9900) + 100) / 100.0).as("i_current_price"),
       ((H("iwhole", col("id"), 6000) + 50) / 100.0).as("i_wholesale_cost"),
       pick("icolor", col("id"), colors).as("i_color"),
       pick("iunit", col("id"), Seq("Each", "Dozen", "Case", "Pallet", "Gross",
-        "Box", "Bundle", "Carton", "Ounce", "Pound")).as("i_units"),
+        "Box", "Bundle", "Carton", "Ounce", "Pound", "Oz", "Bunch", "Ton",
+        "N/A", "Cup", "Dram", "Tbl", "Lb")).as("i_units"),
       pick("isize", col("id"), Seq("small", "medium", "large", "extra large",
         "economy", "petite", "N/A")).as("i_size"),
       pmod(col("id"), lit(100)).cast("int").as("i_manager_id"),
@@ -403,7 +422,15 @@ object Tpcds {
       pmod(xxhash64(lit("affin"), cust, slot), lit(z.items))
     val ssParts = math.max(8, (z.storeSales / 200000L).toInt)
     val ss = rng(z.storeSales)
-      .withColumn("tkt", idiv(col("id"), 3))
+      // ~1/12 of 6-ticket groups merge into one 18-item basket
+      // (negative ticket ids, disjoint from the normal range) so
+      // basket-size-band queries (Q34's 15..20) have matches; the rest
+      // are 3-item tickets
+      .withColumn("tkt0", idiv(col("id"), 3))
+      .withColumn("tkt",
+        when(H("bigb", idiv(col("tkt0"), 6), 12) === 0,
+          -(idiv(col("tkt0"), 6) + 1))
+          .otherwise(col("tkt0")))
       .withColumn("cust", when(H("sscn", col("tkt"), 50) === 0, lit(null: java.lang.Long))
         .otherwise(H("ssc", col("tkt"), z.customers)))
       .withColumn("itm",
@@ -425,7 +452,8 @@ object Tpcds {
         H("sscd", col("tkt"), nCdemo).as("ss_cdemo_sk"),
         H("ssh", col("tkt"), nHdemo).as("ss_hdemo_sk"),
         H("ssa", col("tkt"), z.addrs).as("ss_addr_sk"),
-        H("sss", col("tkt"), z.stores).as("ss_store_sk"),
+        when(H("ssnn", col("tkt"), 60) === 0, lit(null: java.lang.Long))
+          .otherwise(H("sss", col("tkt"), z.stores)).as("ss_store_sk"),
         when(H("sspn", col("id"), 20) === 0, lit(null: java.lang.Long))
           .otherwise(H("ssp", col("id"), z.promos)).as("ss_promo_sk"),
         col("tkt").as("ss_ticket_number"),
@@ -503,7 +531,8 @@ object Tpcds {
         H("csa", col("ord"), z.addrs).as("cs_bill_addr_sk"),
         when(H("cssame", col("ord"), 10) < 8, col("cust"))
           .otherwise(H("csc2", col("ord"), z.customers)).as("cs_ship_customer_sk"),
-        when(H("cssame", col("ord"), 10) < 8, H("csa", col("ord"), z.addrs))
+        when(H("csnn", col("ord"), 60) === 0, lit(null: java.lang.Long))
+          .when(H("cssame", col("ord"), 10) < 8, H("csa", col("ord"), z.addrs))
           .otherwise(H("csa2", col("ord"), z.addrs)).as("cs_ship_addr_sk"),
         H("cscc", col("ord"), z.callCenters).as("cs_call_center_sk"),
         H("cscp", col("id"), z.catalogPages).as("cs_catalog_page_sk"),
@@ -587,7 +616,8 @@ object Tpcds {
         H("wsh", col("ord"), nHdemo).as("ws_bill_hdemo_sk"),
         H("wsh", col("ord"), nHdemo).as("ws_ship_hdemo_sk"),
         H("wsa", col("ord"), z.addrs).as("ws_bill_addr_sk"),
-        H("wsc", col("ord"), z.customers).as("ws_ship_customer_sk"),
+        when(H("wsnn", col("ord"), 60) === 0, lit(null: java.lang.Long))
+          .otherwise(H("wsc", col("ord"), z.customers)).as("ws_ship_customer_sk"),
         H("wsa", col("ord"), z.addrs).as("ws_ship_addr_sk"),
         H("wsweb", col("ord"), z.webSites).as("ws_web_site_sk"),
         H("wswp", col("id"), z.webPages).as("ws_web_page_sk"),
