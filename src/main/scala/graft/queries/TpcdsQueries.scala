@@ -1504,7 +1504,288 @@ object TpcdsQueries extends QueryModule {
              i_category NULLS FIRST, i_class NULLS FIRST
     LIMIT 100""")
 
+  // ---- Q22: inventory quantity-on-hand rollup -------------------------
+  private val q22 = q("""
+    SELECT i_product_name, i_brand, i_class, i_category,
+           round(avg(inv_quantity_on_hand), 6) qoh
+    FROM inventory, date_dim, item
+    WHERE inv_date_sk = d_date_sk
+      AND inv_item_sk = i_item_sk
+      AND d_month_seq BETWEEN 1200 AND 1200 + 11
+    GROUP BY rollup(i_product_name, i_brand, i_class, i_category)
+    ORDER BY qoh NULLS FIRST, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+             i_class NULLS FIRST, i_category NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q28: six quantity-band list-price stats (cross join) -----------
+  private def q28band(i: Int, qlo: Int, qhi: Int, lp: Int, cp: Int, wc: Int): String = s"""
+      (SELECT round(avg(CAST(round(ss_list_price * 100) AS BIGINT)) / 100.0, 6) B${i}_LP,
+              count(ss_list_price) B${i}_CNT,
+              CAST(count(DISTINCT ss_list_price) AS BIGINT) B${i}_CNTD
+       FROM store_sales
+       WHERE ss_quantity BETWEEN $qlo AND $qhi
+         AND (ss_list_price BETWEEN $lp AND $lp + 10
+              OR ss_coupon_amt BETWEEN $cp AND $cp + 1000
+              OR ss_wholesale_cost BETWEEN $wc AND $wc + 20)) B$i"""
+
+  private val q28 = q(s"""
+    SELECT * FROM
+    ${q28band(1, 0, 5, 8, 459, 57)},
+    ${q28band(2, 6, 10, 90, 2323, 31)},
+    ${q28band(3, 11, 15, 142, 12214, 79)},
+    ${q28band(4, 16, 20, 135, 6071, 38)},
+    ${q28band(5, 21, 25, 122, 836, 17)},
+    ${q28band(6, 26, 30, 154, 7326, 7)}
+    LIMIT 100""")
+
+  // ---- Q30: web returners above 1.2x their state's average ------------
+  private val q30 = q("""
+    WITH customer_total_return AS
+      (SELECT wr_returning_customer_sk AS ctr_customer_sk,
+              ca_state AS ctr_state,
+              sum(CAST(round(wr_return_amt * 100) AS BIGINT)) AS ctr_total_return
+       FROM web_returns, date_dim, customer_address
+       WHERE wr_returned_date_sk = d_date_sk
+         AND d_year = 2002
+         AND wr_returning_addr_sk = ca_address_sk
+       GROUP BY wr_returning_customer_sk, ca_state)
+    SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+           c_birth_country, c_login, c_email_address, c_last_review_date_sk,
+           ctr_total_return
+    FROM customer_total_return ctr1, customer_address, customer
+    WHERE ctr1.ctr_total_return >
+        (SELECT avg(ctr_total_return) * 1.2
+         FROM customer_total_return ctr2
+         WHERE ctr1.ctr_state = ctr2.ctr_state)
+      AND ca_address_sk = c_current_addr_sk
+      AND ca_state = 'GA'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id NULLS FIRST, c_salutation NULLS FIRST,
+             c_first_name NULLS FIRST, c_last_name NULLS FIRST,
+             c_preferred_cust_flag NULLS FIRST, c_birth_day NULLS FIRST,
+             c_birth_month NULLS FIRST, c_birth_year NULLS FIRST,
+             c_birth_country NULLS FIRST, c_login NULLS FIRST,
+             c_email_address NULLS FIRST, c_last_review_date_sk NULLS FIRST,
+             ctr_total_return NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q32: catalog excess discounts (correlated 1.3x average) --------
+  private val q32 = q("""
+    SELECT CAST(sum(CAST(round(cs_ext_discount_amt * 100) AS BIGINT)) AS BIGINT) AS excess_discount_c
+    FROM catalog_sales, item, date_dim
+    WHERE i_manufact_id = 977
+      AND i_item_sk = cs_item_sk
+      AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
+      AND d_date_sk = cs_sold_date_sk
+      AND cs_ext_discount_amt >
+        (SELECT 1.3 * avg(cs_ext_discount_amt)
+         FROM catalog_sales, date_dim
+         WHERE cs_item_sk = i_item_sk
+           AND d_date BETWEEN '2000-01-27' AND cast('2000-04-26' AS date)
+           AND d_date_sk = cs_sold_date_sk)
+    LIMIT 100""")
+
+  // ---- Q33/Q56/Q60: three-channel totals for an item slice ------------
+  // (i_manufact_id tiebreaker added to the LIMIT ORDER so the cut is
+  // deterministic across engines — ties on total are common)
+  private def threeChannel(groupCol: String, itemFilter: String, when_ : String,
+                           orderBy: String): String = s"""
+    WITH ss AS
+      (SELECT $groupCol, sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) total_sales
+       FROM store_sales, date_dim, customer_address, item
+       WHERE $groupCol IN (SELECT $groupCol FROM item WHERE $itemFilter)
+         AND ss_item_sk = i_item_sk
+         AND ss_sold_date_sk = d_date_sk
+         AND $when_
+         AND ss_addr_sk = ca_address_sk
+         AND ca_gmt_offset = -5
+       GROUP BY $groupCol),
+         cs AS
+      (SELECT $groupCol, sum(CAST(round(cs_ext_sales_price * 100) AS BIGINT)) total_sales
+       FROM catalog_sales, date_dim, customer_address, item
+       WHERE $groupCol IN (SELECT $groupCol FROM item WHERE $itemFilter)
+         AND cs_item_sk = i_item_sk
+         AND cs_sold_date_sk = d_date_sk
+         AND $when_
+         AND cs_bill_addr_sk = ca_address_sk
+         AND ca_gmt_offset = -5
+       GROUP BY $groupCol),
+         ws AS
+      (SELECT $groupCol, sum(CAST(round(ws_ext_sales_price * 100) AS BIGINT)) total_sales
+       FROM web_sales, date_dim, customer_address, item
+       WHERE $groupCol IN (SELECT $groupCol FROM item WHERE $itemFilter)
+         AND ws_item_sk = i_item_sk
+         AND ws_sold_date_sk = d_date_sk
+         AND $when_
+         AND ws_bill_addr_sk = ca_address_sk
+         AND ca_gmt_offset = -5
+       GROUP BY $groupCol)
+    SELECT $groupCol,
+           CAST(sum(total_sales) AS BIGINT) total_sales_c
+    FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+    GROUP BY $groupCol
+    ORDER BY $orderBy
+    LIMIT 100"""
+
+  private val q33 = q(threeChannel("i_manufact_id",
+    "i_category IN ('Electronics')", "d_year = 1998 AND d_moy = 5",
+    "total_sales_c, i_manufact_id"))
+  private val q56 = q(threeChannel("i_item_id",
+    "i_color IN ('slate', 'blanched', 'burnished')", "d_year = 2001 AND d_moy = 2",
+    "total_sales_c NULLS FIRST, i_item_id NULLS FIRST"))
+  private val q60 = q(threeChannel("i_item_id",
+    "i_category = 'Music'", "d_year = 1998 AND d_moy = 9",
+    "i_item_id, total_sales_c"))
+
+  // ---- Q40: catalog sales net of returns around a date ----------------
+  private val q40 = q("""
+    SELECT w_state,
+           i_item_id,
+           CAST(sum(CASE WHEN (cast(d_date AS date) < CAST('2000-03-11' AS date))
+                         THEN CAST(round((cs_sales_price - coalesce(cr_refunded_cash, 0)) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sales_before_c,
+           CAST(sum(CASE WHEN (cast(d_date AS date) >= CAST('2000-03-11' AS date))
+                         THEN CAST(round((cs_sales_price - coalesce(cr_refunded_cash, 0)) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sales_after_c
+    FROM catalog_sales
+    LEFT OUTER JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                        AND cs_item_sk = cr_item_sk),
+         warehouse, item, date_dim
+    WHERE i_current_price BETWEEN 0.99 AND 1.49
+      AND i_item_sk = cs_item_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('2000-02-10' AS date) AND CAST('2000-04-10' AS date)
+    GROUP BY w_state, i_item_id
+    ORDER BY w_state, i_item_id
+    LIMIT 100""")
+
+  // ---- Q44: best/worst performing items by rank pairing ---------------
+  private val q44 = q("""
+    SELECT asceding.rnk,
+           i1.i_product_name best_performing,
+           i2.i_product_name worst_performing
+    FROM
+      (SELECT * FROM
+         (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) rnk
+          FROM
+            (SELECT ss_item_sk item_sk,
+                    avg(CAST(round(ss_net_profit * 100) AS BIGINT)) rank_col
+             FROM store_sales ss1
+             WHERE ss_store_sk = 4
+             GROUP BY ss_item_sk
+             HAVING avg(CAST(round(ss_net_profit * 100) AS BIGINT)) > 0.9 *
+               (SELECT avg(CAST(round(ss_net_profit * 100) AS BIGINT)) rank_col
+                FROM store_sales
+                WHERE ss_store_sk = 4
+                  AND ss_addr_sk IS NULL
+                GROUP BY ss_store_sk)) V1) V11
+       WHERE rnk < 11) asceding,
+      (SELECT * FROM
+         (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) rnk
+          FROM
+            (SELECT ss_item_sk item_sk,
+                    avg(CAST(round(ss_net_profit * 100) AS BIGINT)) rank_col
+             FROM store_sales ss1
+             WHERE ss_store_sk = 4
+             GROUP BY ss_item_sk
+             HAVING avg(CAST(round(ss_net_profit * 100) AS BIGINT)) > 0.9 *
+               (SELECT avg(CAST(round(ss_net_profit * 100) AS BIGINT)) rank_col
+                FROM store_sales
+                WHERE ss_store_sk = 4
+                  AND ss_addr_sk IS NULL
+                GROUP BY ss_store_sk)) V2) V21
+       WHERE rnk < 11) descending,
+         item i1, item i2
+    WHERE asceding.rnk = descending.rnk
+      AND i1.i_item_sk = asceding.item_sk
+      AND i2.i_item_sk = descending.item_sk
+    ORDER BY asceding.rnk, best_performing, worst_performing
+    LIMIT 100""")
+
+  // ---- Q57: catalog monthly deviation with lag/lead (Q47 analog) ------
+  private val q57 = q("""
+    WITH v1 AS
+      (SELECT i_category, i_brand, cc_name, d_year, d_moy,
+              CAST(sum(CAST(round(cs_sales_price * 100) AS BIGINT)) AS BIGINT) sum_sales_c,
+              round(avg(sum(CAST(round(cs_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY i_category, i_brand, cc_name, d_year), 4) avg_monthly_sales_c,
+              rank() OVER (PARTITION BY i_category, i_brand, cc_name
+                           ORDER BY d_year, d_moy) rn
+       FROM item, catalog_sales, date_dim, call_center
+       WHERE cs_item_sk = i_item_sk
+         AND cs_sold_date_sk = d_date_sk
+         AND cc_call_center_sk = cs_call_center_sk
+         AND (d_year = 1999
+              OR (d_year = 1999 - 1 AND d_moy = 12)
+              OR (d_year = 1999 + 1 AND d_moy = 1))
+       GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+         v2 AS
+      (SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+              v1.avg_monthly_sales_c, v1.sum_sales_c,
+              v1_lag.sum_sales_c psum_c,
+              v1_lead.sum_sales_c nsum_c
+       FROM v1, v1 v1_lag, v1 v1_lead
+       WHERE v1.i_category = v1_lag.i_category
+         AND v1.i_category = v1_lead.i_category
+         AND v1.i_brand = v1_lag.i_brand
+         AND v1.i_brand = v1_lead.i_brand
+         AND v1.cc_name = v1_lag.cc_name
+         AND v1.cc_name = v1_lead.cc_name
+         AND v1.rn = v1_lag.rn + 1
+         AND v1.rn = v1_lead.rn - 1)
+    SELECT *
+    FROM v2
+    WHERE d_year = 1999
+      AND avg_monthly_sales_c > 0
+      AND CASE WHEN avg_monthly_sales_c > 0
+               THEN abs(sum_sales_c - avg_monthly_sales_c) / avg_monthly_sales_c
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales_c - avg_monthly_sales_c NULLS FIRST, 1, 2, 3, 4, 5, 6, 7, 8, 9
+    LIMIT 100""")
+
+  // ---- Q63: manager monthly deviation (Q53 analog) --------------------
+  private val q63 = q("""
+    SELECT *
+    FROM
+      (SELECT i_manager_id,
+              CAST(sum(CAST(round(ss_sales_price * 100) AS BIGINT)) AS BIGINT) sum_sales_c,
+              round(avg(sum(CAST(round(ss_sales_price * 100) AS BIGINT)))
+                OVER (PARTITION BY i_manager_id), 4) avg_monthly_sales_c
+       FROM item, store_sales, date_dim, store
+       WHERE ss_item_sk = i_item_sk
+         AND ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND d_month_seq IN (1200, 1200+1, 1200+2, 1200+3, 1200+4, 1200+5,
+                             1200+6, 1200+7, 1200+8, 1200+9, 1200+10, 1200+11)
+         AND ((i_category IN ('Books', 'Children', 'Electronics')
+               AND i_class IN ('personal', 'portable', 'reference', 'self-help')
+               AND i_brand IN ('scholaramalgamalg #14', 'scholaramalgamalg #7',
+                               'exportiunivamalg #9', 'scholaramalgamalg #9'))
+              OR (i_category IN ('Women', 'Music', 'Men')
+                  AND i_class IN ('accessories', 'classical', 'fragrances', 'pants')
+                  AND i_brand IN ('amalgimporto #1', 'edu packscholar #1',
+                                  'exportiimporto #1', 'importoamalg #1')))
+       GROUP BY i_manager_id, d_moy) tmp1
+    WHERE CASE WHEN avg_monthly_sales_c > 0
+               THEN ABS(sum_sales_c - avg_monthly_sales_c) / avg_monthly_sales_c
+               ELSE NULL END > 0.1
+    ORDER BY i_manager_id, avg_monthly_sales_c, sum_sales_c
+    LIMIT 100""")
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q22" -> q22,
+    "tpcds_q28" -> q28,
+    "tpcds_q30" -> q30,
+    "tpcds_q32" -> q32,
+    "tpcds_q33" -> q33,
+    "tpcds_q40" -> q40,
+    "tpcds_q44" -> q44,
+    "tpcds_q56" -> q56,
+    "tpcds_q57" -> q57,
+    "tpcds_q60" -> q60,
+    "tpcds_q63" -> q63,
     "tpcds_q9" -> q9,
     "tpcds_q21" -> q21,
     "tpcds_q27" -> q27,

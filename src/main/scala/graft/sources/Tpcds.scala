@@ -65,7 +65,7 @@ object Tpcds {
   /** bump when generation logic/domains change: a stale on-disk dataset
     * regenerates instead of silently serving old domains
     */
-  private val genVersion = "graft-tpcds-v2"
+  private val genVersion = "graft-tpcds-v3"
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val out = dataDir(sfDir)
@@ -148,7 +148,8 @@ object Tpcds {
     "magenta", "olive", "navy", "teal", "maroon", "beige", "ivory", "gold",
     // dsdgen color vocabulary referenced by query constants (Q41 etc.)
     "powder", "khaki", "honeydew", "floral", "deep", "light",
-    "cornflower", "midnight", "snow", "papaya", "frosted", "forest", "ghost")
+    "cornflower", "midnight", "snow", "papaya", "frosted", "forest", "ghost",
+    "slate", "blanched", "burnished")
   private val brandBases = Seq("amalgamalg", "importoamalg", "edu packamalg",
     "exportiamalg", "scholaramalgamalg", "amalgimporto", "edu packscholar",
     "exportiimporto", "exportiunivamalg", "univamalgamalg", "amalgnameless",
@@ -257,6 +258,8 @@ object Tpcds {
       pick("cctry", col("id"), countriesList).as("c_birth_country"),
       (H("cbm", col("id"), 12) + 1).cast("int").as("c_birth_month"),
       (H("cby", col("id"), 60) + 1930).cast("int").as("c_birth_year"),
+      (H("cbd", col("id"), 28) + 1).cast("int").as("c_birth_day"),
+      H("clrd", col("id"), nDates).as("c_last_review_date_sk"),
       pick("csal", col("id"), Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir")).as("c_salutation"),
       concat(lit("user"), col("id"), lit("@example.com")).as("c_email_address"),
       H("cfsd", col("id"), nDates).as("c_first_sales_date_sk"),
@@ -451,7 +454,8 @@ object Tpcds {
         col("cust").as("ss_customer_sk"),
         H("sscd", col("tkt"), nCdemo).as("ss_cdemo_sk"),
         H("ssh", col("tkt"), nHdemo).as("ss_hdemo_sk"),
-        H("ssa", col("tkt"), z.addrs).as("ss_addr_sk"),
+        when(H("ssan", col("tkt"), 60) === 0, lit(null: java.lang.Long))
+          .otherwise(H("ssa", col("tkt"), z.addrs)).as("ss_addr_sk"),
         when(H("ssnn", col("tkt"), 60) === 0, lit(null: java.lang.Long))
           .otherwise(H("sss", col("tkt"), z.stores)).as("ss_store_sk"),
         when(H("sspn", col("id"), 20) === 0, lit(null: java.lang.Long))
