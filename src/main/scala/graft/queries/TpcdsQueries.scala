@@ -1774,7 +1774,268 @@ object TpcdsQueries extends QueryModule {
     ORDER BY i_manager_id, avg_monthly_sales_c, sum_sales_c
     LIMIT 100""")
 
+  // ---- Q74/Q11: web-growth > store-growth customers (yoy CTE) ---------
+  private def yoyGrowth(extra: Boolean): String = {
+    val moreCols = if (extra)
+      """c_preferred_cust_flag customer_preferred_cust_flag,
+         c_birth_country customer_birth_country,
+         c_login customer_login,
+         c_email_address customer_email_address,""" else ""
+    val moreGroup = if (extra)
+      "c_preferred_cust_flag, c_birth_country, c_login, c_email_address," else ""
+    val sel = if (extra) ", t_s_secyear.customer_preferred_cust_flag" else ""
+    val measure = if (extra)
+      "sum(CAST(round((%s_ext_list_price - %s_ext_discount_amt) * 100) AS BIGINT))"
+    else "sum(CAST(round(%s_net_paid * 100) AS BIGINT))"
+    def m(p: String) = measure.replace("%s", p)
+    s"""
+    WITH year_total AS
+      (SELECT c_customer_id customer_id,
+              c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              $moreCols
+              d_year dyear,
+              ${m("ss")} year_total,
+              's' sale_type
+       FROM customer, store_sales, date_dim
+       WHERE c_customer_sk = ss_customer_sk
+         AND ss_sold_date_sk = d_date_sk
+         AND d_year IN (2001, 2001+1)
+       GROUP BY c_customer_id, c_first_name, c_last_name, $moreGroup d_year
+       UNION ALL SELECT c_customer_id customer_id,
+              c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              $moreCols
+              d_year dyear,
+              ${m("ws")} year_total,
+              'w' sale_type
+       FROM customer, web_sales, date_dim
+       WHERE c_customer_sk = ws_bill_customer_sk
+         AND ws_sold_date_sk = d_date_sk
+         AND d_year IN (2001, 2001+1)
+       GROUP BY c_customer_id, c_first_name, c_last_name, $moreGroup d_year)
+    SELECT t_s_secyear.customer_id,
+           t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name
+           $sel
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 's'
+      AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's'
+      AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2001
+      AND t_s_secyear.dyear = 2001+1
+      AND t_w_firstyear.dyear = 2001
+      AND t_w_secyear.dyear = 2001+1
+      AND t_s_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_w_firstyear.year_total > 0
+               THEN CAST(t_w_secyear.year_total AS DOUBLE) / CAST(t_w_firstyear.year_total AS DOUBLE)
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN CAST(t_s_secyear.year_total AS DOUBLE) / CAST(t_s_firstyear.year_total AS DOUBLE)
+               ELSE NULL END
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
+    LIMIT 100"""
+  }
+
+  private val q74 = q(yoyGrowth(extra = false), headline = true)
+  private val q11 = q(yoyGrowth(extra = true))
+
+  // ---- Q10/Q35/Q69: demographics of multi-channel shoppers ------------
+  private val q10 = q("""
+    SELECT cd_gender, cd_marital_status, cd_education_status, count(*) cnt1,
+           cd_purchase_estimate, count(*) cnt2, cd_credit_rating, count(*) cnt3,
+           cd_dep_count, count(*) cnt4, cd_dep_employed_count, count(*) cnt5,
+           cd_dep_college_count, count(*) cnt6
+    FROM customer c, customer_address ca, customer_demographics
+    WHERE c.c_current_addr_sk = ca.ca_address_sk
+      AND ca_county IN ('Rush County', 'Toole County', 'Jefferson County',
+                        'Dona Ana County', 'La Porte County')
+      AND cd_demo_sk = c.c_current_cdemo_sk
+      AND EXISTS
+        (SELECT * FROM store_sales, date_dim
+         WHERE c.c_customer_sk = ss_customer_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 2002 AND d_moy BETWEEN 1 AND 1+3)
+      AND (EXISTS
+             (SELECT * FROM web_sales, date_dim
+              WHERE c.c_customer_sk = ws_bill_customer_sk
+                AND ws_sold_date_sk = d_date_sk
+                AND d_year = 2002 AND d_moy BETWEEN 1 AND 1+3)
+           OR EXISTS
+             (SELECT * FROM catalog_sales, date_dim
+              WHERE c.c_customer_sk = cs_ship_customer_sk
+                AND cs_sold_date_sk = d_date_sk
+                AND d_year = 2002 AND d_moy BETWEEN 1 AND 1+3))
+    GROUP BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    ORDER BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    LIMIT 100""")
+
+  private val q35 = q("""
+    SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+           count(*) cnt1,
+           min(cd_dep_count) min1, max(cd_dep_count) max1,
+           round(avg(cd_dep_count), 6) avg1,
+           cd_dep_employed_count, count(*) cnt2,
+           min(cd_dep_employed_count) min2, max(cd_dep_employed_count) max2,
+           round(avg(cd_dep_employed_count), 6) avg2,
+           cd_dep_college_count, count(*) cnt3,
+           min(cd_dep_college_count) min3, max(cd_dep_college_count) max3,
+           round(avg(cd_dep_college_count), 6) avg3
+    FROM customer c, customer_address ca, customer_demographics
+    WHERE c.c_current_addr_sk = ca.ca_address_sk
+      AND cd_demo_sk = c.c_current_cdemo_sk
+      AND EXISTS
+        (SELECT * FROM store_sales, date_dim
+         WHERE c.c_customer_sk = ss_customer_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 2002 AND d_qoy < 4)
+      AND (EXISTS
+             (SELECT * FROM web_sales, date_dim
+              WHERE c.c_customer_sk = ws_bill_customer_sk
+                AND ws_sold_date_sk = d_date_sk
+                AND d_year = 2002 AND d_qoy < 4)
+           OR EXISTS
+             (SELECT * FROM catalog_sales, date_dim
+              WHERE c.c_customer_sk = cs_ship_customer_sk
+                AND cs_sold_date_sk = d_date_sk
+                AND d_year = 2002 AND d_qoy < 4))
+    GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    ORDER BY ca_state NULLS FIRST, cd_gender NULLS FIRST,
+             cd_marital_status NULLS FIRST, cd_dep_count NULLS FIRST,
+             cd_dep_employed_count NULLS FIRST, cd_dep_college_count NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  private val q69 = q("""
+    SELECT cd_gender, cd_marital_status, cd_education_status, count(*) cnt1,
+           cd_purchase_estimate, count(*) cnt2, cd_credit_rating, count(*) cnt3
+    FROM customer c, customer_address ca, customer_demographics
+    WHERE c.c_current_addr_sk = ca.ca_address_sk
+      AND ca_state IN ('KY', 'GA', 'NM')
+      AND cd_demo_sk = c.c_current_cdemo_sk
+      AND EXISTS
+        (SELECT * FROM store_sales, date_dim
+         WHERE c.c_customer_sk = ss_customer_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 2001 AND d_moy BETWEEN 4 AND 4+2)
+      AND (NOT EXISTS
+             (SELECT * FROM web_sales, date_dim
+              WHERE c.c_customer_sk = ws_bill_customer_sk
+                AND ws_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 4 AND 4+2)
+           AND NOT EXISTS
+             (SELECT * FROM catalog_sales, date_dim
+              WHERE c.c_customer_sk = cs_ship_customer_sk
+                AND cs_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 4 AND 4+2))
+    GROUP BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating
+    ORDER BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating
+    LIMIT 100""")
+
+  // ---- Q17: quantity statistics across the return path ----------------
+  private val q17 = q("""
+    SELECT i_item_id,
+           i_item_desc,
+           s_state,
+           count(ss_quantity) AS store_sales_quantitycount,
+           round(avg(ss_quantity), 6) AS store_sales_quantityave,
+           round(stddev_samp(ss_quantity), 4) AS store_sales_quantitystdev,
+           round(stddev_samp(ss_quantity) / avg(ss_quantity), 4) AS store_sales_quantitycov,
+           count(sr_return_quantity) AS store_returns_quantitycount,
+           round(avg(sr_return_quantity), 6) AS store_returns_quantityave,
+           round(stddev_samp(sr_return_quantity), 4) AS store_returns_quantitystdev,
+           round(stddev_samp(sr_return_quantity) / avg(sr_return_quantity), 4) AS store_returns_quantitycov,
+           count(cs_quantity) AS catalog_sales_quantitycount,
+           round(avg(cs_quantity), 6) AS catalog_sales_quantityave,
+           round(stddev_samp(cs_quantity), 4) AS catalog_sales_quantitystdev,
+           round(stddev_samp(cs_quantity) / avg(cs_quantity), 4) AS catalog_sales_quantitycov
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE d1.d_quarter_name = '2001Q1'
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+    GROUP BY i_item_id, i_item_desc, s_state
+    ORDER BY i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_state NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q31: counties where web growth outpaces store growth -----------
+  private val q31 = q("""
+    WITH ss AS
+      (SELECT ca_county, d_qoy, d_year,
+              sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS store_sales
+       FROM store_sales, date_dim, customer_address
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_addr_sk = ca_address_sk
+       GROUP BY ca_county, d_qoy, d_year),
+         ws AS
+      (SELECT ca_county, d_qoy, d_year,
+              sum(CAST(round(ws_ext_sales_price * 100) AS BIGINT)) AS web_sales
+       FROM web_sales, date_dim, customer_address
+       WHERE ws_sold_date_sk = d_date_sk
+         AND ws_bill_addr_sk = ca_address_sk
+       GROUP BY ca_county, d_qoy, d_year)
+    SELECT ss1.ca_county,
+           ss1.d_year,
+           round(CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE), 6) web_q1_q2_increase,
+           round(CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE), 6) store_q1_q2_increase,
+           round(CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE), 6) web_q2_q3_increase,
+           round(CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE), 6) store_q2_q3_increase
+    FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+    WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+      AND ss1.ca_county = ss2.ca_county
+      AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+      AND ss2.ca_county = ss3.ca_county
+      AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+      AND ss1.ca_county = ws1.ca_county
+      AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+      AND ws1.ca_county = ws2.ca_county
+      AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+      AND ws1.ca_county = ws3.ca_county
+      AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+      AND CASE WHEN ws1.web_sales > 0
+               THEN CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE)
+               ELSE NULL END
+        > CASE WHEN ss1.store_sales > 0
+               THEN CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE)
+               ELSE NULL END
+      AND CASE WHEN ws2.web_sales > 0
+               THEN CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE)
+               ELSE NULL END
+        > CASE WHEN ss2.store_sales > 0
+               THEN CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE)
+               ELSE NULL END
+    ORDER BY ss1.ca_county""")
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q10" -> q10,
+    "tpcds_q11" -> q11,
+    "tpcds_q17" -> q17,
+    "tpcds_q31" -> q31,
+    "tpcds_q35" -> q35,
+    "tpcds_q69" -> q69,
+    "tpcds_q74" -> q74,
     "tpcds_q22" -> q22,
     "tpcds_q28" -> q28,
     "tpcds_q30" -> q30,
