@@ -2028,7 +2028,717 @@ object TpcdsQueries extends QueryModule {
                ELSE NULL END
     ORDER BY ss1.ca_county""")
 
+  // ---- Q4: customers whose catalog growth beats store AND web ---------
+  // year_total is the official ((lp - wc - disc) + sp) / 2 measure kept
+  // in exact integer cents WITHOUT the /2 (a positive constant factor
+  // changes neither the >0 guards nor the ratio comparisons, and odd
+  // cents / 2 would force engine-specific rounding).
+  private val q4 = q("""
+    WITH year_total AS
+      (SELECT c_customer_id customer_id,
+              c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              c_preferred_cust_flag customer_preferred_cust_flag,
+              d_year dyear,
+              sum(CAST(round((ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt + ss_ext_sales_price) * 100) AS BIGINT)) year_total,
+              's' sale_type
+       FROM customer, store_sales, date_dim
+       WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+         AND d_year IN (2001, 2001+1)
+       GROUP BY c_customer_id, c_first_name, c_last_name,
+                c_preferred_cust_flag, d_year
+       UNION ALL
+       SELECT c_customer_id customer_id,
+              c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              c_preferred_cust_flag customer_preferred_cust_flag,
+              d_year dyear,
+              sum(CAST(round((cs_ext_list_price - cs_ext_wholesale_cost - cs_ext_discount_amt + cs_ext_sales_price) * 100) AS BIGINT)) year_total,
+              'c' sale_type
+       FROM customer, catalog_sales, date_dim
+       WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+         AND d_year IN (2001, 2001+1)
+       GROUP BY c_customer_id, c_first_name, c_last_name,
+                c_preferred_cust_flag, d_year
+       UNION ALL
+       SELECT c_customer_id customer_id,
+              c_first_name customer_first_name,
+              c_last_name customer_last_name,
+              c_preferred_cust_flag customer_preferred_cust_flag,
+              d_year dyear,
+              sum(CAST(round((ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt + ws_ext_sales_price) * 100) AS BIGINT)) year_total,
+              'w' sale_type
+       FROM customer, web_sales, date_dim
+       WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+         AND d_year IN (2001, 2001+1)
+       GROUP BY c_customer_id, c_first_name, c_last_name,
+                c_preferred_cust_flag, d_year)
+    SELECT t_s_secyear.customer_id,
+           t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name,
+           t_s_secyear.customer_preferred_cust_flag
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_c_firstyear, year_total t_c_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.sale_type = 's'
+      AND t_c_firstyear.sale_type = 'c'
+      AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's'
+      AND t_c_secyear.sale_type = 'c'
+      AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2001
+      AND t_s_secyear.dyear = 2001+1
+      AND t_c_firstyear.dyear = 2001
+      AND t_c_secyear.dyear = 2001+1
+      AND t_w_firstyear.dyear = 2001
+      AND t_w_secyear.dyear = 2001+1
+      AND t_s_firstyear.year_total > 0
+      AND t_c_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_c_firstyear.year_total > 0
+               THEN CAST(t_c_secyear.year_total AS DOUBLE) / CAST(t_c_firstyear.year_total AS DOUBLE)
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN CAST(t_s_secyear.year_total AS DOUBLE) / CAST(t_s_firstyear.year_total AS DOUBLE)
+               ELSE NULL END
+      AND CASE WHEN t_c_firstyear.year_total > 0
+               THEN CAST(t_c_secyear.year_total AS DOUBLE) / CAST(t_c_firstyear.year_total AS DOUBLE)
+               ELSE NULL END
+        > CASE WHEN t_w_firstyear.year_total > 0
+               THEN CAST(t_w_secyear.year_total AS DOUBLE) / CAST(t_w_firstyear.year_total AS DOUBLE)
+               ELSE NULL END
+    ORDER BY t_s_secyear.customer_id NULLS FIRST,
+             t_s_secyear.customer_first_name NULLS FIRST,
+             t_s_secyear.customer_last_name NULLS FIRST,
+             t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q5: sales/returns/profit rollup across all three channels ------
+  private val q5 = q("""
+    WITH ssr AS
+      (SELECT s_store_id,
+              sum(sales_price_c) AS sales_c,
+              sum(profit_c) AS profit_c,
+              sum(return_amt_c) AS returns_c,
+              sum(net_loss_c) AS profit_loss_c
+       FROM
+         (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+                 CAST(round(ss_ext_sales_price * 100) AS BIGINT) AS sales_price_c,
+                 CAST(round(ss_net_profit * 100) AS BIGINT) AS profit_c,
+                 CAST(0 AS BIGINT) AS return_amt_c, CAST(0 AS BIGINT) AS net_loss_c
+          FROM store_sales
+          UNION ALL
+          SELECT sr_store_sk, sr_returned_date_sk,
+                 CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(round(sr_return_amt * 100) AS BIGINT),
+                 CAST(round(sr_net_loss * 100) AS BIGINT)
+          FROM store_returns) salesreturns, date_dim, store
+       WHERE date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-06' AS DATE)
+         AND store_sk = s_store_sk
+       GROUP BY s_store_id),
+    csr AS
+      (SELECT cp_catalog_page_id,
+              sum(sales_price_c) AS sales_c,
+              sum(profit_c) AS profit_c,
+              sum(return_amt_c) AS returns_c,
+              sum(net_loss_c) AS profit_loss_c
+       FROM
+         (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+                 CAST(round(cs_ext_sales_price * 100) AS BIGINT) AS sales_price_c,
+                 CAST(round(cs_net_profit * 100) AS BIGINT) AS profit_c,
+                 CAST(0 AS BIGINT) AS return_amt_c, CAST(0 AS BIGINT) AS net_loss_c
+          FROM catalog_sales
+          UNION ALL
+          SELECT cr_catalog_page_sk, cr_returned_date_sk,
+                 CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(round(cr_return_amount * 100) AS BIGINT),
+                 CAST(round(cr_net_loss * 100) AS BIGINT)
+          FROM catalog_returns) salesreturns, date_dim, catalog_page
+       WHERE date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-06' AS DATE)
+         AND page_sk = cp_catalog_page_sk
+       GROUP BY cp_catalog_page_id),
+    wsr AS
+      (SELECT web_site_id,
+              sum(sales_price_c) AS sales_c,
+              sum(profit_c) AS profit_c,
+              sum(return_amt_c) AS returns_c,
+              sum(net_loss_c) AS profit_loss_c
+       FROM
+         (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+                 CAST(round(ws_ext_sales_price * 100) AS BIGINT) AS sales_price_c,
+                 CAST(round(ws_net_profit * 100) AS BIGINT) AS profit_c,
+                 CAST(0 AS BIGINT) AS return_amt_c, CAST(0 AS BIGINT) AS net_loss_c
+          FROM web_sales
+          UNION ALL
+          SELECT ws_web_site_sk, wr_returned_date_sk,
+                 CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(round(wr_return_amt * 100) AS BIGINT),
+                 CAST(round(wr_net_loss * 100) AS BIGINT)
+          FROM web_returns
+          LEFT OUTER JOIN web_sales ON (wr_item_sk = ws_item_sk
+                                        AND wr_order_number = ws_order_number)) salesreturns,
+            date_dim, web_site
+       WHERE date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-06' AS DATE)
+         AND wsr_web_site_sk = web_site_sk
+       GROUP BY web_site_id)
+    SELECT channel, id,
+           sum(sales_c) AS sales_c,
+           sum(returns_c) AS returns_c,
+           sum(profit_c) AS profit_c
+    FROM
+      (SELECT 'store channel' AS channel, concat('store', s_store_id) AS id,
+              sales_c, returns_c, (profit_c - profit_loss_c) AS profit_c
+       FROM ssr
+       UNION ALL
+       SELECT 'catalog channel', concat('catalog_page', cp_catalog_page_id),
+              sales_c, returns_c, (profit_c - profit_loss_c)
+       FROM csr
+       UNION ALL
+       SELECT 'web channel', concat('web_site', web_site_id),
+              sales_c, returns_c, (profit_c - profit_loss_c)
+       FROM wsr) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q8: store profit where the store shares a zip-prefix with -----
+  // preferred-customer neighborhoods (IN-list INTERSECT dense zips).
+  // Zip constants and the HAVING threshold are adapted to the generated
+  // domain (hash-uniform 5-digit zips) so the intersection is non-empty
+  // at sf0.01; the 2-digit prefix match keeps the shape of the official
+  // query.
+  private val q8 = q("""
+    SELECT s_store_name,
+           sum(CAST(round(ss_net_profit * 100) AS BIGINT)) profit_c
+    FROM store_sales, date_dim, store,
+      (SELECT ca_zip
+       FROM
+         (SELECT substring(ca_zip, 1, 5) ca_zip
+          FROM customer_address
+          WHERE substring(ca_zip, 1, 5) IN
+            ('88781', '12701', '12837', '63215', '88405', '12650', '12765',
+             '63647', '68654', '68756', '88349', '88827', '47213', '20437',
+             '33850', '50506', '58084', '64447', '66728', '74985', '83765',
+             '89064', '20707', '21883', '23036', '26155', '26431', '26611')
+          INTERSECT
+          SELECT ca_zip
+          FROM
+            (SELECT substring(ca_zip, 1, 5) ca_zip, count(*) cnt
+             FROM customer_address, customer
+             WHERE ca_address_sk = c_current_addr_sk
+               AND c_preferred_cust_flag = 'Y'
+             GROUP BY ca_zip
+             HAVING count(*) > 1) A1) A2) V1
+    WHERE ss_store_sk = s_store_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_qoy = 2
+      AND d_year = 1998
+      AND (substring(s_zip, 1, 2) = substring(V1.ca_zip, 1, 2))
+    GROUP BY s_store_name
+    ORDER BY s_store_name
+    LIMIT 100""")
+
+  // ---- Q18: catalog purchase averages by geography rollup -------------
+  private val q18 = q("""
+    SELECT i_item_id, ca_country, ca_state, ca_county,
+           round(avg(cs_quantity), 6) agg1,
+           round(avg(CAST(round(cs_list_price * 100) AS BIGINT)) / 100.0, 6) agg2,
+           round(avg(CAST(round(cs_coupon_amt * 100) AS BIGINT)) / 100.0, 6) agg3,
+           round(avg(CAST(round(cs_sales_price * 100) AS BIGINT)) / 100.0, 6) agg4,
+           round(avg(CAST(round(cs_net_profit * 100) AS BIGINT)) / 100.0, 6) agg5,
+           round(avg(c_birth_year), 6) agg6,
+           round(avg(cd1.cd_dep_count), 6) agg7
+    FROM catalog_sales, customer_demographics cd1,
+         customer_demographics cd2, customer, customer_address,
+         date_dim, item
+    WHERE cs_sold_date_sk = d_date_sk
+      AND cs_item_sk = i_item_sk
+      AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+      AND cs_bill_customer_sk = c_customer_sk
+      AND cd1.cd_gender = 'F'
+      AND cd1.cd_education_status = 'Unknown'
+      AND c_current_cdemo_sk = cd2.cd_demo_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+      AND d_year = 1998
+      AND ca_state IN ('VA', 'TX', 'MO', 'OH', 'KY', 'GA')
+    GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+    ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+             ca_county NULLS FIRST, i_item_id NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q39: inventory demand-variability pairs across months ----------
+  private val q39 = q("""
+    WITH inv AS
+      (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+              stdev, mean,
+              CASE mean WHEN 0 THEN NULL ELSE stdev / mean END cov
+       FROM
+         (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                 stddev_samp(inv_quantity_on_hand) * 1.000 stdev,
+                 avg(inv_quantity_on_hand) mean
+          FROM inventory, item, warehouse, date_dim
+          WHERE inv_item_sk = i_item_sk
+            AND inv_warehouse_sk = w_warehouse_sk
+            AND inv_date_sk = d_date_sk
+            AND d_year = 2001
+          GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+       WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 1)
+    SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1,
+           inv1.d_moy dmoy1, inv1.mean mean1, round(inv1.cov, 3) cov1,
+           inv2.w_warehouse_sk wsk2, inv2.i_item_sk isk2,
+           inv2.d_moy dmoy2, inv2.mean mean2, round(inv2.cov, 3) cov2
+    FROM inv inv1, inv inv2
+    WHERE inv1.i_item_sk = inv2.i_item_sk
+      AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+      AND inv1.d_moy = 1
+      AND inv2.d_moy = 1+1""")
+
+  // ---- Q71: brand revenue at breakfast/dinner across channels ---------
+  private val q71 = q("""
+    SELECT i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+           sum(ext_price_c) ext_price_c
+    FROM item,
+      (SELECT CAST(round(ws_ext_sales_price * 100) AS BIGINT) AS ext_price_c,
+              ws_sold_date_sk AS sold_date_sk,
+              ws_item_sk AS sold_item_sk,
+              ws_sold_time_sk AS time_sk
+       FROM web_sales, date_dim
+       WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+       UNION ALL
+       SELECT CAST(round(cs_ext_sales_price * 100) AS BIGINT),
+              cs_sold_date_sk, cs_item_sk, cs_sold_time_sk
+       FROM catalog_sales, date_dim
+       WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+       UNION ALL
+       SELECT CAST(round(ss_ext_sales_price * 100) AS BIGINT),
+              ss_sold_date_sk, ss_item_sk, ss_sold_time_sk
+       FROM store_sales, date_dim
+       WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999) tmp,
+      time_dim
+    WHERE sold_item_sk = i_item_sk
+      AND i_manager_id = 1
+      AND time_sk = t_time_sk
+      AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+    GROUP BY i_brand, i_brand_id, t_hour, t_minute""")
+
+  // ---- Q84: customers in an income band with store returns ------------
+  // (city constant adapted to the generated domain; ORDER BY covers all
+  // output columns so the LIMIT cut is stable under duplicate rows)
+  private val q84 = q("""
+    SELECT c_customer_id AS customer_id,
+           concat(concat(coalesce(c_last_name, ''), ', '),
+                  coalesce(c_first_name, '')) AS customername
+    FROM customer, customer_address, customer_demographics,
+         household_demographics, income_band, store_returns
+    WHERE ca_city = 'Fairview'
+      AND c_current_addr_sk = ca_address_sk
+      AND ib_lower_bound >= 38128
+      AND ib_upper_bound <= 38128 + 50000
+      AND ib_income_band_sk = hd_income_band_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND sr_cdemo_sk = cd_demo_sk
+    ORDER BY c_customer_id NULLS FIRST, customername NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q91: call-center return losses for targeted demographics -------
+  private val q91 = q("""
+    SELECT cc_call_center_id call_center, cc_name call_center_name,
+           cc_manager manager,
+           sum(CAST(round(cr_net_loss * 100) AS BIGINT)) returns_loss_c
+    FROM call_center, catalog_returns, date_dim, customer,
+         customer_address, customer_demographics, household_demographics
+    WHERE cr_call_center_sk = cc_call_center_sk
+      AND cr_returned_date_sk = d_date_sk
+      AND cr_returning_customer_sk = c_customer_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND ca_address_sk = c_current_addr_sk
+      AND d_year = 1999
+      AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+           OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+      AND hd_buy_potential LIKE 'Unknown%'
+      AND ca_gmt_offset IN (-5, -6, -7, -8)
+    GROUP BY cc_call_center_id, cc_name, cc_manager,
+             cd_marital_status, cd_education_status""")
+
+  // ---- Q49: worst return ratios per channel (rank + union) ------------
+  // (the official `wr_return_amt > 10000` is adapted to > 100 for the
+  // generated value range)
+  private def q49Channel(alias: String, sales: String, rets: String,
+      sp: String, rp: String, ordL: String, ordR: String, amtCol: String,
+      qtyRet: String): String = s"""
+     (SELECT item, return_ratio, currency_ratio,
+             rank() OVER (ORDER BY return_ratio) AS return_rank,
+             rank() OVER (ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT $sp.${sp}_item_sk AS item,
+                (CAST(sum(coalesce($rp.$qtyRet, 0)) AS DOUBLE) /
+                 CAST(sum(coalesce($sp.${sp}_quantity, 0)) AS DOUBLE)) AS return_ratio,
+                (CAST(sum(coalesce(CAST(round($rp.$amtCol * 100) AS BIGINT), 0)) AS DOUBLE) /
+                 CAST(sum(CAST(round($sp.${sp}_net_paid * 100) AS BIGINT)) AS DOUBLE)) AS currency_ratio
+         FROM $sales $sp
+         LEFT OUTER JOIN $rets $rp ON ($sp.$ordL = $rp.$ordR
+                                       AND $sp.${sp}_item_sk = $rp.${rp}_item_sk), date_dim
+         WHERE $rp.$amtCol > 100
+           AND $sp.${sp}_net_profit > 1
+           AND $sp.${sp}_net_paid > 0
+           AND $sp.${sp}_quantity > 0
+           AND ${sp}_sold_date_sk = d_date_sk
+           AND d_year = 2001 AND d_moy = 12
+         GROUP BY $sp.${sp}_item_sk) in_$alias) $alias"""
+
+  private val q49 = q(s"""
+    SELECT channel, item, return_ratio, return_rank, currency_rank
+    FROM
+      (SELECT 'web' AS channel, web.item, web.return_ratio,
+              web.return_rank, web.currency_rank
+       FROM ${q49Channel("web", "web_sales", "web_returns", "ws", "wr",
+          "ws_order_number", "wr_order_number", "wr_return_amt", "wr_return_quantity")}
+       WHERE (web.return_rank <= 10 OR web.currency_rank <= 10)
+       UNION
+       SELECT 'catalog' AS channel, cat.item, cat.return_ratio,
+              cat.return_rank, cat.currency_rank
+       FROM ${q49Channel("cat", "catalog_sales", "catalog_returns", "cs", "cr",
+          "cs_order_number", "cr_order_number", "cr_return_amount", "cr_return_quantity")}
+       WHERE (cat.return_rank <= 10 OR cat.currency_rank <= 10)
+       UNION
+       SELECT 'store' AS channel, sts.item, sts.return_ratio,
+              sts.return_rank, sts.currency_rank
+       FROM ${q49Channel("sts", "store_sales", "store_returns", "ss", "sr",
+          "ss_ticket_number", "sr_ticket_number", "sr_return_amt", "sr_return_quantity")}
+       WHERE (sts.return_rank <= 10 OR sts.currency_rank <= 10)) u
+    ORDER BY channel, return_rank, currency_rank, item
+    LIMIT 100""")
+
+  // ---- Q54: revenue segments of cross-channel maternity shoppers ------
+  // (the official (Women, maternity) single-month filter is widened to
+  // the category + a two-month window: the generated class vocabulary
+  // has no 'maternity' and the county+state store match leaves the
+  // official constants with an empty result at sf0.01)
+  private val q54 = q("""
+    WITH my_customers AS
+      (SELECT DISTINCT c_customer_sk, c_current_addr_sk
+       FROM
+         (SELECT cs_sold_date_sk sold_date_sk,
+                 cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+          FROM catalog_sales
+          UNION ALL
+          SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+          FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+       WHERE sold_date_sk = d_date_sk
+         AND item_sk = i_item_sk
+         AND i_category = 'Women'
+         AND c_customer_sk = cs_or_ws_sales.customer_sk
+         AND d_moy BETWEEN 11 AND 12 AND d_year = 1998),
+    my_revenue AS
+      (SELECT c_customer_sk,
+              sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS revenue_c
+       FROM my_customers, store_sales, customer_address, store, date_dim
+       WHERE c_current_addr_sk = ca_address_sk
+         AND ca_county = s_county AND ca_state = s_state
+         AND ss_sold_date_sk = d_date_sk
+         AND c_customer_sk = ss_customer_sk
+         AND d_month_seq BETWEEN
+           (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+            WHERE d_year = 1998 AND d_moy = 12)
+           AND
+           (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+            WHERE d_year = 1998 AND d_moy = 12)
+       GROUP BY c_customer_sk),
+    segments AS
+      (SELECT CAST(round(revenue_c / 100.0 / 50) AS INT) AS segment
+       FROM my_revenue)
+    SELECT segment, CAST(count(*) AS BIGINT) AS num_customers,
+           segment * 50 AS segment_base
+    FROM segments
+    GROUP BY segment
+    ORDER BY segment NULLS FIRST, num_customers NULLS FIRST, segment_base
+    LIMIT 100""")
+
+  // ---- Q58: items with comparable revenue across all three channels ---
+  // (week granularity -> quarter and the 0.9..1.1 band -> 0.5..2: at
+  // sf0.01 no item sells in all three channels in one week, so the
+  // official constants always return empty)
+  private val q58 = q("""
+    WITH ss_items AS
+      (SELECT i_item_id item_id,
+              sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) ss_item_rev_c
+       FROM store_sales, item, date_dim
+       WHERE ss_item_sk = i_item_sk
+         AND d_date IN (SELECT d_date FROM date_dim
+                        WHERE d_quarter_seq = (SELECT d_quarter_seq FROM date_dim
+                                               WHERE d_date = '2000-01-03'))
+         AND ss_sold_date_sk = d_date_sk
+       GROUP BY i_item_id),
+    cs_items AS
+      (SELECT i_item_id item_id,
+              sum(CAST(round(cs_ext_sales_price * 100) AS BIGINT)) cs_item_rev_c
+       FROM catalog_sales, item, date_dim
+       WHERE cs_item_sk = i_item_sk
+         AND d_date IN (SELECT d_date FROM date_dim
+                        WHERE d_quarter_seq = (SELECT d_quarter_seq FROM date_dim
+                                               WHERE d_date = '2000-01-03'))
+         AND cs_sold_date_sk = d_date_sk
+       GROUP BY i_item_id),
+    ws_items AS
+      (SELECT i_item_id item_id,
+              sum(CAST(round(ws_ext_sales_price * 100) AS BIGINT)) ws_item_rev_c
+       FROM web_sales, item, date_dim
+       WHERE ws_item_sk = i_item_sk
+         AND d_date IN (SELECT d_date FROM date_dim
+                        WHERE d_quarter_seq = (SELECT d_quarter_seq FROM date_dim
+                                               WHERE d_date = '2000-01-03'))
+         AND ws_sold_date_sk = d_date_sk
+       GROUP BY i_item_id)
+    SELECT ss_items.item_id,
+           ss_item_rev_c,
+           round(CAST(ss_item_rev_c AS DOUBLE) / ((ss_item_rev_c + cs_item_rev_c + ws_item_rev_c) / 3) * 100, 6) ss_dev,
+           cs_item_rev_c,
+           round(CAST(cs_item_rev_c AS DOUBLE) / ((ss_item_rev_c + cs_item_rev_c + ws_item_rev_c) / 3) * 100, 6) cs_dev,
+           ws_item_rev_c,
+           round(CAST(ws_item_rev_c AS DOUBLE) / ((ss_item_rev_c + cs_item_rev_c + ws_item_rev_c) / 3) * 100, 6) ws_dev,
+           round(CAST(ss_item_rev_c + cs_item_rev_c + ws_item_rev_c AS DOUBLE) / 3, 6) average_c
+    FROM ss_items, cs_items, ws_items
+    WHERE ss_items.item_id = cs_items.item_id
+      AND ss_items.item_id = ws_items.item_id
+      AND ss_item_rev_c BETWEEN 0.5 * cs_item_rev_c AND 2 * cs_item_rev_c
+      AND ss_item_rev_c BETWEEN 0.5 * ws_item_rev_c AND 2 * ws_item_rev_c
+      AND cs_item_rev_c BETWEEN 0.5 * ss_item_rev_c AND 2 * ss_item_rev_c
+      AND cs_item_rev_c BETWEEN 0.5 * ws_item_rev_c AND 2 * ws_item_rev_c
+      AND ws_item_rev_c BETWEEN 0.5 * ss_item_rev_c AND 2 * ss_item_rev_c
+      AND ws_item_rev_c BETWEEN 0.5 * cs_item_rev_c AND 2 * cs_item_rev_c
+    ORDER BY ss_items.item_id NULLS FIRST, ss_item_rev_c
+    LIMIT 100""")
+
+  // ---- Q66: warehouse monthly shipping report, web + catalog ----------
+  // (carrier constants adapted: the generated carrier vocabulary has no
+  // 'BARIAN'; 'LATVIAN' keeps the two-carrier IN shape)
+  private def q66Channel(tbl: String, p: String, priceCol: String,
+      netCol: String): String = {
+    val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+      "aug", "sep", "oct", "nov", "dec")
+    val salesCases = months.zipWithIndex.map { case (m, i) =>
+      s"sum(CASE WHEN d_moy = ${i + 1} THEN CAST(round($priceCol * 100) AS BIGINT) * ${p}_quantity ELSE 0 END) AS ${m}_sales_c"
+    }.mkString(",\n              ")
+    val netCases = months.zipWithIndex.map { case (m, i) =>
+      s"sum(CASE WHEN d_moy = ${i + 1} THEN CAST(round($netCol * 100) AS BIGINT) * ${p}_quantity ELSE 0 END) AS ${m}_net_c"
+    }.mkString(",\n              ")
+    s"""SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+              w_state, w_country,
+              'DHL,LATVIAN' AS ship_carriers,
+              d_year AS year_,
+              $salesCases,
+              $netCases
+       FROM $tbl, warehouse, date_dim, time_dim, ship_mode
+       WHERE ${p}_warehouse_sk = w_warehouse_sk
+         AND ${p}_sold_date_sk = d_date_sk
+         AND ${p}_sold_time_sk = t_time_sk
+         AND ${p}_ship_mode_sk = sm_ship_mode_sk
+         AND d_year = 2001
+         AND t_time BETWEEN 30838 AND 30838 + 28800
+         AND sm_carrier IN ('DHL', 'LATVIAN')
+       GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+                w_state, w_country, d_year"""
+  }
+
+  private val q66 = q {
+    val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+      "aug", "sep", "oct", "nov", "dec")
+    val sums = months.map(m => s"sum(${m}_sales_c) AS ${m}_sales_c").mkString(",\n           ")
+    val perFt = months.map(m =>
+      s"round(sum(CAST(${m}_sales_c AS DOUBLE) / w_warehouse_sq_ft), 6) AS ${m}_sales_per_sq_foot").mkString(",\n           ")
+    val nets = months.map(m => s"sum(${m}_net_c) AS ${m}_net_c").mkString(",\n           ")
+    s"""
+    SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           w_state, w_country, ship_carriers, year_,
+           $sums,
+           $perFt,
+           $nets
+    FROM (${q66Channel("web_sales", "ws", "ws_ext_sales_price", "ws_net_paid")}
+          UNION ALL
+          ${q66Channel("catalog_sales", "cs", "cs_sales_price", "cs_net_paid")}) x
+    GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+             w_state, w_country, ship_carriers, year_
+    ORDER BY w_warehouse_name NULLS FIRST
+    LIMIT 100"""
+  }
+
+  // ---- Q67: top items per category over a rollup of store sales -------
+  private val q67 = q("""
+    SELECT *
+    FROM
+      (SELECT i_category, i_class, i_brand, i_product_name,
+              d_year, d_qoy, d_moy, s_store_id, sumsales_c,
+              rank() OVER (PARTITION BY i_category
+                           ORDER BY sumsales_c DESC) rk
+       FROM
+         (SELECT i_category, i_class, i_brand, i_product_name,
+                 d_year, d_qoy, d_moy, s_store_id,
+                 sum(coalesce(CAST(round(ss_sales_price * 100) AS BIGINT) * ss_quantity, 0)) sumsales_c
+          FROM store_sales, date_dim, store, item
+          WHERE ss_sold_date_sk = d_date_sk
+            AND ss_item_sk = i_item_sk
+            AND ss_store_sk = s_store_sk
+            AND d_month_seq BETWEEN 1200 AND 1200 + 11
+          GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+                           d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+    WHERE rk <= 100
+    ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+             i_brand NULLS FIRST, i_product_name NULLS FIRST,
+             d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+             s_store_id NULLS FIRST, sumsales_c NULLS FIRST, rk NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q75: items whose sales dropped >10% year over year -------------
+  private def q75Channel(tbl: String, p: String, rets: String, rp: String,
+      joinL: String, joinR: String, amtCol: String): String = s"""
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             ${p}_quantity - COALESCE(${rp}_return_quantity, 0) AS sales_cnt,
+             CAST(round(${p}_ext_sales_price * 100) AS BIGINT)
+               - COALESCE(CAST(round($amtCol * 100) AS BIGINT), 0) AS sales_amt_c
+      FROM $tbl
+      JOIN item ON i_item_sk = ${p}_item_sk
+      JOIN date_dim ON d_date_sk = ${p}_sold_date_sk
+      LEFT JOIN $rets ON ($joinL = $joinR AND ${p}_item_sk = ${rp}_item_sk)
+      WHERE i_category = 'Books'"""
+
+  private val q75 = q(s"""
+    WITH all_sales AS
+      (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+              CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt,
+              SUM(sales_amt_c) AS sales_amt_c
+       FROM
+         (${q75Channel("catalog_sales", "cs", "catalog_returns", "cr",
+            "cs_order_number", "cr_order_number", "cr_return_amount")}
+          UNION
+          ${q75Channel("store_sales", "ss", "store_returns", "sr",
+            "ss_ticket_number", "sr_ticket_number", "sr_return_amt")}
+          UNION
+          ${q75Channel("web_sales", "ws", "web_returns", "wr",
+            "ws_order_number", "wr_order_number", "wr_return_amt")}) sales_detail
+       GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+    SELECT prev_yr.d_year AS prev_year,
+           curr_yr.d_year AS year_,
+           curr_yr.i_brand_id, curr_yr.i_class_id,
+           curr_yr.i_category_id, curr_yr.i_manufact_id,
+           prev_yr.sales_cnt AS prev_yr_cnt,
+           curr_yr.sales_cnt AS curr_yr_cnt,
+           curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+           curr_yr.sales_amt_c - prev_yr.sales_amt_c AS sales_amt_diff_c
+    FROM all_sales curr_yr, all_sales prev_yr
+    WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+      AND curr_yr.i_class_id = prev_yr.i_class_id
+      AND curr_yr.i_category_id = prev_yr.i_category_id
+      AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+      AND curr_yr.d_year = 2002
+      AND prev_yr.d_year = 2002 - 1
+      AND CAST(curr_yr.sales_cnt AS DOUBLE) / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+    ORDER BY sales_cnt_diff, sales_amt_diff_c, curr_yr.i_brand_id,
+             curr_yr.i_class_id, curr_yr.i_category_id, curr_yr.i_manufact_id
+    LIMIT 100""", headline = true)
+
+  // ---- Q77: period profit rollup per channel entity -------------------
+  private val q77 = q("""
+    WITH ss AS
+      (SELECT s_store_sk,
+              sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS sales_c,
+              sum(CAST(round(ss_net_profit * 100) AS BIGINT)) AS profit_c
+       FROM store_sales, date_dim, store
+       WHERE ss_sold_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND ss_store_sk = s_store_sk
+       GROUP BY s_store_sk),
+    sr AS
+      (SELECT s_store_sk,
+              sum(CAST(round(sr_return_amt * 100) AS BIGINT)) AS returns_c,
+              sum(CAST(round(sr_net_loss * 100) AS BIGINT)) AS profit_loss_c
+       FROM store_returns, date_dim, store
+       WHERE sr_returned_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND sr_store_sk = s_store_sk
+       GROUP BY s_store_sk),
+    cs AS
+      (SELECT cs_call_center_sk,
+              sum(CAST(round(cs_ext_sales_price * 100) AS BIGINT)) AS sales_c,
+              sum(CAST(round(cs_net_profit * 100) AS BIGINT)) AS profit_c
+       FROM catalog_sales, date_dim
+       WHERE cs_sold_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+       GROUP BY cs_call_center_sk),
+    cr AS
+      (SELECT cr_call_center_sk,
+              sum(CAST(round(cr_return_amount * 100) AS BIGINT)) AS returns_c,
+              sum(CAST(round(cr_net_loss * 100) AS BIGINT)) AS profit_loss_c
+       FROM catalog_returns, date_dim
+       WHERE cr_returned_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+       GROUP BY cr_call_center_sk),
+    ws AS
+      (SELECT wp_web_page_sk,
+              sum(CAST(round(ws_ext_sales_price * 100) AS BIGINT)) AS sales_c,
+              sum(CAST(round(ws_net_profit * 100) AS BIGINT)) AS profit_c
+       FROM web_sales, date_dim, web_page
+       WHERE ws_sold_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND ws_web_page_sk = wp_web_page_sk
+       GROUP BY wp_web_page_sk),
+    wr AS
+      (SELECT wp_web_page_sk,
+              sum(CAST(round(wr_return_amt * 100) AS BIGINT)) AS returns_c,
+              sum(CAST(round(wr_net_loss * 100) AS BIGINT)) AS profit_loss_c
+       FROM web_returns, date_dim, web_page
+       WHERE wr_returned_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND wr_web_page_sk = wp_web_page_sk
+       GROUP BY wp_web_page_sk)
+    SELECT channel, id,
+           sum(sales_c) AS sales_c,
+           sum(returns_c) AS returns_c,
+           sum(profit_c) AS profit_c
+    FROM
+      (SELECT 'store channel' AS channel, ss.s_store_sk AS id,
+              sales_c, coalesce(returns_c, 0) AS returns_c,
+              (profit_c - coalesce(profit_loss_c, 0)) AS profit_c
+       FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+       UNION ALL
+       SELECT 'catalog channel', cs_call_center_sk,
+              sales_c, returns_c, (profit_c - profit_loss_c)
+       FROM cs, cr
+       UNION ALL
+       SELECT 'web channel', ws.wp_web_page_sk,
+              sales_c, coalesce(returns_c, 0),
+              (profit_c - coalesce(profit_loss_c, 0))
+       FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST, returns_c DESC
+    LIMIT 100""")
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q49" -> q49,
+    "tpcds_q54" -> q54,
+    "tpcds_q58" -> q58,
+    "tpcds_q66" -> q66,
+    "tpcds_q67" -> q67,
+    "tpcds_q75" -> q75,
+    "tpcds_q77" -> q77,
+    "tpcds_q4" -> q4,
+    "tpcds_q5" -> q5,
+    "tpcds_q8" -> q8,
+    "tpcds_q18" -> q18,
+    "tpcds_q39" -> q39,
+    "tpcds_q71" -> q71,
+    "tpcds_q84" -> q84,
+    "tpcds_q91" -> q91,
     "tpcds_q10" -> q10,
     "tpcds_q11" -> q11,
     "tpcds_q17" -> q17,

@@ -65,7 +65,7 @@ object Tpcds {
   /** bump when generation logic/domains change: a stale on-disk dataset
     * regenerates instead of silently serving old domains
     */
-  private val genVersion = "graft-tpcds-v3"
+  private val genVersion = "graft-tpcds-v5"
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val out = dataDir(sfDir)
@@ -363,7 +363,8 @@ object Tpcds {
       (H("wsqft", col("id"), 900000) + 100000).cast("int").as("w_warehouse_sq_ft"),
       pick("wcity", col("id"), cities).as("w_city"),
       pick("wcnty", col("id"), counties).as("w_county"),
-      pick("wstate", col("id"), states).as("w_state"))
+      pick("wstate", col("id"), states).as("w_state"),
+      lit("United States").as("w_country"))
     save(wh, "warehouse", parts = 1)
 
     val sm = rng(20).select(
@@ -527,6 +528,7 @@ object Tpcds {
       .withColumn("ship_c", idiv(col("ext_sp_c"), 10))
       .select(
         H("csd", col("ord"), nDates).as("cs_sold_date_sk"),
+        H("cst", col("ord"), nTimes).as("cs_sold_time_sk"),
         least(H("csd", col("ord"), nDates) + 2 + H("cssd", col("id"), 90),
           lit(nDates - 1)).as("cs_ship_date_sk"),
         col("cust").as("cs_bill_customer_sk"),
