@@ -2723,7 +2723,304 @@ object TpcdsQueries extends QueryModule {
     ORDER BY channel NULLS FIRST, id NULLS FIRST, returns_c DESC
     LIMIT 100""")
 
+  // ---- Q72: catalog orders short on inventory at order time -----------
+  private val q72 = q("""
+    SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+           CAST(sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) no_promo,
+           CAST(sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) promo,
+           CAST(count(*) AS BIGINT) total_cnt
+    FROM catalog_sales
+    JOIN inventory ON (cs_item_sk = inv_item_sk)
+    JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+    JOIN item ON (i_item_sk = cs_item_sk)
+    JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+    JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+    JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+    JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+    JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+    LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+    LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                        AND cr_order_number = cs_order_number)
+    WHERE d1.d_week_seq = d2.d_week_seq
+      AND inv_quantity_on_hand < cs_quantity
+      AND d3.d_date > d1.d_date + 5
+      AND hd_buy_potential = '>10000'
+      AND d1.d_year = 1999
+      AND cd_marital_status = 'D'
+    GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+    ORDER BY total_cnt DESC NULLS FIRST, i_item_desc NULLS FIRST,
+             w_warehouse_name NULLS FIRST, d1.d_week_seq NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q78: store loyalty vs other channels, unreturned sales ---------
+  private val q78 = q("""
+    WITH ws AS
+      (SELECT d_year AS ws_sold_year, ws_item_sk,
+              ws_bill_customer_sk ws_customer_sk,
+              CAST(sum(ws_quantity) AS BIGINT) ws_qty,
+              sum(CAST(round(ws_wholesale_cost * 100) AS BIGINT)) ws_wc_c,
+              sum(CAST(round(ws_sales_price * 100) AS BIGINT)) ws_sp_c
+       FROM web_sales
+       LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                            AND ws_item_sk = wr_item_sk
+       JOIN date_dim ON ws_sold_date_sk = d_date_sk
+       WHERE wr_order_number IS NULL
+       GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+    cs AS
+      (SELECT d_year AS cs_sold_year, cs_item_sk,
+              cs_bill_customer_sk cs_customer_sk,
+              CAST(sum(cs_quantity) AS BIGINT) cs_qty,
+              sum(CAST(round(cs_wholesale_cost * 100) AS BIGINT)) cs_wc_c,
+              sum(CAST(round(cs_sales_price * 100) AS BIGINT)) cs_sp_c
+       FROM catalog_sales
+       LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                                AND cs_item_sk = cr_item_sk
+       JOIN date_dim ON cs_sold_date_sk = d_date_sk
+       WHERE cr_order_number IS NULL
+       GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+    ss AS
+      (SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+              CAST(sum(ss_quantity) AS BIGINT) ss_qty,
+              sum(CAST(round(ss_wholesale_cost * 100) AS BIGINT)) ss_wc_c,
+              sum(CAST(round(ss_sales_price * 100) AS BIGINT)) ss_sp_c
+       FROM store_sales
+       LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                              AND ss_item_sk = sr_item_sk
+       JOIN date_dim ON ss_sold_date_sk = d_date_sk
+       WHERE sr_ticket_number IS NULL
+       GROUP BY d_year, ss_item_sk, ss_customer_sk)
+    SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+           round(CAST(ss_qty AS DOUBLE) / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)), 2) ratio,
+           ss_qty store_qty,
+           ss_wc_c store_wholesale_cost_c,
+           ss_sp_c store_sales_price_c,
+           coalesce(ws_qty, 0) + coalesce(cs_qty, 0) other_chan_qty,
+           coalesce(ws_wc_c, 0) + coalesce(cs_wc_c, 0) other_chan_wholesale_cost_c,
+           coalesce(ws_sp_c, 0) + coalesce(cs_sp_c, 0) other_chan_sales_price_c
+    FROM ss
+    LEFT JOIN ws ON (ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+                     AND ws_customer_sk = ss_customer_sk)
+    LEFT JOIN cs ON (cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+                     AND cs_customer_sk = ss_customer_sk)
+    WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)
+      AND ss_sold_year = 2000
+    ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC,
+             ss_wc_c DESC, ss_sp_c DESC, other_chan_qty,
+             other_chan_wholesale_cost_c, other_chan_sales_price_c, ratio
+    LIMIT 100""", headline = true)
+
+  // ---- Q80: promo-filtered channel rollup of sales/returns/profit -----
+  private val q80 = q("""
+    WITH ssr AS
+      (SELECT s_store_id AS store_id,
+              sum(CAST(round(ss_ext_sales_price * 100) AS BIGINT)) AS sales_c,
+              sum(coalesce(CAST(round(sr_return_amt * 100) AS BIGINT), 0)) AS returns_c,
+              sum(CAST(round(ss_net_profit * 100) AS BIGINT)
+                  - coalesce(CAST(round(sr_net_loss * 100) AS BIGINT), 0)) AS profit_c
+       FROM store_sales
+       LEFT OUTER JOIN store_returns ON (ss_item_sk = sr_item_sk
+                                         AND ss_ticket_number = sr_ticket_number),
+            date_dim, store, item, promotion
+       WHERE ss_sold_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND ss_store_sk = s_store_sk
+         AND ss_item_sk = i_item_sk
+         AND i_current_price > 50
+         AND ss_promo_sk = p_promo_sk
+         AND p_channel_tv = 'N'
+       GROUP BY s_store_id),
+    csr AS
+      (SELECT cp_catalog_page_id AS catalog_page_id,
+              sum(CAST(round(cs_ext_sales_price * 100) AS BIGINT)) AS sales_c,
+              sum(coalesce(CAST(round(cr_return_amount * 100) AS BIGINT), 0)) AS returns_c,
+              sum(CAST(round(cs_net_profit * 100) AS BIGINT)
+                  - coalesce(CAST(round(cr_net_loss * 100) AS BIGINT), 0)) AS profit_c
+       FROM catalog_sales
+       LEFT OUTER JOIN catalog_returns ON (cs_item_sk = cr_item_sk
+                                           AND cs_order_number = cr_order_number),
+            date_dim, catalog_page, item, promotion
+       WHERE cs_sold_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND cs_catalog_page_sk = cp_catalog_page_sk
+         AND cs_item_sk = i_item_sk
+         AND i_current_price > 50
+         AND cs_promo_sk = p_promo_sk
+         AND p_channel_tv = 'N'
+       GROUP BY cp_catalog_page_id),
+    wsr AS
+      (SELECT web_site_id,
+              sum(CAST(round(ws_ext_sales_price * 100) AS BIGINT)) AS sales_c,
+              sum(coalesce(CAST(round(wr_return_amt * 100) AS BIGINT), 0)) AS returns_c,
+              sum(CAST(round(ws_net_profit * 100) AS BIGINT)
+                  - coalesce(CAST(round(wr_net_loss * 100) AS BIGINT), 0)) AS profit_c
+       FROM web_sales
+       LEFT OUTER JOIN web_returns ON (ws_item_sk = wr_item_sk
+                                       AND ws_order_number = wr_order_number),
+            date_dim, web_site, item, promotion
+       WHERE ws_sold_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+         AND ws_web_site_sk = web_site_sk
+         AND ws_item_sk = i_item_sk
+         AND i_current_price > 50
+         AND ws_promo_sk = p_promo_sk
+         AND p_channel_tv = 'N'
+       GROUP BY web_site_id)
+    SELECT channel, id,
+           sum(sales_c) AS sales_c,
+           sum(returns_c) AS returns_c,
+           sum(profit_c) AS profit_c
+    FROM
+      (SELECT 'store channel' AS channel, concat('store', store_id) AS id,
+              sales_c, returns_c, profit_c
+       FROM ssr
+       UNION ALL
+       SELECT 'catalog channel', concat('catalog_page', catalog_page_id),
+              sales_c, returns_c, profit_c
+       FROM csr
+       UNION ALL
+       SELECT 'web channel', concat('web_site', web_site_id),
+              sales_c, returns_c, profit_c
+       FROM wsr) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q81: customers returning far above their state's average -------
+  private val q81 = q("""
+    WITH customer_total_return AS
+      (SELECT cr_returning_customer_sk AS ctr_customer_sk,
+              ca_state AS ctr_state,
+              sum(CAST(round(cr_return_amt_inc_tax * 100) AS BIGINT)) AS ctr_total_return_c
+       FROM catalog_returns, date_dim, customer_address
+       WHERE cr_returned_date_sk = d_date_sk
+         AND d_year = 2000
+         AND cr_returning_addr_sk = ca_address_sk
+       GROUP BY cr_returning_customer_sk, ca_state)
+    SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+           ca_street_number, ca_street_name, ca_street_type,
+           ca_suite_number, ca_city, ca_county, ca_state, ca_zip,
+           ca_country, ca_gmt_offset, ca_location_type,
+           ctr_total_return_c
+    FROM customer_total_return ctr1, customer_address, customer
+    WHERE ctr1.ctr_total_return_c >
+        (SELECT avg(ctr_total_return_c) * 1.2
+         FROM customer_total_return ctr2
+         WHERE ctr1.ctr_state = ctr2.ctr_state)
+      AND ca_address_sk = c_current_addr_sk
+      AND ca_state = 'GA'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+             ca_street_number, ca_street_name, ca_street_type,
+             ca_suite_number, ca_city, ca_county, ca_state, ca_zip,
+             ca_country, ca_gmt_offset, ca_location_type,
+             ctr_total_return_c
+    LIMIT 100""")
+
+  // ---- Q83: items returned in the same periods across channels --------
+  // (week -> quarter granularity: at sf0.01 no item is returned in all
+  // three channels within the official three weeks)
+  private val q83 = q("""
+    WITH sr_items AS
+      (SELECT i_item_id item_id,
+              CAST(sum(sr_return_quantity) AS BIGINT) sr_item_qty
+       FROM store_returns, item, date_dim
+       WHERE sr_item_sk = i_item_sk
+         AND d_date IN (SELECT d_date FROM date_dim
+                        WHERE d_quarter_seq IN
+                          (SELECT d_quarter_seq FROM date_dim
+                           WHERE d_date IN ('2000-06-30', '2000-09-27', '2000-11-17')))
+         AND sr_returned_date_sk = d_date_sk
+       GROUP BY i_item_id),
+    cr_items AS
+      (SELECT i_item_id item_id,
+              CAST(sum(cr_return_quantity) AS BIGINT) cr_item_qty
+       FROM catalog_returns, item, date_dim
+       WHERE cr_item_sk = i_item_sk
+         AND d_date IN (SELECT d_date FROM date_dim
+                        WHERE d_quarter_seq IN
+                          (SELECT d_quarter_seq FROM date_dim
+                           WHERE d_date IN ('2000-06-30', '2000-09-27', '2000-11-17')))
+         AND cr_returned_date_sk = d_date_sk
+       GROUP BY i_item_id),
+    wr_items AS
+      (SELECT i_item_id item_id,
+              CAST(sum(wr_return_quantity) AS BIGINT) wr_item_qty
+       FROM web_returns, item, date_dim
+       WHERE wr_item_sk = i_item_sk
+         AND d_date IN (SELECT d_date FROM date_dim
+                        WHERE d_quarter_seq IN
+                          (SELECT d_quarter_seq FROM date_dim
+                           WHERE d_date IN ('2000-06-30', '2000-09-27', '2000-11-17')))
+         AND wr_returned_date_sk = d_date_sk
+       GROUP BY i_item_id)
+    SELECT sr_items.item_id,
+           sr_item_qty,
+           round(CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 6) sr_dev,
+           cr_item_qty,
+           round(CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 6) cr_dev,
+           wr_item_qty,
+           round(CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 6) wr_dev,
+           round(CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3, 6) average_qty
+    FROM sr_items, cr_items, wr_items
+    WHERE sr_items.item_id = cr_items.item_id
+      AND sr_items.item_id = wr_items.item_id
+    ORDER BY sr_items.item_id NULLS FIRST, sr_item_qty NULLS FIRST
+    LIMIT 100""")
+
+  // ---- Q85: web return reasons for targeted demographics --------------
+  // (state lists and price/profit bands adapted to the generated
+  // domains; the demographic-pair structure is unchanged)
+  private val q85 = q("""
+    SELECT substring(r_reason_desc, 1, 20) reason_prefix,
+           round(avg(ws_quantity), 6) avg1,
+           round(avg(CAST(round(wr_refunded_cash * 100) AS BIGINT)) / 100.0, 6) avg2,
+           round(avg(CAST(round(wr_fee * 100) AS BIGINT)) / 100.0, 6) avg3
+    FROM web_sales, web_returns, web_page, customer_demographics cd1,
+         customer_demographics cd2, customer_address, date_dim, reason
+    WHERE ws_web_page_sk = wp_web_page_sk
+      AND ws_item_sk = wr_item_sk
+      AND ws_order_number = wr_order_number
+      AND ws_sold_date_sk = d_date_sk
+      AND d_year = 2000
+      AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+      AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+      AND ca_address_sk = wr_refunded_addr_sk
+      AND r_reason_sk = wr_reason_sk
+      AND ((cd1.cd_marital_status = 'M'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = 'Advanced Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 50.00 AND 200.00)
+           OR (cd1.cd_marital_status = 'S'
+               AND cd1.cd_marital_status = cd2.cd_marital_status
+               AND cd1.cd_education_status = 'College'
+               AND cd1.cd_education_status = cd2.cd_education_status
+               AND ws_sales_price BETWEEN 10.00 AND 100.00)
+           OR (cd1.cd_marital_status = 'W'
+               AND cd1.cd_marital_status = cd2.cd_marital_status
+               AND cd1.cd_education_status = '2 yr Degree'
+               AND cd1.cd_education_status = cd2.cd_education_status
+               AND ws_sales_price BETWEEN 0.00 AND 50.00))
+      AND ((ca_country = 'United States'
+            AND ca_state IN ('OH', 'KY', 'TX')
+            AND ws_net_profit BETWEEN -5000 AND 5000)
+           OR (ca_country = 'United States'
+               AND ca_state IN ('MO', 'IL', 'AL')
+               AND ws_net_profit BETWEEN -5000 AND 5000)
+           OR (ca_country = 'United States'
+               AND ca_state IN ('SC', 'VA', 'GA')
+               AND ws_net_profit BETWEEN -5000 AND 5000))
+    GROUP BY r_reason_desc
+    ORDER BY reason_prefix, avg1, avg2, avg3
+    LIMIT 100""")
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q72" -> q72,
+    "tpcds_q78" -> q78,
+    "tpcds_q80" -> q80,
+    "tpcds_q81" -> q81,
+    "tpcds_q83" -> q83,
+    "tpcds_q85" -> q85,
     "tpcds_q49" -> q49,
     "tpcds_q54" -> q54,
     "tpcds_q58" -> q58,
