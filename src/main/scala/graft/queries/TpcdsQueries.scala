@@ -3014,7 +3014,277 @@ object TpcdsQueries extends QueryModule {
     ORDER BY reason_prefix, avg1, avg2, avg3
     LIMIT 100""")
 
+  // ---- Q14: cross-channel brand/class/category INTERSECT report -------
+  private def q14Channel(chan: String, tbl: String, p: String,
+      custSk: String): String = s"""
+       SELECT '$chan' channel, i_brand_id, i_class_id, i_category_id,
+              sum(${p}_quantity * CAST(round(${p}_list_price * 100) AS BIGINT)) sales_c,
+              CAST(count(*) AS BIGINT) number_sales
+       FROM $tbl, item, date_dim
+       WHERE ${p}_item_sk IN (SELECT ss_item_sk FROM cross_items)
+         AND ${p}_item_sk = i_item_sk
+         AND ${p}_sold_date_sk = d_date_sk
+         AND d_year = 1999 + 2
+         AND d_moy = 11
+       GROUP BY i_brand_id, i_class_id, i_category_id
+       HAVING sum(${p}_quantity * CAST(round(${p}_list_price * 100) AS BIGINT)) >
+         (SELECT average_sales_c FROM avg_sales)"""
+
+  private val q14 = q(s"""
+    WITH cross_items AS
+      (SELECT i_item_sk ss_item_sk
+       FROM item,
+         (SELECT iss.i_brand_id brand_id,
+                 iss.i_class_id class_id,
+                 iss.i_category_id category_id
+          FROM store_sales, item iss, date_dim d1
+          WHERE ss_item_sk = iss.i_item_sk
+            AND ss_sold_date_sk = d1.d_date_sk
+            AND d1.d_year BETWEEN 1999 AND 1999 + 2
+          INTERSECT
+          SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+          FROM catalog_sales, item ics, date_dim d2
+          WHERE cs_item_sk = ics.i_item_sk
+            AND cs_sold_date_sk = d2.d_date_sk
+            AND d2.d_year BETWEEN 1999 AND 1999 + 2
+          INTERSECT
+          SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+          FROM web_sales, item iws, date_dim d3
+          WHERE ws_item_sk = iws.i_item_sk
+            AND ws_sold_date_sk = d3.d_date_sk
+            AND d3.d_year BETWEEN 1999 AND 1999 + 2) sq1
+       WHERE i_brand_id = brand_id
+         AND i_class_id = class_id
+         AND i_category_id = category_id),
+    avg_sales AS
+      (SELECT avg(quantity * list_price_c) average_sales_c
+       FROM
+         (SELECT ss_quantity quantity,
+                 CAST(round(ss_list_price * 100) AS BIGINT) list_price_c
+          FROM store_sales, date_dim
+          WHERE ss_sold_date_sk = d_date_sk
+            AND d_year BETWEEN 1999 AND 1999 + 2
+          UNION ALL
+          SELECT cs_quantity, CAST(round(cs_list_price * 100) AS BIGINT)
+          FROM catalog_sales, date_dim
+          WHERE cs_sold_date_sk = d_date_sk
+            AND d_year BETWEEN 1999 AND 1999 + 2
+          UNION ALL
+          SELECT ws_quantity, CAST(round(ws_list_price * 100) AS BIGINT)
+          FROM web_sales, date_dim
+          WHERE ws_sold_date_sk = d_date_sk
+            AND d_year BETWEEN 1999 AND 1999 + 2) sq2)
+    SELECT channel, i_brand_id, i_class_id, i_category_id,
+           sum(sales_c) AS sum_sales_c,
+           sum(number_sales) AS sum_number_sales
+    FROM
+      (${q14Channel("store", "store_sales", "ss", "ss_customer_sk")}
+       UNION ALL
+       ${q14Channel("catalog", "catalog_sales", "cs", "cs_bill_customer_sk")}
+       UNION ALL
+       ${q14Channel("web", "web_sales", "ws", "ws_bill_customer_sk")}) y
+    GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+    ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+             i_class_id NULLS FIRST, i_category_id NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q23: best store customers buying frequent items off-store ------
+  // (the official d_moy = 2 cut leaves an empty result at sf0.01; the
+  // frequent-item and 50%-of-max-customer structure is unchanged)
+  private val q23 = q("""
+    WITH frequent_ss_items AS
+      (SELECT itemdesc, i_item_sk item_sk, d_date solddate, count(*) cnt
+       FROM store_sales, date_dim,
+         (SELECT substring(i_item_desc, 1, 30) itemdesc, * FROM item) sq1
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_item_sk = i_item_sk
+         AND d_year IN (2000, 2000+1, 2000+2, 2000+3)
+       GROUP BY itemdesc, i_item_sk, d_date
+       HAVING count(*) > 4),
+    max_store_sales AS
+      (SELECT max(csales_c) tpcds_cmax_c
+       FROM
+         (SELECT c_customer_sk,
+                 sum(ss_quantity * CAST(round(ss_sales_price * 100) AS BIGINT)) csales_c
+          FROM store_sales, customer, date_dim
+          WHERE ss_customer_sk = c_customer_sk
+            AND ss_sold_date_sk = d_date_sk
+            AND d_year IN (2000, 2000+1, 2000+2, 2000+3)
+          GROUP BY c_customer_sk) sq2),
+    best_ss_customer AS
+      (SELECT c_customer_sk,
+              sum(ss_quantity * CAST(round(ss_sales_price * 100) AS BIGINT)) ssales_c
+       FROM store_sales, customer, max_store_sales
+       WHERE ss_customer_sk = c_customer_sk
+       GROUP BY c_customer_sk
+       HAVING sum(ss_quantity * CAST(round(ss_sales_price * 100) AS BIGINT)) >
+              (50 / 100.0) * max(tpcds_cmax_c))
+    SELECT c_last_name, c_first_name, sales_c
+    FROM
+      (SELECT c_last_name, c_first_name,
+              sum(cs_quantity * CAST(round(cs_list_price * 100) AS BIGINT)) sales_c
+       FROM catalog_sales, customer, date_dim, frequent_ss_items, best_ss_customer
+       WHERE d_year = 2000
+         AND d_moy BETWEEN 1 AND 12
+         AND cs_sold_date_sk = d_date_sk
+         AND cs_item_sk = item_sk
+         AND cs_bill_customer_sk = best_ss_customer.c_customer_sk
+         AND cs_bill_customer_sk = customer.c_customer_sk
+       GROUP BY c_last_name, c_first_name
+       UNION ALL
+       SELECT c_last_name, c_first_name,
+              sum(ws_quantity * CAST(round(ws_list_price * 100) AS BIGINT))
+       FROM web_sales, customer, date_dim, frequent_ss_items, best_ss_customer
+       WHERE d_year = 2000
+         AND d_moy BETWEEN 1 AND 12
+         AND ws_sold_date_sk = d_date_sk
+         AND ws_item_sk = item_sk
+         AND ws_bill_customer_sk = best_ss_customer.c_customer_sk
+         AND ws_bill_customer_sk = customer.c_customer_sk
+       GROUP BY c_last_name, c_first_name) sq3
+    ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+             sales_c NULLS FIRST
+    LIMIT 100""", headline = true)
+
+  // ---- Q24: returned-item net-paid by customer/store, color cut -------
+  // (the official s_zip = ca_zip correlation never matches in the
+  // hash-uniform zip domain; s_state = ca_state keeps the store-local
+  // customer correlation with the same grouped shape. market and color
+  // constants adapted to the generated domains.)
+  private val q24 = q("""
+    WITH ssales AS
+      (SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+              i_color, i_current_price, i_manager_id, i_units, i_size,
+              sum(CAST(round(ss_net_paid * 100) AS BIGINT)) netpaid_c
+       FROM store_sales, store_returns, store, item, customer,
+            customer_address
+       WHERE ss_ticket_number = sr_ticket_number
+         AND ss_item_sk = sr_item_sk
+         AND ss_customer_sk = c_customer_sk
+         AND ss_item_sk = i_item_sk
+         AND ss_store_sk = s_store_sk
+         AND c_current_addr_sk = ca_address_sk
+         AND c_birth_country <> upper(ca_country)
+         AND s_state = ca_state
+         AND s_market_id = 8
+       GROUP BY c_last_name, c_first_name, s_store_name, ca_state,
+                s_state, i_color, i_current_price, i_manager_id,
+                i_units, i_size)
+    SELECT c_last_name, c_first_name, s_store_name,
+           sum(netpaid_c) paid_c
+    FROM ssales
+    WHERE i_color = 'honeydew'
+    GROUP BY c_last_name, c_first_name, s_store_name
+    HAVING sum(netpaid_c) > (SELECT 0.05 * avg(netpaid_c) FROM ssales)
+    ORDER BY c_last_name, c_first_name, s_store_name""")
+
+  // ---- Q64: same-store repeat purchases of discounted items, yoy ------
+  // (color and price-band constants adapted to the generated domains)
+  private val q64 = q("""
+    WITH cs_ui AS
+      (SELECT cs_item_sk,
+              sum(CAST(round(cs_ext_list_price * 100) AS BIGINT)) AS sale_c,
+              sum(CAST(round(cr_refunded_cash * 100) AS BIGINT)
+                  + CAST(round(cr_reversed_charge * 100) AS BIGINT)
+                  + CAST(round(cr_store_credit * 100) AS BIGINT)) AS refund_c
+       FROM catalog_sales, catalog_returns
+       WHERE cs_item_sk = cr_item_sk
+         AND cs_order_number = cr_order_number
+       GROUP BY cs_item_sk
+       HAVING sum(CAST(round(cs_ext_list_price * 100) AS BIGINT)) >
+              2 * sum(CAST(round(cr_refunded_cash * 100) AS BIGINT)
+                      + CAST(round(cr_reversed_charge * 100) AS BIGINT)
+                      + CAST(round(cr_store_credit * 100) AS BIGINT))),
+    cross_sales AS
+      (SELECT i_product_name product_name,
+              i_item_sk item_sk,
+              s_store_name store_name,
+              s_zip store_zip,
+              ad1.ca_street_number b_street_number,
+              ad1.ca_street_name b_street_name,
+              ad1.ca_city b_city,
+              ad1.ca_zip b_zip,
+              ad2.ca_street_number c_street_number,
+              ad2.ca_street_name c_street_name,
+              ad2.ca_city c_city,
+              ad2.ca_zip c_zip,
+              d1.d_year AS syear,
+              d2.d_year AS fsyear,
+              d3.d_year s2year,
+              CAST(count(*) AS BIGINT) cnt,
+              sum(CAST(round(ss_wholesale_cost * 100) AS BIGINT)) s1_c,
+              sum(CAST(round(ss_list_price * 100) AS BIGINT)) s2_c,
+              sum(CAST(round(ss_coupon_amt * 100) AS BIGINT)) s3_c
+       FROM store_sales, store_returns, cs_ui,
+            date_dim d1, date_dim d2, date_dim d3,
+            store, customer,
+            customer_demographics cd1, customer_demographics cd2,
+            promotion,
+            household_demographics hd1, household_demographics hd2,
+            customer_address ad1, customer_address ad2,
+            income_band ib1, income_band ib2, item
+       WHERE ss_store_sk = s_store_sk
+         AND ss_sold_date_sk = d1.d_date_sk
+         AND ss_customer_sk = c_customer_sk
+         AND ss_cdemo_sk = cd1.cd_demo_sk
+         AND ss_hdemo_sk = hd1.hd_demo_sk
+         AND ss_addr_sk = ad1.ca_address_sk
+         AND ss_item_sk = i_item_sk
+         AND ss_item_sk = sr_item_sk
+         AND ss_ticket_number = sr_ticket_number
+         AND ss_item_sk = cs_ui.cs_item_sk
+         AND c_current_cdemo_sk = cd2.cd_demo_sk
+         AND c_current_hdemo_sk = hd2.hd_demo_sk
+         AND c_current_addr_sk = ad2.ca_address_sk
+         AND c_first_sales_date_sk = d2.d_date_sk
+         AND c_first_shipto_date_sk = d3.d_date_sk
+         AND ss_promo_sk = p_promo_sk
+         AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+         AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+         AND cd1.cd_marital_status <> cd2.cd_marital_status
+         AND i_color IN ('red', 'navy', 'ghost', 'pink', 'gold', 'brown')
+         AND i_current_price BETWEEN 1 AND 100
+         AND i_current_price BETWEEN 2 AND 100
+       GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+                ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+                ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+                ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year)
+    SELECT cs1.product_name,
+           cs1.store_name,
+           cs1.store_zip,
+           cs1.b_street_number,
+           cs1.b_street_name,
+           cs1.b_city,
+           cs1.b_zip,
+           cs1.c_street_number,
+           cs1.c_street_name,
+           cs1.c_city,
+           cs1.c_zip,
+           cs1.syear cs1syear,
+           cs1.cnt cs1cnt,
+           cs1.s1_c AS s11_c,
+           cs1.s2_c AS s21_c,
+           cs1.s3_c AS s31_c,
+           cs2.s1_c AS s12_c,
+           cs2.s2_c AS s22_c,
+           cs2.s3_c AS s32_c,
+           cs2.syear,
+           cs2.cnt
+    FROM cross_sales cs1, cross_sales cs2
+    WHERE cs1.item_sk = cs2.item_sk
+      AND cs1.syear = 1999
+      AND cs2.syear = 1999 + 1
+      AND cs2.cnt <= cs1.cnt
+      AND cs1.store_name = cs2.store_name
+      AND cs1.store_zip = cs2.store_zip
+    ORDER BY cs1.product_name NULLS FIRST, cs1.store_name NULLS FIRST,
+             cs2.cnt NULLS FIRST, cs1.s1_c NULLS FIRST""", headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "tpcds_q14" -> q14,
+    "tpcds_q23" -> q23,
+    "tpcds_q24" -> q24,
+    "tpcds_q64" -> q64,
     "tpcds_q72" -> q72,
     "tpcds_q78" -> q78,
     "tpcds_q80" -> q80,

@@ -46,6 +46,57 @@ class AsofSpec extends AnyFunSuite {
       ("A", 5L, "q4"), ("A", 10L, "q10"), ("A", 20L, null), ("B", 10L, null)))
   }
 
+  private def runBucketed(direction: String, tolerance: Option[Double],
+      width: Double) = {
+    val (left, right) = fixtures
+    AsofJoin.leftAsofBucketed(left, right,
+        leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        rightPayload = Seq(col("quote") -> "quote"),
+        bucketWidth = width, direction = direction, tolerance = tolerance)
+      .select("k", "t", "quote").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).orNull)).toSet
+  }
+
+  test("bucketed matches plain on the fixture for several widths") {
+    for (w <- Seq(1.0, 3.0, 7.0, 1000.0);
+         d <- Seq("backward", "forward");
+         tol <- Seq(None, Some(2.0))) {
+      assert(runBucketed(d, tol, w) == run(d, tol),
+        s"direction=$d tolerance=$tol width=$w")
+    }
+  }
+
+  test("bucketed matches plain on a hot-key dataset") {
+    import spark.implicits._
+    // one hot key with 500 probes + 100 quotes, plus a cold key —
+    // the shape the bucketed variant exists for
+    def h(s: String, i: Int, m: Int) = math.floorMod(s.hashCode * 31 + i * 2654435761L, m).toInt
+    val left = ((0 until 500).map(i => ("HOT", h("lt", i, 10000).toLong)) ++
+      (0 until 20).map(i => ("cold", h("lc", i, 10000).toLong))).toDF("k", "t")
+    val right = ((0 until 100).map(i => ("HOT", h("rt", i, 10000).toLong, s"q$i")) ++
+      (0 until 5).map(i => ("cold", h("rc", i, 10000).toLong, s"c$i")))
+      .distinct.toDF("rk", "rt", "quote")
+    // unique right (key, time): drop hash collisions
+    val rightU = right.groupBy("rk", "rt").agg(max("quote").as("quote"))
+    def both(d: String, tol: Option[Double]) = {
+      val plain = AsofJoin.leftAsof(left, rightU, col("k"), col("rk"),
+        col("t"), col("rt"), Seq(col("quote") -> "quote"), d, tol)
+        .select("k", "t", "quote").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).orNull))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val bucketed = AsofJoin.leftAsofBucketed(left, rightU, col("k"), col("rk"),
+        col("t"), col("rt"), Seq(col("quote") -> "quote"), 500.0, d, tol)
+        .select("k", "t", "quote").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).orNull))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(bucketed == plain, s"direction=$d tolerance=$tol")
+    }
+    both("backward", None)
+    both("forward", None)
+    both("backward", Some(750.0))
+  }
+
   test("inner asof keeps only matched rows") {
     val (left, right) = fixtures
     val out = AsofJoin.innerAsof(left, right,
