@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.HitsQueries,
     graft.queries.MoreScalarQueries,
     graft.queries.GeoQueries,
-    graft.queries.TpcdsQueries)
+    graft.queries.TpcdsQueries,
+    graft.queries.ClickBenchQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = modules.flatMap(_.queries)

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Script-UDF surface: user code applied per Arrow RecordBatch.
+  *
+  * Reference: databend's UDFScript runtime
+  * (src/query/script_udf_support/src/transform_udf_script.rs) feeds each
+  * input block to an embedded JS/Python/WASM runtime as an Arrow
+  * RecordBatch and reads an Arrow array back. The Spark-first
+  * re-expression keeps the exact batch contract — rows are marshalled
+  * into a real Arrow `VectorSchemaRoot`, the handler transforms batch ->
+  * batch, and results unmarshal back into the plan — executed inside
+  * `mapPartitions`, so it distributes like any other narrow transform
+  * and never touches the driver.
+  *
+  * Embedded script ENGINES (QuickJS/CPython/WASM in the reference) are
+  * not available in this offline JVM build: `language = "native"` takes
+  * a JVM handler; "javascript" | "python" | "wasm" raise the same
+  * UNSUPPORTED error databend raises for an unknown language, making
+  * this the documented extension point rather than a silent stub.
+  *
+  * Supported Arrow column types: Int32/Int64/Float64/Utf8/Bool —
+  * matching the scalar subset the reference's arrow-udf examples use.
+  */
+object ScriptUdf {
+
+  type BatchHandler = VectorSchemaRoot => Unit
+
+  /** Apply `handler` to the input as a sequence of Arrow batches.
+    *
+    * The handler receives a `VectorSchemaRoot` holding BOTH the input
+    * columns (populated) and the output columns (allocated, to fill),
+    * named by `outputs`. It must set every output position (null is
+    * fine). Output columns are appended to the input row.
+    *
+    * @param language  "native" executes; "javascript"/"python"/"wasm"
+    *                  raise UNSUPPORTED (no embedded engine offline).
+    * @param batchSize rows per Arrow batch (the reference batches by
+    *                  block size; 8192 mirrors its default max block).
+    */
+  def applyBatches(
+      df: DataFrame,
+      outputs: StructType,
+      language: String = "native",
+      batchSize: Int = 8192)(handler: BatchHandler): DataFrame = {
+    language match {
+      case "native" => // executable in-JVM
+      case "javascript" | "python" | "wasm" =>
+        throw new UnsupportedOperationException(
+          s"UDFScript language '$language' needs an embedded engine " +
+            "(arrow-udf runtime) that is not available in this build; " +
+            "use language='native' with a JVM handler")
+      case other =>
+        throw new IllegalArgumentException(s"unknown UDF language '$other'")
+    }
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ outputs.fields)
+    (inSchema.fields ++ outputs.fields).foreach(f => arrowType(f.dataType))
+    val enc = Encoders.row(outSchema)
+
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val allocator = new RootAllocator(Long.MaxValue)
+        val arrowFields: Seq[Field] = (inSchema.fields ++ outputs.fields).map { f =>
+          new Field(f.name,
+            new FieldType(true, arrowType(f.dataType), null), null)
+        }.toSeq
+        val root = VectorSchemaRoot.create(
+          new ArrowSchema(arrowFields.asJava), allocator)
+        val nIn = inSchema.fields.length
+        rows.grouped(batchSize).flatMap { batch =>
+          root.allocateNew()
+          // marshal input rows -> Arrow vectors
+          batch.zipWithIndex.foreach { case (row, i) =>
+            var c = 0
+            while (c < nIn) {
+              writeCell(root.getVector(c), i, if (row.isNullAt(c)) null else row.get(c))
+              c += 1
+            }
+          }
+          root.setRowCount(batch.size)
+          handler(root)
+          root.setRowCount(batch.size) // set value counts on output vectors too
+          val out = (0 until batch.size).map { i =>
+            Row.fromSeq((0 until root.getFieldVectors.size()).map { c =>
+              readCell(root.getVector(c), i)
+            })
+          }
+          root.clear()
+          out
+        } ++ { root.close(); allocator.close(); Iterator.empty }
+      }
+    }(enc)
+  }
+
+  private def arrowType(dt: DataType): ArrowType = dt match {
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case other => throw new IllegalArgumentException(
+      s"ScriptUdf supports int/long/double/string/boolean columns, got $other")
+  }
+
+  private def writeCell(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
+    case (x: IntVector, null) => x.setNull(i)
+    case (x: IntVector, a: Int) => x.setSafe(i, a)
+    case (x: BigIntVector, null) => x.setNull(i)
+    case (x: BigIntVector, a: Long) => x.setSafe(i, a)
+    case (x: Float8Vector, null) => x.setNull(i)
+    case (x: Float8Vector, a: Double) => x.setSafe(i, a)
+    case (x: VarCharVector, null) => x.setNull(i)
+    case (x: VarCharVector, a: String) => x.setSafe(i, a.getBytes("UTF-8"))
+    case (x: BitVector, null) => x.setNull(i)
+    case (x: BitVector, a: Boolean) => x.setSafe(i, if (a) 1 else 0)
+    case (x, a) => throw new IllegalArgumentException(
+      s"cannot write ${a.getClass} into ${x.getClass}")
+  }
+
+  private def readCell(v: FieldVector, i: Int): Any =
+    if (v.isNull(i)) null
+    else v match {
+      case x: IntVector => x.get(i)
+      case x: BigIntVector => x.get(i)
+      case x: Float8Vector => x.get(i)
+      case x: VarCharVector => new String(x.get(i), "UTF-8")
+      case x: BitVector => x.get(i) == 1
+      case x => throw new IllegalArgumentException(s"unsupported vector ${x.getClass}")
+    }
+}

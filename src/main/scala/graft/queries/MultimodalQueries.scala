@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.functions.Multimodal
+import graft.functions.{Multimodal, ScriptUdf}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,38 @@ object MultimodalQueries extends QueryModule {
       |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 4.0) AS INT) AS n_frames
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
 
+  // Arrow-batch script UDF (reference transform_udf_script.rs): the
+  // "script" computes a token count + shout-cased language tag against
+  // raw Arrow vectors; the oracle replays it in SQL.
+  private val udfScript = Q(
+    (spark, dir) => {
+      import org.apache.arrow.vector.{BigIntVector, VarCharVector}
+      import org.apache.spark.sql.types._
+      val x = Tables(spark, dir)
+      val in = x.documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"), col("lang"))
+      ScriptUdf.applyBatches(in,
+        StructType(Seq(StructField("n_tokens", LongType),
+          StructField("lang_tag", StringType)))) { root =>
+        val txt = root.getVector("text").asInstanceOf[VarCharVector]
+        val lang = root.getVector("lang").asInstanceOf[VarCharVector]
+        val nTok = root.getVector("n_tokens").asInstanceOf[BigIntVector]
+        val tag = root.getVector("lang_tag").asInstanceOf[VarCharVector]
+        for (i <- 0 until root.getRowCount) {
+          val t = new String(txt.get(i), "UTF-8")
+          nTok.setSafe(i, t.split("\\s+").count(_.nonEmpty).toLong)
+          val l = new String(lang.get(i), "UTF-8").toUpperCase
+          tag.setSafe(i, s"[$l]".getBytes("UTF-8"))
+        }
+      }.select("doc_id", "n_tokens", "lang_tag").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens,
+      |  '[' || upper(lang) || ']' AS lang_tag
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "udf_script_arrow" -> udfScript)
 }
