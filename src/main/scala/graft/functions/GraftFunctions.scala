@@ -431,6 +431,7 @@ object GraftFunctions {
     Geo.register(spark)
     // round-4 name-surface expansion (~140 more reference names)
     MoreAliases.register(spark)
+    MoreAliases2.register(spark)
   }
 
   /** true if the alias layer is active in this session */

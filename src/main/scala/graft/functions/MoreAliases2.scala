@@ -1,0 +1,403 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.udf
+
+/** Round-4 second expansion of the databend-name surface: array
+  * aggregates-as-scalars, JSON object editing, variant accessors,
+  * variadic predicate sugar, and the remaining hash/vector names
+  * (reference registry function_list.txt; family semantics from
+  * src/query/functions/src/scalars/{array.rs,variant.rs,string.rs}).
+  *
+  * Same tiering as `MoreAliases`: bind-time Catalyst rewrites where a
+  * Spark builtin expresses the semantics (codegen'd, zero cost), small
+  * driver-registered UDFs for the genuinely-new scalars. JSON editing
+  * UDFs run on the JSON text form (Jackson, already on Spark's
+  * classpath) — the variant column type casts to/from string at the
+  * boundary, matching the reference's jsonb in/out conversions.
+  *
+  * Skipped (recorded in COVERAGE.md): running_difference (stateful
+  * per-block, not a pure scalar), glob (ambiguous arg order across
+  * engines), json_each/json_path_query (set-returning over objects —
+  * use flatten/json_explode), is_interval (no INTERVAL variant kind in
+  * Spark's VARIANT).
+  */
+object MoreAliases2 {
+
+  private def f(name: String, as: Expression*): Expression =
+    UnresolvedFunction(name, as.toSeq, isDistinct = false)
+  private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
+  private def jstr(e: Expression): Expression = cast(e, StringType)
+
+  private def lambda1(body: NamedExpression => Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    LambdaFunction(body(x), Seq(x))
+  }
+  private def lambda2(body: (NamedExpression, NamedExpression) => Expression): Expression = {
+    val k = UnresolvedNamedLambdaVariable(Seq("k"))
+    val v = UnresolvedNamedLambdaVariable(Seq("v"))
+    LambdaFunction(body(k, v), Seq(k, v))
+  }
+
+  val rewrites: Map[String, Seq[Expression] => Expression] = Map[String, Seq[Expression] => Expression](
+    // variadic boolean sugar (reference and_filters/or_filters)
+    "and_filters" -> (a => a.map(cast(_, BooleanType)).reduce(And(_, _))),
+    "or_filters" -> (a => a.map(cast(_, BooleanType)).reduce(Or(_, _))),
+
+    // array constructors / set-cardinality
+    "array_construct" -> (a => CreateArray(a)),
+    "array_approx_count_distinct" -> (a =>
+      cast(Size(f("array_distinct", a.head)), LongType)),
+
+    // scalar generate_series = sequence (the TVF form lives in
+    // operators.TableFunctions)
+    "generate_series" -> (a => f("sequence", a: _*)),
+
+    "tuple" -> (a => CreateStruct(a)),
+
+    // variadic LIKE families (ilike itself is Spark-native)
+    "like_any" -> (a => a.tail.map[Expression](p => f("like", a.head, p)).reduce(Or(_, _))),
+    "ilike_any" -> (a => a.tail.map[Expression](p =>
+      f("like", f("lower", a.head), f("lower", p))).reduce(Or(_, _))),
+
+    // SQL single-quote escaping (reference string.rs quote)
+    "quote" -> (a => f("replace", f("replace", a.head,
+      Literal("\\"), Literal("\\\\")), Literal("'"), Literal("\\'"))),
+
+    // decimal/number/interval casts (factory: optional precision/scale)
+    "to_decimal" -> (a => castDecimal(a, EvalMode.LEGACY)),
+    "try_to_decimal" -> (a => castDecimal(a, EvalMode.TRY)),
+    "to_number" -> (a =>
+      if (a.length >= 2) f("to_number", a: _*)
+      else cast(a.head, DecimalType(38, 10))),
+    "try_to_number" -> (a =>
+      if (a.length >= 2) f("try_to_number", a: _*)
+      else Cast(a.head, DecimalType(38, 10), None, EvalMode.TRY)),
+    "to_interval" -> (a => cast(a.head, CalendarIntervalType)),
+    "try_to_interval" -> (a => Cast(a.head, CalendarIntervalType, None, EvalMode.TRY)),
+
+    // variant accessors (Spark 4 native VARIANT)
+    "to_variant" -> (a =>
+      f("variant_get", f("parse_json", f("to_json", CreateArray(Seq(a.head)))),
+        Literal("$[0]"), Literal("variant"))),
+    "as_object" -> (a => CaseWhen(Seq((
+      f("startswith", f("schema_of_variant", a.head), Literal("OBJECT")),
+      a.head)), None)),
+    "as_binary" -> (a => cast(
+      f("try_variant_get", a.head, Literal("$"), Literal("string")), BinaryType)),
+    "as_decimal" -> (a =>
+      f("try_variant_get", a.head, Literal("$"),
+        Literal(if (a.length >= 3) s"decimal(${lit(a(1))},${lit(a(2))})" else "decimal(38,10)"))),
+    "to_jsonb_binary" -> (a => cast(jstr(a.head), BinaryType)),
+    "strip_null_value" -> (a => f("json_strip_nulls_impl", jstr(a.head))),
+    "is_not_error" -> (a => IsNotNull(a.head)),
+
+    // JSONPath probes on the text form (Spark's get_json_object speaks
+    // the same $.a[0] dialect the reference uses)
+    "json_path_exists" -> (a =>
+      IsNotNull(f("get_json_object", jstr(a.head), a(1)))),
+    "json_path_query_first" -> (a =>
+      f("try_parse_json", f("get_json_object", jstr(a.head), a(1)))),
+    "json_path_match" -> (a =>
+      EqualNullSafe(f("get_json_object", jstr(a.head), a(1)), Literal("true"))),
+
+    // set-returning JSON/regexp helpers expressed through explode
+    "json_array_elements" -> (a => Explode(
+      f("try_variant_get", a.head, Literal("$"), Literal("array<variant>")))),
+    "regexp_split_to_table" -> (a => Explode(f("split", a.head, a(1)))),
+
+    // map edits via map_filter lambdas (codegen'd, no UDF)
+    "map_pick" -> (a => f("map_filter", a.head,
+      lambda2((k, v) => ArrayContains(CreateArray(a.tail), k)))),
+    "map_delete" -> (a => f("map_filter", a.head,
+      lambda2((k, v) => Not(ArrayContains(CreateArray(a.tail), k))))),
+
+    // vectors
+    "vector_dims" -> (a => Size(a.head)),
+    "vector_norm" -> (a => f("sqrt", f("aggregate", a.head, Literal(0.0),
+      lambda2((acc, x) => Add(acc, Multiply(cast(x, DoubleType), cast(x, DoubleType))))))),
+
+    // JSON object edits: public names pack variadic keys into the
+    // Jackson _impl UDFs; object_* spellings share them
+    "json_object_delete" -> (a =>
+      f("json_object_delete_impl", jstr(a.head), CreateArray(a.tail.map(jstr)))),
+    "object_delete" -> (a =>
+      f("json_object_delete_impl", jstr(a.head), CreateArray(a.tail.map(jstr)))),
+    "json_object_pick" -> (a =>
+      f("json_object_pick_impl", jstr(a.head), CreateArray(a.tail.map(jstr)))),
+    "object_pick" -> (a =>
+      f("json_object_pick_impl", jstr(a.head), CreateArray(a.tail.map(jstr)))),
+    "json_object_insert" -> (a =>
+      f("json_object_insert_impl", jstr(a.head), jstr(a(1)), jstr(a(2)),
+        if (a.length >= 4) cast(a(3), BooleanType) else Literal(false))),
+    "object_insert" -> (a =>
+      f("json_object_insert_impl", jstr(a.head), jstr(a(1)), jstr(a(2)),
+        if (a.length >= 4) cast(a(3), BooleanType) else Literal(false))),
+    "json_strip_nulls" -> (a => f("json_strip_nulls_impl", jstr(a.head))),
+    "json_pretty" -> (a => f("json_pretty_impl", jstr(a.head))),
+    "json_contains_in_right" -> (a =>
+      f("json_contains_in_right_impl", jstr(a.head), jstr(a(1)))),
+    "json_contains_in_left" -> (a =>
+      f("json_contains_in_right_impl", jstr(a(1)), jstr(a.head))),
+    "get_ignore_case" -> (a => f("get_ignore_case_impl", jstr(a.head), a(1))),
+    "delete_by_keypath" -> (a => f("delete_by_keypath_impl", jstr(a.head), a(1))),
+    "xxhash32" -> (a => f("xxhash32_impl", jstr(a.head))),
+    "to_uuid" -> (a => f("to_uuid_impl", jstr(a.head))),
+    "try_object_construct" -> (a => f("json_object", a: _*)),
+    "try_object_construct_keep_null" -> (a => f("json_object", a: _*)))
+
+  private def lit(e: Expression): Any = e match {
+    case Literal(v, _) => v
+    case other => throw new IllegalArgumentException(s"literal expected, got $other")
+  }
+
+  private def castDecimal(a: Seq[Expression], mode: EvalMode.Value): Expression = {
+    val t = if (a.length >= 3)
+      DecimalType(lit(a(1)).toString.toInt, lit(a(2)).toString.toInt)
+    else if (a.length == 2) DecimalType(lit(a(1)).toString.toInt, 0)
+    else DecimalType(38, 10)
+    Cast(a.head, t, None, mode)
+  }
+
+  // ---- UDF tier -------------------------------------------------------
+
+  private val mapper = new ObjectMapper()
+
+  private def parse(s: String): JsonNode = mapper.readTree(s)
+
+  private def stripNulls(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val out = mapper.createObjectNode()
+      o.properties().forEach { e =>
+        if (!e.getValue.isNull) out.set[JsonNode](e.getKey, stripNulls(e.getValue))
+      }
+      out
+    case a: ArrayNode =>
+      val out = mapper.createArrayNode()
+      a.forEach(x => out.add(stripNulls(x)))
+      out
+    case other => other
+  }
+
+  /** jsonb containment (reference json_contains_in_right = PG @>):
+    * objects contain subsets recursively, arrays contain every element
+    * of the needle, scalars compare equal.
+    */
+  private def contains(hay: JsonNode, needle: JsonNode): Boolean = (hay, needle) match {
+    case (h: ObjectNode, n: ObjectNode) =>
+      var ok = true
+      n.properties().forEach { e =>
+        ok = ok && h.has(e.getKey) && contains(h.get(e.getKey), e.getValue)
+      }
+      ok
+    case (h: ArrayNode, n: ArrayNode) =>
+      var ok = true
+      n.forEach { x =>
+        var found = false
+        h.forEach(y => found = found || contains(y, x))
+        ok = ok && found
+      }
+      ok
+    case (h: ArrayNode, n) =>
+      var found = false
+      h.forEach(y => found = found || contains(y, n))
+      found
+    case (h, n) => h == n
+  }
+
+  private def nullSafe1(g: String => String) =
+    udf((s: String) => Option(s).map(g))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    for ((name, builder) <- rewrites) {
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // array aggregates-as-scalars (reference array.rs array_* FACTORY;
+    // null elements are ignored like their aggregate counterparts)
+    def nums(a: Seq[java.lang.Double]): Seq[Double] =
+      Option(a).getOrElse(Seq.empty).filter(_ != null).map(_.doubleValue())
+    spark.udf.register("array_sum", udf((a: Seq[java.lang.Double]) => {
+      val xs = nums(a); if (xs.isEmpty) None else Some(xs.sum) }))
+    spark.udf.register("array_avg", udf((a: Seq[java.lang.Double]) => {
+      val xs = nums(a); if (xs.isEmpty) None else Some(xs.sum / xs.length) }))
+    spark.udf.register("array_count", udf((a: Seq[java.lang.Double]) =>
+      nums(a).length.toLong))
+    spark.udf.register("array_median", udf((a: Seq[java.lang.Double]) => {
+      val xs = nums(a).sorted
+      if (xs.isEmpty) None
+      else if (xs.length % 2 == 1) Some(xs(xs.length / 2))
+      else Some((xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0) }))
+    def variance(xs: Seq[Double], sample: Boolean): Option[Double] = {
+      val n = xs.length
+      if (n == 0 || (sample && n < 2)) None
+      else {
+        val m = xs.sum / n
+        Some(xs.map(x => (x - m) * (x - m)).sum / (if (sample) n - 1 else n))
+      }
+    }
+    spark.udf.register("array_stddev_samp", udf((a: Seq[java.lang.Double]) =>
+      variance(nums(a), sample = true).map(math.sqrt)))
+    spark.udf.register("array_stddev_pop", udf((a: Seq[java.lang.Double]) =>
+      variance(nums(a), sample = false).map(math.sqrt)))
+    spark.udf.register("array_stddev", udf((a: Seq[java.lang.Double]) =>
+      variance(nums(a), sample = true).map(math.sqrt)))
+    spark.udf.register("array_std", udf((a: Seq[java.lang.Double]) =>
+      variance(nums(a), sample = true).map(math.sqrt)))
+    // sample skewness / excess kurtosis with the standard bias
+    // corrections (the reference's skew/kurt family conventions)
+    spark.udf.register("array_skewness", udf((a: Seq[java.lang.Double]) => {
+      val xs = nums(a); val n = xs.length
+      if (n < 3) None
+      else {
+        val m = xs.sum / n
+        val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+        val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+        if (m2 == 0) None
+        else Some(math.sqrt(n.toDouble * (n - 1)) / (n - 2) * m3 / math.pow(m2, 1.5))
+      } }))
+    spark.udf.register("array_kurtosis", udf((a: Seq[java.lang.Double]) => {
+      val xs = nums(a); val n = xs.length
+      if (n < 4) None
+      else {
+        val m = xs.sum / n
+        val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+        val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+        if (m2 == 0) None
+        else Some(((n + 1.0) * n / ((n - 1.0) * (n - 2) * (n - 3))) *
+          (n * m4 / (m2 * m2)) - 3.0 * (n - 1.0) * (n - 1) / ((n - 2.0) * (n - 3)))
+      } }))
+
+    // JSON object editing on the text form (Jackson)
+    spark.udf.register("json_object_delete_impl",
+      udf((s: String, keys: Seq[String]) => Option(s).map { j =>
+        parse(j) match {
+          case o: ObjectNode => keys.foreach(o.remove); mapper.writeValueAsString(o)
+          case other => mapper.writeValueAsString(other)
+        }
+      }))
+    spark.udf.register("json_object_pick_impl",
+      udf((s: String, keys: Seq[String]) => Option(s).map { j =>
+        parse(j) match {
+          case o: ObjectNode =>
+            val out = mapper.createObjectNode()
+            keys.foreach(k => if (o.has(k)) out.set[JsonNode](k, o.get(k)))
+            mapper.writeValueAsString(out)
+          case other => mapper.writeValueAsString(other)
+        }
+      }))
+    spark.udf.register("json_object_insert_impl",
+      udf((s: String, key: String, value: String, update: Boolean) =>
+        Option(s).map { j =>
+          parse(j) match {
+            case o: ObjectNode =>
+              if (!o.has(key) || update) {
+                val v = try parse(value) catch {
+                  case _: Exception => mapper.getNodeFactory.textNode(value)
+                }
+                o.set[JsonNode](key, v)
+              }
+              mapper.writeValueAsString(o)
+            case other => mapper.writeValueAsString(other)
+          }
+        }))
+    spark.udf.register("json_strip_nulls_impl", nullSafe1 { j =>
+      mapper.writeValueAsString(stripNulls(parse(j))) })
+    spark.udf.register("json_pretty_impl", nullSafe1 { j =>
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(parse(j)) })
+    spark.udf.register("json_contains_in_right_impl",
+      udf((hay: String, needle: String) =>
+        if (hay == null || needle == null) None
+        else Some(contains(parse(hay), parse(needle)))))
+    spark.udf.register("get_ignore_case_impl",
+      udf((s: String, key: String) =>
+        if (s == null || key == null) None
+        else parse(s) match {
+          case o: ObjectNode =>
+            val it = o.properties().iterator()
+            var found: Option[String] = None
+            while (it.hasNext && found.isEmpty) {
+              val e = it.next()
+              if (e.getKey.equalsIgnoreCase(key))
+                found = Some(mapper.writeValueAsString(e.getValue))
+            }
+            found
+          case _ => None
+        }))
+    spark.udf.register("delete_by_keypath_impl",
+      udf((s: String, path: String) =>
+        if (s == null || path == null) None
+        else {
+          // keypath dialect: {a, b, 0} (reference variant.rs keypath)
+          val parts = path.stripPrefix("{").stripSuffix("}").split(",").map(_.trim)
+          val root = parse(s)
+          var cur: JsonNode = root
+          var i = 0
+          while (i < parts.length - 1 && cur != null) {
+            cur = cur match {
+              case o: ObjectNode => o.get(parts(i))
+              case ar: ArrayNode => try ar.get(parts(i).toInt) catch { case _: Exception => null }
+              case _ => null
+            }
+            i += 1
+          }
+          (cur, if (parts.nonEmpty) parts.last else "") match {
+            case (o: ObjectNode, k) => o.remove(k)
+            case (ar: ArrayNode, k) => try ar.remove(k.toInt) catch { case _: Exception => () }
+            case _ => ()
+          }
+          Some(mapper.writeValueAsString(root))
+        }))
+
+    // geometry point tests (reference geo.rs point_in_*)
+    spark.udf.register("point_in_polygon",
+      udf((px: Double, py: Double, poly: Seq[Seq[Double]]) => {
+        // ray casting; polygon as [[x1,y1],[x2,y2],...]
+        var inside = false
+        val n = poly.length
+        var i = 0
+        var j = n - 1
+        while (i < n) {
+          val (xi, yi) = (poly(i)(0), poly(i)(1))
+          val (xj, yj) = (poly(j)(0), poly(j)(1))
+          if (((yi > py) != (yj > py)) &&
+            (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) inside = !inside
+          j = i; i += 1
+        }
+        inside
+      }))
+    spark.udf.register("point_in_ellipses",
+      udf((px: Double, py: Double, es: Seq[Double]) => {
+        // flat [cx, cy, a, b, ...] quadruples; true if inside ANY
+        var inside = false
+        var i = 0
+        while (i + 3 < es.length && !inside) {
+          val dx = (px - es(i)) / es(i + 2)
+          val dy = (py - es(i + 1)) / es(i + 3)
+          inside = dx * dx + dy * dy <= 1.0
+          i += 4
+        }
+        inside
+      }))
+
+    // xxhash32 over the string form (lz4-java's XXHash32, seed 0 —
+    // engine-specific values like the reference's own)
+    spark.udf.register("xxhash32_impl", udf((s: String) =>
+      Option(s).map { x =>
+        val bytes = x.getBytes("UTF-8")
+        net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+          .hash32().hash(bytes, 0, bytes.length, 0).toLong & 0xffffffffL
+      }))
+    spark.udf.register("to_uuid_impl", udf((s: String) =>
+      Option(s).flatMap { x =>
+        try Some(java.util.UUID.fromString(x.trim).toString)
+        catch { case _: IllegalArgumentException => None }
+      }))
+  }
+}

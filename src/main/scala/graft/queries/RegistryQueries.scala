@@ -333,10 +333,87 @@ object RegistryQueries extends QueryModule {
       |  1.0 AS cd
       |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin))
 
+  // round-4 batch 2: array aggregates-as-scalars, JSON object edits,
+  // variadic predicates, vector norms (functions.MoreAliases2)
+  private val aliasNames4 = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      x.registerAll()
+      spark.sql(
+        """SELECT o_orderkey,
+          |  and_filters(o_orderkey > 10, o_orderkey < 50) AS af,
+          |  or_filters(o_orderkey < 10, o_orderkey > 50) AS orf,
+          |  array_construct(1, 2, CAST(o_orderkey AS INT)) AS arr,
+          |  array_sum(array(1.0, 2.0, CAST(o_orderkey AS DOUBLE))) AS asum,
+          |  round(array_avg(array(1.0, 2.0, CAST(o_orderkey AS DOUBLE))), 6) AS aavg,
+          |  array_count(array(1.0, CAST(NULL AS DOUBLE), CAST(o_orderkey AS DOUBLE))) AS acnt,
+          |  array_median(array(1.0, 9.0, CAST(o_orderkey AS DOUBLE), 4.0)) AS amed,
+          |  round(array_stddev_samp(array(1.0, 5.0, CAST(o_orderkey AS DOUBLE))), 6) AS asd,
+          |  round(array_stddev_pop(array(1.0, 5.0, CAST(o_orderkey AS DOUBLE))), 6) AS asdp,
+          |  array_approx_count_distinct(array(1, 1, 2, CAST(o_orderkey % 3 AS INT))) AS aacd,
+          |  generate_series(1, 4) AS gs,
+          |  ilike(o_orderpriority, '%URGENT%') AS il,
+          |  like_any(o_orderpriority, '1%', '2%') AS la,
+          |  ilike_any(o_orderpriority, '%urgent%', '%high%') AS ila,
+          |  CAST(to_decimal(o_totalprice, 18, 2) AS DOUBLE) AS dec2,
+          |  json_object_delete('{"a":1,"b":2,"c":3}', 'a', 'c') AS jdel,
+          |  json_object_pick('{"a":1,"b":2,"c":3}', 'b') AS jpick,
+          |  json_object_insert('{"a":1}', 'b', '2') AS jins,
+          |  json_strip_nulls('{"a":null,"b":1}') AS jstrip,
+          |  json_contains_in_right('{"a":1,"b":2}', '{"a":1}') AS jcr,
+          |  json_contains_in_left('{"a":1}', '{"a":1,"b":2}') AS jcl,
+          |  json_path_exists('{"a":[1,2]}', '$.a[1]') AS jpe,
+          |  get_ignore_case('{"Aa":5}', 'aA') AS gic,
+          |  CAST(vector_dims(array(1.0, 2.0, 3.0)) AS INT) AS vd,
+          |  round(vector_norm(array(3.0, 4.0)), 6) AS vn,
+          |  point_in_polygon((o_orderkey % 20) / 10.0 + 0.05, 0.5,
+          |    array(array(0.0, 0.0), array(1.0, 0.0), array(1.0, 1.0), array(0.0, 1.0))) AS pip,
+          |  to_uuid('550E8400-E29B-41D4-A716-446655440000') AS uu,
+          |  is_not_error(try_to_int32(o_orderstatus)) AS ine
+          |FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+      |  (o_orderkey > 10 AND o_orderkey < 50) AS af,
+      |  (o_orderkey < 10 OR o_orderkey > 50) AS orf,
+      |  [1, 2, CAST(o_orderkey AS INT)] AS arr,
+      |  1.0 + 2.0 + o_orderkey AS asum,
+      |  round((1.0 + 2.0 + o_orderkey) / 3, 6) AS aavg,
+      |  CAST(2 AS BIGINT) AS acnt,
+      |  CASE WHEN o_orderkey <= 1 THEN 2.5
+      |       WHEN o_orderkey <= 4 THEN (o_orderkey + 4.0) / 2
+      |       WHEN o_orderkey <= 9 THEN (4.0 + o_orderkey) / 2
+      |       ELSE 6.5 END AS amed,
+      |  round(stddev_samp(CAST(x AS DOUBLE)), 6) AS asd,
+      |  round(stddev_pop(CAST(x AS DOUBLE)), 6) AS asdp,
+      |  CAST(len(list_distinct([1, 1, 2, CAST(o_orderkey % 3 AS INT)])) AS BIGINT) AS aacd,
+      |  [1, 2, 3, 4] AS gs,
+      |  o_orderpriority ILIKE '%URGENT%' AS il,
+      |  (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') AS la,
+      |  (o_orderpriority ILIKE '%urgent%' OR o_orderpriority ILIKE '%high%') AS ila,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS dec2,
+      |  '{"b":2}' AS jdel,
+      |  '{"b":2}' AS jpick,
+      |  '{"a":1,"b":2}' AS jins,
+      |  '{"b":1}' AS jstrip,
+      |  true AS jcr,
+      |  true AS jcl,
+      |  true AS jpe,
+      |  '5' AS gic,
+      |  3 AS vd,
+      |  5.0 AS vn,
+      |  ((o_orderkey % 20) / 10.0 + 0.05) < 1.0 AS pip,
+      |  '550e8400-e29b-41d4-a716-446655440000' AS uu,
+      |  false AS ine
+      |FROM orders, LATERAL (SELECT unnest([1.0, 5.0, CAST(o_orderkey AS DOUBLE)]) AS x) u
+      |WHERE o_orderkey < 60
+      |GROUP BY ALL
+      |ORDER BY o_orderkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "reg_alias_names" -> aliasNames,
     "reg_alias_names2" -> aliasNames2,
     "reg_alias_names3" -> aliasNames3,
+    "reg_alias_names4" -> aliasNames4,
     "reg_bitmap_count" -> bitmap,
     "reg_bitmap_setops" -> bitmapSetOps,
     "reg_bitmap_algebra" -> bitmapAlgebra,

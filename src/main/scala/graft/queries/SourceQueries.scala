@@ -57,6 +57,56 @@ object SourceQueries extends QueryModule {
       |  (1, 2, 0.5, true), (2, 0, 1.5, false), (3, 1, -2.0, true)
       |) t(id, n_tags, score, ok) ORDER BY id""".stripMargin))
 
+  // TSV: the CSV reader with a tab separator (reference TSV stage
+  // format, file_format.rs:67-76)
+  private val tsvLines = Seq(
+    "id\tcity\tpop",
+    "1\tOslo\t709000",
+    "2\tLima\t10883000",
+    "3\t\t42",
+    "4\tPerth\t2141000")
+
+  private val tsvParse = Q(
+    (spark, _) => {
+      import spark.implicits._
+      val ds = spark.createDataset(tsvLines)
+      spark.read
+        .option("header", "true")
+        .option("sep", "\t")
+        .csv(ds)
+        .select(col("id").cast("int").as("id"), col("city"),
+          col("pop").cast("long").as("pop"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT * FROM (VALUES
+      |  (1, 'Oslo', 709000), (2, 'Lima', 10883000),
+      |  (3, NULL, 42), (4, 'Perth', 2141000)) t(id, city, pop)
+      |ORDER BY id""".stripMargin))
+
+  // XML: Spark 4 native XML source (reference XML stage format) —
+  // attributes land as _attr columns, nested elements as structs
+  private val xmlLines = Seq(
+    """<order id="1"><item sku="A1"><qty>3</qty><price>9.99</price></item></order>""",
+    """<order id="2"><item sku="B2"><qty>1</qty><price>19.50</price></item></order>""",
+    """<order id="3"><item sku="C3"><qty>7</qty><price>0.25</price></item></order>""")
+
+  private val xmlParse = Q(
+    (spark, _) => {
+      import spark.implicits._
+      val ds = spark.createDataset(xmlLines)
+      spark.read
+        .option("rowTag", "order")
+        .xml(ds)
+        .select(col("_id").cast("int").as("id"),
+          col("item._sku").as("sku"),
+          col("item.qty").cast("int").as("qty"),
+          col("item.price").cast("double").as("price"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT * FROM (VALUES
+      |  (1, 'A1', 3, 9.99), (2, 'B2', 1, 19.50), (3, 'C3', 7, 0.25)
+      |) t(id, sku, qty, price) ORDER BY id""".stripMargin))
+
   // ConstantTableScan: a literal in-memory relation
   private val constantScan = Q(
     (spark, _) => {
@@ -130,6 +180,8 @@ object SourceQueries extends QueryModule {
 
   override def queries: Seq[(String, Q)] = Seq(
     "src_csv_parse" -> csvParse,
+    "src_tsv_parse" -> tsvParse,
+    "src_xml_parse" -> xmlParse,
     "src_json_parse" -> jsonParse,
     "src_orc_parse" -> orcParse,
     "src_avro_parse" -> avroParse,

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Names from functions.MoreAliases2 with no DuckDB-expressible oracle
+  * (reg_alias_names4 covers the rest): map edits, quote, pretty-print,
+  * keypath delete, array skew/kurt, xxhash32 determinism, to_uuid
+  * failure mode, SRF rewrites.
+  */
+class MoreAliases2Spec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 4, appName = "graft-alias2-test")
+
+  private def one(expr: String): Any = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"SELECT $expr AS v").head().get(0)
+  }
+
+  test("map_pick / map_delete filter by key") {
+    assert(one("map_pick(map('a', 1, 'b', 2, 'c', 3), 'a', 'c')")
+      .asInstanceOf[Map[String, Int]] == Map("a" -> 1, "c" -> 3))
+    assert(one("map_delete(map('a', 1, 'b', 2), 'a')")
+      .asInstanceOf[Map[String, Int]] == Map("b" -> 2))
+  }
+
+  test("quote escapes quotes and backslashes") {
+    assert(one("""quote('it''s a \\ test')""") == """it\'s a \\ test""")
+  }
+
+  test("json_pretty / delete_by_keypath / json_object_insert update flag") {
+    assert(one("json_pretty('{\"a\":1}')").toString.contains("\n"))
+    assert(one("delete_by_keypath('{\"a\":{\"b\":1,\"c\":2}}', '{a, b}')")
+      == """{"a":{"c":2}}""")
+    // update=false leaves an existing key; update=true replaces it
+    assert(one("json_object_insert('{\"a\":1}', 'a', '9')") == """{"a":1}""")
+    assert(one("json_object_insert('{\"a\":1}', 'a', '9', true)") == """{"a":9}""")
+  }
+
+  test("array skewness/kurtosis match hand-computed values") {
+    // xs = [1,2,4,8]: sample-corrected skewness/excess kurtosis
+    val xs = Seq(1.0, 2.0, 4.0, 8.0)
+    val n = xs.length
+    val m = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - m, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+    val skew = math.sqrt(n.toDouble * (n - 1)) / (n - 2) * m3 / math.pow(m2, 1.5)
+    val kurt = ((n + 1.0) * n / ((n - 1.0) * (n - 2) * (n - 3))) *
+      (n * m4 / (m2 * m2)) - 3.0 * (n - 1.0) * (n - 1) / ((n - 2.0) * (n - 3))
+    assert(math.abs(one("array_skewness(array(1.0, 2.0, 4.0, 8.0))")
+      .asInstanceOf[Double] - skew) < 1e-12)
+    assert(math.abs(one("array_kurtosis(array(1.0, 2.0, 4.0, 8.0))")
+      .asInstanceOf[Double] - kurt) < 1e-12)
+  }
+
+  test("xxhash32 is deterministic and 32-bit") {
+    val a = one("xxhash32('hello')").asInstanceOf[Long]
+    val b = one("xxhash32('hello')").asInstanceOf[Long]
+    assert(a == b && a >= 0 && a <= 0xffffffffL)
+    assert(one("xxhash32('hellp')").asInstanceOf[Long] != a)
+  }
+
+  test("to_uuid returns NULL on malformed input") {
+    assert(one("to_uuid('not-a-uuid')") == null)
+    assert(one("to_uuid('550E8400-E29B-41D4-A716-446655440000')")
+      == "550e8400-e29b-41d4-a716-446655440000")
+  }
+
+  test("set-returning rewrites explode") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      "SELECT regexp_split_to_table('a,b,c', ',') AS v").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("a", "b", "c"))
+    val els = spark.sql(
+      "SELECT CAST(v AS STRING) AS v FROM (SELECT json_array_elements(parse_json('[1,2,3]')) AS v)")
+      .collect().map(_.getString(0))
+    assert(els.toSeq == Seq("1", "2", "3"))
+  }
+}
