@@ -48,12 +48,52 @@ object SystemTables {
     }.toDF("name", "class_name", "is_temporary")
   }
 
-  /** Register all three as `system_*` temp views (snapshot semantics:
+  /** One row per database (reference databases_table.rs). */
+  def databases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listDatabases().collect().toSeq.map { d =>
+      (d.name, Option(d.catalog).getOrElse(""), Option(d.locationUri).getOrElse(""))
+    }.toDF("name", "catalog", "location")
+  }
+
+  /** One row per non-default Spark SQL setting (reference
+    * settings_table.rs / configs_table.rs role: the effective session
+    * configuration as a queryable relation).
+    */
+  def settings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq.sorted.toDF("name", "value")
+  }
+
+  /** The table engines this build supports (reference engines_table.rs). */
+  def engines(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("FUSE", "snapshot/segment storage with time travel (GraftTable)"),
+      ("MEMORY", "session temp views"),
+      ("RANDOM", "seed-deterministic generated data (RandomTable)"),
+      ("STREAM", "append-log change tracking (GraftStream)"),
+      ("VIEW", "named query"),
+      ("NULL", "discards writes, returns empty"))
+      .toDF("engine", "description")
+  }
+
+  /** The reference's system.one: a single row, used as a scan seed. */
+  def one(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(1)).toDF("dummy")
+  }
+
+  /** Register all as `system_*` temp views (snapshot semantics:
     * re-register to refresh, matching QueryLog.refreshView).
     */
   def register(spark: SparkSession): Unit = {
     tables(spark).createOrReplaceTempView("system_tables")
     columns(spark).createOrReplaceTempView("system_columns")
     functions(spark).createOrReplaceTempView("system_functions")
+    databases(spark).createOrReplaceTempView("system_databases")
+    settings(spark).createOrReplaceTempView("system_settings")
+    engines(spark).createOrReplaceTempView("system_engines")
+    one(spark).createOrReplaceTempView("system_one")
   }
 }

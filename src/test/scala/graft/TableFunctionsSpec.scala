@@ -59,6 +59,13 @@ class TableFunctionsSpec extends AnyFunSuite {
     val f = spark.sql("SELECT count(*) FROM system_functions").head().getLong(0)
     assert(f > 300, s"only $f functions listed")
     assert(spark.sql("SELECT * FROM system_functions WHERE name = 'abs'").count() == 1)
+    // round-4 additions: databases/settings/engines/one
+    assert(spark.sql("SELECT * FROM system_databases WHERE name = 'default'").count() == 1)
+    assert(spark.sql(
+      "SELECT value FROM system_settings WHERE name = 'spark.sql.shuffle.partitions'")
+      .head().getString(0).toInt > 0)
+    assert(spark.sql("SELECT * FROM system_engines WHERE engine = 'FUSE'").count() == 1)
+    assert(spark.sql("SELECT dummy FROM system_one").head().getInt(0) == 1)
   }
 
   test("snapshots exposes the table's version chain") {
