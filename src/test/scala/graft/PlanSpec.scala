@@ -113,4 +113,22 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf("geo_radius_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("ClickBench point-filter queries push predicates into the scan") {
+    // cb_q36: CounterID/EventDate/flag equality filters must reach the
+    // parquet reader — at 100 TB this is the difference between a
+    // row-group-pruned scan and a full-table read
+    val plan = planOf("cb_q36")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("CounterID"), "CounterID filter should reach the scan")
+    val top = planOf("cb_q12")
+    assert(top.contains("TakeOrderedAndProject"), s"top-n should fuse:\n$top")
+  }
+
+  test("TPC-DS star joins broadcast the dimension side") {
+    // q3: date_dim + item are small dims over the store_sales fact
+    val plan = planOf("tpcds_q3")
+    assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
