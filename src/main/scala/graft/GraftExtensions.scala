@@ -34,6 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       inject(e, name, args => UnresolvedFunction(target, args, isDistinct = false))
     for ((name, builder) <- graft.functions.GraftFunctions.rewrites)
       inject(e, name, builder)
+    // rounds 3-4 expression-tier expansions (MoreAliases / MoreAliases2);
+    // their UDF tiers (Jackson JSON edits, array stats, hashes) need a
+    // live session — GraftFunctions.register(spark) adds those
+    for ((name, target) <- graft.functions.MoreAliases.aliases if name != target)
+      inject(e, name, args => UnresolvedFunction(target, args, isDistinct = false))
+    for ((name, builder) <- graft.functions.MoreAliases.rewrites)
+      inject(e, name, builder)
+    for ((name, builder) <- graft.functions.MoreAliases2.rewrites
+         if !graft.functions.MoreAliases2.udfBacked(name))
+      inject(e, name, builder)
     // aggregating-index rewrite (no-op until AggIndex.register is called)
     e.injectOptimizerRule(session => new graft.plans.AggIndexRule(session))
   }

@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions.udf
   *
   * Skipped (recorded in COVERAGE.md): running_difference (stateful
   * per-block, not a pure scalar), glob (ambiguous arg order across
-  * engines), json_each/json_path_query (set-returning over objects —
-  * use flatten/json_explode), is_interval (no INTERVAL variant kind in
+  * engines), json_path_query/_array (multi-row JSONPath — use
+  * json_each/flatten), is_interval (no INTERVAL variant kind in
   * Spark's VARIANT).
   */
 object MoreAliases2 {
@@ -43,6 +43,17 @@ object MoreAliases2 {
     val v = UnresolvedNamedLambdaVariable(Seq("v"))
     LambdaFunction(body(k, v), Seq(k, v))
   }
+
+  /** rewrite names whose expansion calls a session-registered `_impl`
+    * UDF — unusable from the code-free extensions injection path
+    */
+  def udfBacked(name: String): Boolean =
+    Set("json_object_delete", "object_delete", "json_object_pick",
+      "object_pick", "json_object_insert", "object_insert",
+      "json_strip_nulls", "strip_null_value", "json_pretty",
+      "json_contains_in_right", "json_contains_in_left",
+      "get_ignore_case", "delete_by_keypath", "xxhash32",
+      "to_uuid", "siphash", "siphash64")(name)
 
   val rewrites: Map[String, Seq[Expression] => Expression] = Map[String, Seq[Expression] => Expression](
     // variadic boolean sugar (reference and_filters/or_filters)
@@ -107,6 +118,49 @@ object MoreAliases2 {
       EqualNullSafe(f("get_json_object", jstr(a.head), a(1)), Literal("true"))),
 
     // set-returning JSON/regexp helpers expressed through explode
+    // json_each: (key, value) rows of an object's fields, value kept
+    // as VARIANT (reference variant.rs json_each SRF)
+    "json_each" -> (a => Explode(
+      f("from_json", jstr(a.head), Literal("map<string,variant>")))),
+
+    // time_slice(ts, n, unit[, 'START'|'END']) — Snowflake-compatible
+    // epoch-aligned n-unit buckets (reference datetime time_slice)
+    "time_slice" -> (a => {
+      val n = lit(a(1)).toString.toInt
+      require(n > 0, s"time_slice width must be positive, got $n")
+      val unit = lit(a(2)).toString.toLowerCase
+      val side = if (a.length >= 4) lit(a(3)).toString.toUpperCase else "START"
+      require(side == "START" || side == "END",
+        s"time_slice kind must be START|END, got $side")
+      val secsOf = Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+        "day" -> 86400L, "week" -> 604800L)
+      if (secsOf.contains(unit)) {
+        val w = secsOf(unit) * n
+        val b = Multiply(cast(f("floor", Divide(
+          f("unix_seconds", cast(a.head, TimestampType)),
+          Literal(w.toDouble))), LongType), Literal(w))
+        f("timestamp_seconds", if (side == "START") b else Add(b, Literal(w)))
+      } else {
+        val monthsOf = Map("month" -> 1, "quarter" -> 3, "year" -> 12)
+        require(monthsOf.contains(unit), s"time_slice unit '$unit' unsupported")
+        val w = monthsOf(unit) * n
+        // months since epoch, floored to the bucket
+        val m = Add(Multiply(Subtract(f("year", a.head), Literal(1970)), Literal(12)),
+          Subtract(f("month", a.head), Literal(1)))
+        val b0 = Multiply(cast(f("floor", Divide(cast(m, DoubleType),
+          Literal(w.toDouble))), IntegerType), Literal(w))
+        val b = if (side == "START") b0 else Add(b0, Literal(w))
+        cast(f("add_months", Literal(java.sql.Date.valueOf("1970-01-01")), b),
+          TimestampType)
+      }
+    }),
+
+    // SipHash-2-4 with a zero key — the reference's siphash/siphash64
+    // spelling (engine-native hash family; values are algorithm-exact,
+    // validated against the SipHash paper vectors in MoreAliases2Spec)
+    "siphash64" -> (a => f("siphash64_impl", jstr(a.head))),
+    "siphash" -> (a => f("siphash64_impl", jstr(a.head))),
+
     "json_array_elements" -> (a => Explode(
       f("try_variant_get", a.head, Literal("$"), Literal("array<variant>")))),
     "regexp_split_to_table" -> (a => Explode(f("split", a.head, a(1)))),
@@ -399,5 +453,41 @@ object MoreAliases2 {
         try Some(java.util.UUID.fromString(x.trim).toString)
         catch { case _: IllegalArgumentException => None }
       }))
+    spark.udf.register("siphash64_impl", udf((s: String) =>
+      Option(s).map(x => sipHash24(0L, 0L, x.getBytes("UTF-8")))))
+  }
+
+  /** SipHash-2-4 (Aumasson & Bernstein), little-endian message words;
+    * validated against the paper's test vectors in MoreAliases2Spec.
+    */
+  private[graft] def sipHash24(k0: Long, k1: Long, data: Array[Byte]): Long = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+    @inline def rotl(x: Long, b: Int): Long = (x << b) | (x >>> (64 - b))
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+    val n = data.length
+    val end = n - (n % 8)
+    var i = 0
+    while (i < end) {
+      var m = 0L
+      var j = 7
+      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    var b = n.toLong << 56
+    i = end
+    while (i < n) { b |= (data(i) & 0xffL) << (8 * (i - end)); i += 1 }
+    v3 ^= b; round(); round(); v0 ^= b
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    v0 ^ v1 ^ v2 ^ v3
   }
 }

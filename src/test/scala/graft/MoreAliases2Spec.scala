@@ -65,6 +65,41 @@ class MoreAliases2Spec extends AnyFunSuite {
       == "550e8400-e29b-41d4-a716-446655440000")
   }
 
+  test("siphash64 core matches the SipHash-2-4 paper vectors") {
+    import graft.functions.MoreAliases2.sipHash24
+    // key 000102...0f (k0/k1 little-endian), messages 00,01,02,...
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    assert(sipHash24(k0, k1, Array.emptyByteArray) == 0x726fdb47dd0e0e31L)
+    assert(sipHash24(k0, k1, Array[Byte](0)) == 0x74f839c593dc67fdL)
+    assert(sipHash24(k0, k1, (0 until 8).map(_.toByte).toArray) == 0x93f5f5799a932462L)
+    // the SQL surface: deterministic, zero-keyed
+    assert(one("siphash64('abc')") == one("siphash('abc')"))
+    assert(one("siphash64('abc')") != one("siphash64('abd')"))
+  }
+
+  test("time_slice buckets epoch-aligned, START and END") {
+    assert(one("CAST(time_slice(TIMESTAMP '2024-03-07 10:47:12', 15, 'minute') AS STRING)")
+      == "2024-03-07 10:45:00")
+    assert(one("CAST(time_slice(TIMESTAMP '2024-03-07 10:47:12', 15, 'minute', 'END') AS STRING)")
+      == "2024-03-07 11:00:00")
+    assert(one("CAST(time_slice(TIMESTAMP '2024-03-07 10:47:12', 2, 'hour') AS STRING)")
+      == "2024-03-07 10:00:00")
+    assert(one("CAST(time_slice(TIMESTAMP '2024-05-07 10:47:12', 3, 'month') AS STRING)")
+      == "2024-04-01 00:00:00")
+    assert(one("CAST(time_slice(TIMESTAMP '2024-05-07 10:47:12', 1, 'year', 'END') AS STRING)")
+      == "2025-01-01 00:00:00")
+  }
+
+  test("json_each yields (key, variant value) rows") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT key, CAST(value AS STRING) AS v
+        |FROM (SELECT json_each(parse_json('{"a":1,"b":[2,3]}')) AS (key, value))""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows == Map("a" -> "1", "b" -> "[2,3]"))
+  }
+
   test("set-returning rewrites explode") {
     graft.functions.GraftFunctions.register(spark)
     val rows = spark.sql(
