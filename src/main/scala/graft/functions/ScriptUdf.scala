@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
@@ -27,8 +27,10 @@ import scala.jdk.CollectionConverters._
   * UNSUPPORTED error databend raises for an unknown language, making
   * this the documented extension point rather than a silent stub.
   *
-  * Supported Arrow column types: Int32/Int64/Float64/Utf8/Bool —
-  * matching the scalar subset the reference's arrow-udf examples use.
+  * Supported Arrow column types: Int32/Int64/Float32/Float64/Utf8/
+  * Bool/Date32/Timestamp(us, UTC)/VarBinary — the scalar subset the
+  * reference's arrow-udf examples use plus the temporal/binary types a
+  * data pipeline needs.
   */
 object ScriptUdf {
 
@@ -105,11 +107,16 @@ object ScriptUdf {
   private def arrowType(dt: DataType): ArrowType = dt match {
     case IntegerType => new ArrowType.Int(32, true)
     case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
     case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
     case StringType => ArrowType.Utf8.INSTANCE
     case BooleanType => ArrowType.Bool.INSTANCE
+    case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+    case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+    case BinaryType => ArrowType.Binary.INSTANCE
     case other => throw new IllegalArgumentException(
-      s"ScriptUdf supports int/long/double/string/boolean columns, got $other")
+      s"ScriptUdf supports int/long/float/double/string/boolean/date/" +
+        s"timestamp/binary columns, got $other")
   }
 
   private def writeCell(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
@@ -123,6 +130,18 @@ object ScriptUdf {
     case (x: VarCharVector, a: String) => x.setSafe(i, a.getBytes("UTF-8"))
     case (x: BitVector, null) => x.setNull(i)
     case (x: BitVector, a: Boolean) => x.setSafe(i, if (a) 1 else 0)
+    case (x: Float4Vector, null) => x.setNull(i)
+    case (x: Float4Vector, a: Float) => x.setSafe(i, a)
+    case (x: DateDayVector, null) => x.setNull(i)
+    case (x: DateDayVector, a: java.sql.Date) => x.setSafe(i, a.toLocalDate.toEpochDay.toInt)
+    case (x: DateDayVector, a: java.time.LocalDate) => x.setSafe(i, a.toEpochDay.toInt)
+    case (x: TimeStampMicroTZVector, null) => x.setNull(i)
+    case (x: TimeStampMicroTZVector, a: java.sql.Timestamp) =>
+      x.setSafe(i, a.getTime * 1000L + (a.getNanos % 1000000) / 1000)
+    case (x: TimeStampMicroTZVector, a: java.time.Instant) =>
+      x.setSafe(i, a.getEpochSecond * 1000000L + a.getNano / 1000)
+    case (x: VarBinaryVector, null) => x.setNull(i)
+    case (x: VarBinaryVector, a: Array[Byte]) => x.setSafe(i, a)
     case (x, a) => throw new IllegalArgumentException(
       s"cannot write ${a.getClass} into ${x.getClass}")
   }
@@ -135,6 +154,14 @@ object ScriptUdf {
       case x: Float8Vector => x.get(i)
       case x: VarCharVector => new String(x.get(i), "UTF-8")
       case x: BitVector => x.get(i) == 1
+      case x: Float4Vector => x.get(i)
+      case x: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: TimeStampMicroTZVector =>
+        val us = x.get(i)
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case x: VarBinaryVector => x.get(i)
       case x => throw new IllegalArgumentException(s"unsupported vector ${x.getClass}")
     }
 }

@@ -51,6 +51,44 @@ class ScriptUdfSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, Some(math.sqrt(2.0))), (2L, None), (3L, Some(3.0))))
   }
 
+  test("date/timestamp/binary columns round-trip through Arrow") {
+    import spark.implicits._
+    import org.apache.arrow.vector.{DateDayVector, TimeStampMicroTZVector, VarBinaryVector}
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-07"),
+        java.sql.Timestamp.valueOf("2024-03-07 10:47:12.123456"),
+        Array[Byte](1, 2, 3)),
+      (2L, java.sql.Date.valueOf("1969-12-31"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        Array.emptyByteArray))
+      .toDF("id", "d", "ts", "payload")
+    val out = ScriptUdf.applyBatches(df,
+      StructType(Seq(StructField("d2", DateType),
+        StructField("ts2", TimestampType),
+        StructField("n", LongType)))) { root =>
+      val d = root.getVector("d").asInstanceOf[DateDayVector]
+      val d2 = root.getVector("d2").asInstanceOf[DateDayVector]
+      val ts = root.getVector("ts").asInstanceOf[TimeStampMicroTZVector]
+      val ts2 = root.getVector("ts2").asInstanceOf[TimeStampMicroTZVector]
+      val p = root.getVector("payload").asInstanceOf[VarBinaryVector]
+      val n = root.getVector("n").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      for (i <- 0 until root.getRowCount) {
+        d2.setSafe(i, d.get(i) + 1)          // next day
+        ts2.setSafe(i, ts.get(i) + 1000000L) // +1 second
+        n.setSafe(i, p.get(i).length.toLong)
+      }
+    }
+    val got = out.orderBy("id").collect()
+    assert(got(0).getAs[java.sql.Date]("d2") == java.sql.Date.valueOf("2024-03-08"))
+    assert(got(0).getAs[java.sql.Timestamp]("ts2")
+      == java.sql.Timestamp.valueOf("2024-03-07 10:47:13.123456"))
+    assert(got(0).getAs[Long]("n") == 3L)
+    assert(got(1).getAs[java.sql.Date]("d2") == java.sql.Date.valueOf("1970-01-01"))
+    assert(got(1).getAs[java.sql.Timestamp]("ts2")
+      == java.sql.Timestamp.valueOf("1970-01-01 00:00:00.5"))
+    assert(got(1).getAs[Long]("n") == 0L)
+  }
+
   test("embedded-engine languages raise the documented error") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("id", "text")
