@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions.udf
   *
   * Intentionally NOT mapped (recorded in COVERAGE.md aliases section):
   * h3 family (needs an H3 library), st_ geometry/WKB family (geometry
-  * engine out of scope v0), siphash/city64/blake3 (hash ports),
+  * engine out of scope v0), blake3 (hash port),
   * markov/feistel_obfuscate/sleep, tz-typed functions (no TIMESTAMP_TZ
-  * parity), time_slice (variadic unit grammar).
+  * parity). siphash/siphash64, city64withseed and time_slice were
+  * later added in `MoreAliases2` (paper/golden-vector validated).
   */
 object MoreAliases {
 

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions.udf
   *
   * Skipped (recorded in COVERAGE.md): running_difference (stateful
   * per-block, not a pure scalar), glob (ambiguous arg order across
-  * engines), json_path_query/_array (multi-row JSONPath — use
-  * json_each/flatten), is_interval (no INTERVAL variant kind in
-  * Spark's VARIANT).
+  * engines), is_interval (no INTERVAL variant kind in Spark's
+  * VARIANT). The json_path_* family runs on the full SQL/JSON path
+  * evaluator in JsonPath.scala (filters, index lists, `last`
+  * arithmetic, wildcards) rather than get_json_object's dialect.
   */
 object MoreAliases2 {
 
@@ -53,7 +54,9 @@ object MoreAliases2 {
       "json_strip_nulls", "strip_null_value", "json_pretty",
       "json_contains_in_right", "json_contains_in_left",
       "get_ignore_case", "delete_by_keypath", "xxhash32",
-      "to_uuid", "siphash", "siphash64")(name)
+      "to_uuid", "siphash", "siphash64", "city64withseed",
+      "json_path_query", "json_path_query_array", "json_path_query_first",
+      "json_path_exists", "json_path_match")(name)
 
   val rewrites: Map[String, Seq[Expression] => Expression] = Map[String, Seq[Expression] => Expression](
     // variadic boolean sugar (reference and_filters/or_filters)
@@ -108,14 +111,26 @@ object MoreAliases2 {
     "strip_null_value" -> (a => f("json_strip_nulls_impl", jstr(a.head))),
     "is_not_error" -> (a => IsNotNull(a.head)),
 
-    // JSONPath probes on the text form (Spark's get_json_object speaks
-    // the same $.a[0] dialect the reference uses)
-    "json_path_exists" -> (a =>
-      IsNotNull(f("get_json_object", jstr(a.head), a(1)))),
-    "json_path_query_first" -> (a =>
-      f("try_parse_json", f("get_json_object", jstr(a.head), a(1)))),
+    // SQL/JSON path family on the full evaluator (JsonPath.scala):
+    // member / wildcard / subscript-list / `last` arithmetic / filter
+    // dialect per the reference's 02_0051 slt corpus; the *_match
+    // predicate grammar (`$.a == 1`) per variant.txt:4864-4903.
+    // json_path_query is the SRF form: one row per match, as VARIANT.
+    "json_path_query" -> (a => Explode(f("transform",
+      f("json_path_query_impl", jstr(a.head), jstr(a(1))),
+      lambda1(x => f("try_parse_json", x))))),
+    "json_path_query_array" -> (a => f("try_parse_json",
+      f("concat", Literal("["),
+        f("array_join",
+          f("json_path_query_impl", jstr(a.head), jstr(a(1))), Literal(",")),
+        Literal("]")))),
+    "json_path_query_first" -> (a => f("try_parse_json",
+      f("get", f("json_path_query_impl", jstr(a.head), jstr(a(1))), Literal(0)))),
+    "json_path_exists" -> (a => GreaterThan(
+      f("size", f("json_path_query_impl", jstr(a.head), jstr(a(1)))),
+      Literal(0))),
     "json_path_match" -> (a =>
-      EqualNullSafe(f("get_json_object", jstr(a.head), a(1)), Literal("true"))),
+      f("json_path_match_impl", jstr(a.head), jstr(a(1)))),
 
     // set-returning JSON/regexp helpers expressed through explode
     // json_each: (key, value) rows of an object's fields, value kept
@@ -160,6 +175,15 @@ object MoreAliases2 {
     // validated against the SipHash paper vectors in MoreAliases2Spec)
     "siphash64" -> (a => f("siphash64_impl", jstr(a.head))),
     "siphash" -> (a => f("siphash64_impl", jstr(a.head))),
+
+    // CityHash64 v1.0.2 with seed — the reference's city64withseed
+    // (hash.rs:444 via naive-cityhash, the ClickHouse-compatible
+    // CityHash revision). String inputs are bit-exact with the
+    // reference's golden vectors (hash.txt:171-187); see
+    // MoreAliases2Spec. Seed is any numeric (truncating cast, matching
+    // the reference's 256.3 -> 256 golden).
+    "city64withseed" -> (a =>
+      f("city64withseed_impl", jstr(a.head), cast(a(1), LongType))),
 
     "json_array_elements" -> (a => Explode(
       f("try_variant_get", a.head, Literal("$"), Literal("array<variant>")))),
@@ -455,6 +479,150 @@ object MoreAliases2 {
       }))
     spark.udf.register("siphash64_impl", udf((s: String) =>
       Option(s).map(x => sipHash24(0L, 0L, x.getBytes("UTF-8")))))
+    spark.udf.register("city64withseed_impl", udf((s: String, seed: Long) =>
+      Option(s).map(x => cityHash64WithSeed(x.getBytes("UTF-8"), seed))))
+    spark.udf.register("json_path_query_impl", udf((s: String, p: String) =>
+      for { x <- Option(s); q <- Option(p) } yield JsonPath.eval(x, q)))
+    spark.udf.register("json_path_match_impl", udf((s: String, p: String) =>
+      for { x <- Option(s); q <- Option(p) } yield JsonPath.pathMatch(x, q)))
+  }
+
+  /** CityHash64 v1.0.2 (Pike & Alakuijala, Google; the revision with
+    * the k3 constant, as used by ClickHouse and the reference's
+    * naive-cityhash dependency). All u64 arithmetic is two's-complement
+    * Long; only logical shifts are used so signedness never leaks.
+    * Validated against the reference's city64withseed golden vectors
+    * in MoreAliases2Spec.
+    */
+  private[graft] def cityHash64WithSeed(data: Array[Byte], seed: Long): Long =
+    hashLen16(cityHash64(data) - K2, seed)
+
+  private val K0 = 0xc3a5c85c97cb3127L
+  private val K1 = 0xb492b66fbe98f273L
+  private val K2 = 0x9ae16a3b2f90404fL
+  private val K3 = 0xc949d7c7509e6557L
+  private val KMul = 0x9ddfea08eb382d69L
+
+  @inline private def fetch64(s: Array[Byte], i: Int): Long = {
+    var m = 0L
+    var j = 7
+    while (j >= 0) { m = (m << 8) | (s(i + j) & 0xffL); j -= 1 }
+    m
+  }
+  @inline private def fetch32(s: Array[Byte], i: Int): Long =
+    (s(i) & 0xffL) | ((s(i + 1) & 0xffL) << 8) |
+      ((s(i + 2) & 0xffL) << 16) | ((s(i + 3) & 0xffL) << 24)
+  @inline private def rot(v: Long, shift: Int): Long =
+    if (shift == 0) v else (v >>> shift) | (v << (64 - shift))
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+
+  private def hashLen16(u: Long, v: Long): Long = {
+    // Hash128to64 on the pair (u = low, v = high)
+    var a = (u ^ v) * KMul
+    a ^= (a >>> 47)
+    var b = (v ^ a) * KMul
+    b ^= (b >>> 47)
+    b * KMul
+  }
+
+  private def hashLen0to16(s: Array[Byte], len: Int): Long = {
+    if (len > 8) {
+      val a = fetch64(s, 0)
+      val b = fetch64(s, len - 8)
+      // RotateByAtLeast1(b + len, len); len is in [9,16] so never 0
+      hashLen16(a, rot(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = fetch32(s, 0)
+      hashLen16(len + (a << 3), fetch32(s, len - 4))
+    } else if (len > 0) {
+      val a = s(0) & 0xffL
+      val b = s(len >> 1) & 0xffL
+      val c = s(len - 1) & 0xffL
+      val y = a + (b << 8)
+      val z = len + (c << 2)
+      shiftMix(y * K2 ^ z * K3) * K2
+    } else K2
+  }
+
+  private def hashLen17to32(s: Array[Byte], len: Int): Long = {
+    val a = fetch64(s, 0) * K1
+    val b = fetch64(s, 8)
+    val c = fetch64(s, len - 8) * K2
+    val d = fetch64(s, len - 16) * K0
+    hashLen16(rot(a - b, 43) + rot(c, 30) + d,
+      a + rot(b ^ K3, 20) - c + len)
+  }
+
+  private def hashLen33to64(s: Array[Byte], len: Int): Long = {
+    var z = fetch64(s, 24)
+    var a = fetch64(s, 0) + (len + fetch64(s, len - 16)) * K0
+    var b = rot(a + z, 52)
+    var c = rot(a, 37)
+    a += fetch64(s, 8)
+    c += rot(a, 7)
+    a += fetch64(s, 16)
+    val vf = a + z
+    val vs = b + rot(a, 31) + c
+    a = fetch64(s, 16) + fetch64(s, len - 32)
+    z = fetch64(s, len - 8)
+    b = rot(a + z, 52)
+    c = rot(a, 37)
+    a += fetch64(s, len - 24)
+    c += rot(a, 7)
+    a += fetch64(s, len - 16)
+    val wf = a + z
+    val ws = b + rot(a, 31) + c
+    val r = shiftMix((vf + ws) * K2 + (wf + vs) * K0)
+    shiftMix(r * K0 + vs) * K2
+  }
+
+  // (first, second) accumulator pair for the long-input loop
+  private def weakHashLen32WithSeeds(
+      w: Long, x: Long, y: Long, z: Long, a0: Long, b0: Long): (Long, Long) = {
+    var a = a0 + w
+    var b = rot(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rot(a, 44)
+    (a + z, b + c)
+  }
+  private def weakHashLen32WithSeeds(s: Array[Byte], i: Int, a: Long, b: Long): (Long, Long) =
+    weakHashLen32WithSeeds(fetch64(s, i), fetch64(s, i + 8),
+      fetch64(s, i + 16), fetch64(s, i + 24), a, b)
+
+  private[graft] def cityHash64(s: Array[Byte]): Long = {
+    val n = s.length
+    if (n <= 32) {
+      if (n <= 16) hashLen0to16(s, n) else hashLen17to32(s, n)
+    } else if (n <= 64) {
+      hashLen33to64(s, n)
+    } else {
+      var x = fetch64(s, 0)
+      var y = fetch64(s, n - 16) ^ K1
+      var z = fetch64(s, n - 56) ^ K0
+      var v = weakHashLen32WithSeeds(s, n - 64, n.toLong, y)
+      var w = weakHashLen32WithSeeds(s, n - 32, n.toLong * K1, K0)
+      z += shiftMix(v._2) * K1
+      x = rot(z + x, 39) * K1
+      y = rot(y, 33) * K1
+      var len = (n - 1) & ~63
+      var p = 0
+      while (len != 0) {
+        x = rot(x + y + v._1 + fetch64(s, p + 16), 37) * K1
+        y = rot(y + v._2 + fetch64(s, p + 48), 42) * K1
+        x ^= w._2
+        y ^= v._1
+        z = rot(z ^ w._1, 33)
+        v = weakHashLen32WithSeeds(s, p, v._2 * K1, x + w._1)
+        w = weakHashLen32WithSeeds(s, p + 32, z + w._2, y)
+        val t = z; z = x; x = t
+        p += 64
+        len -= 64
+      }
+      hashLen16(hashLen16(v._1, w._1) + shiftMix(y) * K1 + z,
+        hashLen16(v._2, w._2) + x)
+    }
   }
 
   /** SipHash-2-4 (Aumasson & Bernstein), little-endian message words;

@@ -78,6 +78,26 @@ class MoreAliases2Spec extends AnyFunSuite {
     assert(one("siphash64('abc')") != one("siphash64('abd')"))
   }
 
+  test("city64withseed matches the reference's golden vectors") {
+    // reference hash.txt:171-196 (CityHash64 v1.0.2 with seed)
+    assert(java.lang.Long.toUnsignedString(
+      one("city64withseed('Abc', 0)").asInstanceOf[Long]) == "8309941215813243361")
+    assert(java.lang.Long.toUnsignedString(
+      one("city64withseed('Abc', 256)").asInstanceOf[Long]) == "10246934130793054423")
+    // fractional seeds truncate (reference golden: 256.3 == 256)
+    assert(one("city64withseed('Abc', 256.3)") == one("city64withseed('Abc', 256)"))
+    // CityHash64 of the empty string is the k2 constant
+    import graft.functions.MoreAliases2.cityHash64
+    assert(cityHash64(Array.emptyByteArray) == 0x9ae16a3b2f90404fL)
+    // every length bracket is deterministic and spread (regression lock
+    // for the 4-16 / 17-32 / 33-64 / 65+ code paths)
+    val hs = Seq(1, 7, 12, 24, 48, 100, 300).map { n =>
+      cityHash64(Array.tabulate[Byte](n)(i => (i * 131 + 7).toByte))
+    }
+    assert(hs.distinct.size == hs.size)
+    assert(hs == hs) // stable across calls (pure function of bytes)
+  }
+
   test("time_slice buckets epoch-aligned, START and END") {
     assert(one("CAST(time_slice(TIMESTAMP '2024-03-07 10:47:12', 15, 'minute') AS STRING)")
       == "2024-03-07 10:45:00")
@@ -98,6 +118,49 @@ class MoreAliases2Spec extends AnyFunSuite {
         |FROM (SELECT json_each(parse_json('{"a":1,"b":[2,3]}')) AS (key, value))""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(rows == Map("a" -> "1", "b" -> "[2,3]"))
+  }
+
+  test("json_path_query matches the reference 02_0051 slt rows") {
+    graft.functions.GraftFunctions.register(spark)
+    def rows(expr: String): Seq[String] =
+      spark.sql(s"SELECT to_json(v) AS v FROM (SELECT $expr AS v)")
+        .collect().map(_.getString(0)).toSeq
+    val arr = """parse_json('[1,2,3,["a","b","c"]]')"""
+    val obj = """parse_json('{"a": 1,"b":{"c": 2}}')"""
+    // index lists with `last` arithmetic: rows 3, 2, 3
+    assert(rows(s"json_path_query($arr, '$$[2, 1 to last -1]')") == Seq("3", "2", "3"))
+    // filters on the element itself
+    assert(rows(s"json_path_query($arr, '$$[*]?(@ > 1 && @ <= 3)')") == Seq("2", "3"))
+    // nested subscript + starts with
+    assert(rows(s"""json_path_query($arr, '$$[3][*]?(@ starts with "a")')""") == Seq("\"a\""))
+    // subscript over mixed elements: only the nested array has [1]
+    assert(rows(s"json_path_query($arr, '$$[*][1]')") == Seq("\"b\""))
+    // member paths and object filters
+    assert(rows(s"json_path_query($obj, '$$.b.c')") == Seq("2"))
+    assert(rows(s"json_path_query($obj, '$$.b?(@.c == 2)')") == Seq("{\"c\":2}"))
+    assert(rows(s"json_path_query($obj, '$$.b?(@.c > 2)')") == Seq.empty)
+    // NULL input yields no rows; malformed path raises
+    assert(rows("json_path_query(CAST(NULL AS STRING), '$.a')") == Seq.empty)
+    intercept[Exception] { rows(s"json_path_query($obj, '--')") }
+  }
+
+  test("json_path_query_array / _first / exists / match") {
+    graft.functions.GraftFunctions.register(spark)
+    def s1(expr: String): Any = one(expr)
+    val arr = """parse_json('[1,2,3,["a","b","c"]]')"""
+    val obj = """parse_json('{"a": 1,"b":{"c": 2}}')"""
+    assert(s1(s"to_json(json_path_query_array($arr, '$$[2, 1 to last -1]'))") == "[3,2,3]")
+    assert(s1(s"to_json(json_path_query_array($obj, '$$.b?(@.c > 2)'))") == "[]")
+    assert(s1(s"to_json(json_path_query_first($arr, '$$[2, 1 to last -1]'))") == "3")
+    assert(s1(s"json_path_query_first($obj, '$$.zzz')") == null)
+    assert(s1(s"json_path_exists($obj, '$$.b?(@.c == 2)')") == true)
+    assert(s1(s"json_path_exists($obj, '$$.b?(@.c > 2)')") == false)
+    // variant.txt:4864-4903 predicate grammar
+    assert(s1("""json_path_match(parse_json('{"a":1,"b":2}'), '$.a == 1')""") == true)
+    assert(s1("""json_path_match(parse_json('{"a":1,"b":2}'), '$.a > 1')""") == false)
+    assert(s1("""json_path_match(parse_json('{"a":1,"b":2}'), '$.c > 0')""") == false)
+    assert(s1("""json_path_match(parse_json('{"a":1,"b":[1,2,3]}'), '$.b[0] == 1')""") == true)
+    assert(s1("json_path_match(CAST(NULL AS STRING), '$.a == 1')") == null)
   }
 
   test("set-returning rewrites explode") {
