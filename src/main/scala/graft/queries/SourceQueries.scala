@@ -178,6 +178,52 @@ object SourceQueries extends QueryModule {
     },
     roundtrip("orc").oracle) // same aggregate, same oracle
 
+  // ---- Delta Lake external table (reference storages/delta/) ---------
+  // Builds a partitioned delta table through its whole log lifecycle
+  // (create -> append -> checkpoint -> partition delete), then reads it
+  // back through the protocol-level log replay in sources.DeltaLake.
+  // The oracle replays the same mutations relationally, so a wrong
+  // active-file set, a mis-attached partition column, or a checkpoint
+  // bug all break the hash match.
+  private val deltaRead = Q(
+    (spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch")
+      Files.createDirectories(base)
+      val path = Files.createTempDirectory(base, "delta").toString
+      try {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+        graft.sources.DeltaLake.create(spark, path,
+          cust.filter(col("k") < 500), partitionColumns = Seq("seg"))
+        graft.sources.DeltaLake.append(spark, path,
+          cust.filter(col("k") >= 500 && col("k") < 700))
+        graft.sources.DeltaLake.checkpoint(spark, path)
+        graft.sources.DeltaLake.deleteWhere(spark, path,
+          pv => pv.get("seg").contains("MACHINERY"))
+        val out = graft.sources.DeltaLake.read(spark, path)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("bal") * 100).cast("long")).as("bal_c"))
+          .orderBy(col("seg"))
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        spark.createDataFrame(rows, out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(path)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    },
+    Some("""WITH data AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+      |  FROM customer WHERE c_custkey < 700)
+      |SELECT seg, count(*) AS n,
+      |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+      |FROM data WHERE seg <> 'MACHINERY'
+      |GROUP BY seg ORDER BY seg""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "src_csv_parse" -> csvParse,
     "src_tsv_parse" -> tsvParse,
@@ -185,5 +231,6 @@ object SourceQueries extends QueryModule {
     "src_json_parse" -> jsonParse,
     "src_orc_parse" -> orcParse,
     "src_avro_parse" -> avroParse,
+    "src_delta_read" -> deltaRead,
     "src_constant_scan" -> constantScan)
 }

@@ -1,0 +1,148 @@
+package graft
+
+import graft.sources.DeltaLake
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Protocol-level Delta Lake reader: hand-written logs (so the reader
+  * is validated against the PUBLIC protocol's JSON shapes, not just our
+  * own writer), the writer lifecycle, time travel, checkpoints, and the
+  * unsupported-feature guards.
+  */
+class DeltaLakeSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 4, appName = "graft-delta-test")
+
+  private def scratch(): String = {
+    val base = Paths.get("target", "delta_spec")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "t").toString
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** write `df` as exactly one parquet file at `table/<name>` */
+  private def onePart(df: org.apache.spark.sql.DataFrame, table: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory(Paths.get(table), "_w").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = Paths.get(table, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+    rmrf(tmp)
+  }
+
+  private def commit(table: String, v: Long, lines: String*): Unit = {
+    val d = Paths.get(table, "_delta_log")
+    Files.createDirectories(d)
+    Files.write(d.resolve(f"$v%020d.json"), lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  private val schemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":true,"metadata":{}},
+      |{"name":"ds","type":"date","nullable":true,"metadata":{}},
+      |{"name":"v","type":"double","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("reads a hand-written log: adds, removes, partition values, time travel") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      // data files carry only the non-partition columns (id, v)
+      onePart(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t, "ds=2024-01-01/f1.parquet")
+      onePart(Seq((3L, 3.0)).toDF("id", "v"), t, "ds=2024-01-02/f2.parquet")
+      onePart(Seq((4L, 4.0)).toDF("id", "v"), t, "ds=2024-01-02/f3.parquet")
+      val escaped = schemaJson.replace("\"", "\\\"")
+      commit(t, 0L,
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$escaped","partitionColumns":["ds"],"configuration":{}}}""",
+        """{"add":{"path":"ds=2024-01-01/f1.parquet","partitionValues":{"ds":"2024-01-01"},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"ds=2024-01-02/f2.parquet","partitionValues":{"ds":"2024-01-02"},"size":1,"modificationTime":1,"dataChange":true}}""")
+      // v1: replace f2 with f3 in the same partition
+      commit(t, 1L,
+        """{"commitInfo":{"operation":"REPLACE"}}""",
+        """{"remove":{"path":"ds=2024-01-02/f2.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        """{"add":{"path":"ds=2024-01-02/f3.parquet","partitionValues":{"ds":"2024-01-02"},"size":1,"modificationTime":2,"dataChange":true}}""")
+
+      val now = DeltaLake.read(spark, t)
+        .select(col("id"), col("ds").cast("string").as("ds"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(now == Set((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0), (4L, "2024-01-02", 4.0)))
+      // partition column is a real DATE, reconstructed from the log
+      assert(DeltaLake.read(spark, t).schema("ds").dataType.typeName == "date")
+
+      val v0 = DeltaLake.read(spark, t, versionAsOf = Some(0L))
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(v0 == Set(1L, 2L, 3L))
+      intercept[IllegalArgumentException] { DeltaLake.state(t, spark, Some(9L)) }
+    } finally rmrf(t)
+  }
+
+  test("writer lifecycle round-trips; checkpoint survives vacuumed commits") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      val d0 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "seg", "v")
+      DeltaLake.create(spark, t, d0, partitionColumns = Seq("seg"))
+      DeltaLake.append(spark, t, Seq((4L, "c", 4.0)).toDF("id", "seg", "v"))
+      DeltaLake.checkpoint(spark, t)                       // checkpoint at v1
+      DeltaLake.deleteWhere(spark, t, _.get("seg").contains("b"))   // v2
+      def ids(): Set[Long] =
+        DeltaLake.read(spark, t).select("id").collect().map(_.getLong(0)).toSet
+      assert(ids() == Set(1L, 3L, 4L))
+      // simulate VACUUM of pre-checkpoint commits: replay must come
+      // from the checkpoint + 2.json alone
+      Files.delete(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+      Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+      assert(ids() == Set(1L, 3L, 4L))
+      // but version 0 is no longer reconstructable
+      intercept[IllegalArgumentException] { DeltaLake.state(t, spark, Some(0L)) }
+    } finally rmrf(t)
+  }
+
+  test("rejects column mapping and unknown reader features") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      onePart(Seq((1L, 1.0)).toDF("id", "v"), t, "f1.parquet")
+      val sch = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}"""
+      commit(t, 0L,
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{}}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+      intercept[IllegalArgumentException] { DeltaLake.read(spark, t) }
+
+      val t2 = scratch()
+      try {
+        onePart(Seq((1L, 1.0)).toDF("id", "v"), t2, "f1.parquet")
+        commit(t2, 0L,
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+          """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        intercept[IllegalArgumentException] { DeltaLake.read(spark, t2) }
+      } finally rmrf(t2)
+    } finally rmrf(t)
+  }
+
+  test("partitioned read is ONE parquet scan with a broadcast attach") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      DeltaLake.create(spark, t,
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "seg", "v"),
+        partitionColumns = Seq("seg"))
+      val plan = DeltaLake.read(spark, t).queryExecution.executedPlan.toString
+      assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected one scan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"partition attach should broadcast:\n$plan")
+    } finally rmrf(t)
+  }
+}
