@@ -24,6 +24,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_returnflag"), "scan should prune unused columns")
   }
 
+  test("hive-style partitioned dirs prune partitions at the scan") {
+    // external hive-layout tables are Spark-native partition discovery;
+    // the property that matters at 100 TB is that a partition predicate
+    // becomes a PartitionFilter (dirs skipped), not a post-scan Filter
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = Paths.get("target", "plan_spec")
+    Files.createDirectories(base)
+    val dir = Files.createTempDirectory(base, "hive").toString
+    try {
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, "2024-01-03", 3.0))
+        .toDF("id", "ds", "v").write.mode("overwrite").partitionBy("ds").parquet(dir)
+      val df = spark.read.parquet(dir).filter(col("ds") === "2024-01-02")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+      assert(plan.contains("ds"), s"ds should be a partition filter:\n$plan")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   test("tpch_q5 broadcasts the small dimensions") {
     val plan = planOf("tpch_q5")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
