@@ -52,19 +52,25 @@ object JsonPath {
     var stepping = true
     while (stepping) {
       p.skipWs()
-      if (p.atEnd) p.fail("expected comparison operator")
+      if (p.atEnd) stepping = false
       else if (p.peek == '.') { p.next(); steps += parseMember(p) }
       else if (p.peek == '[') steps += parseSubscript(p)
       else if (p.peek == '?') steps += parseFilter(p)
       else stepping = false
     }
-    val (op, lit) = parseOpLit(p)
-    p.skipWs()
-    if (!p.atEnd) p.fail("trailing input after predicate")
     var cur: Seq[JsonNode] = Seq(root)
     for (step <- steps) cur = cur.flatMap(step)
-    val cmp = Cmp(Seq.empty, op, lit)
-    cur.exists(cmp.test)
+    if (p.atEnd) {
+      // bare path (`$.ok`): truthiness of the matched value, the
+      // PostgreSQL jsonb_path_match behavior the reference mirrors
+      cur.exists(n => n.isBoolean && n.booleanValue)
+    } else {
+      val (op, lit) = parseOpLit(p)
+      p.skipWs()
+      if (!p.atEnd) p.fail("trailing input after predicate")
+      val cmp = Cmp(Seq.empty, op, lit)
+      cur.exists(cmp.test)
+    }
   }
 
   def query(root: JsonNode, path: String): Seq[JsonNode] = {

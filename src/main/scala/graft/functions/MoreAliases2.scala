@@ -54,7 +54,7 @@ object MoreAliases2 {
       "json_strip_nulls", "strip_null_value", "json_pretty",
       "json_contains_in_right", "json_contains_in_left",
       "get_ignore_case", "delete_by_keypath", "xxhash32",
-      "to_uuid", "siphash", "siphash64", "city64withseed",
+      "to_uuid", "siphash", "siphash64", "city64withseed", "blake3",
       "json_path_query", "json_path_query_array", "json_path_query_first",
       "json_path_exists", "json_path_match")(name)
 
@@ -184,6 +184,10 @@ object MoreAliases2 {
     // the reference's 256.3 -> 256 golden).
     "city64withseed" -> (a =>
       f("city64withseed_impl", jstr(a.head), cast(a(1), LongType))),
+
+    // BLAKE3 256-bit hex (functions/Blake3.scala; reference hash.rs
+    // blake3, goldens hash.txt:81-109 + official test vectors)
+    "blake3" -> (a => f("blake3_impl", jstr(a.head))),
 
     "json_array_elements" -> (a => Explode(
       f("try_variant_get", a.head, Literal("$"), Literal("array<variant>")))),
@@ -481,6 +485,8 @@ object MoreAliases2 {
       Option(s).map(x => sipHash24(0L, 0L, x.getBytes("UTF-8")))))
     spark.udf.register("city64withseed_impl", udf((s: String, seed: Long) =>
       Option(s).map(x => cityHash64WithSeed(x.getBytes("UTF-8"), seed))))
+    spark.udf.register("blake3_impl", udf((s: String) =>
+      Option(s).map(x => Blake3.hex(x.getBytes("UTF-8")))))
     spark.udf.register("json_path_query_impl", udf((s: String, p: String) =>
       for { x <- Option(s); q <- Option(p) } yield JsonPath.eval(x, q)))
     spark.udf.register("json_path_match_impl", udf((s: String, p: String) =>

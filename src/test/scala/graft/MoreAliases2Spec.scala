@@ -98,6 +98,25 @@ class MoreAliases2Spec extends AnyFunSuite {
     assert(hs == hs) // stable across calls (pure function of bytes)
   }
 
+  test("blake3 matches reference goldens and official test vectors") {
+    // reference hash.txt:81-109
+    assert(one("blake3('Abc')")
+      == "1f7aa3978949c4275797ac6056c0108e852a5d07c49838a00799194957b82111")
+    assert(one("blake3('Dobrý den')")
+      == "0b449419834e5d285d3b95f892b5494db8d7798c11602ccde1f51c33a159677f")
+    assert(one("blake3(NULL)") == null)
+    // official test vectors (empty; 1024 B and 1025 B of the repeating
+    // 0..250 byte pattern — multi-block and parent/tree code paths)
+    import graft.functions.Blake3
+    assert(Blake3.hex(Array.emptyByteArray)
+      == "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262")
+    def pat(n: Int): Array[Byte] = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+    assert(Blake3.hex(pat(1024))
+      == "42214739f095a406f3fc83deb889744ac00df831c10daa55189b5d121c855af7")
+    assert(Blake3.hex(pat(1025))
+      == "d00278ae47eb27b34faecf67b4fe263f82d5412916c1ffd97c8cb7fb814b8444")
+  }
+
   test("time_slice buckets epoch-aligned, START and END") {
     assert(one("CAST(time_slice(TIMESTAMP '2024-03-07 10:47:12', 15, 'minute') AS STRING)")
       == "2024-03-07 10:45:00")
