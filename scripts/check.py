@@ -65,6 +65,16 @@ def main():
         if len(got) != len(exp):
             print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
             n_fail += 1; continue
+        # the driver's hash is dtype-KIND-sensitive (int vs float, bool vs
+        # object) even when values compare equal; width (int32 vs int64)
+        # and datetime unit (ns vs us) are tolerated -- flag kind drift
+        dt_bad = [f"{c}: spark={got[c].dtype} duck={exp[c].dtype}"
+                  for c in sorted(got.columns)
+                  if got[c].dtype.kind != exp[c].dtype.kind
+                  and {got[c].dtype.kind, exp[c].dtype.kind} != {"i", "u"}]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch [{'; '.join(dt_bad)}]")
+            n_fail += 1; continue
         g, e = norm(got), norm(exp)
         bad = None
         for c in g.columns:

@@ -343,7 +343,7 @@ object RegistryQueries extends QueryModule {
         """SELECT o_orderkey,
           |  and_filters(o_orderkey > 10, o_orderkey < 50) AS af,
           |  or_filters(o_orderkey < 10, o_orderkey > 50) AS orf,
-          |  array_construct(1, 2, CAST(o_orderkey AS INT)) AS arr,
+          |  to_json(array_construct(1, 2, CAST(o_orderkey AS INT))) AS arr,
           |  array_sum(array(1.0, 2.0, CAST(o_orderkey AS DOUBLE))) AS asum,
           |  round(array_avg(array(1.0, 2.0, CAST(o_orderkey AS DOUBLE))), 6) AS aavg,
           |  array_count(array(1.0, CAST(NULL AS DOUBLE), CAST(o_orderkey AS DOUBLE))) AS acnt,
@@ -351,7 +351,7 @@ object RegistryQueries extends QueryModule {
           |  round(array_stddev_samp(array(1.0, 5.0, CAST(o_orderkey AS DOUBLE))), 6) AS asd,
           |  round(array_stddev_pop(array(1.0, 5.0, CAST(o_orderkey AS DOUBLE))), 6) AS asdp,
           |  array_approx_count_distinct(array(1, 1, 2, CAST(o_orderkey % 3 AS INT))) AS aacd,
-          |  generate_series(1, 4) AS gs,
+          |  to_json(generate_series(1, 4)) AS gs,
           |  ilike(o_orderpriority, '%URGENT%') AS il,
           |  like_any(o_orderpriority, '1%', '2%') AS la,
           |  ilike_any(o_orderpriority, '%urgent%', '%high%') AS ila,
@@ -375,7 +375,7 @@ object RegistryQueries extends QueryModule {
     Some("""SELECT o_orderkey,
       |  (o_orderkey > 10 AND o_orderkey < 50) AS af,
       |  (o_orderkey < 10 OR o_orderkey > 50) AS orf,
-      |  [1, 2, CAST(o_orderkey AS INT)] AS arr,
+      |  CAST(to_json([1, 2, CAST(o_orderkey AS INT)]) AS STRING) AS arr,
       |  1.0 + 2.0 + o_orderkey AS asum,
       |  round((1.0 + 2.0 + o_orderkey) / 3, 6) AS aavg,
       |  CAST(2 AS BIGINT) AS acnt,
@@ -386,7 +386,7 @@ object RegistryQueries extends QueryModule {
       |  round(stddev_samp(CAST(x AS DOUBLE)), 6) AS asd,
       |  round(stddev_pop(CAST(x AS DOUBLE)), 6) AS asdp,
       |  CAST(len(list_distinct([1, 1, 2, CAST(o_orderkey % 3 AS INT)])) AS BIGINT) AS aacd,
-      |  [1, 2, 3, 4] AS gs,
+      |  CAST(to_json([1, 2, 3, 4]) AS STRING) AS gs,
       |  o_orderpriority ILIKE '%URGENT%' AS il,
       |  (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') AS la,
       |  (o_orderpriority ILIKE '%urgent%' OR o_orderpriority ILIKE '%high%') AS ila,

@@ -618,10 +618,10 @@ object TpcdsQueries extends QueryModule {
        GROUP BY ss_item_sk, d_date)
     SELECT item_sk,
            CAST(d_date AS TIMESTAMP) AS d_date,
-           web_sales_c,
-           store_sales_c,
-           web_cumulative,
-           store_cumulative
+           CAST(web_sales_c AS BIGINT) AS web_sales_c,
+           CAST(store_sales_c AS BIGINT) AS store_sales_c,
+           CAST(web_cumulative AS BIGINT) AS web_cumulative,
+           CAST(store_cumulative AS BIGINT) AS store_cumulative
     FROM
       (SELECT item_sk, d_date, web_sales_c, store_sales_c,
               max(web_sales_c) OVER (PARTITION BY item_sk ORDER BY d_date
@@ -1552,7 +1552,7 @@ object TpcdsQueries extends QueryModule {
     SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
            c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
            c_birth_country, c_login, c_email_address, c_last_review_date_sk,
-           ctr_total_return
+           CAST(ctr_total_return AS BIGINT) AS ctr_total_return
     FROM customer_total_return ctr1, customer_address, customer
     WHERE ctr1.ctr_total_return >
         (SELECT avg(ctr_total_return) * 1.2
@@ -2190,9 +2190,9 @@ object TpcdsQueries extends QueryModule {
          AND wsr_web_site_sk = web_site_sk
        GROUP BY web_site_id)
     SELECT channel, id,
-           sum(sales_c) AS sales_c,
-           sum(returns_c) AS returns_c,
-           sum(profit_c) AS profit_c
+           CAST(sum(sales_c) AS BIGINT) AS sales_c,
+           CAST(sum(returns_c) AS BIGINT) AS returns_c,
+           CAST(sum(profit_c) AS BIGINT) AS profit_c
     FROM
       (SELECT 'store channel' AS channel, concat('store', s_store_id) AS id,
               sales_c, returns_c, (profit_c - profit_loss_c) AS profit_c
@@ -2217,7 +2217,7 @@ object TpcdsQueries extends QueryModule {
   // query.
   private val q8 = q("""
     SELECT s_store_name,
-           sum(CAST(round(ss_net_profit * 100) AS BIGINT)) profit_c
+           CAST(sum(CAST(round(ss_net_profit * 100) AS BIGINT)) AS BIGINT) profit_c
     FROM store_sales, date_dim, store,
       (SELECT ca_zip
        FROM
@@ -2305,7 +2305,7 @@ object TpcdsQueries extends QueryModule {
   // ---- Q71: brand revenue at breakfast/dinner across channels ---------
   private val q71 = q("""
     SELECT i_brand_id brand_id, i_brand brand, t_hour, t_minute,
-           sum(ext_price_c) ext_price_c
+           CAST(sum(ext_price_c) AS BIGINT) ext_price_c
     FROM item,
       (SELECT CAST(round(ws_ext_sales_price * 100) AS BIGINT) AS ext_price_c,
               ws_sold_date_sk AS sold_date_sk,
@@ -2354,7 +2354,7 @@ object TpcdsQueries extends QueryModule {
   private val q91 = q("""
     SELECT cc_call_center_id call_center, cc_name call_center_name,
            cc_manager manager,
-           sum(CAST(round(cr_net_loss * 100) AS BIGINT)) returns_loss_c
+           CAST(sum(CAST(round(cr_net_loss * 100) AS BIGINT)) AS BIGINT) returns_loss_c
     FROM call_center, catalog_returns, date_dim, customer,
          customer_address, customer_demographics, household_demographics
     WHERE cr_call_center_sk = cc_call_center_sk
@@ -2501,11 +2501,11 @@ object TpcdsQueries extends QueryModule {
          AND ws_sold_date_sk = d_date_sk
        GROUP BY i_item_id)
     SELECT ss_items.item_id,
-           ss_item_rev_c,
+           CAST(ss_item_rev_c AS BIGINT) AS ss_item_rev_c,
            round(CAST(ss_item_rev_c AS DOUBLE) / ((ss_item_rev_c + cs_item_rev_c + ws_item_rev_c) / 3) * 100, 6) ss_dev,
-           cs_item_rev_c,
+           CAST(cs_item_rev_c AS BIGINT) AS cs_item_rev_c,
            round(CAST(cs_item_rev_c AS DOUBLE) / ((ss_item_rev_c + cs_item_rev_c + ws_item_rev_c) / 3) * 100, 6) cs_dev,
-           ws_item_rev_c,
+           CAST(ws_item_rev_c AS BIGINT) AS ws_item_rev_c,
            round(CAST(ws_item_rev_c AS DOUBLE) / ((ss_item_rev_c + cs_item_rev_c + ws_item_rev_c) / 3) * 100, 6) ws_dev,
            round(CAST(ss_item_rev_c + cs_item_rev_c + ws_item_rev_c AS DOUBLE) / 3, 6) average_c
     FROM ss_items, cs_items, ws_items
@@ -2554,10 +2554,10 @@ object TpcdsQueries extends QueryModule {
   private val q66 = q {
     val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
       "aug", "sep", "oct", "nov", "dec")
-    val sums = months.map(m => s"sum(${m}_sales_c) AS ${m}_sales_c").mkString(",\n           ")
+    val sums = months.map(m => s"CAST(sum(${m}_sales_c) AS BIGINT) AS ${m}_sales_c").mkString(",\n           ")
     val perFt = months.map(m =>
       s"round(sum(CAST(${m}_sales_c AS DOUBLE) / w_warehouse_sq_ft), 6) AS ${m}_sales_per_sq_foot").mkString(",\n           ")
-    val nets = months.map(m => s"sum(${m}_net_c) AS ${m}_net_c").mkString(",\n           ")
+    val nets = months.map(m => s"CAST(sum(${m}_net_c) AS BIGINT) AS ${m}_net_c").mkString(",\n           ")
     s"""
     SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
            w_state, w_country, ship_carriers, year_,
@@ -2579,12 +2579,12 @@ object TpcdsQueries extends QueryModule {
     FROM
       (SELECT i_category, i_class, i_brand, i_product_name,
               d_year, d_qoy, d_moy, s_store_id, sumsales_c,
-              rank() OVER (PARTITION BY i_category
-                           ORDER BY sumsales_c DESC) rk
+              CAST(rank() OVER (PARTITION BY i_category
+                           ORDER BY sumsales_c DESC) AS BIGINT) rk
        FROM
          (SELECT i_category, i_class, i_brand, i_product_name,
                  d_year, d_qoy, d_moy, s_store_id,
-                 sum(coalesce(CAST(round(ss_sales_price * 100) AS BIGINT) * ss_quantity, 0)) sumsales_c
+                 CAST(sum(coalesce(CAST(round(ss_sales_price * 100) AS BIGINT) * ss_quantity, 0)) AS BIGINT) sumsales_c
           FROM store_sales, date_dim, store, item
           WHERE ss_sold_date_sk = d_date_sk
             AND ss_item_sk = i_item_sk
@@ -2634,7 +2634,7 @@ object TpcdsQueries extends QueryModule {
            prev_yr.sales_cnt AS prev_yr_cnt,
            curr_yr.sales_cnt AS curr_yr_cnt,
            curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
-           curr_yr.sales_amt_c - prev_yr.sales_amt_c AS sales_amt_diff_c
+           CAST(curr_yr.sales_amt_c - prev_yr.sales_amt_c AS BIGINT) AS sales_amt_diff_c
     FROM all_sales curr_yr, all_sales prev_yr
     WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
       AND curr_yr.i_class_id = prev_yr.i_class_id
@@ -2702,9 +2702,9 @@ object TpcdsQueries extends QueryModule {
          AND wr_web_page_sk = wp_web_page_sk
        GROUP BY wp_web_page_sk)
     SELECT channel, id,
-           sum(sales_c) AS sales_c,
-           sum(returns_c) AS returns_c,
-           sum(profit_c) AS profit_c
+           CAST(sum(sales_c) AS BIGINT) AS sales_c,
+           CAST(sum(returns_c) AS BIGINT) AS returns_c,
+           CAST(sum(profit_c) AS BIGINT) AS profit_c
     FROM
       (SELECT 'store channel' AS channel, ss.s_store_sk AS id,
               sales_c, coalesce(returns_c, 0) AS returns_c,
@@ -2792,11 +2792,11 @@ object TpcdsQueries extends QueryModule {
     SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
            round(CAST(ss_qty AS DOUBLE) / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)), 2) ratio,
            ss_qty store_qty,
-           ss_wc_c store_wholesale_cost_c,
-           ss_sp_c store_sales_price_c,
+           CAST(ss_wc_c AS BIGINT) store_wholesale_cost_c,
+           CAST(ss_sp_c AS BIGINT) store_sales_price_c,
            coalesce(ws_qty, 0) + coalesce(cs_qty, 0) other_chan_qty,
-           coalesce(ws_wc_c, 0) + coalesce(cs_wc_c, 0) other_chan_wholesale_cost_c,
-           coalesce(ws_sp_c, 0) + coalesce(cs_sp_c, 0) other_chan_sales_price_c
+           CAST(coalesce(ws_wc_c, 0) + coalesce(cs_wc_c, 0) AS BIGINT) other_chan_wholesale_cost_c,
+           CAST(coalesce(ws_sp_c, 0) + coalesce(cs_sp_c, 0) AS BIGINT) other_chan_sales_price_c
     FROM ss
     LEFT JOIN ws ON (ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
                      AND ws_customer_sk = ss_customer_sk)
@@ -2866,9 +2866,9 @@ object TpcdsQueries extends QueryModule {
          AND p_channel_tv = 'N'
        GROUP BY web_site_id)
     SELECT channel, id,
-           sum(sales_c) AS sales_c,
-           sum(returns_c) AS returns_c,
-           sum(profit_c) AS profit_c
+           CAST(sum(sales_c) AS BIGINT) AS sales_c,
+           CAST(sum(returns_c) AS BIGINT) AS returns_c,
+           CAST(sum(profit_c) AS BIGINT) AS profit_c
     FROM
       (SELECT 'store channel' AS channel, concat('store', store_id) AS id,
               sales_c, returns_c, profit_c
@@ -2900,7 +2900,7 @@ object TpcdsQueries extends QueryModule {
            ca_street_number, ca_street_name, ca_street_type,
            ca_suite_number, ca_city, ca_county, ca_state, ca_zip,
            ca_country, ca_gmt_offset, ca_location_type,
-           ctr_total_return_c
+           CAST(ctr_total_return_c AS BIGINT) AS ctr_total_return_c
     FROM customer_total_return ctr1, customer_address, customer
     WHERE ctr1.ctr_total_return_c >
         (SELECT avg(ctr_total_return_c) * 1.2
@@ -3075,8 +3075,8 @@ object TpcdsQueries extends QueryModule {
           WHERE ws_sold_date_sk = d_date_sk
             AND d_year BETWEEN 1999 AND 1999 + 2) sq2)
     SELECT channel, i_brand_id, i_class_id, i_category_id,
-           sum(sales_c) AS sum_sales_c,
-           sum(number_sales) AS sum_number_sales
+           CAST(sum(sales_c) AS BIGINT) AS sum_sales_c,
+           CAST(sum(number_sales) AS BIGINT) AS sum_number_sales
     FROM
       (${q14Channel("store", "store_sales", "ss", "ss_customer_sk")}
        UNION ALL
@@ -3119,7 +3119,7 @@ object TpcdsQueries extends QueryModule {
        GROUP BY c_customer_sk
        HAVING sum(ss_quantity * CAST(round(ss_sales_price * 100) AS BIGINT)) >
               (50 / 100.0) * max(tpcds_cmax_c))
-    SELECT c_last_name, c_first_name, sales_c
+    SELECT c_last_name, c_first_name, CAST(sales_c AS BIGINT) AS sales_c
     FROM
       (SELECT c_last_name, c_first_name,
               sum(cs_quantity * CAST(round(cs_list_price * 100) AS BIGINT)) sales_c
@@ -3171,7 +3171,7 @@ object TpcdsQueries extends QueryModule {
                 s_state, i_color, i_current_price, i_manager_id,
                 i_units, i_size)
     SELECT c_last_name, c_first_name, s_store_name,
-           sum(netpaid_c) paid_c
+           CAST(sum(netpaid_c) AS BIGINT) paid_c
     FROM ssales
     WHERE i_color = 'honeydew'
     GROUP BY c_last_name, c_first_name, s_store_name
@@ -3262,12 +3262,12 @@ object TpcdsQueries extends QueryModule {
            cs1.c_zip,
            cs1.syear cs1syear,
            cs1.cnt cs1cnt,
-           cs1.s1_c AS s11_c,
-           cs1.s2_c AS s21_c,
-           cs1.s3_c AS s31_c,
-           cs2.s1_c AS s12_c,
-           cs2.s2_c AS s22_c,
-           cs2.s3_c AS s32_c,
+           CAST(cs1.s1_c AS BIGINT) AS s11_c,
+           CAST(cs1.s2_c AS BIGINT) AS s21_c,
+           CAST(cs1.s3_c AS BIGINT) AS s31_c,
+           CAST(cs2.s1_c AS BIGINT) AS s12_c,
+           CAST(cs2.s2_c AS BIGINT) AS s22_c,
+           CAST(cs2.s3_c AS BIGINT) AS s32_c,
            cs2.syear,
            cs2.cnt
     FROM cross_sales cs1, cross_sales cs2
