@@ -30,7 +30,10 @@ object Bench {
       (cold +: warm).min
     }
 
-    val results = SparkEntry.headline.map(n => n -> time(n))
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.headline)(s => SparkEntry.headline.filter(s))
+    val results = picked.map(n => n -> time(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
