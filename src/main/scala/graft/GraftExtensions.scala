@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     for ((name, builder) <- graft.functions.MoreAliases2.rewrites
          if !graft.functions.MoreAliases2.udfBacked(name))
       inject(e, name, builder)
+    // round-5 expression tier: numeric obfuscator
+    for ((name, builder) <- graft.functions.Obfuscator.rewrites)
+      inject(e, name, builder)
     // aggregating-index rewrite (no-op until AggIndex.register is called)
     e.injectOptimizerRule(session => new graft.plans.AggIndexRule(session))
   }

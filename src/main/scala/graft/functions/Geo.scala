@@ -64,8 +64,8 @@ object Geo {
     sb.toString
   }
 
-  /** Decode a geohash to the center of its cell (lon, lat). */
-  def geohashDecodeImpl(hash: String): (Double, Double) = {
+  /** Decode a geohash to its cell bounds (latLo, latHi, lonLo, lonHi). */
+  def geohashBounds(hash: String): (Double, Double, Double, Double) = {
     var (latLo, latHi) = (-90.0, 90.0)
     var (lonLo, lonHi) = (-180.0, 180.0)
     var isLon = true
@@ -80,6 +80,12 @@ object Geo {
       }
       isLon = !isLon
     }
+    (latLo, latHi, lonLo, lonHi)
+  }
+
+  /** Decode a geohash to the center of its cell (lon, lat). */
+  def geohashDecodeImpl(hash: String): (Double, Double) = {
+    val (latLo, latHi, lonLo, lonHi) = geohashBounds(hash)
     ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
   }
 

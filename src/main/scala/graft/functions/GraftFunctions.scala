@@ -432,6 +432,13 @@ object GraftFunctions {
     // round-4 name-surface expansion (~140 more reference names)
     MoreAliases.register(spark)
     MoreAliases2.register(spark)
+    // round-5 st_* geometry surface (62 names over the EWKB engine)
+    GeometryFunctions.register(spark)
+    // round-5 numeric obfuscator (expression tier)
+    for ((name, builder) <- Obfuscator.rewrites)
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    // round-5 geometry aggregates
+    GeoAggs.register(spark)
   }
 
   /** true if the alias layer is active in this session */

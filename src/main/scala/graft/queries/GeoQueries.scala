@@ -115,8 +115,107 @@ object GeoQueries extends QueryModule {
       |  count(*) AS n_points
       |FROM customer GROUP BY zone ORDER BY zone""".stripMargin))
 
+  // st_* geometry surface (functions/Geometry + GeometryFunctions —
+  // reference geographic/geometry.rs): every output is either a string
+  // the oracle rebuilds verbatim or arithmetic DuckDB replays; libm-
+  // dependent values (mercator y, azimuth) round like geo_fns does.
+  private val geometry = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      x.registerAll()
+      spark.sql(s"""
+        |WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(${lonSql("c_custkey")} AS DOUBLE) AS lon,
+        |    CAST(${latSql("c_custkey")} AS DOUBLE) AS lat
+        |  FROM customer WHERE c_custkey < 60),
+        |g AS (SELECT c_custkey, lon, lat, st_makepoint(lon, lat) AS p FROM pts)
+        |SELECT c_custkey,
+        |  st_astext(p) AS wkt,
+        |  st_x(st_geomfromtext(st_astext(p))) AS px,
+        |  st_y(st_geomfromwkb(st_aswkb(p))) AS py,
+        |  round(st_distance(p, st_makepoint(0, 0)), 3) AS dist_o,
+        |  round(st_length(st_makeline(p, st_makepoint(0, 0))), 3) AS line_len,
+        |  st_contains(st_geomfromtext('POLYGON((-50 -30,50 -30,50 30,-50 30,-50 -30))'), p)
+        |    AS in_box,
+        |  st_dwithin(p, st_makepoint(0, 0), 100.0) AS near_o,
+        |  round(st_x(st_transform(st_setsrid(p, 4326), 3857)), 3) AS merc_x,
+        |  round(st_y(st_transform(st_setsrid(p, 4326), 3857)), 2) AS merc_y,
+        |  round(st_azimuth(p, st_makepoint(0, 0)), 5) AS az,
+        |  st_asewkt(st_setsrid(p, 4326)) AS ewkt,
+        |  st_srid(st_setsrid(p, 3857)) AS srid,
+        |  st_npoints(st_envelope(st_makeline(p, st_makepoint(0, 0)))) AS env_pts,
+        |  round(st_area(st_envelope(st_makeline(p, st_makepoint(0, 0)))), 4) AS env_area
+        |FROM g ORDER BY c_custkey""".stripMargin)
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    CAST(${lonSql("c_custkey")} AS DOUBLE) AS lon,
+      |    CAST(${latSql("c_custkey")} AS DOUBLE) AS lat
+      |  FROM customer WHERE c_custkey < 60)
+      |SELECT c_custkey,
+      |  'POINT(' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS wkt,
+      |  lon AS px,
+      |  lat AS py,
+      |  round(sqrt(lon * lon + lat * lat), 3) AS dist_o,
+      |  round(sqrt(lon * lon + lat * lat), 3) AS line_len,
+      |  (lon > -50 AND lon < 50 AND lat > -30 AND lat < 30) AS in_box,
+      |  sqrt(lon * lon + lat * lat) <= 100.0 AS near_o,
+      |  round(round(lon * 6378137.0 * pi() / 180.0, 6), 3) AS merc_x,
+      |  round(round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 6), 2) AS merc_y,
+      |  round(CASE WHEN atan2(-lon, -lat) < 0 THEN atan2(-lon, -lat) + 2 * pi()
+      |        ELSE atan2(-lon, -lat) END, 5) AS az,
+      |  'SRID=4326;POINT(' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS ewkt,
+      |  3857 AS srid,
+      |  5 AS env_pts,
+      |  round(abs(lon) * abs(lat), 4) AS env_area
+      |FROM pts ORDER BY c_custkey""".stripMargin))
+
+  // geometry aggregates on EWKB columns (functions/GeoAggs — reference
+  // aggregate_geographic_agg.rs): per-zone envelope polygon as WKT (the
+  // oracle rebuilds the exact string from min/max), its area, and the
+  // st_collect cardinality
+  private val geomAgg = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      x.registerAll()
+      spark.sql(s"""
+        |WITH pts AS (
+        |  SELECT c_nationkey % 5 AS zone,
+        |    st_makepoint(CAST(${lonSql("c_custkey")} AS DOUBLE),
+        |                 CAST(${latSql("c_custkey")} AS DOUBLE)) AS p
+        |  FROM customer)
+        |SELECT zone,
+        |  st_astext(st_envelope_agg(p)) AS env_wkt,
+        |  round(st_area(st_envelope_agg(p)), 4) AS env_area,
+        |  st_npoints(st_collect(p)) AS n_pts
+        |FROM pts GROUP BY zone ORDER BY zone""".stripMargin)
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT c_nationkey % 5 AS zone,
+      |    CAST(${lonSql("c_custkey")} AS DOUBLE) AS lon,
+      |    CAST(${latSql("c_custkey")} AS DOUBLE) AS lat
+      |  FROM customer),
+      |ext AS (
+      |  SELECT zone, min(lon) x0, min(lat) y0, max(lon) x1, max(lat) y1, count(*) n
+      |  FROM pts GROUP BY zone)
+      |SELECT zone,
+      |  'POLYGON((' ||
+      |    CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ',' ||
+      |    CAST(x1 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ',' ||
+      |    CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ',' ||
+      |    CAST(x0 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ',' ||
+      |    CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || '))' AS env_wkt,
+      |  round((x1 - x0) * (y1 - y0), 4) AS env_area,
+      |  CAST(n AS INT) AS n_pts
+      |FROM ext ORDER BY zone""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "geo_fns" -> geoFns,
     "geo_radius_join" -> radiusJoin.copy(headline = true),
-    "geo_envelope" -> envelope)
+    "geo_envelope" -> envelope,
+    "geo_geometry" -> geometry,
+    "geo_geom_agg" -> geomAgg)
 }
