@@ -9,12 +9,17 @@ import Geometry._
 
 /** Geometry aggregates over EWKB columns (reference:
   * aggregates/aggregate_geographic_agg.rs — st_collect :722,
-  * st_envelope_agg :712; st_union_agg needs the polygon-clipping
-  * engine and stays out of scope with st_union).
+  * st_envelope_agg :712, st_union_agg :692, st_intersection_agg :702).
   *
   * st_collect buffers raw EWKB values (O(1) per row, single combine at
   * finish); st_envelope_agg folds a 4-double bbox (constant state —
-  * safe for any group size at scale).
+  * safe for any group size at scale). st_union_agg batches pending
+  * geometries and cascade-unions through the Martinez engine in
+  * [[Clip]] every `UnionBatch` rows, so per-row cost stays amortized
+  * O(sweep of batch) instead of re-sweeping an ever-growing
+  * accumulator; st_intersection_agg intersects row-by-row (the
+  * accumulator only shrinks) and short-circuits to empty forever once
+  * the running intersection empties.
   */
 object GeoAggs {
 
@@ -79,8 +84,77 @@ object GeoAggs {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ------------------------------------------------- clipping aggregates
+
+  private val UnionBatch = 32
+
+  /** state: unioned-so-far EWKB (null = none yet) + pending raw EWKBs */
+  case class ClipState(acc: Array[Byte], pending: ArrayBuffer[Array[Byte]], empty: Boolean)
+
+  private def sridOf(bs: Seq[Array[Byte]]): Int =
+    bs.iterator.map(fromWkb(_).srid).find(_ != 0).getOrElse(0)
+
+  private def flushUnion(s: ClipState): ClipState = {
+    if (s.pending.isEmpty) return s
+    val all = (Option(s.acc).toSeq ++ s.pending).toVector
+    val srid = sridOf(all)
+    val parts = all.map(b => GeometryOps.partsOf(fromWkb(b).shape))
+    val polys = GeometryOps.unionAll(parts.flatMap(_.polys))
+    val merged = GeometryOps.assemble(polys, parts.flatMap(_.lines), parts.flatMap(_.points))
+    ClipState(merged.map(m => toWkb(Geom(m, srid), withSrid = true)).orNull,
+      ArrayBuffer.empty, empty = false)
+  }
+
+  class StUnionAgg extends Aggregator[Array[Byte], ClipState, Array[Byte]] {
+    override def zero: ClipState = ClipState(null, ArrayBuffer.empty, empty = false)
+    override def reduce(b: ClipState, v: Array[Byte]): ClipState = {
+      if (v == null) b
+      else {
+        b.pending += v
+        if (b.pending.length >= UnionBatch) flushUnion(b) else b
+      }
+    }
+    override def merge(a: ClipState, b: ClipState): ClipState = {
+      val fa = flushUnion(a); val fb = flushUnion(b)
+      if (fa.acc == null) fb
+      else if (fb.acc == null) fa
+      else flushUnion(ClipState(fa.acc, ArrayBuffer(fb.acc), empty = false))
+    }
+    override def finish(b: ClipState): Array[Byte] = flushUnion(b).acc
+    override def bufferEncoder: Encoder[ClipState] = Encoders.kryo[ClipState]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class StIntersectionAgg extends Aggregator[Array[Byte], ClipState, Array[Byte]] {
+    override def zero: ClipState = ClipState(null, ArrayBuffer.empty, empty = false)
+    override def reduce(b: ClipState, v: Array[Byte]): ClipState = {
+      if (v == null || b.empty) b
+      else if (b.acc == null && b.pending.isEmpty) ClipState(v, ArrayBuffer.empty, empty = false)
+      else intersectInto(b, v)
+    }
+    private def intersectInto(b: ClipState, v: Array[Byte]): ClipState = {
+      val srid = sridOf(Seq(b.acc, v))
+      GeometryOps.intersection(fromWkb(b.acc).shape, fromWkb(v).shape) match {
+        case Some(s) => ClipState(toWkb(Geom(s, srid), withSrid = true), ArrayBuffer.empty, empty = false)
+        case None => ClipState(null, ArrayBuffer.empty, empty = true)
+      }
+    }
+    override def merge(a: ClipState, b: ClipState): ClipState = {
+      if (a.empty) a
+      else if (b.empty) b
+      else if (a.acc == null) b
+      else if (b.acc == null) a
+      else intersectInto(a, b.acc)
+    }
+    override def finish(b: ClipState): Array[Byte] = if (b.empty) null else b.acc
+    override def bufferEncoder: Encoder[ClipState] = Encoders.kryo[ClipState]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("st_collect", udaf(new StCollectAgg, Encoders.BINARY))
     spark.udf.register("st_envelope_agg", udaf(new StEnvelopeAgg, Encoders.BINARY))
+    spark.udf.register("st_union_agg", udaf(new StUnionAgg, Encoders.BINARY))
+    spark.udf.register("st_intersection_agg", udaf(new StIntersectionAgg, Encoders.BINARY))
   }
 }

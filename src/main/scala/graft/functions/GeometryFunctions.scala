@@ -254,6 +254,30 @@ object GeometryFunctions {
     r.register("st_transform3_impl", udf((b: Array[Byte], from: Int, to: Int) =>
       if (b == null) null else ser(transform(geom(b), from, to))))
 
+    // --------------------------------------- set operations (clipping)
+    // reference geometry.rs:680-703; engine: Clip (Martinez–Rueda) via
+    // GeometryOps. Empty results are NULL like the reference's None.
+    def setOp(name: String, f: (Shape, Shape) => Option[Shape]): Unit =
+      r.register(name, udf((a: Array[Byte], b: Array[Byte]) =>
+        if (a == null || b == null) null
+        else {
+          val ga = geom(a); val gb = geom(b)
+          require(ga.srid == gb.srid || ga.srid == 0 || gb.srid == 0,
+            s"Incompatible SRID: ${ga.srid} and ${gb.srid}")
+          val srid = if (ga.srid != 0) ga.srid else gb.srid
+          f(ga.shape, gb.shape).map(s => serShape(s, srid)).orNull
+        }))
+    setOp("st_union", GeometryOps.union)
+    setOp("st_intersection", GeometryOps.intersection)
+    setOp("st_difference", GeometryOps.difference)
+    setOp("st_symdifference", GeometryOps.symDifference)
+    r.register("st_buffer", udf((b: Array[Byte], d: Double) =>
+      if (b == null) null
+      else {
+        val g = geom(b)
+        GeometryOps.buffer(g.shape, d).map(s => serShape(s, g.srid)).orNull
+      }))
+
     // hilbert index of the bbox center on a 16-bit grid (reference
     // st_hilbert, hilbert/spatial.rs; the curve itself reuses
     // GraftTable.hilbertIndex — same operator the recluster path uses)

@@ -212,10 +212,122 @@ object GeoQueries extends QueryModule {
       |  CAST(n AS INT) AS n_pts
       |FROM ext ORDER BY zone""".stripMargin))
 
+  // polygon clipping (functions/Clip Martinez–Rueda sweep via
+  // GeometryOps — reference geometry.rs:680-703 st_union/
+  // st_intersection/st_difference/st_symdifference, :992 st_buffer).
+  // Integer-coordinate rectangle pairs make every set-op area an exact
+  // closed form the oracle replays arithmetically — no spatial
+  // extension needed; shared-edge/containment degeneracies occur
+  // naturally in the key-derived grid. Buffer areas follow the
+  // documented construction exactly: dilation = area + perimeter*r +
+  // inscribed 32-gon, erosion of a rect = exact inset.
+  private val clip = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      x.registerAll()
+      spark.sql("""
+        |WITH k AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey % 7 AS INT) AS ax0, CAST((c_custkey * 3) % 5 AS INT) AS ay0,
+        |    CAST(2 + c_custkey % 4 AS INT) AS aw, CAST(1 + c_custkey % 3 AS INT) AS ah,
+        |    CAST((c_custkey * 5) % 8 AS INT) AS bx0, CAST((c_custkey * 7) % 6 AS INT) AS by0,
+        |    CAST(1 + (c_custkey * 11) % 5 AS INT) AS bw, CAST(1 + (c_custkey * 13) % 4 AS INT) AS bh
+        |  FROM customer WHERE c_custkey < 120),
+        |g AS (
+        |  SELECT k, ax0, ay0, aw, ah,
+        |    st_geomfromtext(concat('POLYGON((', ax0, ' ', ay0, ',', ax0 + aw, ' ', ay0, ',',
+        |      ax0 + aw, ' ', ay0 + ah, ',', ax0, ' ', ay0 + ah, ',', ax0, ' ', ay0, '))')) AS ra,
+        |    st_geomfromtext(concat('POLYGON((', bx0, ' ', by0, ',', bx0 + bw, ' ', by0, ',',
+        |      bx0 + bw, ' ', by0 + bh, ',', bx0, ' ', by0 + bh, ',', bx0, ' ', by0, '))')) AS rb
+        |  FROM k)
+        |SELECT k,
+        |  CAST(round(coalesce(st_area(st_intersection(ra, rb)), 0)) AS BIGINT) AS inter_area,
+        |  CAST(round(coalesce(st_area(st_union(ra, rb)), 0)) AS BIGINT) AS union_area,
+        |  CAST(round(coalesce(st_area(st_difference(ra, rb)), 0)) AS BIGINT) AS diff_area,
+        |  CAST(round(coalesce(st_area(st_symdifference(ra, rb)), 0)) AS BIGINT) AS sym_area,
+        |  CAST(round(coalesce(st_area(st_buffer(ra, -0.5)), 0)) AS BIGINT) AS erode_area,
+        |  round(st_area(st_buffer(st_makepoint(ax0, ay0), CAST(1 + k % 3 AS DOUBLE))), 4) AS buf_pt_area,
+        |  round(st_area(st_buffer(ra, 0.5)), 4) AS buf_rect_area
+        |FROM g ORDER BY k""".stripMargin)
+    },
+    Some("""WITH k AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey % 7 AS INT) AS ax0, CAST((c_custkey * 3) % 5 AS INT) AS ay0,
+      |    CAST(2 + c_custkey % 4 AS INT) AS aw, CAST(1 + c_custkey % 3 AS INT) AS ah,
+      |    CAST((c_custkey * 5) % 8 AS INT) AS bx0, CAST((c_custkey * 7) % 6 AS INT) AS by0,
+      |    CAST(1 + (c_custkey * 11) % 5 AS INT) AS bw, CAST(1 + (c_custkey * 13) % 4 AS INT) AS bh
+      |  FROM customer WHERE c_custkey < 120),
+      |m AS (
+      |  SELECT k, ax0, ay0, aw, ah,
+      |    CAST(aw AS BIGINT) * ah AS a_area, CAST(bw AS BIGINT) * bh AS b_area,
+      |    greatest(0, least(ax0 + aw, bx0 + bw) - greatest(ax0, bx0)) *
+      |      greatest(0, least(ay0 + ah, by0 + bh) - greatest(ay0, by0)) AS i_area
+      |  FROM k)
+      |SELECT k,
+      |  CAST(i_area AS BIGINT) AS inter_area,
+      |  CAST(a_area + b_area - i_area AS BIGINT) AS union_area,
+      |  CAST(a_area - i_area AS BIGINT) AS diff_area,
+      |  CAST(a_area + b_area - 2 * i_area AS BIGINT) AS sym_area,
+      |  CAST((aw - 1) * greatest(0, ah - 1) AS BIGINT) AS erode_area,
+      |  round(0.5 * 32 * pow(CAST(1 + k % 3 AS DOUBLE), 2) * sin(2 * pi() / 32), 4) AS buf_pt_area,
+      |  round(a_area + (2.0 * (aw + ah)) * 0.5 + 0.5 * 32 * 0.25 * sin(2 * pi() / 32), 4) AS buf_rect_area
+      |FROM m ORDER BY k""".stripMargin))
+
+  // clipping aggregates (functions/GeoAggs StUnionAgg /
+  // StIntersectionAgg — reference aggregate_geographic_agg.rs:692,702):
+  // unit-height intervals make union area = interval-union length (the
+  // oracle computes it with a running-max window), and per-zone
+  // intersection of rects sharing a common core has a group min/max
+  // closed form
+  private val clipAgg = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      x.registerAll()
+      spark.sql("""
+        |WITH iv AS (
+        |  SELECT CAST(c_custkey % 6 AS INT) AS zone,
+        |    CAST((c_custkey * 13) % 50 AS INT) AS s,
+        |    CAST((c_custkey * 13) % 50 + 1 + c_custkey % 4 AS INT) AS e,
+        |    CAST(c_custkey % 3 AS INT) AS cx0,
+        |    CAST(8 + c_custkey % 5 AS INT) AS cx1
+        |  FROM customer WHERE c_custkey < 400),
+        |g AS (
+        |  SELECT zone,
+        |    st_geomfromtext(concat('POLYGON((', s, ' 0,', e, ' 0,', e, ' 1,', s, ' 1,', s, ' 0))')) AS r,
+        |    st_geomfromtext(concat('POLYGON((', cx0, ' 0,', cx1, ' 0,', cx1, ' 3,', cx0, ' 3,', cx0, ' 0))')) AS c
+        |  FROM iv)
+        |SELECT zone,
+        |  CAST(round(st_area(st_union_agg(r))) AS BIGINT) AS union_area,
+        |  CAST(round(st_area(st_intersection_agg(c))) AS BIGINT) AS core_area,
+        |  count(*) AS n
+        |FROM g GROUP BY zone ORDER BY zone""".stripMargin)
+    },
+    Some("""WITH iv AS (
+      |  SELECT CAST(c_custkey % 6 AS INT) AS zone,
+      |    CAST((c_custkey * 13) % 50 AS INT) AS s,
+      |    CAST((c_custkey * 13) % 50 + 1 + c_custkey % 4 AS INT) AS e,
+      |    CAST(c_custkey % 3 AS INT) AS cx0,
+      |    CAST(8 + c_custkey % 5 AS INT) AS cx1
+      |  FROM customer WHERE c_custkey < 400),
+      |o AS (
+      |  SELECT zone, s, e,
+      |    max(e) OVER (PARTITION BY zone ORDER BY s, e
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv)
+      |SELECT o.zone,
+      |  CAST(sum(greatest(0, e - greatest(coalesce(pmax, s), s))) AS BIGINT) AS union_area,
+      |  CAST((SELECT (min(cx1) - max(cx0)) * 3 FROM iv i WHERE i.zone = o.zone) AS BIGINT) AS core_area,
+      |  count(*) AS n
+      |FROM o GROUP BY o.zone ORDER BY o.zone""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "geo_fns" -> geoFns,
     "geo_radius_join" -> radiusJoin.copy(headline = true),
     "geo_envelope" -> envelope,
     "geo_geometry" -> geometry,
-    "geo_geom_agg" -> geomAgg)
+    "geo_geom_agg" -> geomAgg,
+    "geo_clip" -> clip,
+    "geo_clip_agg" -> clipAgg)
 }
