@@ -260,6 +260,42 @@ object SourceQueries extends QueryModule {
     },
     roundtrip("orc").oracle) // identical slice + aggregate, same oracle
 
+  // ---- Paimon external table (reference storages/paimon/) ------------
+  // Two appended snapshots so the second snapshot's base manifest list
+  // references the first commit's manifest; read replays base+delta
+  // through the snapshot/manifest-list/manifest avro chain.
+  private val paimonRead = Q(
+    (spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch")
+      Files.createDirectories(base)
+      val path = Files.createTempDirectory(base, "paimon").toString
+      try {
+        val src = spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        graft.sources.PaimonLake.write(spark, path, src.filter(col("o_orderkey") < 1000))
+        graft.sources.PaimonLake.write(spark, path, src.filter(col("o_orderkey") >= 1000))
+        val out = graft.sources.PaimonLake.read(spark, path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            max(col("o_orderdate").cast("timestamp")).as("max_date"),
+            min(col("o_orderpriority")).as("min_prio"))
+          .orderBy(col("o_orderstatus"))
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        spark.createDataFrame(rows, out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(path)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    },
+    roundtrip("orc").oracle) // identical slice + aggregate, same oracle
+
   override def queries: Seq[(String, Q)] = Seq(
     "src_csv_parse" -> csvParse,
     "src_tsv_parse" -> tsvParse,
@@ -269,5 +305,6 @@ object SourceQueries extends QueryModule {
     "src_avro_parse" -> avroParse,
     "src_delta_read" -> deltaRead,
     "src_iceberg_read" -> icebergRead,
+    "src_paimon_read" -> paimonRead,
     "src_constant_scan" -> constantScan)
 }

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PaimonLake
+
+/** Protocol-level Paimon reader: round-trips through the writer, plus a
+  * hand-written metadata chain that mimics files a real paimon client
+  * writes (nullable-union stats fields, extra file columns the reader
+  * must skip, DELETE replay from a compaction, partition directories).
+  */
+class PaimonLakeSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession(cpus = 4, appName = "graft-paimon-test")
+
+  private def tmp(prefix: String): String = {
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private def cleanup(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  test("write/read round-trip across two snapshots with time travel") {
+    val dir = tmp("paimon")
+    try {
+      import spark.implicits._
+      val a = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+      val b = Seq((3L, "z", 3.5)).toDF("id", "s", "v")
+      val s1 = PaimonLake.write(spark, dir, a)
+      val s2 = PaimonLake.write(spark, dir, b)
+      assert(s1 == 1 && s2 == 2)
+      val full = PaimonLake.read(spark, dir).orderBy("id").collect()
+      assert(full.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      val asOf = PaimonLake.read(spark, dir, Some(1)).orderBy("id").collect()
+      assert(asOf.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(PaimonLake.state(dir).schema.fieldNames.toSeq == Seq("id", "s", "v"))
+    } finally cleanup(dir)
+  }
+
+  // a manifest entry schema that looks like the real generated one:
+  // nullable unions, stats records, extra fields my writer never emits
+  private val richEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"record","namespace":"org.apache.paimon.avro.generated","fields":[
+      |{"name":"_VERSION","type":"int"},
+      |{"name":"_KIND","type":"int"},
+      |{"name":"_PARTITION","type":"bytes"},
+      |{"name":"_BUCKET","type":"int"},
+      |{"name":"_TOTAL_BUCKETS","type":"int"},
+      |{"name":"_FILE","type":{"type":"record","name":"file","fields":[
+      |  {"name":"_FILE_NAME","type":"string"},
+      |  {"name":"_FILE_SIZE","type":"long"},
+      |  {"name":"_ROW_COUNT","type":"long"},
+      |  {"name":"_MIN_KEY","type":["null","bytes"],"default":null},
+      |  {"name":"_MAX_KEY","type":["null","bytes"],"default":null},
+      |  {"name":"_NULL_COUNTS","type":["null",{"type":"array","items":"long"}],"default":null},
+      |  {"name":"_MIN_SEQUENCE_NUMBER","type":"long"},
+      |  {"name":"_MAX_SEQUENCE_NUMBER","type":"long"},
+      |  {"name":"_SCHEMA_ID","type":"long"},
+      |  {"name":"_LEVEL","type":"int"},
+      |  {"name":"_EXTRA_FILES","type":{"type":"array","items":"string"}},
+      |  {"name":"_CREATION_TIME","type":"long"},
+      |  {"name":"_DELETE_ROW_COUNT","type":["null","long"],"default":null},
+      |  {"name":"_FILE_SOURCE","type":["null","int"],"default":null}]}}]}""".stripMargin)
+
+  private val richListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"record","namespace":"org.apache.paimon.avro.generated","fields":[
+      |{"name":"_VERSION","type":"int"},
+      |{"name":"_FILE_NAME","type":"string"},
+      |{"name":"_FILE_SIZE","type":"long"},
+      |{"name":"_NUM_ADDED_FILES","type":"long"},
+      |{"name":"_NUM_DELETED_FILES","type":"long"},
+      |{"name":"_PARTITION_STATS","type":["null","bytes"],"default":null},
+      |{"name":"_SCHEMA_ID","type":"long"}]}""".stripMargin)
+
+  private def richEntry(kind: Int, name: String, rows: Long): GenericRecord = {
+    val fs = richEntrySchema.getField("_FILE").schema()
+    val f = new GenericData.Record(fs)
+    f.put("_FILE_NAME", name)
+    f.put("_FILE_SIZE", 1L)
+    f.put("_ROW_COUNT", rows)
+    f.put("_MIN_SEQUENCE_NUMBER", 0L)
+    f.put("_MAX_SEQUENCE_NUMBER", rows)
+    f.put("_SCHEMA_ID", 0L)
+    f.put("_LEVEL", 0)
+    f.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+    f.put("_CREATION_TIME", 123L)
+    val e = new GenericData.Record(richEntrySchema)
+    e.put("_VERSION", 2)
+    e.put("_KIND", kind)
+    e.put("_PARTITION", java.nio.ByteBuffer.wrap(Array[Byte](0, 0, 0, 0)))
+    e.put("_BUCKET", 0)
+    e.put("_TOTAL_BUCKETS", 1)
+    e.put("_FILE", f)
+    e
+  }
+
+  private def writeAvro(path: String, schema: Schema, rs: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    try rs.foreach(w.append)
+    finally w.close()
+  }
+
+  test("hand-written chain: partition dirs, rich avro fields, DELETE replay") {
+    val dir = tmp("paimonhand")
+    try {
+      import spark.implicits._
+      val root = Paths.get(dir)
+      Seq("schema", "snapshot", "manifest").foreach(d => Files.createDirectories(root.resolve(d)))
+      Files.createDirectories(root.resolve("dt=7/bucket-0"))
+      Files.write(root.resolve("schema/schema-0"),
+        """{"version":3,"id":0,"fields":[
+          |{"id":0,"name":"dt","type":"INT NOT NULL"},
+          |{"id":1,"name":"id","type":"BIGINT"},
+          |{"id":2,"name":"v","type":"DOUBLE"}],
+          |"highestFieldId":2,"partitionKeys":["dt"],"primaryKeys":[],
+          |"options":{}}""".stripMargin.getBytes("UTF-8"))
+
+      // data files include the partition column, as paimon writes them
+      def dataFile(name: String, rows: Seq[(Int, Long, Double)]): Unit = {
+        val scratch = Files.createTempDirectory(root, ".s")
+        rows.toDF("dt", "id", "v").coalesce(1).write.mode("overwrite")
+          .parquet(scratch.resolve("o").toString)
+        val part = Files.list(scratch.resolve("o")).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, root.resolve("dt=7/bucket-0").resolve(name))
+        Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      dataFile("data-aaa-0.parquet", Seq((7, 1L, 0.5), (7, 2L, 1.5)))
+      dataFile("data-bbb-0.parquet", Seq((7, 3L, 2.5)))
+      dataFile("data-ccc-0.parquet", Seq((7, 1L, 0.5), (7, 2L, 1.5), (7, 3L, 2.5))) // compacted
+
+      // snapshot 1: two ADDs
+      writeAvro(root.resolve("manifest/manifest-m1.avro").toString, richEntrySchema,
+        Seq(richEntry(0, "data-aaa-0.parquet", 2), richEntry(0, "data-bbb-0.parquet", 1)))
+      def listEntry(name: String, added: Long, deleted: Long): GenericRecord = {
+        val r = new GenericData.Record(richListSchema)
+        r.put("_VERSION", 2); r.put("_FILE_NAME", name); r.put("_FILE_SIZE", 0L)
+        r.put("_NUM_ADDED_FILES", added); r.put("_NUM_DELETED_FILES", deleted)
+        r.put("_SCHEMA_ID", 0L)
+        r
+      }
+      writeAvro(root.resolve("manifest/manifest-list-b1.avro").toString, richListSchema, Nil)
+      writeAvro(root.resolve("manifest/manifest-list-d1.avro").toString, richListSchema,
+        Seq(listEntry("manifest-m1.avro", 2, 0)))
+      Files.write(root.resolve("snapshot/snapshot-1"),
+        """{"version":3,"id":1,"schemaId":0,"baseManifestList":"manifest-list-b1.avro",
+          |"deltaManifestList":"manifest-list-d1.avro","changelogManifestList":null,
+          |"commitUser":"u","commitIdentifier":1,"commitKind":"APPEND","timeMillis":1,
+          |"totalRecordCount":3,"deltaRecordCount":3}""".stripMargin.getBytes("UTF-8"))
+
+      // snapshot 2: compaction — DELETE the two originals, ADD the rewrite
+      writeAvro(root.resolve("manifest/manifest-m2.avro").toString, richEntrySchema,
+        Seq(richEntry(1, "data-aaa-0.parquet", 2), richEntry(1, "data-bbb-0.parquet", 1),
+          richEntry(0, "data-ccc-0.parquet", 3)))
+      writeAvro(root.resolve("manifest/manifest-list-b2.avro").toString, richListSchema,
+        Seq(listEntry("manifest-m1.avro", 2, 0)))
+      writeAvro(root.resolve("manifest/manifest-list-d2.avro").toString, richListSchema,
+        Seq(listEntry("manifest-m2.avro", 1, 2)))
+      Files.write(root.resolve("snapshot/snapshot-2"),
+        """{"version":3,"id":2,"schemaId":0,"baseManifestList":"manifest-list-b2.avro",
+          |"deltaManifestList":"manifest-list-d2.avro","changelogManifestList":null,
+          |"commitUser":"u","commitIdentifier":2,"commitKind":"COMPACT","timeMillis":2,
+          |"totalRecordCount":3,"deltaRecordCount":0}""".stripMargin.getBytes("UTF-8"))
+      Files.write(root.resolve("snapshot/LATEST"), "2".getBytes("UTF-8"))
+
+      // latest resolves the compacted file only
+      val st = PaimonLake.state(dir)
+      assert(st.files.map(f => Paths.get(f).getFileName.toString) == Seq("data-ccc-0.parquet"))
+      val rows = PaimonLake.read(spark, dir).orderBy("id").collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.forall(_.getInt(0) == 7)) // partition column read from data
+
+      // snapshot 1 still sees the pre-compaction files
+      val s1 = PaimonLake.state(dir, Some(1))
+      assert(s1.files.map(f => Paths.get(f).getFileName.toString).sorted ==
+        Seq("data-aaa-0.parquet", "data-bbb-0.parquet"))
+    } finally cleanup(dir)
+  }
+
+  test("primary-key tables are rejected loudly") {
+    val dir = tmp("paimonpk")
+    try {
+      val root = Paths.get(dir)
+      Seq("schema", "snapshot", "manifest").foreach(d => Files.createDirectories(root.resolve(d)))
+      Files.write(root.resolve("schema/schema-0"),
+        """{"version":3,"id":0,"fields":[{"id":0,"name":"id","type":"BIGINT"}],
+          |"highestFieldId":0,"partitionKeys":[],"primaryKeys":["id"],"options":{}}""".stripMargin.getBytes("UTF-8"))
+      Files.write(root.resolve("snapshot/snapshot-1"),
+        """{"version":3,"id":1,"schemaId":0,"baseManifestList":null,
+          |"deltaManifestList":null,"commitKind":"APPEND"}""".stripMargin.getBytes("UTF-8"))
+      Files.write(root.resolve("snapshot/LATEST"), "1".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException](PaimonLake.read(spark, dir))
+      assert(e.getMessage.contains("primary-key"))
+    } finally cleanup(dir)
+  }
+
+  test("paimon type strings map to Spark types") {
+    import org.apache.spark.sql.types._
+    assert(PaimonLake.paimonTypeToSpark("INT NOT NULL") == ((IntegerType, false)))
+    assert(PaimonLake.paimonTypeToSpark("DECIMAL(10,2)") == ((DecimalType(10, 2), true)))
+    assert(PaimonLake.paimonTypeToSpark("TIMESTAMP(6)") == ((TimestampNTZType, true)))
+    assert(PaimonLake.paimonTypeToSpark("TIMESTAMP(6) WITH LOCAL TIME ZONE") == ((TimestampType, true)))
+    assert(PaimonLake.paimonTypeToSpark("VARCHAR(20)") == ((StringType, true)))
+    intercept[IllegalArgumentException](PaimonLake.paimonTypeToSpark("MAP<INT,INT>"))
+  }
+}
