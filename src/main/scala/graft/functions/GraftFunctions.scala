@@ -439,6 +439,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     // round-5 geometry aggregates
     GeoAggs.register(spark)
+    // round-5 markov masking pair (train aggregate + generate scalar)
+    Markov.register(spark)
   }
 
   /** true if the alias layer is active in this session */

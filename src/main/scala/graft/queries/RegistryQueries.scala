@@ -409,7 +409,29 @@ object RegistryQueries extends QueryModule {
       |GROUP BY ALL
       |ORDER BY o_orderkey""".stripMargin))
 
+  // markov masking pair (functions/Markov — reference OBFUSCATE flow:
+  // markov_train aggregate feeds markov_generate; values are
+  // crc32/siphash-derived so the check is rows-only; bit-exactness vs
+  // the reference's own slt goldens is proven in MarkovSpec)
+  private val markovMask = Q(
+    (spark, dir) => {
+      val x = graft.Tables(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      x.registerAll()
+      spark.sql("""
+        |WITH src AS (SELECT c_name FROM customer WHERE c_custkey <= 200),
+        |model AS (SELECT markov_train(c_name) AS m FROM src)
+        |SELECT c_name,
+        |  markov_generate(m, '{"order":5,"sliding_window_size":8}',
+        |                  CAST(42 AS BIGINT), c_name) AS masked
+        |FROM (SELECT c_name FROM src ORDER BY c_name LIMIT 50) s
+        |CROSS JOIN model
+        |ORDER BY c_name""".stripMargin)
+    },
+    None)
+
   override def queries: Seq[(String, Q)] = Seq(
+    "reg_markov_mask" -> markovMask,
     "reg_alias_names" -> aliasNames,
     "reg_alias_names2" -> aliasNames2,
     "reg_alias_names3" -> aliasNames3,
