@@ -15,6 +15,13 @@ object Bench {
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession(cpus, "graft-bench")
 
+    // pre-materialize the generated datasets (TPC-DS / ClickBench
+    // parquet) so no query's cold sample pays one-time generation —
+    // min-of-warm already excludes it, but the driver may run with
+    // fewer samples (SPARK_GRAFT_BENCH_RUNS)
+    graft.sources.Tpcds.ensure(spark, sfDir)
+    graft.sources.ClickBench.ensure(spark, sfDir)
+
     def time(name: String): Double = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {

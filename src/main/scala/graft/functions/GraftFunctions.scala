@@ -441,6 +441,8 @@ object GraftFunctions {
     GeoAggs.register(spark)
     // round-5 markov masking pair (train aggregate + generate scalar)
     Markov.register(spark)
+    // round-5 TIMESTAMP_TZ tier (offset-preserving struct model)
+    TimestampTz.register(spark)
   }
 
   /** true if the alias layer is active in this session */

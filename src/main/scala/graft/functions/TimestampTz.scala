@@ -1,0 +1,162 @@
+package graft.functions
+
+import java.time._
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** TIMESTAMP_TZ tier (reference: scalars/timestamp/src/datetime.rs —
+  * to_timestamp_tz :462, try_to_timestamp_tz :467,
+  * timestamp_tz_from_parts :3137, tz<->timestamp/date casts :112-121).
+  * The reference's timestamp_tz value is (utc instant, offset); Spark
+  * has no offset-preserving temporal type, so the tier models it as
+  * STRUCT<us: BIGINT, offset_minutes: INT> — `us` is UTC epoch
+  * microseconds, the offset is preserved exactly for display and
+  * local-date math. Strings without an explicit offset resolve in the
+  * session time zone captured at registration (the reference uses
+  * func_ctx.tz the same way).
+  */
+object TimestampTz {
+
+  final case class TzTs(us: Long, offset_minutes: Int)
+
+  // ---- parsing --------------------------------------------------------
+
+  private val WithOffset =
+    """(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?\s*(Z|UTC|[+-]\d{1,2}(?::?\d{2})?)?\s*""".r
+  private val DateOnly = """(\d{4})-(\d{2})-(\d{2})\s*""".r
+
+  private def parseOffsetMinutes(s: String): Int = s match {
+    case null | "" => Int.MinValue // sentinel: absent
+    case "Z" | "UTC" => 0
+    case o =>
+      val sign = if (o.charAt(0) == '-') -1 else 1
+      val body = o.substring(1).replace(":", "")
+      val (h, m) =
+        if (body.length <= 2) (body.toInt, 0)
+        else (body.dropRight(2).toInt, body.takeRight(2).toInt)
+      sign * (h * 60 + m)
+  }
+
+  /** (utc micros, offset minutes); throws on malformed input */
+  private[graft] def parse(s0: String, sessionZone: ZoneId): TzTs = {
+    val s = s0.trim
+    s match {
+      case WithOffset(y, mo, d, h, mi, sec, frac, off) =>
+        val micros =
+          if (frac == null) 0L
+          else (frac.padTo(9, '0').take(9).toLong + 500) / 1000 // ns -> us, round
+        val ldt = LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt,
+          if (sec == null) 0 else sec.toInt).plusNanos(micros * 1000)
+        val offMin = parseOffsetMinutes(off)
+        if (offMin != Int.MinValue) {
+          val inst = ldt.toInstant(ZoneOffset.ofTotalSeconds(offMin * 60))
+          TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000, offMin)
+        } else {
+          val zdt = ldt.atZone(sessionZone)
+          val inst = zdt.toInstant
+          TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000,
+            zdt.getOffset.getTotalSeconds / 60)
+        }
+      case DateOnly(y, mo, d) =>
+        parse(s"$y-$mo-$d 00:00:00", sessionZone)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse to type `TIMESTAMP_TZ`: '$other'")
+    }
+  }
+
+  // ---- formatting -----------------------------------------------------
+
+  private val BaseFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  private[graft] def format(t: TzTs): String = {
+    val off = ZoneOffset.ofTotalSeconds(t.offset_minutes * 60)
+    val odt = Instant.ofEpochSecond(Math.floorDiv(t.us, 1000000L),
+      Math.floorMod(t.us, 1000000L) * 1000).atOffset(off)
+    val base = odt.format(BaseFmt)
+    val micro = odt.getNano / 1000
+    val fracPart = if (micro == 0) "" else f".$micro%06d".reverse.dropWhile(_ == '0').reverse
+    val sign = if (t.offset_minutes < 0) "-" else "+"
+    val am = math.abs(t.offset_minutes)
+    f"$base$fracPart$sign${am / 60}%02d:${am % 60}%02d"
+  }
+
+  private def localDate(t: TzTs): java.time.LocalDate =
+    Instant.ofEpochSecond(Math.floorDiv(t.us, 1000000L), Math.floorMod(t.us, 1000000L) * 1000)
+      .atOffset(ZoneOffset.ofTotalSeconds(t.offset_minutes * 60)).toLocalDate
+
+  private def ofRow(r: Row): TzTs = TzTs(r.getLong(0), r.getInt(1))
+
+  // ---- registration ---------------------------------------------------
+
+  private def f(name: String, as: Expression*): Expression =
+    UnresolvedFunction(name, as.toSeq, isDistinct = false)
+
+  /** arity dispatch for timestamp_tz_from_parts: 6 args, 7 with ns,
+    * 7 with tz string, 8 with both (reference factory :3141-3179)
+    */
+  val rewrites: Map[String, Seq[Expression] => Expression] = {
+    val fromParts: Seq[Expression] => Expression = a => {
+      val sixty = a.take(6).map(Cast(_, LongType))
+      // 7-arg ambiguity (ns vs tz): resolvable expressions dispatch on
+      // type; unresolved 7th args default to the ns reading
+      def isString(e: Expression) = scala.util.Try(e.dataType == StringType).getOrElse(false)
+      val (ns, tz) = a.length match {
+        case 6 => (Literal(0L), Literal(null, StringType))
+        case 7 if isString(a(6)) => (Literal(0L), a(6))
+        case 7 => (Cast(a(6), LongType), Literal(null, StringType))
+        case 8 => (Cast(a(6), LongType), Cast(a(7), StringType))
+        case n => throw new IllegalArgumentException(
+          s"timestamp_tz_from_parts expects 6-8 args, got $n")
+      }
+      f("timestamp_tz_from_parts_impl", (sixty :+ ns :+ tz): _*)
+    }
+    Map("timestamp_tz_from_parts" -> fromParts, "timestamptzfromparts" -> fromParts)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.udf
+    val zone = ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+
+    r.register("to_timestamp_tz", udf((s: String) =>
+      if (s == null) null else parse(s, zone)))
+    r.register("try_to_timestamp_tz", udf((s: String) =>
+      if (s == null) null
+      else try parse(s, zone) catch { case _: Exception => null }))
+    r.register("timestamp_to_timestamp_tz", udf((ts: java.sql.Timestamp) =>
+      if (ts == null) null
+      else {
+        val inst = ts.toInstant
+        val off = zone.getRules.getOffset(inst).getTotalSeconds / 60
+        TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000, off)
+      }))
+    r.register("timestamp_tz_from_parts_impl",
+      udf((y: Long, mo: Long, d: Long, h: Long, mi: Long, sec: Long, ns: Long, tz: String) => {
+        val ldt = LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, sec.toInt)
+          .plusNanos(ns)
+        val z = if (tz == null) zone else ZoneId.of(tz)
+        val zdt = ldt.atZone(z)
+        val inst = zdt.toInstant
+        TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000,
+          zdt.getOffset.getTotalSeconds / 60)
+      }))
+    r.register("timestamp_tz_to_timestamp", udf((t: Row) =>
+      if (t == null) null
+      else java.sql.Timestamp.from(Instant.ofEpochSecond(
+        Math.floorDiv(ofRow(t).us, 1000000L), Math.floorMod(ofRow(t).us, 1000000L) * 1000))))
+    r.register("timestamp_tz_to_date", udf((t: Row) =>
+      if (t == null) null else java.sql.Date.valueOf(localDate(ofRow(t)))))
+    r.register("timestamp_tz_to_string", udf((t: Row) =>
+      if (t == null) null else format(ofRow(t))))
+    r.register("timestamp_tz_offset", udf((t: Row) =>
+      if (t == null) None else Some(ofRow(t).offset_minutes)))
+
+    val reg = spark.sessionState.functionRegistry
+    for ((name, builder) <- rewrites)
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}

@@ -355,7 +355,64 @@ object ScalarFnQueries extends QueryModule {
       |  date_trunc('quarter', o_orderdate) AS qstart
       |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin))
 
+  // TIMESTAMP_TZ tier (functions/TimestampTz — reference datetime.rs
+  // to_timestamp_tz/timestamp_tz_from_parts/casts): offset-preserving
+  // STRUCT<us,offset_minutes> model. The oracle recomputes the UTC
+  // instant arithmetically (epoch of the wall time minus the offset),
+  // so the check is timezone-independent on both engines.
+  private val timestampTz = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      x.registerAll()
+      spark.sql("""
+        |WITH s AS (
+        |  SELECT o_orderkey AS k,
+        |    concat('2024-', lpad(CAST(1 + o_orderkey % 12 AS STRING), 2, '0'), '-',
+        |           lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0'), ' ',
+        |           lpad(CAST(o_orderkey % 24 AS STRING), 2, '0'), ':',
+        |           lpad(CAST(o_orderkey % 60 AS STRING), 2, '0'), ':',
+        |           lpad(CAST((o_orderkey * 7) % 60 AS STRING), 2, '0'),
+        |           CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |                WHEN 2 THEN '-08:00' ELSE '+00:45' END) AS ts
+        |  FROM orders WHERE o_orderkey < 300),
+        |p AS (SELECT k, ts, to_timestamp_tz(ts) AS tz FROM s)
+        |SELECT k, ts,
+        |  tz.us AS us,
+        |  timestamp_tz_offset(tz) AS off_min,
+        |  CAST(timestamp_tz_to_date(tz) AS STRING) AS local_date,
+        |  timestamp_tz_to_string(tz) AS formatted,
+        |  timestamp_tz_from_parts(2024, 1, 15, 10, 30, 45, 0, 'UTC').us AS parts_us,
+        |  try_to_timestamp_tz('nonsense') IS NULL AS bad_is_null
+        |FROM p ORDER BY k""".stripMargin)
+    },
+    Some("""WITH s AS (
+      |  SELECT o_orderkey AS k,
+      |    concat('2024-', lpad(CAST(1 + o_orderkey % 12 AS VARCHAR), 2, '0'), '-',
+      |           lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0'), ' ',
+      |           lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0'), ':',
+      |           lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0'), ':',
+      |           lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0'),
+      |           CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+      |                WHEN 2 THEN '-08:00' ELSE '+00:45' END) AS ts,
+      |    CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 330
+      |         WHEN 2 THEN -480 ELSE 45 END AS offm
+      |  FROM orders WHERE o_orderkey < 300)
+      |SELECT k, ts,
+      |  epoch_us(strptime(substr(ts, 1, 19), '%Y-%m-%d %H:%M:%S'))
+      |    - CAST(offm AS BIGINT) * 60 * 1000000 AS us,
+      |  CAST(offm AS INT) AS off_min,
+      |  substr(ts, 1, 10) AS local_date,
+      |  concat(substr(ts, 1, 19),
+      |    CASE WHEN offm < 0 THEN '-' ELSE '+' END,
+      |    lpad(CAST(abs(offm) // 60 AS VARCHAR), 2, '0'), ':',
+      |    lpad(CAST(abs(offm) % 60 AS VARCHAR), 2, '0')) AS formatted,
+      |  epoch_us(TIMESTAMP '2024-01-15 10:30:45') AS parts_us,
+      |  true AS bad_is_null
+      |FROM s ORDER BY k""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "sfn_timestamp_tz" -> timestampTz,
     "sfn_decimal" -> decimalFns,
     "sfn_interval" -> intervalFns,
     "sfn_string" -> stringFns,
