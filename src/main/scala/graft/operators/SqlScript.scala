@@ -59,6 +59,12 @@ object SqlScript {
 
   def dropProcedure(name: String): Unit = procedures.remove(name.toLowerCase)
 
+  /** registered procedures, for system_procedures introspection */
+  def listProcedures: Seq[Procedure] = {
+    import scala.jdk.CollectionConverters._
+    procedures.values.asScala.toSeq.sortBy(_.name)
+  }
+
   /** CALL name(args...): binds positional args as a LET prelude. */
   def call(spark: SparkSession, name: String, args: Seq[Any] = Nil): DataFrame = {
     val p = Option(procedures.get(name.toLowerCase))

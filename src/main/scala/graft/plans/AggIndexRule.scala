@@ -51,6 +51,12 @@ object AggIndex {
 
   def clear(): Unit = entries.clear()
 
+  /** registered indexes, for system_indexes introspection */
+  def list: Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values.asScala.toSeq.sortBy(_.sourcePath)
+  }
+
   /** Strip URI scheme and trailing slashes so `file:/data/x` and
     * `/data/x/` compare equal.
     */

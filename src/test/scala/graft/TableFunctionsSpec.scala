@@ -66,6 +66,29 @@ class TableFunctionsSpec extends AnyFunSuite {
       .head().getString(0).toInt > 0)
     assert(spark.sql("SELECT * FROM system_engines WHERE engine = 'FUSE'").count() == 1)
     assert(spark.sql("SELECT dummy FROM system_one").head().getInt(0) == 1)
+    // round-5 additions: clusters/metrics/build_options/indexes/
+    // procedures/caches/processes
+    assert(spark.sql("SELECT * FROM system_clusters").count() >= 1)
+    assert(spark.sql(
+      "SELECT value FROM system_metrics WHERE metric = 'jvm_heap_used_bytes'")
+      .head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT value FROM system_build_options WHERE option = 'spark_version'")
+      .head().getString(0).startsWith("4."))
+    graft.operators.SqlScript.createProcedure("sysproc_probe", Seq("x"),
+      "BEGIN RETURN :x; END;")
+    graft.plans.AggIndex.register("/tmp/systbl_src", Seq("k"), "/tmp/systbl_sum")
+    SystemTables.register(spark) // refresh snapshot views
+    assert(spark.sql(
+      "SELECT args FROM system_procedures WHERE name = 'sysproc_probe'")
+      .head().getString(0) == "x")
+    assert(spark.sql(
+      "SELECT keys FROM system_indexes WHERE source = '/tmp/systbl_src'")
+      .head().getString(0) == "k")
+    assert(spark.sql("SELECT * FROM system_processes").count() >= 0) // idle: empty
+    assert(spark.sql("SELECT * FROM system_caches").count() >= 0)
+    graft.operators.SqlScript.dropProcedure("sysproc_probe")
+    graft.plans.AggIndex.clear()
   }
 
   test("snapshots exposes the table's version chain") {
