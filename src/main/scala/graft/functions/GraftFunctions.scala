@@ -443,6 +443,42 @@ object GraftFunctions {
     Markov.register(spark)
     // round-5 TIMESTAMP_TZ tier (offset-preserving struct model)
     TimestampTz.register(spark)
+    // sleep (reference other.rs:123 — 3s cap, returns 0) and glob
+    // (comparison.rs:1969 — unix shell pattern match; * crosses
+    // separators like the rust glob crate's default MatchOptions,
+    // malformed patterns return false)
+    spark.udf.register("sleep", udf((secs: Double) => {
+      require(secs >= 0 && secs <= 3.0,
+        s"The maximum sleep time is 3 seconds. Requested: ${secs}s")
+      Thread.sleep((secs * 1000).toLong)
+      0.toShort
+    }))
+    spark.udf.register("glob", udf((s: String, pattern: String) =>
+      if (s == null || pattern == null) null
+      else try {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < pattern.length) {
+          pattern.charAt(i) match {
+            case '*' => sb.append(".*")
+            case '?' => sb.append('.')
+            case '[' =>
+              // a leading ! negates; a ] right after [ (or [!) is literal
+              var k = i + 1
+              if (k < pattern.length && pattern.charAt(k) == '!') k += 1
+              if (k < pattern.length && pattern.charAt(k) == ']') k += 1
+              val j = pattern.indexOf(']', k)
+              if (j < 0) throw new IllegalArgumentException("unclosed [")
+              var cls = pattern.substring(i + 1, j)
+              if (cls.startsWith("!")) cls = "^" + cls.substring(1)
+              sb.append('[').append(cls.replace("\\", "\\\\")).append(']')
+              i = j
+            case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+          }
+          i += 1
+        }
+        Some(s.matches(sb.toString))
+      } catch { case _: Exception => Some(false) }))
   }
 
   /** true if the alias layer is active in this session */
