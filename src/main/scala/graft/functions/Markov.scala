@@ -197,6 +197,35 @@ object Markov {
       (r.getLong(0), r.getLong(1), r.getLong(2), codes, weights)
     }.sortBy(_._1).toArray)
 
+  /** The model column is near-always the same value on every row (a
+    * trained model cross-joined against the data), but Spark hands the
+    * UDF a fresh Seq[Row] per row — rebuilding the lookup would cost
+    * O(model size) per masked row. A per-thread one-slot cache keyed by
+    * a cheap fingerprint (length + first/last row identity) makes the
+    * rebuild once-per-partition, which is what survives a 1B-row mask.
+    */
+  private val tableCache = new ThreadLocal[(Long, Table)]
+
+  private def fingerprint(rows: Seq[Row]): Long = {
+    if (rows.isEmpty) return 0L
+    val h = rows.head; val l = rows.last
+    var fp = rows.length.toLong
+    fp = fp * 1000003L + h.getLong(0); fp = fp * 1000003L + h.getLong(1)
+    fp = fp * 1000003L + l.getLong(0); fp = fp * 1000003L + l.getLong(2)
+    fp
+  }
+
+  private def cachedTableOf(rows: Seq[Row]): Table = {
+    val fp = fingerprint(rows)
+    val hit = tableCache.get()
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val t = tableOf(rows)
+      tableCache.set((fp, t))
+      t
+    }
+  }
+
   private def isAlphaNumericAscii(code: Int): Boolean =
     (code >= '0' && code <= '9') || (code >= 'A' && code <= 'Z') || (code >= 'a' && code <= 'z')
 
@@ -291,7 +320,7 @@ object Markov {
           val sws = node.get("sliding_window_size").asInt
           require(order > 0, "invalid order")
           require(sws > 0, "invalid sliding_window_size")
-          val table = tableOf(model)
+          val table = cachedTableOf(model)
           val bytes = determinator.getBytes("UTF-8")
           generate(table, order, seed, bytes.length * 2,
             determinator.codePointCount(0, determinator.length), sws, bytes) match {

@@ -91,6 +91,27 @@ class ClipSpec extends AnyFunSuite {
     assert(math.abs(mpArea(u) - 8.0) < 1e-12)
   }
 
+  test("cascaded union of random rect piles matches brute-force cell counts") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 30) {
+      val n = 3 + rnd.nextInt(12)
+      val rects = Vector.fill(n) {
+        val x0 = rnd.nextInt(12); val y0 = rnd.nextInt(12)
+        (x0, y0, x0 + 1 + rnd.nextInt(5), y0 + 1 + rnd.nextInt(5))
+      }
+      val u = GeometryOps.unionAll(rects.map { case (a, b, c, d) => rect(a, b, c, d) })
+      // unit-cell brute force on the integer grid
+      var cells = 0
+      for (cx <- 0 until 17; cy <- 0 until 17)
+        if (rects.exists { case (a, b, c, d) => cx >= a && cx < c && cy >= b && cy < d })
+          cells += 1
+      assert(math.abs(mpArea(u) - cells) < 1e-9,
+        s"round $round: union area ${mpArea(u)} != $cells cells for $rects")
+      // every result shell/hole vertex is on the integer grid
+      assert(u.flatten.flatten.forall(p => p.x == math.rint(p.x) && p.y == math.rint(p.y)))
+    }
+  }
+
   test("random axis-aligned rect pairs match closed-form areas") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 300) {
