@@ -137,4 +137,47 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over near-dup pairs — the transitive-closure
+    * step a corpus dedup needs after candidate verification (A~B and
+    * B~C must collapse into ONE keep-group even when A!~C directly).
+    * Min-label propagation: every vertex starts as its own label, each
+    * round takes the min of its neighbors' labels, fixpoint = the
+    * component's min id. O(component diameter) rounds, each one shuffle
+    * by id; `localCheckpoint` truncates the growing lineage so round N
+    * doesn't replan rounds 1..N-1 (same pattern as RecursiveCte).
+    *
+    * @param vertices one column `id`
+    * @param edges    columns `a`, `b` (undirected pairs, either order)
+    * @return (id, cluster) where cluster = min id reachable
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("cluster")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = labels.join(und, labels("id") === und("a"))
+        .select(und("b").as("id"), labels("cluster"))
+      val next = labels.select(col("id"), col("cluster")).union(prop)
+        .groupBy("id").agg(org.apache.spark.sql.functions.min("cluster").as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** One keeper per near-dup cluster: the row whose id IS the cluster
+    * label (the min id), plus every unclustered row.
+    */
+  def dropByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(clusters.filter(col("id") === col("cluster")).select(col("id")),
+      df(idCol) === col("id"), "left_semi")
 }

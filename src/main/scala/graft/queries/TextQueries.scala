@@ -377,7 +377,66 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, round(s, 6) AS score FROM scored
       |WHERE n_terms = 2 ORDER BY doc_id""".stripMargin))
 
+  // ---- near-dup clustering: connected components over pairs ----------
+  // The transitive-closure step after pair verification (A~B, B~C =>
+  // one cluster even when A!~C). Spark side: Dedup.connectedComponents
+  // min-label propagation (one shuffle per round, localCheckpoint-
+  // truncated lineage). Oracle: DuckDB recursive CTE spreading labels
+  // over the same deterministic jaccard>=0.35 pairs, then min per id.
+  private val dedupClusters = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val shingles = withNearDups(x).filter(col("doc_id") % 100000 < 120)
+        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          array_distinct(expr(
+            """transform(
+                 sequence(1, greatest(size(tk) - 2, 1)),
+                 i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
+      val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+        .filter(col("j") >= 0.35)
+      val vertices = shingles.select(col("doc_id").as("id")).distinct()
+      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      val clusters = graft.operators.Dedup.connectedComponents(vertices, edges)
+      clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH RECURSIVE d AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substring(text, strpos(text, ' ') + 1), source
+      |  FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      |      i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+      |  FROM d WHERE doc_id % 100000 < 120),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.s, b.s))) >= 0.35),
+      |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM sh
+      |  UNION
+      |  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id),
+      |labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
+      |  min(id) AS min_doc, max(id) AS max_doc
+      |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
+    "txt_dedup_clusters" -> dedupClusters,
     "txt_fulltext" -> fulltext.copy(headline = true),
     "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,

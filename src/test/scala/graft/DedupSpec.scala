@@ -56,4 +56,34 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(refined == normal, s"refined path lost ${(normal -- refined).take(5)}")
   }
+
+  test("connected components collapse chains, keep singletons, drop by cluster") {
+    import spark.implicits._
+    // a 6-long chain (multiple propagation rounds), a pair, a triangle
+    // with a redundant edge, and two singletons
+    val vertices = (1L to 13L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain
+      (8L, 9L), // pair
+      (10L, 11L), (11L, 12L), (10L, 12L) // triangle
+    ).toDF("a", "b")
+    val cc = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(cc(_) == 1L))
+    assert(cc(7L) == 7L && cc(13L) == 13L)
+    assert(cc(8L) == 8L && cc(9L) == 8L)
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+
+    val docs = (1L to 13L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val clusters = Dedup.connectedComponents(vertices, edges)
+    val kept = Dedup.dropByClusters(docs, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 8L, 10L, 13L))
+
+    // edge direction doesn't matter
+    val ccRev = Dedup.connectedComponents(vertices,
+      edges.select(col("b").as("a"), col("a").as("b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccRev == cc)
+  }
 }
