@@ -142,4 +142,26 @@ class MarkovSpec extends AnyFunSuite {
     assert(gen(7L) == gen(7L))
     assert(gen(0L).forall(c => c == 'a' || c == 'b')) // alphabet closed
   }
+
+  test("OBFUSCATE(t) table flow: markov strings + feistel numbers, deterministic") {
+    import spark.implicits._
+    val df = users.take(10).zipWithIndex
+      .map { case ((n, e), i) => (i.toLong * 512 + 1024, n, e) }
+      .toDF("uid", "name", "email")
+    val m1 = graft.operators.ObfuscateTable(spark, df, seed = 0L).orderBy("uid").collect()
+    val m2 = graft.operators.ObfuscateTable(spark, df, seed = 0L).orderBy("uid").collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq) // deterministic
+    // numbers go through feistel: golden feistel_obfuscate(1024, 0) = 1849
+    // (uid is the first transformed column -> seed 0); ordering is by
+    // the MASKED uid, so check membership
+    assert(m1.map(_.getLong(0)).contains(1849L))
+    // strings are masked but corpus-shaped (alphabet from training data)
+    val names = m1.map(_.getString(1)).toSeq
+    assert(names.exists(n => !users.take(10).map(_._1).contains(n)) ||
+      names.toSet.size < 10) // at least some masking happened
+    assert(names.forall(_.forall(c => c.isLetter || c == ' ' || c == '.' || c == '@')))
+    // different seed -> different mask
+    val m3 = graft.operators.ObfuscateTable(spark, df, seed = 99L).orderBy("uid").collect()
+    assert(m3.map(_.getLong(0)).toSet != m1.map(_.getLong(0)).toSet)
+  }
 }
