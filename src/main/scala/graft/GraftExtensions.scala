@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       inject(e, name, builder)
     // aggregating-index rewrite (no-op until AggIndex.register is called)
     e.injectOptimizerRule(session => new graft.plans.AggIndexRule(session))
+    // virtual-column rewrite: get_json_object over declared paths ->
+    // the materialized __virt_* column (no-op without such columns)
+    e.injectOptimizerRule(session => new graft.plans.VirtualColumnRule(session))
   }
 }

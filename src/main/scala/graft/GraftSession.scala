@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // always-on rewrites (extensions-config path covers external
+    // sessions; this covers sessions built here). Idempotent under
+    // getOrCreate reuse.
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.VirtualColumnRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.VirtualColumnRule(spark)
     spark
   }
 

@@ -125,8 +125,41 @@ object DmlQueries extends QueryModule {
       |  (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS v1_rows,
       |  (SELECT count(*) FROM nation WHERE n_nationkey >= 10) + (SELECT count(*) FROM region) AS v2_rows""".stripMargin))
 
+  // virtual columns (sources/GraftTable.setVirtualColumns +
+  // plans/VirtualColumnRule — reference fuse virtual_column_builder/
+  // reader): declared JSON paths materialize at write; reads of
+  // get_json_object over them rewrite to the stored column (the spec
+  // asserts the plan; this query proves the VALUES match plain JSON
+  // parsing, which is what DuckDB replays)
+  private val virtualColumn = Q(
+    (spark, dir) => {
+      val path = scratch("virt")
+      try {
+        val events = spark.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") < 4000)
+          .select(col("event_id"), col("event_type"), col("props"))
+        val t = GraftTable.open(spark, path)
+        t.setVirtualColumns("props", Seq("$.k"))
+        t.append(events)
+        val out = t.read()
+          .filter(get_json_object(col("props"), "$.k").cast("long") % 10 === 3)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+          .orderBy(col("event_type"))
+        materialize(spark, out)
+      } finally rmrf(path)
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |WHERE event_id < 4000
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 3
+      |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "dml_lifecycle" -> lifecycle,
     "dml_cdc_feed" -> cdc,
-    "dml_time_travel" -> timeTravel)
+    "dml_time_travel" -> timeTravel,
+    "dml_virtual_column" -> virtualColumn)
 }

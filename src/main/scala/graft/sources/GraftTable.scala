@@ -71,7 +71,58 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     else "\"([^\"]+)\"".r.findAllMatchIn(new String(Files.readAllBytes(bloomFile), "UTF-8"))
       .map(_.group(1)).toSeq
 
-  private def writeParts(df: DataFrame): Seq[String] = {
+  // ---- virtual columns (reference fuse virtual_column_builder.rs /
+  // virtual_column_reader_parquet.rs: declared JSON paths materialize
+  // as real columns in every data file, so path reads become plain
+  // column scans with parquet stats pruning instead of per-row JSON
+  // parsing; plans/VirtualColumnRule rewrites get_json_object to them)
+  private def virtualFile = Paths.get(path, "_graft_virtual.json")
+
+  /** Declare virtual paths for a JSON string column. Must happen before
+    * the first write (like cluster keys) so EVERY data file carries the
+    * columns — the read-side rewrite is only sound when no file misses
+    * them.
+    */
+  def setVirtualColumns(srcCol: String, paths: Seq[String]): Unit = {
+    require(currentVersion < 0,
+      "declare virtual columns before the first write (the rewrite needs every file to carry them)")
+    val cur = virtualColumns
+    val next = cur + (srcCol -> paths)
+    val json = next.map { case (c, ps) =>
+      "\"" + c + "\":" + ps.mkString("[\"", "\",\"", "\"]")
+    }.mkString("{", ",", "}")
+    Files.write(virtualFile, json.getBytes("UTF-8"))
+  }
+
+  def virtualColumns: Map[String, Seq[String]] =
+    if (!Files.exists(virtualFile)) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(virtualFile), "UTF-8"))
+      import scala.jdk.CollectionConverters._
+      node.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
+      }.toMap
+    }
+
+  /** recompute declared virtual columns from their source (drop stale
+    * ones first — UPDATE may have changed the JSON column)
+    */
+  private def materializeVirtual(df: DataFrame): DataFrame = {
+    val decl = virtualColumns
+    if (decl.isEmpty) df
+    else {
+      val dropped = df.drop(df.columns.filter(_.startsWith("__virt_")).toSeq: _*)
+      decl.foldLeft(dropped) { case (acc, (c, paths)) =>
+        if (!acc.columns.contains(c)) acc
+        else paths.foldLeft(acc)((a, p) =>
+          a.withColumn(GraftTable.virtName(c, p), get_json_object(col(c), p)))
+      }
+    }
+  }
+
+  private def writeParts(df0: DataFrame): Seq[String] = {
+    val df = materializeVirtual(df0)
     val stage = Paths.get(path, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
     val writer = bloomColumns.foldLeft(df.write.mode(SaveMode.Overwrite)) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
@@ -150,7 +201,8 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def mergeByKey(source: DataFrame, key: String): Long = {
     val prev = snapshot(currentVersion)
     val target = readFiles(prev.files)
-    val cols = target.columns
+    // user columns only: writeParts recomputes the virtual ones
+    val cols = target.columns.filterNot(_.startsWith("__virt_"))
     val merged = target.join(source.select(col(key).as("__mk")), col(key) === col("__mk"), "left_anti")
       .select(cols.map(col).toSeq: _*)
       .union(source.select(cols.map(col).toSeq: _*))
@@ -382,6 +434,14 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  /** deterministic materialized-column name for (json column, path);
+    * the short hash disambiguates paths that sanitize identically
+    */
+  def virtName(col: String, path: String): String = {
+    val san = path.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+    f"__virt_${col}_${san}_${path.hashCode & 0xffff}%04x"
+  }
 
   final case class ColStats(ndv: Long, nullCount: Long, min: String, max: String)
 
