@@ -25,14 +25,17 @@ object InvertedIndex {
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Build (or rebuild) the index: postings sorted by token + a stats
-    * side table with document frequencies and corpus size.
+  /** Build (or rebuild) the index: positional postings sorted by token
+    * + a stats side table with document frequencies and corpus size.
+    * Positions make phrase queries a relational join (reference:
+    * tantivy records positions for its phrase scorer).
     */
   def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
     val postings = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
       .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
     postings
       .repartitionByRange(col("token"))
       .sortWithinPartitions(col("token"))
@@ -65,6 +68,35 @@ object InvertedIndex {
     val hits = if (all) scored.filter(col("n_terms") === normTerms.length) else scored
     hits.select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Phrase search: documents containing the query tokens CONSECUTIVELY
+    * in order, ranked by occurrence count. Classic positional
+    * alignment, kept relational: every query term contributes its
+    * positions shifted back by its phrase offset; a (doc, base
+    * position) that collects every distinct offset is one phrase
+    * occurrence. One IN-pruned postings scan + one shuffle — duplicate
+    * terms in the phrase work because matching is per (token, offset)
+    * pair.
+    */
+  def phraseSearch(spark: SparkSession, indexPath: String, phrase: String,
+                   k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val offsets = terms.zipWithIndex.toDF("token", "qoff")
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("token").isin(terms.distinct: _*))
+    post.join(broadcast(offsets), "token")
+      .select(col("doc_id"), col("qoff"), explode(col("positions")).as("pos"))
+      .withColumn("base", col("pos") - col("qoff"))
+      .groupBy(col("doc_id"), col("base"))
+      .agg(countDistinct(col("qoff")).as("nmatch"))
+      .filter(col("nmatch") === terms.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("doc_id"))
       .limit(k)
   }
 }

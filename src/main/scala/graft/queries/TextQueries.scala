@@ -377,6 +377,33 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, round(s, 6) AS score FROM scored
       |WHERE n_terms = 2 ORDER BY doc_id""".stripMargin))
 
+  // ---- phrase search over the positional index -----------------------
+  // (reference: tantivy phrase scorer via recorded positions) — all
+  // docs whose token stream contains the exact consecutive phrase,
+  // with occurrence counts; the oracle replays positional alignment
+  // with a LATERAL slice scan over the same tokenization
+  private val phrase = Q(
+    (spark, dir) => {
+      val x = t(spark, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "phidx").toString
+      graft.operators.InvertedIndex.build(x.documents, "doc_id", "text", idx)
+      graft.operators.InvertedIndex
+        .phraseSearch(spark, idx, "table part", k = 1000000)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS occurrences
+      |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+      |  WHERE list_slice(tk, i, i + 1) = ['table', 'part']
+      |  GROUP BY doc_id)
+      |SELECT doc_id, occurrences FROM occ ORDER BY doc_id""".stripMargin))
+
   // ---- near-dup clustering: connected components over pairs ----------
   // The transitive-closure step after pair verification (A~B, B~C =>
   // one cluster even when A!~C). Spark side: Dedup.connectedComponents
@@ -437,6 +464,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[(String, Q)] = Seq(
     "txt_dedup_clusters" -> dedupClusters,
+    "txt_phrase" -> phrase,
     "txt_fulltext" -> fulltext.copy(headline = true),
     "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,

@@ -61,4 +61,22 @@ class InvertedIndexSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("token"), plan)
   }
+
+  test("phrase search matches consecutive tokens only, in order") {
+    val idx = tmp()
+    InvertedIndex.build(corpus, "doc_id", "text", idx)
+    def hits(p: String) = InvertedIndex.phraseSearch(spark, idx, p, k = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("big data") == Map(1L -> 1L, 4L -> 1L))
+    assert(hits("vector search") == Map(3L -> 1L, 4L -> 1L))
+    // present as words but never consecutive in this order
+    assert(hits("data big").isEmpty)
+    // repeated term: only doc 2 has data immediately followed by data
+    assert(hits("data data") == Map(2L -> 2L)) // positions 0-1 and 1-2
+    // single-term phrase: occurrences = tf
+    assert(hits("data") == Map(1L -> 1L, 2L -> 3L, 4L -> 1L))
+    // case/punctuation-insensitive like the term search
+    assert(hits("BIG, Data!") == Map(1L -> 1L, 4L -> 1L))
+    assert(hits("nonexistent phrase").isEmpty)
+  }
 }
