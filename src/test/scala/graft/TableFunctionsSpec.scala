@@ -91,6 +91,29 @@ class TableFunctionsSpec extends AnyFunSuite {
     graft.plans.AggIndex.clear()
   }
 
+  test("blocks and clustering_information introspect the data files") {
+    import spark.implicits._
+    import graft.operators.TableFunctions
+    import graft.sources.GraftTable
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "fuseblk").toString
+    val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("k", "g")
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val blk = TableFunctions.blocks(spark, t).collect()
+    assert(blk.length == t.snapshot(t.currentVersion).files.length)
+    assert(blk.map(_.getLong(2)).sum == 1000L) // footer row counts
+    assert(blk.forall(_.getLong(1) > 0))
+
+    // random layout: ranges overlap; after linear recluster they don't
+    val before = TableFunctions.clusteringInformation(spark, t, "k").head()
+    t.recluster(Seq("k"), numFiles = 4)
+    val after = TableFunctions.clusteringInformation(spark, t, "k").head()
+    assert(before.getDouble(3) > 0.0, s"expected overlaps before: $before")
+    assert(after.getDouble(3) == 0.0, s"expected none after: $after")
+    assert(after.getDouble(4) == 1.0) // depth 1 = perfectly clustered
+    assert(after.getLong(1) == 4L)
+  }
+
   test("snapshots exposes the table's version chain") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("k", "v"))
