@@ -133,6 +133,31 @@ class ClipSpec extends AnyFunSuite {
     }
   }
 
+  test("random holed-polygon pairs satisfy the boolean-area identities") {
+    val rnd = new scala.util.Random(23)
+    for (k <- 1 to 60) {
+      // shell with a centered hole, random placement/sizes
+      def holed(): Clip.MultiPoly = {
+        val x0 = rnd.nextInt(6); val y0 = rnd.nextInt(6)
+        val w = 4 + rnd.nextInt(6); val h = 4 + rnd.nextInt(6)
+        val hx = x0 + 1 + rnd.nextInt(w - 2); val hy = y0 + 1 + rnd.nextInt(h - 2)
+        val hw = 1 + rnd.nextInt(x0 + w - hx - 1 max 1); val hh = 1 + rnd.nextInt(y0 + h - hy - 1 max 1)
+        Vector(Vector(
+          rect(x0, y0, x0 + w, y0 + h).head,
+          rect(hx, hy, math.min(hx + hw, x0 + w - 1), math.min(hy + hh, y0 + h - 1)).head))
+      }
+      val a = holed(); val b = holed()
+      val aA = mpArea(a); val aB = mpArea(b)
+      val aI = mpArea(op(a, b, Clip.Intersection))
+      val aU = mpArea(op(a, b, Clip.Union))
+      val aD = mpArea(op(a, b, Clip.Difference))
+      val aX = mpArea(op(a, b, Clip.Xor))
+      assert(math.abs(aI + aD - aA) < 1e-9, s"inter+diff, case $k: a=$a b=$b")
+      assert(math.abs(aU - (aA + aB - aI)) < 1e-9, s"inclusion-exclusion, case $k")
+      assert(math.abs(aX - (aA + aB - 2 * aI)) < 1e-9, s"xor, case $k")
+    }
+  }
+
   test("rotated rect pairs satisfy the boolean-area identities") {
     val rnd = new scala.util.Random(7)
     def rot(p: Pt, ang: Double) =
