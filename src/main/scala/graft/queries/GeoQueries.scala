@@ -328,6 +328,6 @@ object GeoQueries extends QueryModule {
     "geo_envelope" -> envelope,
     "geo_geometry" -> geometry,
     "geo_geom_agg" -> geomAgg,
-    "geo_clip" -> clip,
+    "geo_clip" -> clip.copy(headline = true),
     "geo_clip_agg" -> clipAgg)
 }

@@ -463,8 +463,8 @@ object TextQueries extends QueryModule {
       |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
 
   override def queries: Seq[(String, Q)] = Seq(
-    "txt_dedup_clusters" -> dedupClusters,
-    "txt_phrase" -> phrase,
+    "txt_dedup_clusters" -> dedupClusters.copy(headline = true),
+    "txt_phrase" -> phrase.copy(headline = true),
     "txt_fulltext" -> fulltext.copy(headline = true),
     "txt_pipeline" -> pipeline,
     "txt_dedup_exact" -> dedupExact,
