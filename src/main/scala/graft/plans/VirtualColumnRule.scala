@@ -32,7 +32,23 @@ class VirtualColumnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!childOut.exists(_.name.startsWith("__virt_"))) node
       else node.transformExpressionsUp {
         case g @ GetJsonObject(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
-          childOut.find(_.name == GraftTable.virtName(a.name, p.toString)).getOrElse(g)
+          childOut.find(_.name == GraftTable.virtName(a.name, p.toString)) match {
+            case Some(virt) if sameLeaf(node, a, virt) => virt
+            case _ => g
+          }
       }
   }
+
+  /** The stored value is only the truth for the SCANNED json column: if
+    * an intermediate projection re-derived the json attribute (alias =
+    * new exprId), or the virt attribute was itself re-derived, the
+    * by-name match would silently read stale data. Require both
+    * attributes to reach `node` unchanged from the same leaf relation.
+    */
+  private def sameLeaf(node: LogicalPlan, json: AttributeReference,
+      virt: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+    node.collectLeaves().exists { leaf =>
+      leaf.output.exists(_.exprId == json.exprId) &&
+        leaf.output.exists(_.exprId == virt.exprId)
+    }
 }

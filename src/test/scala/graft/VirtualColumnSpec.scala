@@ -75,6 +75,22 @@ class VirtualColumnSpec extends AnyFunSuite {
     } finally rmrf(dir)
   }
 
+  test("a re-derived json column is NOT rewritten to the stale stored value") {
+    val dir = scratch()
+    try {
+      val t = mkTable(dir)
+      // overwrite props between scan and path read: the stored column
+      // no longer describes this attribute
+      val q = t.read()
+        .withColumn("props", regexp_replace(col("props"), "en", "xx"))
+        .select(get_json_object(col("props"), "$.lang").as("lang"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("get_json_object"),
+        "rewrite fired on a modified column")
+      val langs = q.collect().map(_.getString(0)).toSet
+      assert(langs == Set("xx", "de")) // parsed from the MODIFIED json
+    } finally rmrf(dir)
+  }
+
   test("undeclared paths still parse raw") {
     val dir = scratch()
     try {
