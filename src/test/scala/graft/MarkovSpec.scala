@@ -143,6 +143,29 @@ class MarkovSpec extends AnyFunSuite {
     assert(gen(0L).forall(c => c == 'a' || c == 'b')) // alphabet closed
   }
 
+  test("multibyte UTF-8 corpora round-trip through code points") {
+    Markov.register(spark)
+    import spark.implicits._
+    val corpus = Seq("café au lait", "café noir", "北京 上海", "北京 咖啡",
+      "résumé café", "上海 café")
+    corpus.toDF("s").createOrReplaceTempView("markov_utf8")
+    spark.sql("SELECT markov_train(s) AS m FROM markov_utf8")
+      .createOrReplaceTempView("markov_utf8_model")
+    val out = (0 until 8).map { seed =>
+      spark.sql(
+        s"""SELECT markov_generate(m, '{"order":5,"sliding_window_size":8}',
+           |CAST($seed AS BIGINT), 'café 北京') FROM markov_utf8_model""".stripMargin)
+        .collect()(0).getString(0)
+    }
+    // every output is valid UTF-8 drawn from the training alphabet
+    val alphabet = corpus.flatMap(_.toCharArray).toSet
+    out.foreach { s =>
+      assert(s.getBytes("UTF-8").length > 0)
+      assert(new String(s.getBytes("UTF-8"), "UTF-8") == s) // round-trips
+      assert(s.forall(alphabet.contains), s"alien chars in '$s'")
+    }
+  }
+
   test("OBFUSCATE(t) table flow: markov strings + feistel numbers, deterministic") {
     import spark.implicits._
     val df = users.take(10).zipWithIndex
