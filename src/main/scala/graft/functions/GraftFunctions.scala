@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Explode, Expression, Literal}
 import org.apache.spark.sql.functions.udf
 
 /** The databend-name function surface (SURVEY.md §2.9; alias table
@@ -443,6 +443,14 @@ object GraftFunctions {
     Markov.register(spark)
     // round-5 TIMESTAMP_TZ tier (offset-preserving struct model)
     TimestampTz.register(spark)
+    // jq subset SRF (reference srfs/variant.rs:439 via jaq): rows of
+    // canonical JSON per produced value
+    spark.udf.register("jq_impl",
+      udf((f: String, j: String) => Jq(f, j)))
+    reg.createOrReplaceTempFunction("jq",
+      (args: Seq[Expression]) =>
+        Explode(UnresolvedFunction("jq_impl", args, isDistinct = false)),
+      "scala_udf")
     // sleep (reference other.rs:123 — 3s cap, returns 0) and glob
     // (comparison.rs:1969 — unix shell pattern match; * crosses
     // separators like the rust glob crate's default MatchOptions,
