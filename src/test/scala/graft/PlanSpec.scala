@@ -154,4 +154,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("TPC-DS yoy self-joined CTEs are persisted, not recomputed") {
+    // the year-over-year family references its WITH CTE 2-6x; Catalyst
+    // inlines WITH, so without the qPersist cache q75's executed plan
+    // had 24 parquet scans and q4 had 18 (round-5 audit). With the CTE
+    // persisted each base-table is scanned once: q75 <= 12, q4 <= 6.
+    // At 100 TB every extra reference is a full re-read of three sales
+    // channels, so this shape IS the scale property.
+    def scansOf(name: String): Int = {
+      spark.catalog.clearCache()
+      val df = SparkEntry.all(name).fn(spark, sf)
+      df.count() // finalize AQE so cache substitution is in the plan
+      ProbeCte.executedScans(df.queryExecution.executedPlan,
+        new java.util.IdentityHashMap[AnyRef, AnyRef]())
+    }
+    val q75 = scansOf("tpcds_q75")
+    assert(q75 <= 12, s"tpcds_q75 executed $q75 parquet scans (want <= 12)")
+    val q4 = scansOf("tpcds_q4")
+    assert(q4 <= 6, s"tpcds_q4 executed $q4 parquet scans (want <= 6)")
+    val q74 = scansOf("tpcds_q74")
+    assert(q74 <= 5, s"tpcds_q74 executed $q74 parquet scans (want <= 5)")
+    spark.catalog.clearCache()
+  }
 }
