@@ -200,28 +200,51 @@ object Markov {
   /** The model column is near-always the same value on every row (a
     * trained model cross-joined against the data), but Spark hands the
     * UDF a fresh Seq[Row] per row — rebuilding the lookup would cost
-    * O(model size) per masked row. A per-thread one-slot cache keyed by
-    * a cheap fingerprint (length + first/last row identity) makes the
-    * rebuild once-per-partition, which is what survives a 1B-row mask.
+    * O(model size) per masked row. A per-thread LRU (8 slots, so a
+    * multi-column OBFUSCATE whose columns alternate on one task thread
+    * still rebuilds once per partition, not once per row) keyed by a
+    * strided content fingerprint: length + (hash,total,count_end) of
+    * up to 32 evenly-spaced rows + the last row. Two DIFFERENT trained
+    * models would have to agree on every sampled context hash to
+    * collide — context hashes are crc32s of the training shingles, so
+    * any differing row at a sampled position changes the key. O(32)
+    * per masked row, which is what survives a 1B-row mask.
     */
-  private val tableCache = new ThreadLocal[(Long, Table)]
+  private val tableCache = new ThreadLocal[java.util.LinkedHashMap[java.lang.Long, Table]] {
+    override def initialValue(): java.util.LinkedHashMap[java.lang.Long, Table] =
+      new java.util.LinkedHashMap[java.lang.Long, Table](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, Table]): Boolean =
+          size > 8
+      }
+  }
 
   private def fingerprint(rows: Seq[Row]): Long = {
-    if (rows.isEmpty) return 0L
-    val h = rows.head; val l = rows.last
-    var fp = rows.length.toLong
-    fp = fp * 1000003L + h.getLong(0); fp = fp * 1000003L + h.getLong(1)
-    fp = fp * 1000003L + l.getLong(0); fp = fp * 1000003L + l.getLong(2)
-    fp
+    val rs = rows.toIndexedSeq // Spark hands an ArraySeq: no copy
+    val n = rs.length
+    if (n == 0) return 0L
+    var fp = 1000003L * n
+    val step = math.max(1, n / 32)
+    var i = 0
+    while (i < n) {
+      val r = rs(i)
+      fp = fp * 1000003L + r.getLong(0)
+      fp = fp * 1000003L + r.getLong(1)
+      fp = fp * 1000003L + r.getLong(2)
+      i += step
+    }
+    val l = rs(n - 1)
+    fp = fp * 1000003L + l.getLong(0)
+    fp * 1000003L + l.getLong(2)
   }
 
   private def cachedTableOf(rows: Seq[Row]): Table = {
-    val fp = fingerprint(rows)
-    val hit = tableCache.get()
-    if (hit != null && hit._1 == fp) hit._2
+    val fp = java.lang.Long.valueOf(fingerprint(rows))
+    val cache = tableCache.get()
+    val hit = cache.get(fp)
+    if (hit != null) hit
     else {
       val t = tableOf(rows)
-      tableCache.set((fp, t))
+      cache.put(fp, t)
       t
     }
   }

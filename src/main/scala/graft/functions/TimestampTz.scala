@@ -102,18 +102,28 @@ object TimestampTz {
   val rewrites: Map[String, Seq[Expression] => Expression] = {
     val fromParts: Seq[Expression] => Expression = a => {
       val sixty = a.take(6).map(Cast(_, LongType))
-      // 7-arg ambiguity (ns vs tz): resolvable expressions dispatch on
-      // type; unresolved 7th args default to the ns reading
-      def isString(e: Expression) = scala.util.Try(e.dataType == StringType).getOrElse(false)
-      val (ns, tz) = a.length match {
-        case 6 => (Literal(0L), Literal(null, StringType))
-        case 7 if isString(a(6)) => (Literal(0L), a(6))
-        case 7 => (Cast(a(6), LongType), Literal(null, StringType))
-        case 8 => (Cast(a(6), LongType), Cast(a(7), StringType))
+      // 7-arg ambiguity (ns vs tz, reference :3141-3179): expressions
+      // whose type is already known dispatch here; an UNRESOLVED 7th
+      // arg (e.g. a column reference at rewrite time) defers to the
+      // runtime dispatcher, which tries a numeric parse — silently
+      // assuming the ns reading would use the session zone instead of
+      // the supplied tz with no error
+      a.length match {
+        case 6 => f("timestamp_tz_from_parts_impl",
+          (sixty :+ Literal(0L) :+ Literal(null, StringType)): _*)
+        case 7 => scala.util.Try(a(6).dataType) match {
+          case scala.util.Success(StringType) => f("timestamp_tz_from_parts_impl",
+            (sixty :+ Literal(0L) :+ a(6)): _*)
+          case scala.util.Success(_) => f("timestamp_tz_from_parts_impl",
+            (sixty :+ Cast(a(6), LongType) :+ Literal(null, StringType)): _*)
+          case scala.util.Failure(_) => f("timestamp_tz_from_parts_dispatch7",
+            (sixty :+ Cast(a(6), StringType)): _*)
+        }
+        case 8 => f("timestamp_tz_from_parts_impl",
+          (sixty :+ Cast(a(6), LongType) :+ Cast(a(7), StringType)): _*)
         case n => throw new IllegalArgumentException(
           s"timestamp_tz_from_parts expects 6-8 args, got $n")
       }
-      f("timestamp_tz_from_parts_impl", (sixty :+ ns :+ tz): _*)
     }
     Map("timestamp_tz_from_parts" -> fromParts, "timestamptzfromparts" -> fromParts)
   }
@@ -139,6 +149,19 @@ object TimestampTz {
         val ldt = LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, sec.toInt)
           .plusNanos(ns)
         val z = if (tz == null) zone else ZoneId.of(tz)
+        val zdt = ldt.atZone(z)
+        val inst = zdt.toInstant
+        TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000,
+          zdt.getOffset.getTotalSeconds / 60)
+      }))
+    // runtime ns-vs-tz dispatch for a 7th arg whose type was unknown
+    // at rewrite time: numeric text = nanoseconds, otherwise timezone
+    r.register("timestamp_tz_from_parts_dispatch7",
+      udf((y: Long, mo: Long, d: Long, h: Long, mi: Long, sec: Long, seventh: String) => {
+        val ns = if (seventh == null) Some(0L) else seventh.trim.toLongOption
+        val ldt = LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, sec.toInt)
+          .plusNanos(ns.getOrElse(0L))
+        val z = if (ns.isDefined) zone else ZoneId.of(seventh)
         val zdt = ldt.atZone(z)
         val inst = zdt.toInstant
         TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000,

@@ -105,6 +105,9 @@ object TableFunctions {
       .groupBy(col("__f"))
       .agg(min(col(key).cast("double")).as("mn"), max(col(key).cast("double")).as("mx"))
       .collect()
+      // a file whose key column is entirely NULL has null min/max:
+      // it occupies no range, so it is excluded from the overlap math
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .map(r => (r.getDouble(1), r.getDouble(2)))
     val n = perFile.length
     val constant = perFile.count { case (a, b) => a == b }

@@ -146,10 +146,26 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 
   // ---- reads ----------------------------------------------------------
 
+  /** Materialized `__virt_*` columns are internal to the read path
+    * (reference: fuse virtual columns never appear in SELECT *): the
+    * user-visible schema hides them, and `VirtualColumnRule` resolves
+    * get_json_object over the declared paths back to the stored
+    * columns through this projection.
+    */
+  private def dropVirtual(df: DataFrame): DataFrame = {
+    val virt = df.columns.filter(_.startsWith("__virt_"))
+    if (virt.isEmpty) df else df.drop(virt.toSeq: _*)
+  }
+
   def read(): DataFrame = readAt(currentVersion)
 
+  /** The stored schema including materialized `__virt_*` columns, for
+    * callers that want the internals (introspection, tests).
+    */
+  def readWithVirtual(): DataFrame = readFiles(snapshot(currentVersion).files)
+
   /** time travel: AT (SNAPSHOT => <version>) */
-  def readAt(version: Long): DataFrame = readFiles(snapshot(version).files)
+  def readAt(version: Long): DataFrame = dropVirtual(readFiles(snapshot(version).files))
 
   /** time travel: AT (TIMESTAMP => <ts>) — latest snapshot at-or-before */
   def readAsOf(timestampMs: Long): DataFrame = {
@@ -229,10 +245,10 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val to = snapshot(toVersion)
     if (from.files.forall(to.files.contains)) {
       val added = to.files.diff(from.files)
-      readFiles(added).withColumn("change$action", lit("INSERT"))
+      dropVirtual(readFiles(added)).withColumn("change$action", lit("INSERT"))
     } else {
-      val oldDf = readFiles(from.files)
-      val newDf = readFiles(to.files)
+      val oldDf = dropVirtual(readFiles(from.files))
+      val newDf = dropVirtual(readFiles(to.files))
       val inserted = newDf.exceptAll(oldDf).withColumn("change$action", lit("INSERT"))
       val deleted = oldDf.exceptAll(newDf).withColumn("change$action", lit("DELETE"))
       inserted.unionByName(deleted)

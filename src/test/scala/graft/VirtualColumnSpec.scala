@@ -41,6 +41,20 @@ class VirtualColumnSpec extends AnyFunSuite {
     t
   }
 
+  test("read() hides __virt_* from the user-visible schema") {
+    val dir = scratch()
+    try {
+      val t = mkTable(dir)
+      assert(t.read().columns.toSeq == Seq("id", "props"),
+        "stored internals leaked into SELECT *")
+      assert(t.readWithVirtual().columns.count(_.startsWith("__virt_")) == 2)
+      // schema-sensitive round-trip: union with the source frame works
+      import spark.implicits._
+      val src = Seq((9999L, "{}")).toDF("id", "props")
+      assert(t.read().unionByName(src).count() == 201)
+    } finally rmrf(dir)
+  }
+
   test("declared paths rewrite to stored columns; raw JSON never parsed") {
     val dir = scratch()
     try {
@@ -109,8 +123,9 @@ class VirtualColumnSpec extends AnyFunSuite {
       val langs = t.read().filter(col("id") === 9)
         .select(get_json_object(col("props"), "$.lang")).collect().map(_.getString(0))
       assert(langs.toSeq == Seq("fr"))
-      // and the stored column agrees (query it directly)
-      val stored = t.read().filter(col("id") === 9)
+      // and the stored column agrees (query the internals directly —
+      // read() hides __virt_* from the user-visible schema)
+      val stored = t.readWithVirtual().filter(col("id") === 9)
         .select(col(GraftTable.virtName("props", "$.lang"))).collect().map(_.getString(0))
       assert(stored.toSeq == Seq("fr"))
     } finally rmrf(dir)
