@@ -443,6 +443,8 @@ object GraftFunctions {
     Markov.register(spark)
     // round-5 TIMESTAMP_TZ tier (offset-preserving struct model)
     TimestampTz.register(spark)
+    // round-6 h3 index-math tier (19 names; geo_h3.rs)
+    H3.register(spark)
     // jq subset SRF (reference srfs/variant.rs:439 via jaq): rows of
     // canonical JSON per produced value
     spark.udf.register("jq_impl",

@@ -322,6 +322,62 @@ object GeoQueries extends QueryModule {
       |  count(*) AS n
       |FROM o GROUP BY o.zone ORDER BY o.zone""".stripMargin))
 
+  // ---- h3 index math (reference geo_h3.rs; graft.functions.H3) -------
+  // Both engines derive cells as parents of two fixed golden cells (one
+  // hexagon chain, one pentagon chain) across all 16 resolutions; the
+  // oracle re-implements the H3 bit layout in raw DuckDB bit arithmetic
+  // — an independent cross-engine check of the index math (the
+  // h3o-golden vectors live in H3Spec).
+  private val pentBases = "4,14,24,38,49,58,63,72,83,97,107,117"
+  private val h3 = Q(
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val x = t(spark, dir)
+      x.nation
+        .selectExpr("n_nationkey",
+          "h3_to_parent(CAST(644325524701193974 AS BIGINT), CAST(n_nationkey % 16 AS INT)) AS cell",
+          "h3_to_parent(CAST(599119489002373119 AS BIGINT), CAST(n_nationkey % 6 AS INT)) AS pcell")
+        .selectExpr("n_nationkey", "cell", "pcell",
+          "h3_get_resolution(cell) AS res",
+          "h3_get_base_cell(cell) AS base_cell",
+          "h3_to_string(cell) AS cell_str",
+          "h3_is_res_class_iii(cell) AS class_iii",
+          "h3_is_pentagon(cell) AS hex_pent",
+          "h3_is_pentagon(pcell) AS pent_pent",
+          "h3_num_hexagons(h3_get_resolution(cell)) AS n_cells",
+          "h3_to_parent(cell, CAST(greatest(h3_get_resolution(cell) - 2, 0) AS INT)) AS parent2",
+          "h3_is_valid(cell) AS valid")
+        .orderBy(col("n_nationkey"))
+    },
+    Some(s"""WITH base AS (
+      |  SELECT n_nationkey,
+      |         CAST(n_nationkey % 16 AS BIGINT) AS r,
+      |         CAST(n_nationkey % 6 AS BIGINT) AS pr
+      |  FROM nation
+      |), cells AS (
+      |  SELECT n_nationkey, r,
+      |    ((644325524701193974 & ~(CAST(15 AS BIGINT) << 52) & ~((CAST(1 AS BIGINT) << CAST(45 - 3*r AS INT)) - 1))
+      |      | (r << 52) | ((CAST(1 AS BIGINT) << CAST(45 - 3*r AS INT)) - 1)) AS cell,
+      |    ((599119489002373119 & ~(CAST(15 AS BIGINT) << 52) & ~((CAST(1 AS BIGINT) << CAST(45 - 3*pr AS INT)) - 1))
+      |      | (pr << 52) | ((CAST(1 AS BIGINT) << CAST(45 - 3*pr AS INT)) - 1)) AS pcell,
+      |    pr
+      |  FROM base
+      |)
+      |SELECT n_nationkey, cell, pcell,
+      |  CAST(r AS INT) AS res,
+      |  CAST((cell >> 45) & 127 AS INT) AS base_cell,
+      |  printf('%x', cell) AS cell_str,
+      |  r % 2 = 1 AS class_iii,
+      |  ((cell >> 45) & 127) IN ($pentBases)
+      |    AND (cell & (((CAST(1 AS BIGINT) << 45) - 1) & ~((CAST(1 AS BIGINT) << CAST(45 - 3*r AS INT)) - 1))) = 0 AS hex_pent,
+      |  ((pcell >> 45) & 127) IN ($pentBases)
+      |    AND (pcell & (((CAST(1 AS BIGINT) << 45) - 1) & ~((CAST(1 AS BIGINT) << CAST(45 - 3*pr AS INT)) - 1))) = 0 AS pent_pent,
+      |  CAST(2 + 120 * power(7, r) AS BIGINT) AS n_cells,
+      |  ((cell & ~(CAST(15 AS BIGINT) << 52) & ~((CAST(1 AS BIGINT) << CAST(45 - 3*greatest(r-2,0) AS INT)) - 1))
+      |    | (greatest(r-2,0) << 52) | ((CAST(1 AS BIGINT) << CAST(45 - 3*greatest(r-2,0) AS INT)) - 1)) AS parent2,
+      |  TRUE AS valid
+      |FROM cells ORDER BY n_nationkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "geo_fns" -> geoFns,
     "geo_radius_join" -> radiusJoin.copy(headline = true),
@@ -329,5 +385,6 @@ object GeoQueries extends QueryModule {
     "geo_geometry" -> geometry,
     "geo_geom_agg" -> geomAgg,
     "geo_clip" -> clip.copy(headline = true),
-    "geo_clip_agg" -> clipAgg)
+    "geo_clip_agg" -> clipAgg,
+    "geo_h3" -> h3)
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.H3
+
+/** H3 index math vs the reference's own golden outputs
+  * (reference: src/query/functions/tests/it/scalars/testdata/geo_h3.txt
+  * — produced by h3o, which follows the Uber H3 spec bit-exactly).
+  * Every literal below is copied from that golden file.
+  */
+class H3Spec extends AnyFunSuite {
+
+  // golden cells: geo_h3.txt h3_to_geo/h3_to_parent/h3_is_pentagon blocks
+  private val res15Cell = 644325524701193974L // 0x8f11aa6a38826f6
+  private val res13Cell = 635318325446452991L // 0x8d11aa6a38826ff
+  private val pentagon = 599119489002373119L  // res-5 center child of base cell 4
+
+  test("h3_is_valid golden vectors") {
+    assert(!H3.isValidCell(0L))
+    assert(!H3.isValidCell(1L))
+    assert(!H3.isValidCell(-1L))
+    assert(H3.isValidCell(res15Cell))
+    assert(H3.isValidCell(res13Cell))
+    assert(H3.isValidCell(pentagon))
+    // mode-2 edge is not a cell
+    assert(!H3.isValidCell(1248204388774707199L))
+    // unused digit not 7 (res13 cell claiming res 12)
+    assert(!H3.isValidCell((res13Cell & ~(0xFL << 52)) | (12L << 52)))
+    // base cell >= 122
+    assert(!H3.isValidCell(res15Cell | (127L << 45)))
+  }
+
+  test("resolution / base cell accessors (golden)") {
+    assert(H3.resolution(res15Cell) == 15) // geo_h3.txt h3_get_resolution
+    assert(H3.baseCell(res15Cell) == 8)    // geo_h3.txt h3_get_base_cell
+    assert(H3.resolution(res13Cell) == 13)
+    assert(H3.resolution(pentagon) == 5)
+    assert(H3.baseCell(pentagon) == 4)
+  }
+
+  test("h3_to_parent golden: res 12 parent; finer-than-self rejected") {
+    assert(H3.toParent(res13Cell, 12).contains(630814725819082751L))
+    assert(H3.toParent(res13Cell, 14).isEmpty) // reference errors here
+    assert(H3.toParent(res13Cell, 13).contains(res13Cell))
+    // parent round-trips through children
+    val p = H3.toParent(res15Cell, 14).get
+    assert(H3.toChildren(p, 15).get.contains(res15Cell))
+  }
+
+  test("h3_to_children: self at equal res; 7 hexagon / 6 pentagon children") {
+    assert(H3.toChildren(644325524701193897L, 15).contains(Seq(644325524701193897L)))
+    val hexChildren = H3.toChildren(res13Cell, 14).get
+    assert(hexChildren.length == 7)
+    assert(hexChildren.forall(H3.isValidCell))
+    assert(hexChildren.forall(c => H3.toParent(c, 13).contains(res13Cell)))
+    val pentChildren = H3.toChildren(pentagon, 6).get
+    assert(pentChildren.length == 6, "pentagon deletes its K-axis child")
+    assert(pentChildren.count(H3.isPentagon) == 1)
+    // two levels: pentagon -> 6 + 7x6 = 48? no: 6 children, one pentagon
+    // (6 children) + five hexagons (7 each) = 41
+    assert(H3.toChildren(pentagon, 7).get.length == 41)
+  }
+
+  test("h3_to_center_child golden (pentagon at res 15)") {
+    assert(H3.toCenterChild(pentagon, 15).contains(644155484202336256L))
+    assert(H3.toCenterChild(res13Cell, 13).contains(res13Cell))
+    assert(H3.toCenterChild(res13Cell, 12).isEmpty)
+  }
+
+  test("h3_to_string / string_to_h3 golden round-trip") {
+    assert(H3.toHexString(res13Cell) == "8d11aa6a38826ff")
+    assert(H3.fromHexString("8d11aa6a38826ff").contains(res13Cell))
+    assert(H3.fromHexString("zzz").isEmpty)
+    assert(H3.fromHexString("ffffffffffffffff").isEmpty) // not a cell
+  }
+
+  test("class III / pentagon predicates (golden)") {
+    assert(H3.isResClassIII(res13Cell)) // res 13 odd
+    assert(H3.isResClassIII(pentagon))  // res 5 odd
+    assert(!H3.isResClassIII(H3.toParent(pentagon, 4).get))
+    assert(H3.isPentagon(pentagon))
+    assert(!H3.isPentagon(res15Cell))
+    // a non-center descendant of a pentagon base cell is NOT a pentagon
+    val offCenter = H3.toChildren(pentagon, 6).get.filterNot(H3.isPentagon)
+    assert(offCenter.nonEmpty && offCenter.forall(c => !H3.isPentagon(c)))
+  }
+
+  test("h3_num_hexagons golden") {
+    assert(H3.numHexagons(0).contains(122L))
+    assert(H3.numHexagons(10).contains(33897029882L))
+    assert(H3.numHexagons(16).isEmpty)
+  }
+
+  test("edge length / hex area / edge angle constants (golden res 0/1/15)") {
+    def close(a: Double, b: Double, rel: Double = 1e-9): Boolean =
+      math.abs(a - b) <= rel * math.max(math.abs(a), math.abs(b))
+    assert(close(H3.edgeLengthM(0).get, 1281256.010741364))
+    assert(close(H3.edgeLengthM(1).get, 483056.839071111))
+    assert(close(H3.edgeLengthM(15).get, 0.5841686296))
+    assert(close(H3.edgeLengthKm(0).get, 1281.2560107413, 1e-10))
+    assert(close(H3.edgeLengthKm(15).get, 0.0005841686296))
+    assert(close(H3.hexAreaM2(0).get, 4357449416078.39, 1e-10))
+    assert(close(H3.hexAreaM2(1).get, 609788441794.134, 1e-10))
+    assert(close(H3.hexAreaM2(15).get, 0.8953115907, 1e-9))
+    assert(close(H3.hexAreaKm2(0).get, 4357449.416078383, 1e-12))
+    assert(close(H3.hexAreaKm2(15).get, 8.953115907e-7, 1e-9))
+    assert(close(H3.edgeAngle(0).get, 11.5225991443, 1e-9))
+    assert(close(H3.edgeAngle(10).get, 0.0006822586, 1e-6))
+    // tables decrease by ~sqrt(7) per res (sanity for non-golden rows)
+    for (r <- 0 to 14) {
+      val ratio = H3.edgeLengthM(r).get / H3.edgeLengthM(r + 1).get
+      assert(ratio > 2.2 && ratio < 3.2, s"res $r ratio $ratio")
+      val aRatio = H3.hexAreaKm2(r).get / H3.hexAreaKm2(r + 1).get
+      assert(aRatio > 6.5 && aRatio < 7.5, s"res $r area ratio $aRatio")
+    }
+  }
+
+  test("directed edge validity / origin / enumeration (golden)") {
+    val edge = 1248204388774707199L
+    assert(!H3.edgeIsValid(0L))
+    assert(H3.edgeIsValid(edge))
+    assert(H3.edgeOrigin(edge).contains(599686042433355775L))
+    // a cell is not an edge
+    assert(!H3.edgeIsValid(res15Cell))
+    // golden: the six outgoing edges of 644325524701193754
+    val edges = H3.edgesFromCell(644325524701193754L).get
+    assert(edges == Seq(1292843871042545178L, 1364901465080473114L,
+      1436959059118401050L, 1509016653156328986L, 1581074247194256922L,
+      1653131841232184858L))
+    assert(edges.forall(H3.edgeIsValid))
+    assert(edges.forall(e => H3.edgeOrigin(e).contains(644325524701193754L)))
+    // golden: h3_get_unidirectional_edge(644325524701193897, 644325524701193754)
+    // => 1581074247194257065 — direction 5 edge of the origin cell
+    assert(H3.edgesFromCell(644325524701193897L).get.contains(1581074247194257065L))
+    // pentagons have 5 edges (no K axis)
+    assert(H3.edgesFromCell(pentagon).get.length == 5)
+  }
+}
