@@ -203,15 +203,34 @@ object GeometryFunctions {
       }))
 
     // ---------------------------------------------------------- measures
-    r.register("st_area", udf((b: Array[Byte]) => Option(b).map(x => area(geom(x).shape))))
-    r.register("st_length", udf((b: Array[Byte]) => Option(b).map(x => length(geom(x).shape))))
+    // GEOGRAPHY dispatch (reference keeps a separate GeographyType;
+    // here the SRID-4326 tag in the EWKB selects spherical meters —
+    // graft.functions.Geography scaladoc)
+    r.register("st_area", udf((b: Array[Byte]) => Option(b).map { x =>
+      val g = geom(x)
+      if (Geography.isGeography(g)) Geography.areaM2(g.shape) else area(g.shape)
+    }))
+    r.register("st_length", udf((b: Array[Byte]) => Option(b).map { x =>
+      val g = geom(x)
+      if (Geography.isGeography(g)) Geography.lengthM(g.shape) else length(g.shape)
+    }))
     r.register("st_perimeter", udf((b: Array[Byte]) => Option(b).map(x => perimeter(geom(x).shape))))
     r.register("st_distance", udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) None
-      else Some(distance(geom(a).shape, geom(b).shape))))
+      else {
+        val (ga, gb) = (geom(a), geom(b))
+        if (Geography.isGeography(ga) && Geography.isGeography(gb))
+          Some(Geography.distanceM(ga.shape, gb.shape))
+        else Some(distance(ga.shape, gb.shape))
+      }))
     r.register("st_dwithin", udf((a: Array[Byte], b: Array[Byte], d: Double) =>
       if (a == null || b == null) None
-      else Some(dwithin(geom(a).shape, geom(b).shape, d))))
+      else {
+        val (ga, gb) = (geom(a), geom(b))
+        if (Geography.isGeography(ga) && Geography.isGeography(gb))
+          Some(Geography.distanceM(ga.shape, gb.shape) <= d)
+        else Some(dwithin(ga.shape, gb.shape, d))
+      }))
     r.register("st_hausdorffdistance", udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) None
       else Some(hausdorff(geom(a).shape, geom(b).shape))))

@@ -434,6 +434,8 @@ object GraftFunctions {
     MoreAliases2.register(spark)
     // round-5 st_* geometry surface (62 names over the EWKB engine)
     GeometryFunctions.register(spark)
+    // round-6 GEOGRAPHY tier (SRID-4326-tagged EWKB, spherical meters)
+    Geography.register(spark)
     // round-5 numeric obfuscator (expression tier)
     for ((name, builder) <- Obfuscator.rewrites)
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")

@@ -378,6 +378,49 @@ object GeoQueries extends QueryModule {
       |  TRUE AS valid
       |FROM cells ORDER BY n_nationkey""".stripMargin))
 
+  // ---- geography tier (reference geography.rs; functions/Geography) --
+  // customer-derived lon/lat become GEOGRAPHY points; st_distance on the
+  // SRID-4326 tag is spherical meters (haversine closest-point, radius
+  // 6371008.8 m) — the oracle replays the same haversine arithmetic in
+  // raw SQL, so values are exact to the shared rounding
+  private val geography = Q(
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val x = t(spark, dir)
+      x.customer.filter(col("c_custkey") < 150)
+        .select(col("c_custkey"),
+          lon("c_custkey").as("lon"), lat("c_custkey").as("lat"))
+        .selectExpr("c_custkey", "lon", "lat",
+          "st_geographyfromwkt(concat('POINT(', lon, ' ', lat, ')')) AS g")
+        .selectExpr("c_custkey", "lon", "lat",
+          "round(st_distance(g, st_geographyfromwkt('POINT(2.35 48.85)')), 3) AS m_to_paris",
+          "st_srid(g) AS srid",
+          "st_dwithin(g, st_geographyfromwkt('POINT(2.35 48.85)'), 5000000.0) AS within_5000km",
+          "round(st_length(st_geographyfromwkt(concat('LINESTRING(', lon, ' ', lat, ', 0 0)'))), 3) AS seg_len_m")
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    ${lonSql("c_custkey")} AS lon,
+      |    ${latSql("c_custkey")} AS lat
+      |  FROM customer WHERE c_custkey < 150
+      |), d AS (
+      |  SELECT c_custkey, lon, lat,
+      |    2 * 6371008.8 * asin(least(1.0, sqrt(
+      |      pow(sin(radians(48.85 - lat) / 2), 2) +
+      |      cos(radians(lat)) * cos(radians(48.85)) * pow(sin(radians(2.35 - lon) / 2), 2)))) AS paris,
+      |    2 * 6371008.8 * asin(least(1.0, sqrt(
+      |      pow(sin(radians(0 - lat) / 2), 2) +
+      |      cos(radians(lat)) * cos(radians(0)) * pow(sin(radians(0 - lon) / 2), 2)))) AS seg
+      |  FROM pts
+      |)
+      |SELECT c_custkey, lon, lat,
+      |  round(round(paris * 1e9) / 1e9, 3) AS m_to_paris,
+      |  4326 AS srid,
+      |  round(paris * 1e9) / 1e9 <= 5000000.0 AS within_5000km,
+      |  round(round(seg * 1e9) / 1e9, 3) AS seg_len_m
+      |FROM d ORDER BY c_custkey""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "geo_fns" -> geoFns,
     "geo_radius_join" -> radiusJoin.copy(headline = true),
@@ -386,5 +429,6 @@ object GeoQueries extends QueryModule {
     "geo_geom_agg" -> geomAgg,
     "geo_clip" -> clip.copy(headline = true),
     "geo_clip_agg" -> clipAgg,
-    "geo_h3" -> h3)
+    "geo_h3" -> h3,
+    "geo_geography" -> geography)
 }
