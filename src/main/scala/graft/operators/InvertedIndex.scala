@@ -25,44 +25,73 @@ object InvertedIndex {
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** tantivy's BM25 constants (reference inverted_index.rs:89-90
+    * Bm25Weight; tantivy bm25.rs K1 = 1.2, B = 0.75)
+    */
+  val K1 = 1.2
+  val B = 0.75
+
   /** Build (or rebuild) the index: positional postings sorted by token
     * + a stats side table with document frequencies and corpus size.
     * Positions make phrase queries a relational join (reference:
-    * tantivy records positions for its phrase scorer).
+    * tantivy records positions for its phrase scorer). Each posting
+    * carries the document's token count (`dl`) denormalized, so BM25's
+    * length norm needs NO corpus-sized doc-length join at query time —
+    * a term lookup stays one IN-pruned scan at 100 TB (+8 bytes/row).
     */
   def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val postings = docs
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("dl", sum(col("tf")).over(byDoc))
     postings
       .repartitionByRange(col("token"))
       .sortWithinPartitions(col("token"))
       .write.mode("overwrite").parquet(s"$indexPath/postings")
     val spark = docs.sparkSession
-    val stats = postings.groupBy(col("token"))
+    val written = spark.read.parquet(s"$indexPath/postings")
+    val stats = written.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     stats.repartitionByRange(col("token")).sortWithinPartitions(col("token"))
       .write.mode("overwrite").parquet(s"$indexPath/stats")
-    spark.createDataFrame(Seq(Tuple1(docs.count())))
-      .toDF("n_docs").write.mode("overwrite").parquet(s"$indexPath/meta")
+    // avgdl from exact integer totals so an oracle can reproduce the
+    // double bit-for-bit (sum of tf = total tokens; one row per doc)
+    val t = written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(sum(col("dl")).as("total"), count(lit(1)).as("n")).head()
+    val nDocs = docs.count()
+    val avgdl = if (t.isNullAt(0)) 0.0 else t.getLong(0).toDouble / t.getLong(1)
+    spark.createDataFrame(Seq((nDocs, avgdl)))
+      .toDF("n_docs", "avgdl").write.mode("overwrite").parquet(s"$indexPath/meta")
   }
 
   /** Search: docs containing terms (`all = true` → every term, AND;
-    * false → any term, OR), ranked by summed TF-IDF
-    * (idf = ln(n_docs / df)). Term filter is a pushed-down IN list.
+    * false → any term, OR), ranked by BM25 with tantivy's formula
+    * (reference inverted_index.rs Bm25Weight):
+    *   idf    = ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+    *   score += idf * (k1+1) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+    * Term filter is a pushed-down IN list.
     */
   def search(spark: SparkSession, indexPath: String, terms: Seq[String],
              all: Boolean = true, k: Int = 10): DataFrame = {
     val normTerms = terms.map(_.toLowerCase).distinct
-    val nDocs = spark.read.parquet(s"$indexPath/meta").head().getLong(0)
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val nDocs = meta.getLong(0)
+    val avgdl = meta.getDouble(1)
     val post = spark.read.parquet(s"$indexPath/postings")
       .filter(col("token").isin(normTerms: _*))
     val stats = spark.read.parquet(s"$indexPath/stats")
       .filter(col("token").isin(normTerms: _*))
     val scored = post.join(broadcast(stats), "token")
-      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        // literal 2.2 / 0.25, not K1+1.0 / 1.0-B: an oracle replaying
+        // "2.2" must get the same double bit pattern
+        col("idf") * lit(2.2) * col("tf") /
+          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / lit(avgdl))))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("n_terms"), sum(col("w")).as("score"))
     val hits = if (all) scored.filter(col("n_terms") === normTerms.length) else scored

@@ -344,9 +344,11 @@ object TextQueries extends QueryModule {
 
   // ---- inverted full-text index (operators.InvertedIndex) -------------
   // build postings (sorted parquet) then AND-search two terms with
-  // TF-IDF scores; the oracle replays tokenization + idf in SQL. The
-  // result set is the (deterministic) match set ordered by doc_id —
-  // ranking itself is covered in InvertedIndexSpec.
+  // BM25 scores (tantivy's formula, k1=1.2 b=0.75 — reference
+  // inverted_index.rs Bm25Weight); the oracle replays tokenization +
+  // the full BM25 arithmetic in SQL with identical operation order.
+  // The result set is the (deterministic) match set ordered by doc_id
+  // — ranking itself is covered in InvertedIndexSpec.
   private val fulltext = Q(
     (spark, dir) => {
       val x = t(spark, dir)
@@ -362,6 +364,10 @@ object TextQueries extends QueryModule {
       |  FROM documents,
       |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
       |  WHERE u.t <> ''),
+      |doclen AS (
+      |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |avgd AS (
+      |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
       |post AS (
       |  SELECT token, doc_id, count(*) AS tf
       |  FROM tok WHERE token IN ('data', 'vector')
@@ -370,10 +376,12 @@ object TextQueries extends QueryModule {
       |  SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (
-      |  SELECT doc_id, count(DISTINCT p.token) AS n_terms,
-      |    sum(p.tf * ln(CAST(n_docs AS DOUBLE) / df)) AS s
-      |  FROM post p JOIN stats USING (token) CROSS JOIN n
-      |  GROUP BY doc_id)
+      |  SELECT p.doc_id, count(DISTINCT p.token) AS n_terms,
+      |    sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * 2.2 * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+      |  FROM post p JOIN stats USING (token)
+      |       JOIN doclen USING (doc_id) CROSS JOIN n CROSS JOIN avgd
+      |  GROUP BY p.doc_id)
       |SELECT doc_id, round(s, 6) AS score FROM scored
       |WHERE n_terms = 2 ORDER BY doc_id""".stripMargin))
 

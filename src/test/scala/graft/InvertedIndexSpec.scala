@@ -62,6 +62,27 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("token"), plan)
   }
 
+  test("BM25 scores match a hand-computed golden (tantivy formula)") {
+    // corpus stats by hand: doc lengths 6,4,4,6,4 -> avgdl = 24/5 = 4.8
+    // df(data)=3 over n=5, df(vector)=2; doc 4 has tf=1 for both, dl=6
+    //   idf(t)   = ln(1 + (5 - df + 0.5) / (df + 0.5))
+    //   norm     = tf + 1.2 * (0.25 + 0.75 * 6 / 4.8) = 2.425
+    //   score(4) = (ln(1 + 2.5/3.5) + ln(1 + 3.5/2.5)) * 2.2 * 1 / 2.425
+    val idx = tmp()
+    InvertedIndex.build(corpus, "doc_id", "text", idx)
+    val row = InvertedIndex.search(spark, idx, Seq("data", "vector"))
+      .collect().head
+    assert(row.getLong(0) == 4L)
+    val expected = (math.log(1 + 2.5 / 3.5) + math.log(1 + 3.5 / 2.5)) * 2.2 / 2.425
+    assert(math.abs(row.getDouble(1) - expected) < 1e-6,
+      s"got ${row.getDouble(1)}, hand-computed $expected")
+    // length norm: same tf, shorter doc scores higher (single-term OR)
+    val or = InvertedIndex.search(spark, idx, Seq("big"), all = false).collect()
+    assert(or.map(_.getLong(0)).toSet == Set(1L, 4L))
+    // docs 1 and 4 both have tf=1, dl=6 -> identical scores
+    assert(or(0).getDouble(1) == or(1).getDouble(1))
+  }
+
   test("phrase search matches consecutive tokens only, in order") {
     val idx = tmp()
     InvertedIndex.build(corpus, "doc_id", "text", idx)
