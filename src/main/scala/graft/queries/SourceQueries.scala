@@ -241,6 +241,9 @@ object SourceQueries extends QueryModule {
             col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
         graft.sources.IcebergLake.write(spark, path, src.filter(col("o_orderkey") < 1000))
         graft.sources.IcebergLake.write(spark, path, src.filter(col("o_orderkey") >= 1000))
+        // v2 positional deletes: a third snapshot deletes every key
+        // ending in 3; the read must anti-join them back out
+        graft.sources.IcebergLake.deleteWhere(spark, path, col("o_orderkey") % 10 === 3)
         val out = graft.sources.IcebergLake.read(spark, path)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
@@ -258,7 +261,15 @@ object SourceQueries extends QueryModule {
           Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
     },
-    roundtrip("orc").oracle) // identical slice + aggregate, same oracle
+    // the orc-roundtrip slice/aggregate minus the positionally-deleted keys
+    Some("""SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(max(o_orderdate) AS TIMESTAMP) AS max_date,
+      |  min(o_orderpriority) AS min_prio
+      |FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   // ---- Paimon external table (reference storages/paimon/) ------------
   // Two appended snapshots so the second snapshot's base manifest list

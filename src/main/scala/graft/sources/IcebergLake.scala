@@ -32,14 +32,20 @@ import scala.jdk.CollectionConverters._
   * Iceberg writers (which carry richer schemas) parse the same as the
   * minimal ones the test writer emits.
   *
-  * Guards: v2 delete manifests (content=1) and non-data files
-  * (data_file.content != 0) are rejected loudly — reading past them
-  * would silently resurrect deleted rows.
+  * v2 positional deletes are applied: delete manifests (content=1)
+  * contribute position-delete parquet files — rows of (file_path, pos)
+  * per the spec — and the read anti-joins them against the data scan's
+  * per-file row ordinals (`_metadata.row_index`, so no synthetic id
+  * shuffle; the join side is delete-set-sized and broadcasts under
+  * AQE's size rule). Equality deletes (data_file.content=2) are still
+  * rejected loudly — reading past them would silently resurrect
+  * deleted rows.
   */
 object IcebergLake {
   private val mapper = new ObjectMapper()
 
-  final case class State(snapshotId: Long, schema: StructType, files: Seq[String])
+  final case class State(snapshotId: Long, schema: StructType, files: Seq[String],
+                         posDeletes: Seq[String] = Seq.empty)
 
   // ---- schema translation (iceberg JSON <-> Spark) --------------------
 
@@ -173,31 +179,56 @@ object IcebergLake {
         snap.get("manifests").elements().asScala.toSeq
           .map(p => (resolve(table, p.asText), 0))
       }
-    val deleteManifests = manifestPaths.filter(_._2 == 1)
-    require(deleteManifests.isEmpty,
-      s"iceberg v2 delete manifests unsupported (row-level deletes present): ${deleteManifests.map(_._1).mkString(",")}")
-
     val out = mutable.ArrayBuffer.empty[String]
-    for ((mp, _) <- manifestPaths; entry <- avroRecords(mp)) {
+    val posDeletes = mutable.ArrayBuffer.empty[String]
+    for ((mp, manifestContent) <- manifestPaths; entry <- avroRecords(mp)) {
       val status = fieldLong(entry, "status", 0L).toInt
       if (status != 2) { // 2 = DELETED
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val content = fieldLong(df, "content", 0L).toInt
-        require(content == 0, s"iceberg non-data file content=$content unsupported")
         val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("PARQUET")
         require(fmt == "PARQUET", s"iceberg $fmt data files unsupported")
-        out += resolve(table, df.get("file_path").toString)
+        (manifestContent, content) match {
+          case (0, 0) => out += resolve(table, df.get("file_path").toString)
+          case (_, 1) => posDeletes += resolve(table, df.get("file_path").toString)
+          case (_, 2) => throw new IllegalArgumentException(
+            s"iceberg equality deletes unsupported: ${df.get("file_path")}")
+          case (mc, c) => throw new IllegalArgumentException(
+            s"iceberg manifest content=$mc data_file content=$c unsupported")
+        }
       }
     }
-    State(targetSnap, schema, out.toSeq)
+    State(targetSnap, schema, out.toSeq, posDeletes.toSeq)
   }
 
-  /** read the table at `snapshotId` (default: current snapshot) */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+
+  /** read the table at `snapshotId` (default: current snapshot),
+    * applying positional deletes
+    */
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
     val st = state(table, snapshotId)
     if (st.files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
-    else spark.read.schema(st.schema).parquet(st.files: _*)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
+    val data = spark.read.schema(st.schema).parquet(st.files: _*)
+    if (st.posDeletes.isEmpty) data
+    else {
+      // spec: position delete files carry (file_path, pos = row ordinal
+      // within that file); `_metadata.row_index` is the scan-side
+      // ordinal, so the apply is one anti-join keyed on normalized
+      // path + position — delete-set-sized right side, no data shuffle
+      val dels = spark.read.parquet(st.posDeletes: _*)
+        .select(normPath(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
+      val tagged = data
+        .withColumn("__path", normPath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      tagged.join(dels,
+          tagged("__path") === dels("__del_path") && tagged("__pos") === dels("__del_pos"),
+          "left_anti")
+        .drop("__path", "__pos")
+    }
   }
 
   // ---- minimal writer (metadata-only; data files via Spark) -----------
@@ -223,6 +254,86 @@ object IcebergLake {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, file.toFile)
     try records.foreach(w.append) finally w.close()
+  }
+
+  /** commit a positional-delete snapshot: `deletes` rows of
+    * (file_path STRING, pos LONG) become a position-delete parquet +
+    * a content=1 manifest chained onto the current snapshot's
+    * manifests (v2 spec: delete files ride their own manifests)
+    */
+  def writePositionalDeletes(spark: SparkSession, table: String, deletes: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val mdir = metadataDir(table)
+    val hint = mdir.resolve("version-hint.text")
+    require(Files.exists(hint), s"no iceberg table at $table")
+    val v = new String(Files.readAllBytes(hint), "UTF-8").trim.toInt
+    val md = mapper.readTree(new String(Files.readAllBytes(mdir.resolve(s"v$v.metadata.json")), "UTF-8"))
+    val cur = md.get("current-snapshot-id").asLong
+    val snap = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == cur).get
+    val prevManifests = avroRecords(resolve(table, snap.get("manifest-list").asText))
+      .map(r => (resolve(table, r.get("manifest_path").toString), fieldLong(r, "content", 0L).toInt))
+    val snapId = cur + 1
+
+    val delDir = Paths.get(table, "data", s"deletes-$snapId")
+    deletes.select(col("file_path").cast("string"), col("pos").cast("long"))
+      .coalesce(1).write.parquet(delDir.toString)
+    val delFiles = Files.walk(delDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+
+    val entries = delFiles.map { p =>
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1) // ADDED
+      val d = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", p.toAbsolutePath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 0L)
+      d.put("file_size_in_bytes", Files.size(p))
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = mdir.resolve(s"manifest-$snapId-deletes.avro")
+    writeAvro(manifestPath, manifestEntrySchema, entries)
+
+    val mlRecords = (prevManifests :+ (manifestPath.toAbsolutePath.toString, 1)).map { case (p, c) =>
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length", Files.size(Paths.get(p)))
+      r.put("content", c)
+      r.put("added_snapshot_id", snapId)
+      r
+    }
+    val mlPath = mdir.resolve(s"snap-$snapId-manifest-list.avro")
+    writeAvro(mlPath, manifestListSchema, mlRecords)
+
+    val nmd = md.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    nmd.put("current-snapshot-id", snapId)
+    val sn = nmd.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("schema-id", nmd.get("current-schema-id").asInt)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.put("manifest-list", mlPath.toAbsolutePath.toString)
+    val newVersion = v + 1
+    Files.write(mdir.resolve(s"v$newVersion.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(nmd))
+    Files.write(hint, newVersion.toString.getBytes("UTF-8"))
+    snapId
+  }
+
+  /** DELETE WHERE as positional deletes: scan once for the matching
+    * (file, ordinal) pairs, commit them as a delete snapshot
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val st = state(table)
+    require(st.files.nonEmpty, "deleteWhere on an empty table")
+    val rows = spark.read.schema(st.schema).parquet(st.files: _*)
+      .filter(cond)
+      .select(normPath(col("_metadata.file_path")).as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    writePositionalDeletes(spark, table, rows)
   }
 
   /** create (snapshot 1) or append (next snapshot) `df` as data files +

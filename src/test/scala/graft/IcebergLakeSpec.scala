@@ -128,10 +128,12 @@ class IcebergLakeSpec extends AnyFunSuite {
         """{"type":"record","name":"manifest_file","fields":[
           |{"name":"manifest_path","type":"string"},
           |{"name":"content","type":"int"}]}""".stripMargin)
+      // the delete manifest needs a LIVE entry for the guard to see it
+      writeManifest(mdir.resolve("m-live.avro").toString, st.files.map(f => (1, f)))
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](mlSchema))
       w.create(mlSchema, mdir.resolve("ml-del.avro").toFile)
       val r = new GenericData.Record(mlSchema)
-      r.put("manifest_path", mdir.resolve("m-del.avro").toAbsolutePath.toString)
+      r.put("manifest_path", mdir.resolve("m-live.avro").toAbsolutePath.toString)
       r.put("content", 1)
       w.append(r)
       w.close()
@@ -144,7 +146,36 @@ class IcebergLakeSpec extends AnyFunSuite {
            |  "manifest-list":"${mdir.resolve("ml-del.avro").toAbsolutePath}"}]}""".stripMargin
       Files.write(mdir.resolve("v3.metadata.json"), md3.getBytes("UTF-8"))
       Files.write(mdir.resolve("version-hint.text"), "3".getBytes("UTF-8"))
+      // a content=1 manifest whose data_file carries content=0 is
+      // malformed (delete manifests must hold delete files) — refuse
+      // rather than guess
       intercept[IllegalArgumentException] { IcebergLake.read(spark, t) }
+    } finally rmrf(t)
+  }
+
+  test("positional deletes apply on read; time travel sees pre-delete rows") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      IcebergLake.write(spark, t, (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"))
+      IcebergLake.write(spark, t, (101L to 200L).map(i => (i, s"n$i")).toDF("id", "name"))
+      val delSnap = IcebergLake.deleteWhere(spark, t, col("id") % 10 === 3)
+      val after = IcebergLake.read(spark, t)
+      assert(after.count() == 180)
+      assert(after.filter(col("id") % 10 === 3).count() == 0)
+      assert(after.agg(sum(col("id"))).head().getLong(0) ==
+        (1L to 200L).filter(_ % 10 != 3).sum)
+      // pre-delete snapshot still reads everything
+      assert(IcebergLake.read(spark, t, Some(delSnap - 1)).count() == 200)
+      // deletes stack across snapshots
+      IcebergLake.deleteWhere(spark, t, col("id") === 4L)
+      assert(IcebergLake.read(spark, t).count() == 179)
+      // appends after deletes are unaffected by older delete files
+      IcebergLake.write(spark, t, Seq((300L, "x")).toDF("id", "name"))
+      assert(IcebergLake.read(spark, t).count() == 180)
+      // equality deletes (content=2) refuse loudly
+      val st = IcebergLake.state(t)
+      assert(st.posDeletes.nonEmpty)
     } finally rmrf(t)
   }
 }
