@@ -207,6 +207,55 @@ class PaimonLakeSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("BinaryRow partition key round-trips every supported type") {
+    import org.apache.spark.sql.types._
+    val types = Seq(IntegerType, LongType, StringType, StringType, DateType, BooleanType)
+    val vals: Seq[Any] = Seq(7, 123456789012345L, "short", "a-much-longer-than-7-bytes-value", 19700, true)
+    val bytes = PaimonLake.BinaryRow.encode(vals, types)
+    assert(PaimonLake.BinaryRow.decode(bytes, types) == vals)
+    // nulls round-trip via the bitset
+    val withNull: Seq[Any] = Seq(null, 5L, null, "x", null, false)
+    assert(PaimonLake.BinaryRow.decode(PaimonLake.BinaryRow.encode(withNull, types), types)
+      == withNull)
+    // compact string boundary: 7 bytes inline, 8 bytes in the tail
+    for (s <- Seq("", "a", "1234567", "12345678")) {
+      val t = Seq(StringType)
+      assert(PaimonLake.BinaryRow.decode(PaimonLake.BinaryRow.encode(Seq(s), t), t) == Seq(s))
+    }
+  }
+
+  test("partitioned layout: manifest-decoded paths, no walk; partition pruning") {
+    import spark.implicits._
+    val dir = tmp("paimonpart")
+    try {
+      val df = (1 to 60).map(i => (i.toLong, s"r$i", if (i % 3 == 0) "eu" else "us", i % 2))
+        .toDF("id", "name", "region", "bucket_col")
+      PaimonLake.write(spark, dir, df, partitionKeys = Seq("region", "bucket_col"))
+      val st = PaimonLake.state(dir)
+      // every file path is the spec layout <k=v>/<k=v>/bucket-0/<name>,
+      // resolved from the manifest's BinaryRow key (existence already
+      // verified by state(); no fallback walk ran — paths match the
+      // constructed layout exactly)
+      assert(st.entries.nonEmpty)
+      assert(st.entries.forall(e => e.path.contains(s"region=${e.partition("region")}/")
+        && e.path.contains(s"bucket_col=${e.partition("bucket_col")}/")
+        && e.path.endsWith(s"/bucket-0/${e.name}")))
+      assert(st.entries.map(_.partition("region")).toSet == Set("eu", "us"))
+      // full read sees everything
+      assert(PaimonLake.read(spark, dir).count() == 60)
+      // pruned read opens only the matching partition's files
+      val eu = PaimonLake.read(spark, dir, partition = Map("region" -> "eu"))
+      assert(eu.count() == 20)
+      assert(eu.select("region").distinct().collect().map(_.getString(0)).toSeq == Seq("eu"))
+      val euOdd = PaimonLake.read(spark, dir,
+        partition = Map("region" -> "eu", "bucket_col" -> "1"))
+      assert(euOdd.count() == (1 to 60).count(i => i % 3 == 0 && i % 2 == 1))
+      // appends keep decoding (second snapshot, same partitions)
+      PaimonLake.write(spark, dir, Seq((100L, "x", "eu", 0)).toDF("id", "name", "region", "bucket_col"))
+      assert(PaimonLake.read(spark, dir, partition = Map("region" -> "eu")).count() == 21)
+    } finally cleanup(dir)
+  }
+
   test("paimon type strings map to Spark types") {
     import org.apache.spark.sql.types._
     assert(PaimonLake.paimonTypeToSpark("INT NOT NULL") == ((IntegerType, false)))
