@@ -166,10 +166,159 @@ object SystemTables {
     }.toDF("name", "kind")
   }
 
-  /** Register all as `system_*` temp views (snapshot semantics:
-    * re-register to refresh, matching QueryLog.refreshView).
+  // ---- round-6 breadth -------------------------------------------------
+
+  /** In-session query history (reference query_log_table.rs /
+    * query_execution_table.rs): a QueryExecutionListener records every
+    * completed action — name, rough plan digest, duration, status.
+    * Ring-buffered at 1000 entries.
+    */
+  object QueryHistory {
+    final case class Entry(id: Long, action: String, plan: String,
+                           status: String, error: String, durationMs: Double, tsMs: Long)
+    private val buf = new java.util.concurrent.ConcurrentLinkedDeque[Entry]()
+    private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val installedIn =
+      java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+    private def add(e: Entry): Unit = {
+      buf.addLast(e)
+      while (buf.size() > 1000) buf.pollFirst()
+    }
+
+    def install(spark: SparkSession): Unit = {
+      val key = System.identityHashCode(spark).toString
+      if (installedIn.add(key)) {
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          private def digest(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+            val s = try qe.logical.toString.linesIterator.take(1).mkString
+                    catch { case _: Throwable => "" }
+            s.take(200)
+          }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            add(Entry(ids.incrementAndGet(), funcName, digest(qe), "Finished", "",
+              durationNs / 1e6, System.currentTimeMillis()))
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit =
+            add(Entry(ids.incrementAndGet(), funcName, digest(qe), "Failed",
+              String.valueOf(error.getMessage).take(200), 0.0, System.currentTimeMillis()))
+        })
+      }
+    }
+
+    def entries: Seq[Entry] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq
+    }
+  }
+
+  def queryHistory(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QueryHistory.entries
+      .map(e => (e.id, e.action, e.plan, e.status, e.error, e.durationMs, e.tsMs))
+      .toDF("query_id", "action", "plan", "status", "error", "duration_ms", "event_time_ms")
+  }
+
+  /** Named external stages (reference stages_table.rs; CREATE STAGE).
+    * A stage is a named location + default format for COPY-style IO.
+    */
+  object Stages {
+    final case class Stage(name: String, url: String, format: String, createdMs: Long)
+    private val reg = new java.util.concurrent.ConcurrentHashMap[String, Stage]()
+    def create(name: String, url: String, format: String = "PARQUET"): Unit =
+      reg.put(name, Stage(name, url, format, System.currentTimeMillis()))
+    def drop(name: String): Unit = reg.remove(name)
+    def list: Seq[Stage] = {
+      import scala.jdk.CollectionConverters._
+      reg.values.asScala.toSeq.sortBy(_.name)
+    }
+  }
+
+  def stages(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Stages.list.map(s => (s.name, s.url, s.format, s.createdMs))
+      .toDF("name", "url", "format", "created_ms")
+  }
+
+  /** Stream cursors discovered from the session's opened tables
+    * (reference streams_table.rs) — cursor files are the on-disk truth,
+    * so streams created in other sessions on the same tables appear too.
+    */
+  def streams(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val rows = graft.sources.GraftTable.openedPaths.flatMap { p =>
+      val dir = Paths.get(p)
+      if (!Files.isDirectory(dir)) Nil
+      else Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_graft_stream_"))
+        .map { f =>
+          val name = f.getFileName.toString
+            .stripPrefix("_graft_stream_").stripSuffix(".json")
+          val offset = "-?\\d+".r.findFirstIn(Files.readString(f)).map(_.toLong).getOrElse(-1L)
+          val t = graft.sources.GraftTable.open(spark, p)
+          (name, p, offset, t.currentVersion, t.currentVersion > offset)
+        }.toSeq
+    }
+    rows.toDF("name", "table_path", "offset", "table_version", "has_data")
+  }
+
+  /** Declared virtual columns of the session's opened tables
+    * (reference virtual_columns_table.rs).
+    */
+  def virtualColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = graft.sources.GraftTable.openedPaths.flatMap { p =>
+      val t = graft.sources.GraftTable.open(spark, p)
+      t.virtualColumns.toSeq.flatMap { case (src, paths) =>
+        paths.map(jp => (p, src, jp, graft.sources.GraftTable.virtName(src, jp)))
+      }
+    }
+    rows.toDF("table_path", "source_column", "json_path", "stored_column")
+  }
+
+  /** Catalogs visible to the session (reference catalogs_table.rs). */
+  def catalogs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listCatalogs().collect().toSeq.map(c => Tuple1(c.name)).toDF("name")
+  }
+
+  /** Single-user harness (reference users_table.rs / roles_table.rs). */
+  def users(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((sys.props.getOrElse("user.name", "root"), "no_password", "account_admin"))
+      .toDF("name", "auth_type", "default_role")
+  }
+
+  def roles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("account_admin", 1L), ("public", 1L)).toDF("name", "inherited_roles")
+  }
+
+  /** Plan-keyed result cache entries (reference query_cache_table.rs). */
+  def queryCache(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(ResultCache.size)).toDF("num_cached_plans")
+  }
+
+  /** system.zero: zero rows, one column (reference zero_table.rs). */
+  def zero(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[Tuple1[Int]].toDF("dummy")
+  }
+
+  /** Register all as `system_*` temp views, plus the ANSI
+    * `information_schema` mapping (reference
+    * src/query/storages/information_schema/: schemata/tables/columns/
+    * views/keywords re-expressed over the same catalog metadata; Spark
+    * temp-view names cannot contain '.', so the views are prefixed
+    * `information_schema_` — snapshot semantics, re-register to
+    * refresh).
     */
   def register(spark: SparkSession): Unit = {
+    QueryHistory.install(spark)
     tables(spark).createOrReplaceTempView("system_tables")
     columns(spark).createOrReplaceTempView("system_columns")
     functions(spark).createOrReplaceTempView("system_functions")
@@ -184,5 +333,50 @@ object SystemTables {
     indexes(spark).createOrReplaceTempView("system_indexes")
     procedures(spark).createOrReplaceTempView("system_procedures")
     caches(spark).createOrReplaceTempView("system_caches")
+    queryHistory(spark).createOrReplaceTempView("system_query_history")
+    stages(spark).createOrReplaceTempView("system_stages")
+    streams(spark).createOrReplaceTempView("system_streams")
+    virtualColumns(spark).createOrReplaceTempView("system_virtual_columns")
+    catalogs(spark).createOrReplaceTempView("system_catalogs")
+    users(spark).createOrReplaceTempView("system_users")
+    roles(spark).createOrReplaceTempView("system_roles")
+    queryCache(spark).createOrReplaceTempView("system_query_cache")
+    zero(spark).createOrReplaceTempView("system_zero")
+
+    // information_schema (ANSI shapes over the same metadata)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    databases(spark)
+      .select(col("catalog").as("catalog_name"), col("name").as("schema_name"),
+        lit("default").as("schema_owner"))
+      .createOrReplaceTempView("information_schema_schemata")
+    tables(spark)
+      .select(col("database").as("table_schema"), col("name").as("table_name"),
+        when(col("table_type") === "VIEW", "VIEW").otherwise("BASE TABLE").as("table_type"),
+        col("is_temporary"))
+      .createOrReplaceTempView("information_schema_tables")
+    columns(spark)
+      .select(col("table_name"), col("column_name"),
+        col("data_type"),
+        when(col("nullable"), "YES").otherwise("NO").as("is_nullable"))
+      .createOrReplaceTempView("information_schema_columns")
+    tables(spark).filter(col("table_type") === "VIEW")
+      .select(col("database").as("table_schema"), col("name").as("table_name"))
+      .createOrReplaceTempView("information_schema_views")
+    keywords(spark).createOrReplaceTempView("information_schema_keywords")
+  }
+
+  /** reserved-word inventory (reference information_schema
+    * keywords_table.rs); 1 = reserved
+    */
+  def keywords(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "HAVING", "LIMIT",
+      "OFFSET", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "USING",
+      "UNION", "INTERSECT", "EXCEPT", "ALL", "DISTINCT", "AS", "AND", "OR", "NOT",
+      "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST",
+      "CREATE", "TABLE", "VIEW", "INSERT", "INTO", "VALUES", "UPDATE", "SET",
+      "DELETE", "MERGE", "WITH", "RECURSIVE", "OVER", "PARTITION", "WINDOW",
+      "EXISTS", "IN", "BETWEEN", "LIKE", "IS", "ASC", "DESC")
+      .map((_, 1)).toDF("keyword", "reserved")
   }
 }

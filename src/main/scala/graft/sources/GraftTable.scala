@@ -553,5 +553,16 @@ object GraftTable {
     t
   }
 
-  def open(spark: SparkSession, path: String): GraftTable = new GraftTable(spark, path)
+  def open(spark: SparkSession, path: String): GraftTable = {
+    opened.put(Paths.get(path).toAbsolutePath.toString, ())
+    new GraftTable(spark, path)
+  }
+
+  // session-visible table registry: powers system.virtual_columns /
+  // system.streams introspection (paths only, instances are not held)
+  private val opened = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  def openedPaths: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    opened.keySet.asScala.toSeq.sorted
+  }
 }

@@ -91,6 +91,66 @@ class TableFunctionsSpec extends AnyFunSuite {
     graft.plans.AggIndex.clear()
   }
 
+  test("round-6 system breadth: query_history, stages, streams, virtual_columns, information_schema") {
+    import spark.implicits._
+    import graft.operators.SystemTables
+    import graft.sources.{GraftStream, GraftTable}
+    val dir = tmp()
+    // a table with virtual columns + a stream cursor
+    val t = GraftTable.open(spark, dir)
+    t.setVirtualColumns("props", Seq("$.k", "$.v"))
+    t.append(Seq((1L, """{"k":1,"v":"a"}""")).toDF("id", "props"))
+    GraftStream.create(t, "s6probe")
+    t.append(Seq((2L, """{"k":2,"v":"b"}""")).toDF("id", "props"))
+    SystemTables.Stages.create("probe_stage", s"file://$dir", "PARQUET")
+    // run a query before register so history has an entry
+    spark.sql("SELECT 1").collect()
+    SystemTables.register(spark)
+
+    val vc = spark.sql(
+      s"SELECT stored_column FROM system_virtual_columns WHERE table_path like '%${new java.io.File(dir).getName}%' ORDER BY json_path")
+      .collect().map(_.getString(0))
+    assert(vc.length == 2 && vc.forall(_.startsWith("__virt_props_")))
+
+    val st = spark.sql(
+      s"SELECT offset, table_version, has_data FROM system_streams WHERE name = 's6probe'").collect()
+    assert(st.length == 1)
+    assert(st(0).getLong(0) == 0 && st(0).getLong(1) == 1 && st(0).getBoolean(2))
+
+    assert(spark.sql(
+      "SELECT url FROM system_stages WHERE name = 'probe_stage'").count() == 1)
+    SystemTables.Stages.drop("probe_stage")
+
+    // query history captured the collect() above (listener events drain
+    // asynchronously — allow a short settle)
+    Thread.sleep(500)
+    SystemTables.register(spark)
+    assert(spark.sql(
+      "SELECT * FROM system_query_history WHERE status = 'Finished'").count() >= 1)
+
+    // misc new views
+    assert(spark.sql("SELECT * FROM system_catalogs").count() >= 1)
+    assert(spark.sql("SELECT * FROM system_users").count() == 1)
+    assert(spark.sql("SELECT * FROM system_roles").count() == 2)
+    assert(spark.sql("SELECT * FROM system_zero").count() == 0)
+    assert(spark.sql("SELECT num_cached_plans FROM system_query_cache").count() == 1)
+
+    // information_schema mapping
+    Seq((9, "z")).toDF("a", "b").createOrReplaceTempView("infoschema_probe")
+    SystemTables.register(spark)
+    assert(spark.sql(
+      "SELECT table_type FROM information_schema_tables WHERE table_name = 'infoschema_probe'")
+      .head().getString(0) == "BASE TABLE")
+    val cols = spark.sql(
+      "SELECT column_name, is_nullable FROM information_schema_columns WHERE table_name = 'infoschema_probe' ORDER BY column_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("a", "NO"), ("b", "YES"))) // Int col is non-nullable
+    assert(spark.sql(
+      "SELECT * FROM information_schema_schemata WHERE schema_name = 'default'").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM information_schema_keywords WHERE keyword = 'SELECT' AND reserved = 1").count() == 1)
+  }
+
   test("blocks and clustering_information introspect the data files") {
     import spark.implicits._
     import graft.operators.TableFunctions
