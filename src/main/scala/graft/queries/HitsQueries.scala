@@ -15,6 +15,25 @@ object HitsQueries extends QueryModule {
 
   private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
 
+  /** events ingested ONCE into a graft-managed table with `$.k`
+    * declared as a virtual column (reference: fuse virtual columns) —
+    * the dogfooding path for hits_top_props: the hot JSON key is
+    * materialized at write, so the aggregate reads a narrow stored
+    * column with parquet stats instead of parsing `props` per row.
+    * Idempotent per sf dir, same pattern as Tpcds.ensure.
+    */
+  private def eventsVc(spark: SparkSession, dir: String): graft.sources.GraftTable =
+    HitsQueries.synchronized {
+      val path = s"/tmp/graft_stage/${new java.io.File(dir).getName}/events_vc"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val tbl = graft.sources.GraftTable.open(spark, path)
+      if (tbl.currentVersion < 0) {
+        tbl.setVirtualColumns("props", Seq("$.k"))
+        tbl.append(t(spark, dir).events)
+      }
+      tbl
+    }
+
   // hits Q: top users by event volume + value
   private val topUsers = Q(
     (spark, dir) => {
@@ -134,11 +153,14 @@ object HitsQueries extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     headline = true)
 
-  // hits top-k URL shape: high-cardinality group-by on an extracted key
+  // hits top-k URL shape: high-cardinality group-by on an extracted key.
+  // The JSON path is declared as a VIRTUAL COLUMN on the ingested table,
+  // so VirtualColumnRule rewrites get_json_object to the stored column
+  // and the scan never reads `props` (PlanSpec pins both properties) —
+  // the round-5 per-row-JSON-in-the-hot-aggregate shape is gone.
   private val topProps = Q(
     (spark, dir) => {
-      val x = t(spark, dir)
-      x.events
+      eventsVc(spark, dir).read()
         .withColumn("k", get_json_object(col("props"), "$.k"))
         .filter(col("k").isNotNull)
         .groupBy(col("k"))

@@ -155,6 +155,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("hits_top_props reads the virtual column, never parses props") {
+    // the ingested events table declares $.k as a virtual column: the
+    // optimizer must rewrite get_json_object to the stored column and
+    // prune the fat JSON string from the scan entirely
+    val df = SparkEntry.all("hits_top_props").fn(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("get_json_object"), s"JSON parsed in the plan:\n$opt")
+    assert(opt.contains("__virt_props_"), s"virtual column not used:\n$opt")
+    val executed = df.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(executed).getOrElse("")
+    assert(!readSchema.contains("props,") && !readSchema.contains("props:"),
+      s"props still scanned: $readSchema")
+  }
+
   test("TPC-DS yoy self-joined CTEs are persisted, not recomputed") {
     // the year-over-year family references its WITH CTE 2-6x; Catalyst
     // inlines WITH, so without the qPersist cache q75's executed plan
