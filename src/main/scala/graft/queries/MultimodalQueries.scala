@@ -64,7 +64,43 @@ object MultimodalQueries extends QueryModule {
       |  '[' || upper(lang) || ']' AS lang_tag
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
+  // real header decode (round 6): payloads are synthesized with genuine
+  // PNG/JPEG/GIF/BMP container headers (dimensions derived from doc_id)
+  // + the text bytes as body; decodeHeader must recover format and
+  // dimensions from the magic alone. The oracle recomputes the expected
+  // values from the same doc_id arithmetic + the builders' fixed header
+  // sizes — a construct->parse round trip checked cross-engine.
+  private val mmDecode = Q(
+    (spark, dir) => {
+      import graft.functions.Multimodal._
+      val x = Tables(spark, dir)
+      val build = udf((id: Long, text: String) => {
+        val body = text.getBytes("UTF-8")
+        val w = 16 + (id * 3 % 1000).toInt
+        val h = 16 + (id * 7 % 1000).toInt
+        (id % 4) match {
+          case 0 => pngBytes(w, h, body)
+          case 1 => jpegBytes(w, h, body)
+          case 2 => gifBytes(w, h, body)
+          case _ => bmpBytes(w, h, body)
+        }
+      })
+      val bin = x.documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), build(col("doc_id"), col("text")).as("payload"))
+      Multimodal.probeHeaders(spark, bin).orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |       WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+      |  CAST(16 + (doc_id * 3) % 1000 AS INT) AS width,
+      |  CAST(16 + (doc_id * 7) % 1000 AS INT) AS height,
+      |  CAST(octet_length(CAST(text AS BLOB)) +
+      |       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 33
+      |            WHEN 2 THEN 13 ELSE 54 END AS INT) AS n_bytes
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "mm_features" -> mmFeatures,
+    "mm_decode" -> mmDecode,
     "udf_script_arrow" -> udfScript)
 }
