@@ -42,9 +42,25 @@ object ObfuscateTable {
       }.toSeq: _*)
     }
 
+    // persist: the size guard below and the broadcast cross join must
+    // not each re-run the training aggregate (one corpus pass total)
     val model = df.agg(
       call_udf("markov_train", col(stringCols.head)).as(s"__m_${stringCols.head}"),
       stringCols.tail.map(c => call_udf("markov_train", col(c)).as(s"__m_$c")).toSeq: _*)
+      .persist()
+
+    // The trained models broadcast as ONE row (the reference also
+    // driver-materializes them, obfuscator.rs), but model size scales
+    // with corpus VOCABULARY, not corpus size — a web-scale text
+    // column can produce a multi-GB model. Guard before broadcasting:
+    // ~24B + map entries per context row; cap at 512 MB estimated.
+    val contextRows = model.select(
+      stringCols.map(c => size(col(s"__m_$c")).cast("long")).reduce(_ + _)).head().getLong(0)
+    val estBytes = contextRows * 96L // hash/total/end + avg map payload
+    require(estBytes < (512L << 20),
+      s"OBFUSCATE model too large to broadcast: ~${estBytes >> 20} MB across " +
+        s"${stringCols.length} column(s); reduce distinct contexts (sample the " +
+        "training input or split columns)")
 
     val masked = df.crossJoin(broadcast(model)).select(df.schema.fields.map { f =>
       f.dataType match {
