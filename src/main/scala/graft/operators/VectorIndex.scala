@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * Training is distributed Lloyd: assignment = broadcast centroids +
   * min_by, update = posexplode + groupBy mean. Only the k centroid
   * means cross the driver per iteration.
+  *
+  * Recall envelope vs the reference's HNSW: IVF recall is tuned by
+  * nProbe — cost grows linearly (nProbe/k of the corpus scanned) and
+  * recall reaches 1.0 at nProbe = k because the probe degenerates to
+  * the exhaustive scan (VectorSpec measures the envelope: monotone in
+  * nProbe, >= 0.6 recall@10 at nProbe = k/4 on the gate corpus). HNSW
+  * reaches the same recall with polylog visit counts per query but
+  * needs a mutable neighbor graph — the wrong shape for an immutable
+  * batch index; at 100 TB the IVF probe is partition pruning, which
+  * Spark executes natively.
   */
 object VectorIndex {
 

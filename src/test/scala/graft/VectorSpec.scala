@@ -30,6 +30,37 @@ class VectorSpec extends AnyFunSuite {
     assert(n == 500) // fixture sanity
   }
 
+  test("IVF recall envelope vs nProbe: monotone, exact at full probe") {
+    // The documented IVF-vs-graph-index (HNSW) tradeoff: recall is
+    // tunable by nProbe and reaches 1.0 when every list is probed
+    // (the probe degenerates to the exhaustive scan) — the envelope a
+    // user trades against the reference's HNSW.
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfenv").toString
+    VectorIndex.ensure(emb, "vec_id", "embedding", idx, k = 16, iters = 2)
+    val qv = emb.orderBy(col("vec_id")).limit(1)
+      .selectExpr("transform(embedding, e -> CAST(e AS DOUBLE))")
+      .head().getSeq[Double](0).toArray
+    def recallAt(nProbe: Int, exact: Set[Long]): Double = {
+      val got = VectorIndex.search(spark, idx, qv, nProbe = nProbe, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val exact = VectorIndex.search(spark, idx, qv, nProbe = 16, k = 10)
+      .collect().map(_.getLong(0)).toSet // all lists = exhaustive truth
+    val env = Seq(1, 2, 4, 8, 16).map(p => p -> recallAt(p, exact))
+    // full probe is exact by construction
+    assert(env.last._2 == 1.0)
+    // envelope is (weakly) monotone in nProbe
+    env.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall dropped from nProbe=$p1 ($r1) to nProbe=$p2 ($r2)")
+    }
+    // probing a quarter of the lists already finds most true neighbors
+    assert(env.find(_._1 == 4).get._2 >= 0.6, s"envelope: $env")
+  }
+
   test("IVF index persists: second query is probe-only, stale pin rebuilds") {
     import graft.operators.VectorIndex
     import org.apache.spark.sql.functions._
