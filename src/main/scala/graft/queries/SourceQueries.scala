@@ -202,6 +202,8 @@ object SourceQueries extends QueryModule {
         graft.sources.DeltaLake.checkpoint(spark, path)
         graft.sources.DeltaLake.deleteWhere(spark, path,
           pv => pv.get("seg").contains("MACHINERY"))
+        // row-level deletion vectors on top of the partition drop
+        graft.sources.DeltaLake.deleteWhere(spark, path, col("k") % 10 === 3)
         val out = graft.sources.DeltaLake.read(spark, path)
           .groupBy(col("seg"))
           .agg(count(lit(1)).as("n"),
@@ -221,7 +223,7 @@ object SourceQueries extends QueryModule {
       |  FROM customer WHERE c_custkey < 700)
       |SELECT seg, count(*) AS n,
       |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
-      |FROM data WHERE seg <> 'MACHINERY'
+      |FROM data WHERE seg <> 'MACHINERY' AND k % 10 <> 3
       |GROUP BY seg ORDER BY seg""".stripMargin))
 
   // ---- Iceberg external table (reference storages/iceberg/) ----------

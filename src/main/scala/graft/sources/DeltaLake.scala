@@ -41,7 +41,132 @@ import scala.jdk.CollectionConverters._
 object DeltaLake {
   private val mapper = new ObjectMapper()
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  /** deletion-vector descriptor (delta PROTOCOL.md "Deletion Vectors"):
+    * storageType "u" = UUID-named file under an optional random
+    * prefix, "p" = absolute path, "i" = inline z85 payload
+    */
+  final case class Dv(storageType: String, pathOrInlineDv: String,
+                      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           dv: Option[Dv] = None)
+
+  /** Z85 (ZeroMQ base85) — the encoding delta uses for DV UUIDs and
+    * inline payloads; public spec 32/Z85
+    */
+  private[graft] object Z85 {
+    private val alphabet =
+      "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    private val dec: Array[Int] = {
+      val a = Array.fill(128)(-1)
+      alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+      a
+    }
+    def encode(bytes: Array[Byte]): String = {
+      require(bytes.length % 4 == 0, "z85 input must be 4-byte aligned")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < bytes.length) {
+        var v = 0L
+        for (j <- 0 until 4) v = (v << 8) | (bytes(i + j) & 0xffL)
+        val chunk = new Array[Char](5)
+        for (j <- 4 to 0 by -1) { chunk(j) = alphabet((v % 85).toInt); v /= 85 }
+        sb.appendAll(chunk)
+        i += 4
+      }
+      sb.toString
+    }
+    def decode(s: String): Array[Byte] = {
+      require(s.length % 5 == 0, s"z85 input length ${s.length} not a multiple of 5")
+      val out = new Array[Byte](s.length / 5 * 4)
+      var i = 0
+      while (i < s.length) {
+        var v = 0L
+        for (j <- 0 until 5) {
+          val d = if (s(i + j) < 128) dec(s(i + j).toInt) else -1
+          require(d >= 0, s"invalid z85 char '${s(i + j)}'")
+          v = v * 85 + d
+        }
+        val o = i / 5 * 4
+        for (j <- 0 until 4) out(o + j) = ((v >>> (8 * (3 - j))) & 0xff).toByte
+        i += 5
+      }
+      out
+    }
+  }
+
+  private val DvMagic = 1681511377 // LE int heading the serialized bitmap
+
+  /** serialized RoaringBitmapArray (portable, PROTOCOL.md): LE magic,
+    * LE u64 bucket count, per bucket LE u32 high-32 key + standard
+    * 32-bit roaring portable bytes -> sorted absolute row indexes
+    */
+  private[graft] def dvPositions(data: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == DvMagic, s"deletion vector magic $magic != $DvMagic")
+    val n = bb.getLong
+    val out = mutable.ArrayBuffer.empty[Long]
+    for (_ <- 0L until n) {
+      val key = bb.getInt.toLong & 0xffffffffL
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(bb)
+      bb.position(bb.position() + rb.serializedSizeInBytes())
+      rb.forEach(new org.roaringbitmap.IntConsumer {
+        override def accept(i: Int): Unit = out += (key << 32) | (i.toLong & 0xffffffffL)
+      })
+    }
+    out.toArray
+  }
+
+  private[graft] def dvSerialize(positions: Seq[Long]): Array[Byte] = {
+    val byKey = positions.sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    val bitmaps = byKey.map { case (k, ps) =>
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(p => rb.add((p & 0xffffffffL).toInt))
+      rb.runOptimize()
+      (k, rb)
+    }
+    val size = 4 + 8 + bitmaps.map(b => 4 + b._2.serializedSizeInBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DvMagic)
+    bb.putLong(bitmaps.length.toLong)
+    bitmaps.foreach { case (k, rb) => bb.putInt(k.toInt); rb.serialize(bb) }
+    bb.array()
+  }
+
+  /** resolve + decode one DV descriptor to absolute row indexes;
+    * validates the framing (size match + CRC-32) loudly
+    */
+  private def readDv(table: String, d: Dv): Array[Long] = d.storageType match {
+    case "i" => dvPositions(Z85.decode(d.pathOrInlineDv))
+    case "u" | "p" =>
+      val file =
+        if (d.storageType == "p") Paths.get(d.pathOrInlineDv)
+        else {
+          val s = d.pathOrInlineDv
+          require(s.length >= 20, s"dv path token too short: $s")
+          val prefix = s.dropRight(20)
+          val uuidBytes = Z85.decode(s.takeRight(20))
+          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val dir = if (prefix.isEmpty) Paths.get(table)
+                    else Paths.get(table, prefix)
+          dir.resolve(s"deletion_vector_$uuid.bin")
+        }
+      val bytes = Files.readAllBytes(file)
+      require(bytes.nonEmpty && bytes(0) == 1, s"dv file version ${bytes.headOption} != 1: $file")
+      val off = d.offset.getOrElse(1)
+      val bb = java.nio.ByteBuffer.wrap(bytes) // BE framing per protocol
+      val sz = bb.getInt(off)
+      require(sz == d.sizeInBytes, s"dv size $sz != descriptor ${d.sizeInBytes}: $file")
+      val data = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + sz)
+      val crc = bb.getInt(off + 4 + sz)
+      val c = new java.util.zip.CRC32(); c.update(data)
+      require(crc == c.getValue.toInt, s"dv checksum mismatch: $file")
+      dvPositions(data)
+    case other => throw new IllegalArgumentException(s"dv storageType '$other' unsupported")
+  }
 
   // checkpoint parquet row shapes (protocol checkpoint schema subset);
   // not `private` so Catalyst codegen can call the accessors directly
@@ -93,7 +218,8 @@ object DeltaLake {
 
   private def rejectUnsupported(readerVersion: Int, readerFeatures: Seq[String],
       configuration: Map[String, String]): Unit = {
-    val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint"))
+    // deletionVectors supported since round 6 (readDv applies them)
+    val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
     require(readerVersion <= 2 || unsupported.isEmpty,
       s"delta reader: unsupported readerFeatures ${unsupported.mkString(",")}")
     val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -131,6 +257,11 @@ object DeltaLake {
           val pv = Option(add.getAs[scala.collection.Map[String, String]]("partitionValues"))
             .map(_.toMap).getOrElse(Map.empty[String, String])
           val p = decodePath(add.getAs[String]("path"))
+          // DV descriptors inside CHECKPOINTS are not replayed (our
+          // checkpoints never emit them); refuse rather than resurrect
+          require(!add.schema.fieldNames.contains("deletionVector") ||
+              add.isNullAt(add.fieldIndex("deletionVector")),
+            s"delta checkpoint with deletionVector descriptors unsupported at $table")
           active(p) = AddFile(p, pv)
         }
         val md = r.getStruct(1)
@@ -170,7 +301,12 @@ object DeltaLake {
               .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText))
               .toMap
           }.getOrElse(Map.empty[String, String])
-          active(p) = AddFile(p, pv)
+          val dv = Option(a.get("deletionVector")).filter(!_.isNull).map { d =>
+            Dv(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+              Option(d.get("offset")).filter(!_.isNull).map(_.asInt),
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+          }
+          active(p) = AddFile(p, pv, dv)
         } else if (action.has("remove")) {
           active.remove(decodePath(action.get("remove").get("path").asText))
         } else if (action.has("metaData")) {
@@ -205,7 +341,31 @@ object DeltaLake {
     if (st.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
     val abs = st.files.map(f => Paths.get(table).toAbsolutePath.resolve(f.path).normalize.toString)
-    val base = spark.read.schema(dataSchema).parquet(abs: _*)
+    val base0 = spark.read.schema(dataSchema).parquet(abs: _*)
+    // deletion vectors: decode each file's bitmap (driver-side, the
+    // descriptors bound their size) and anti-join (file, row ordinal)
+    // against the scan's _metadata — same apply shape as the Iceberg
+    // positional-delete path
+    val withDv = abs.zip(st.files).filter(_._2.dv.isDefined)
+    val base =
+      if (withDv.isEmpty) base0
+      else {
+        import spark.implicits._
+        val delRows = withDv.flatMap { case (p, f) =>
+          readDv(table, f.dv.get).map(pos => (p, pos))
+        }
+        val dels = delRows.toDF("__del_path", "__del_pos")
+        // materialize the file path BEFORE the anti-join: the partition
+        // attach below must not re-derive input_file_name past a join
+        val tagged = base0
+          .withColumn("_graft_file",
+            regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        tagged.join(broadcast(dels),
+            tagged("_graft_file") === dels("__del_path") && tagged("__pos") === dels("__del_pos"),
+            "left_anti")
+          .drop("__pos")
+      }
     if (st.partitionColumns.isEmpty) base.select(ordered.toSeq: _*)
     else {
       val rows = abs.zip(st.files).map { case (p, f) =>
@@ -218,12 +378,99 @@ object DeltaLake {
         .map(f => col(f.name).cast(f.dataType).as(f.name))
       val partDf = spark.createDataFrame(rows.asJava, joinSchema)
         .select(col("_graft_file") +: typed.toSeq: _*)
-      base
-        .withColumn("_graft_file",
+      val withFile =
+        if (base.columns.contains("_graft_file")) base
+        else base.withColumn("_graft_file",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      withFile
         .join(broadcast(partDf), "_graft_file")
         .select(ordered.toSeq: _*)
     }
+  }
+
+  /** DELETE WHERE via deletion vectors (PROTOCOL.md writer shape): the
+    * matching rows' per-file ordinals (merged with any existing DV)
+    * serialize into ONE UUID-named DV file — version byte, then per
+    * touched file a BE-size-framed bitmap blob + CRC-32 — and the
+    * commit re-adds each touched file with a descriptor pointing at
+    * its blob. Predicates over data columns only (partition columns
+    * are not in the data files).
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: org.apache.spark.sql.Column): Long = {
+    val st = state(table, spark)
+    val partSet = st.partitionColumns.toSet
+    val dataSchema = StructType(st.schema.fields.filterNot(f => partSet(f.name)))
+    val absOf = st.files.map(f =>
+      Paths.get(table).toAbsolutePath.resolve(f.path).normalize.toString -> f).toMap
+    val matches = spark.read.schema(dataSchema).parquet(absOf.keys.toSeq: _*)
+      .withColumn("__p",
+        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .withColumn("__i", col("_metadata.row_index"))
+      .filter(cond)
+      .select(col("__p"), col("__i"))
+      .collect()
+    val byFile = matches.groupBy(_.getString(0)).map { case (p, rs) =>
+      p -> rs.map(_.getLong(1)).toSeq
+    }
+    if (byFile.isEmpty) return -1L
+
+    val uuid = java.util.UUID.randomUUID()
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    val dvName = s"deletion_vector_$uuid.bin"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // format version
+    val descriptors = byFile.toSeq.sortBy(_._1).map { case (absPath, newPos) =>
+      val f = absOf(absPath)
+      val merged = (f.dv.map(readDv(table, _).toSeq).getOrElse(Seq.empty) ++ newPos).distinct
+      val data = dvSerialize(merged)
+      val offset = out.size()
+      val frame = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(frame)
+      out.write(data)
+      val c = new java.util.zip.CRC32(); c.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array())
+      (f, Dv("u", Z85.encode(uuidBytes), Some(offset), data.length, merged.length.toLong))
+    }
+    Files.write(Paths.get(table, dvName), out.toByteArray)
+
+    val v = commitVersions(table).last + 1
+    val actions = mutable.ArrayBuffer.empty[ObjectNode]
+    val proto = mapper.createObjectNode()
+    val pn = proto.putObject("protocol")
+    pn.put("minReaderVersion", 3)
+    pn.put("minWriterVersion", 7)
+    pn.putArray("readerFeatures").add("deletionVectors")
+    pn.putArray("writerFeatures").add("deletionVectors")
+    actions += proto
+    descriptors.foreach { case (f, dv) =>
+      val rm = mapper.createObjectNode()
+      val r = rm.putObject("remove")
+      r.put("path", f.path)
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      actions += rm
+      val ad = mapper.createObjectNode()
+      val a = ad.putObject("add")
+      a.put("path", f.path)
+      val pvn = a.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, vv) =>
+        if (vv == null) pvn.putNull(k) else pvn.put(k, vv)
+      }
+      a.put("size", Files.size(Paths.get(table).resolve(f.path)))
+      a.put("modificationTime", System.currentTimeMillis())
+      a.put("dataChange", true)
+      val dn = a.putObject("deletionVector")
+      dn.put("storageType", dv.storageType)
+      dn.put("pathOrInlineDv", dv.pathOrInlineDv)
+      dn.put("offset", dv.offset.get)
+      dn.put("sizeInBytes", dv.sizeInBytes)
+      dn.put("cardinality", dv.cardinality)
+      actions += ad
+    }
+    writeCommit(table, v, actions.toSeq)
+    v
   }
 
   // ---- minimal writer (tests + gate queries build their inputs with

@@ -114,8 +114,9 @@ class DeltaLakeSpec extends AnyFunSuite {
     try {
       onePart(Seq((1L, 1.0)).toDF("id", "v"), t, "f1.parquet")
       val sch = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}"""
+      // deletionVectors is SUPPORTED since round 6; columnMapping is not
       commit(t, 0L,
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
         s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{}}}""",
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
       intercept[IllegalArgumentException] { DeltaLake.read(spark, t) }
@@ -143,6 +144,58 @@ class DeltaLakeSpec extends AnyFunSuite {
       assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected one scan:\n$plan")
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
         s"partition attach should broadcast:\n$plan")
+    } finally rmrf(t)
+  }
+
+  test("z85 + roaring64 DV payload round-trip (PROTOCOL.md formats)") {
+    // z85: 4-byte groups -> 5 chars, reversible, rejects bad chars
+    val bytes = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    assert(DeltaLake.Z85.decode(DeltaLake.Z85.encode(bytes)).toSeq == bytes.toSeq)
+    // the spec's canonical vector: "HelloWorld" decodes 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B
+    assert(DeltaLake.Z85.decode("HelloWorld").map(b => f"${b & 0xff}%02x").mkString == "864fd26fb559f75b")
+    intercept[IllegalArgumentException](DeltaLake.Z85.decode("bad~char!!"))
+    // bitmap: positions across multiple 32-bit buckets round-trip
+    val pos = Seq(0L, 7L, 63L, 4294967295L, 4294967296L, 8589934592L + 42L)
+    assert(DeltaLake.dvPositions(DeltaLake.dvSerialize(pos)).toSeq == pos.sorted)
+  }
+
+  test("deletion vectors: deleteWhere masks rows; DVs stack; time travel pre-delete") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      DeltaLake.create(spark, t, (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"))
+      DeltaLake.append(spark, t, (101L to 200L).map(i => (i, s"n$i")).toDF("id", "name"))
+      val v = DeltaLake.deleteWhere(spark, t, col("id") % 10 === 3)
+      val after = DeltaLake.read(spark, t)
+      assert(after.count() == 180)
+      assert(after.filter(col("id") % 10 === 3).count() == 0)
+      assert(after.agg(sum(col("id"))).head().getLong(0) ==
+        (1L to 200L).filter(_ % 10 != 3).sum)
+      // pre-delete version unaffected
+      assert(DeltaLake.read(spark, t, Some(v - 1)).count() == 200)
+      // second DV on the SAME files merges with the first
+      DeltaLake.deleteWhere(spark, t, col("id") === 4L)
+      assert(DeltaLake.read(spark, t).count() == 179)
+      assert(DeltaLake.read(spark, t).filter(col("id") === 4L).count() == 0)
+      // appends after deletes are unaffected
+      DeltaLake.append(spark, t, Seq((300L, "x")).toDF("id", "name"))
+      assert(DeltaLake.read(spark, t).count() == 180)
+    } finally rmrf(t)
+  }
+
+  test("deletion vectors on a partitioned table compose with the attach join") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      DeltaLake.create(spark, t,
+        (1L to 60L).map(i => (i, if (i % 3 == 0) "eu" else "us", i * 1.5)).toDF("id", "seg", "v"),
+        partitionColumns = Seq("seg"))
+      DeltaLake.deleteWhere(spark, t, col("id") % 2 === 0)
+      val after = DeltaLake.read(spark, t)
+      assert(after.count() == 30)
+      // partition values still attach on the surviving rows
+      assert(after.filter(col("seg") === "eu").count() == (1L to 60L).count(i => i % 3 == 0 && i % 2 == 1))
+      assert(after.columns.toSeq == Seq("id", "seg", "v"))
     } finally rmrf(t)
   }
 }
