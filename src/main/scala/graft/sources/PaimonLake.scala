@@ -50,7 +50,14 @@ object PaimonLake {
                          partition: Map[String, String], bucket: Int)
 
   final case class State(snapshotId: Long, schema: StructType, files: Seq[String],
-                         entries: Seq[PFile] = Seq.empty)
+                         entries: Seq[PFile] = Seq.empty,
+                         primaryKeys: Seq[String] = Seq.empty)
+
+  /** RowKind bytes as paimon/flink serialize them in `_VALUE_KIND` */
+  private val KindInsert: Byte = 0
+  private val KindUpdateBefore: Byte = 1
+  private val KindUpdateAfter: Byte = 2
+  private val KindDelete: Byte = 3
 
   /** Paimon/Flink BinaryRow codec for the `_PARTITION` key (public
     * format: fixed-width null-bitset header — 8 reserved bits + one
@@ -254,8 +261,18 @@ object PaimonLake {
     require(Files.exists(sf), s"paimon snapshot $sid not found at $table")
     val snap = mapper.readTree(new String(Files.readAllBytes(sf), "UTF-8"))
     val (schema, partitionKeys, primaryKeys) = readSchema(table, snap.get("schemaId").asLong)
-    require(primaryKeys.isEmpty,
-      s"paimon primary-key table unsupported (merge-on-read LSM semantics): keys=${primaryKeys.mkString(",")}")
+    if (primaryKeys.nonEmpty) {
+      // merge-on-read supported for the DEFAULT merge engine only:
+      // per-key latest-sequence wins, DELETE kinds drop. Other engines
+      // (partial-update, aggregation, first-row) change row semantics
+      // and must refuse rather than merge wrongly.
+      val f = Paths.get(table, "schema", s"schema-${snap.get("schemaId").asLong}")
+      val opts = mapper.readTree(new String(Files.readAllBytes(f), "UTF-8")).get("options")
+      val engine = Option(opts).filterNot(_.isNull)
+        .flatMap(o => Option(o.get("merge-engine"))).map(_.asText).getOrElse("deduplicate")
+      require(engine == "deduplicate",
+        s"paimon merge-engine '$engine' unsupported (only deduplicate merge-on-read)")
+    }
 
     val lists =
       Option(snap.get("baseManifestList")).filterNot(_.isNull).map(_.asText).toSeq ++
@@ -320,8 +337,19 @@ object PaimonLake {
       }
     val bad = located.map(_.path).filterNot(f => f.endsWith(".parquet") || f.endsWith(".orc"))
     require(bad.isEmpty, s"paimon non-parquet/orc data files unsupported: ${bad.take(3).mkString(",")}")
-    State(sid, schema, located.map(_.path), located)
+    State(sid, schema, located.map(_.path), located, primaryKeys)
   }
+
+  /** physical schema of a primary-key table's data files (paimon KeyValue
+    * layout): `_KEY_<pk>` columns, `_SEQUENCE_NUMBER`, `_VALUE_KIND`,
+    * then every table field as the value row
+    */
+  private def pkFileSchema(schema: StructType, primaryKeys: Seq[String]): StructType =
+    StructType(
+      primaryKeys.map(k => StructField(s"_KEY_$k", schema.apply(k).dataType, nullable = false)) ++
+        Seq(StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
+          StructField("_VALUE_KIND", ByteType, nullable = false)) ++
+        schema.fields)
 
   /** read the table at `snapshotId` (default: LATEST); `partition`
     * prunes to the files whose decoded partition values match every
@@ -335,13 +363,31 @@ object PaimonLake {
       if (partition.isEmpty) st.entries
       else st.entries.filter(e => partition.forall { case (k, v) => e.partition.get(k).contains(v) })
     if (picked.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
+    val physical =
+      if (st.primaryKeys.isEmpty) st.schema else pkFileSchema(st.schema, st.primaryKeys)
+    val (orc, parquet) = picked.map(_.path).partition(_.endsWith(".orc"))
+    val parts = Seq(
+      if (parquet.nonEmpty) Some(spark.read.schema(physical).parquet(parquet: _*)) else None,
+      if (orc.nonEmpty) Some(spark.read.schema(physical).orc(orc: _*)) else None).flatten
+    val raw = parts.reduce(_ unionByName _)
+    if (st.primaryKeys.isEmpty) raw
     else {
-      val (orc, parquet) = picked.map(_.path).partition(_.endsWith(".orc"))
-      val parts = Seq(
-        if (parquet.nonEmpty) Some(spark.read.schema(st.schema).parquet(parquet: _*)) else None,
-        if (orc.nonEmpty) Some(spark.read.schema(st.schema).orc(orc: _*)) else None).flatten
-      parts.reduce(_ unionByName _)
+      // deduplicate merge-on-read (paimon's default merge engine): the
+      // record with the highest sequence number wins per key; a DELETE
+      // (or retract) winner drops the key. One key-partitioned window
+      // shuffle — the distributed form of the LSM merge, no driver
+      // state, same result as level-by-level merging because sequence
+      // numbers are globally ordered across levels.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val keyCols = st.primaryKeys.map(k => col(s"_KEY_$k"))
+      val w = Window.partitionBy(keyCols: _*)
+        .orderBy(col("_SEQUENCE_NUMBER").desc)
+      raw.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .filter(col("_VALUE_KIND") === KindInsert || col("_VALUE_KIND") === KindUpdateAfter)
+        .select(st.schema.fields.map(f => col(f.name)).toSeq: _*)
     }
   }
 
@@ -499,7 +545,17 @@ object PaimonLake {
     writeAvro(root.resolve("manifest").resolve(manifestName), manifestEntrySchema,
       dataFiles.map { case (n, sz, rows, pb) => manifestEntry(0, n, sz, rows, 0L, pb) })
 
-    // base list = all manifests of the previous snapshot's state
+    commitSnapshot(table, root, uuid, manifestName, dataFiles.length.toLong, rowCount,
+      prevId, snapId)
+  }
+
+  /** shared snapshot-commit tail: base list = previous state's
+    * manifests, delta list = this commit's manifest, snapshot JSON +
+    * LATEST pointer
+    */
+  private def commitSnapshot(table: String, root: Path, uuid: String,
+      manifestName: String, nAdded: Long, rowCount: Long,
+      prevId: Long, snapId: Long): Long = {
     val baseManifests: Seq[String] =
       if (prevId == 0) Nil
       else {
@@ -513,7 +569,7 @@ object PaimonLake {
     writeAvro(root.resolve("manifest").resolve(baseList), manifestListSchema,
       baseManifests.map(manifestListEntry(_, 0L, 0L, 0L)))
     writeAvro(root.resolve("manifest").resolve(deltaList), manifestListSchema,
-      Seq(manifestListEntry(manifestName, dataFiles.length.toLong, 0L, 0L)))
+      Seq(manifestListEntry(manifestName, nAdded, 0L, 0L)))
 
     val snap = mapper.createObjectNode()
     snap.put("version", 3)
@@ -533,5 +589,82 @@ object PaimonLake {
     Files.write(root.resolve("snapshot").resolve("LATEST"),
       snapId.toString.getBytes("UTF-8"))
     snapId
+  }
+
+  /** Upsert/delete batch into a PRIMARY-KEY table (paimon KeyValue
+    * layout, deduplicate merge engine). `df` carries the table fields
+    * plus optionally `kindCol` with "+I"/"+U"/"-D" row kinds (default
+    * all INSERT). Sequence numbers are (snapshot << 20 | row#), so
+    * later commits win the merge. Unpartitioned bucket-0 fixture
+    * writer — enough protocol surface to exercise the merge-on-read
+    * path on real chains.
+    */
+  def writePk(spark: SparkSession, table: String, df0: DataFrame,
+              primaryKeys: Seq[String], kindCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(primaryKeys.nonEmpty, "writePk needs primary keys")
+    val root = Paths.get(table)
+    Seq("schema", "snapshot", "manifest", "bucket-0")
+      .foreach(d => Files.createDirectories(root.resolve(d)))
+    val valueDf = kindCol.map(df0.drop(_)).getOrElse(df0)
+
+    val schemaFile = root.resolve("schema").resolve("schema-0")
+    if (!Files.exists(schemaFile)) {
+      val node = mapper.createObjectNode()
+      node.put("version", 3)
+      node.put("id", 0L)
+      val fields = node.putArray("fields")
+      valueDf.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val fn: ObjectNode = fields.addObject()
+        fn.put("id", i)
+        fn.put("name", f.name)
+        fn.put("type", sparkTypeToPaimon(f.dataType) + (if (f.nullable) "" else " NOT NULL"))
+      }
+      node.put("highestFieldId", valueDf.schema.length - 1)
+      node.putArray("partitionKeys")
+      val pk = node.putArray("primaryKeys")
+      primaryKeys.foreach(pk.add)
+      node.putObject("options")
+      Files.write(schemaFile, mapper.writeValueAsBytes(node))
+    }
+
+    val prevId =
+      if (Files.exists(root.resolve("snapshot").resolve("LATEST"))) latestSnapshotId(table) else 0L
+    val snapId = prevId + 1
+    val uuid = java.util.UUID.randomUUID().toString
+
+    val kindExpr = kindCol.map { c =>
+      when(col(c) === "-D", lit(KindDelete))
+        .when(col(c) === "+U", lit(KindUpdateAfter))
+        .when(col(c) === "-U", lit(KindUpdateBefore))
+        .otherwise(lit(KindInsert)).cast("byte")
+    }.getOrElse(lit(KindInsert).cast("byte"))
+    val physical = df0
+      .withColumn("_SEQUENCE_NUMBER",
+        lit(snapId << 20) + row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(primaryKeys.map(col): _*)).cast("long"))
+      .withColumn("_VALUE_KIND", kindExpr)
+      .select(
+        primaryKeys.map(k => col(k).as(s"_KEY_$k")) ++
+          Seq(col("_SEQUENCE_NUMBER"), col("_VALUE_KIND")) ++
+          valueDf.columns.map(col): _*)
+
+    val scratch = Files.createTempDirectory(root, ".stage")
+    physical.coalesce(1).write.mode("overwrite").parquet(scratch.resolve("out").toString)
+    val parts = Files.list(scratch.resolve("out")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val dataFiles = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"data-$uuid-$i.parquet"
+      Files.move(p, root.resolve("bucket-0").resolve(name))
+      (name, Files.size(root.resolve("bucket-0").resolve(name)))
+    }
+    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val rowCount = df0.count()
+
+    val manifestName = s"manifest-$uuid-0.avro"
+    writeAvro(root.resolve("manifest").resolve(manifestName), manifestEntrySchema,
+      dataFiles.map { case (n, sz) => manifestEntry(0, n, sz, rowCount, 0L) })
+    commitSnapshot(table, root, uuid, manifestName, dataFiles.length.toLong, rowCount,
+      prevId, snapId)
   }
 }

@@ -190,20 +190,58 @@ class PaimonLakeSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
-  test("primary-key tables are rejected loudly") {
+  test("non-deduplicate merge engines are rejected loudly") {
     val dir = tmp("paimonpk")
     try {
       val root = Paths.get(dir)
       Seq("schema", "snapshot", "manifest").foreach(d => Files.createDirectories(root.resolve(d)))
       Files.write(root.resolve("schema/schema-0"),
         """{"version":3,"id":0,"fields":[{"id":0,"name":"id","type":"BIGINT"}],
-          |"highestFieldId":0,"partitionKeys":[],"primaryKeys":["id"],"options":{}}""".stripMargin.getBytes("UTF-8"))
+          |"highestFieldId":0,"partitionKeys":[],"primaryKeys":["id"],
+          |"options":{"merge-engine":"partial-update"}}""".stripMargin.getBytes("UTF-8"))
       Files.write(root.resolve("snapshot/snapshot-1"),
         """{"version":3,"id":1,"schemaId":0,"baseManifestList":null,
           |"deltaManifestList":null,"commitKind":"APPEND"}""".stripMargin.getBytes("UTF-8"))
       Files.write(root.resolve("snapshot/LATEST"), "1".getBytes("UTF-8"))
       val e = intercept[IllegalArgumentException](PaimonLake.read(spark, dir))
-      assert(e.getMessage.contains("primary-key"))
+      assert(e.getMessage.contains("merge-engine"))
+    } finally cleanup(dir)
+  }
+
+  test("primary-key merge-on-read: latest sequence wins, deletes drop, time travel") {
+    import spark.implicits._
+    val dir = tmp("paimonmor")
+    try {
+      // snapshot 1: three inserts
+      PaimonLake.writePk(spark, dir,
+        Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v"),
+        primaryKeys = Seq("id"))
+      // snapshot 2: update id=2, delete id=3, insert id=4
+      PaimonLake.writePk(spark, dir,
+        Seq((2L, "B2", 21, "+U"), (3L, "c", 30, "-D"), (4L, "d", 40, "+I"))
+          .toDF("id", "name", "v", "op"),
+        primaryKeys = Seq("id"), kindCol = Some("op"))
+      val merged = PaimonLake.read(spark, dir).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(merged == Seq((1L, "a", 10), (2L, "B2", 21), (4L, "d", 40)))
+      // snapshot 3: re-insert a previously deleted key
+      PaimonLake.writePk(spark, dir,
+        Seq((3L, "c3", 33)).toDF("id", "name", "v"), primaryKeys = Seq("id"))
+      assert(PaimonLake.read(spark, dir).count() == 4)
+      assert(PaimonLake.read(spark, dir).filter(col("id") === 3L)
+        .head().getString(1) == "c3")
+      // time travel to the pre-update snapshot
+      val s1 = PaimonLake.read(spark, dir, Some(1L)).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(s1 == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // within-batch: two rows for one key in ONE commit, higher row wins
+      val dir2 = tmp("paimonmor2")
+      try {
+        PaimonLake.writePk(spark, dir2,
+          Seq((7L, "x", 1), (7L, "y", 2)).toDF("id", "name", "v"), Seq("id"))
+        val r = PaimonLake.read(spark, dir2).collect()
+        assert(r.length == 1)
+      } finally cleanup(dir2)
     } finally cleanup(dir)
   }
 
