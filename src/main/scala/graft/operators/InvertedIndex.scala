@@ -63,8 +63,31 @@ object InvertedIndex {
       .agg(sum(col("dl")).as("total"), count(lit(1)).as("n")).head()
     val nDocs = docs.count()
     val avgdl = if (t.isNullAt(0)) 0.0 else t.getLong(0).toDouble / t.getLong(1)
-    spark.createDataFrame(Seq((nDocs, avgdl)))
-      .toDF("n_docs", "avgdl").write.mode("overwrite").parquet(s"$indexPath/meta")
+    spark.createDataFrame(Seq((nDocs, avgdl, docs.inputFiles.sorted.toSeq)))
+      .toDF("n_docs", "avgdl", "source_files")
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** True iff the index exists and was built from exactly the files the
+    * corpus currently scans (VectorIndex/AggIndex's exact file-set
+    * rule — prefix/subset matches are NOT fresh).
+    */
+  def isFresh(spark: SparkSession, indexPath: String, docs: DataFrame): Boolean =
+    try {
+      val pinned = spark.read.parquet(s"$indexPath/meta")
+        .select(col("source_files")).head().getSeq[String](0).toVector
+      pinned.nonEmpty && pinned == docs.inputFiles.sorted.toVector
+    } catch { case _: Exception => false }
+
+  /** Build-if-stale: the index is built ONCE per corpus file set and
+    * every subsequent query is probe-only — the production shape (a
+    * 100 TB corpus is indexed at ingest, not per query).
+    */
+  def ensure(docs: DataFrame, idCol: String, textCol: String,
+             indexPath: String): String = synchronized {
+    if (!isFresh(docs.sparkSession, indexPath, docs))
+      build(docs, idCol, textCol, indexPath)
+    indexPath
   }
 
   /** Search: docs containing terms (`all = true` → every term, AND;

