@@ -128,23 +128,25 @@ object H3 {
     if (res < 0 || res > 15) None
     else Some(2L + 120L * math.pow(7, res).toLong)
 
-  // per-resolution AVERAGE constants (H3 v4.1 tables; res 0/1/15 pinned
-  // by the reference goldens geo_h3.txt:306-346,370-410)
+  // per-resolution AVERAGE constants (H3 v4.1 tables). Resolutions
+  // 0-4 and 15 are pinned bit-exact by the reference goldens
+  // (geo_h3.txt:306-346,370-410 + 02_0060_function_geo_h3.test:86-162
+  // shortest-roundtrip reprs); 5-14 carry the published v4.1 values.
   private val EdgeLenM: Array[Double] = Array(
-    1281256.010741364, 483056.8390711111, 182512.9565, 68979.22179,
-    26071.75968, 9854.090990, 3724.532667, 1406.475763,
+    1281256.010741364, 483056.8390711111, 182512.95648916735, 68979.22178775584,
+    26071.75968017739, 9854.090990, 3724.532667, 1406.475763,
     531.4140101, 200.7861476, 75.86378287, 28.66389748,
     10.83018784, 4.092010473, 1.546100657, 0.5841686296)
 
   private val HexAreaKm2: Array[Double] = Array(
-    4357449.416078383, 609788.441794133, 86801.780398997, 12393.434655088,
-    1770.347654491, 252.903858182, 36.129062164, 5.161293360,
+    4357449.416078383, 609788.4417941332, 86801.7803989972, 12393.43465508816,
+    1770.347654491307, 252.903858182, 36.129062164, 5.161293360,
     0.737327598, 0.105332513, 0.015047502, 0.002149643,
     3.07092e-4, 4.3870e-5, 6.267e-6, 8.953115907e-7)
 
   private val HexAreaM2: Array[Double] = Array(
-    4357449416078.392, 609788441794.134, 86801780398.997, 12393434655.088,
-    1770347654.491, 252903858.182, 36129062.164, 5161293.360,
+    4357449416078.39, 609788441794.1339, 86801780398.99731, 12393434655.08818,
+    1770347654.491309, 252903858.182, 36129062.164, 5161293.360,
     737327.598, 105332.513, 15047.502, 2149.643,
     307.092, 43.870, 6.267, 0.8953115907)
 

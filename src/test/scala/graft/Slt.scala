@@ -65,7 +65,7 @@ object Slt {
     case d: java.lang.Double => formatDouble(d)
     case f: java.lang.Float => formatDouble(f.doubleValue())
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
-    case s: Seq[_] => s.map(formatCell).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ",", "]")
     case other => other.toString
   }
 
