@@ -164,6 +164,65 @@ object H3 {
   def edgeAngle(res: Int): Option[Double] =
     edgeLengthM(res).map(8.99320592271288e-6 * _)
 
+  // ---- local IJK grid math (same-base-cell tier) ----------------------
+
+  private def ijkNormalize(v: (Int, Int, Int)): (Int, Int, Int) = {
+    // axial redundancy: subtract the minimum so components are
+    // non-negative with at least one zero (H3 _ijkNormalize)
+    val m = math.min(v._1, math.min(v._2, v._3))
+    (v._1 - m, v._2 - m, v._3 - m)
+  }
+
+  private def digitIjk(d: Int): (Int, Int, Int) = d match {
+    case 0 => (0, 0, 0)
+    case 1 => (0, 0, 1) // K
+    case 2 => (0, 1, 0) // J
+    case 3 => (0, 1, 1) // JK
+    case 4 => (1, 0, 0) // I
+    case 5 => (1, 0, 1) // IK
+    case 6 => (1, 1, 0) // IJ
+    case _ => throw new IllegalArgumentException(s"digit $d")
+  }
+
+  /** IJK coordinates relative to the cell's own base cell center
+    * (the per-resolution walk of H3's h3ToFaceIjk: aperture-7
+    * down-sample — reversed orientation on class-III resolutions —
+    * then step to the digit's sub-cell). Defined only for cells whose
+    * base cell is a hexagon: pentagon axes warp and need the
+    * face tables.
+    */
+  private[graft] def localIjk(h: Long): Option[(Int, Int, Int)] = {
+    if (!isValidCell(h) || PentagonBases(baseCell(h))) return None
+    var i = 0; var j = 0; var k = 0
+    for (r <- 1 to resolution(h)) {
+      val (ni, nj, nk) =
+        if (r % 2 == 1) // class III rotates ccw (_downAp7)
+          (3 * i + 1 * j, 3 * j + 1 * k, 1 * i + 3 * k)
+        else            // class II rotates cw (_downAp7r)
+          (3 * i + 1 * k, 1 * i + 3 * j, 1 * j + 3 * k)
+      val d = digitIjk(digit(h, r))
+      val n = ijkNormalize((ni + d._1, nj + d._2, nk + d._3))
+      i = n._1; j = n._2; k = n._3
+    }
+    Some((i, j, k))
+  }
+
+  /** grid distance in cell steps — exact for two cells of equal
+    * resolution under the SAME hexagonal base cell (where local IJK
+    * needs no cross-face unfolding); None otherwise rather than wrong
+    */
+  def gridDistance(a: Long, b: Long): Option[Int] = {
+    if (!isValidCell(a) || !isValidCell(b)) return None
+    if (resolution(a) != resolution(b) || baseCell(a) != baseCell(b)) return None
+    for (pa <- localIjk(a); pb <- localIjk(b)) yield {
+      val d = ijkNormalize((pa._1 - pb._1, pa._2 - pb._2, pa._3 - pb._3))
+      math.max(math.abs(d._1), math.max(math.abs(d._2), math.abs(d._3)))
+    }
+  }
+
+  def areNeighbors(a: Long, b: Long): Option[Boolean] =
+    gridDistance(a, b).map(_ == 1)
+
   // ---- directed (unidirectional) edges --------------------------------
 
   private def edgeDirection(e: Long): Int = ((e >>> 56) & 0x7L).toInt
@@ -216,6 +275,8 @@ object H3 {
     r.register("h3_hex_area_m2", udf((res: Int) => hexAreaM2(res)))
     r.register("h3_hex_area_km2", udf((res: Int) => hexAreaKm2(res)))
     r.register("h3_edge_angle", udf((res: Int) => edgeAngle(res)))
+    r.register("h3_distance", udf((a: Long, b: Long) => gridDistance(a, b)))
+    r.register("h3_indexes_are_neighbors", udf((a: Long, b: Long) => areNeighbors(a, b)))
     r.register("h3_unidirectional_edge_is_valid", udf((e: Long) => edgeIsValid(e)))
     r.register("h3_get_origin_index_from_unidirectional_edge",
       udf((e: Long) => edgeOrigin(e)))

@@ -116,6 +116,38 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("grid distance matches the k_ring goldens (37 cells, rings 0-3)") {
+    // geo_h3.txt h3_k_ring blocks: ring k of 644325524701193974 = the
+    // cells at grid distance exactly k. All share hexagonal base cell
+    // 8, the tier gridDistance is defined on.
+    val center = 644325524701193974L
+    val ring1 = Seq(644325524701193899L, 644325524701193869L, 644325524701193970L,
+      644325524701193968L, 644325524701193972L, 644325524701193897L)
+    val ring2 = Seq(644325524701193896L, 644325524701193898L, 644325524701193868L,
+      644325524701193864L, 644325524701193865L, 644325524701193940L,
+      644325524701193971L, 644325524701193969L, 644325524701193973L,
+      644325524701193755L, 644325524701193754L, 644325524701193901L)
+    val ring3 = Seq(644325524701193900L, 644325524701193902L, 644325524701193861L,
+      644325524701193857L, 644325524701193870L, 644325524701193866L,
+      644325524701193867L, 644325524701193942L, 644325524701193936L,
+      644325524701193941L, 644325524701193926L, 644325524701193924L,
+      644325524701193954L, 644325524701193958L, 644325524701193753L,
+      644325524701193752L, 644325524701193758L, 644325524701193747L)
+    assert(H3.gridDistance(center, center).contains(0))
+    for (c <- ring1) assert(H3.gridDistance(center, c).contains(1), s"ring1 $c")
+    for (c <- ring2) assert(H3.gridDistance(center, c).contains(2), s"ring2 $c")
+    for (c <- ring3) assert(H3.gridDistance(center, c).contains(3), s"ring3 $c")
+    // neighbors golden (geo_h3.txt h3_indexes_are_neighbors)
+    assert(H3.areNeighbors(644325524701193974L, 644325524701193897L).contains(true))
+    assert(H3.areNeighbors(644325524701193974L, 644325529094369568L).contains(false))
+    // symmetric
+    for (c <- ring1) assert(H3.gridDistance(c, center).contains(1))
+    // out of scope: pentagon base cells and cross-base-cell pairs -> None
+    assert(H3.gridDistance(pentagon, pentagon).isEmpty)
+    assert(H3.gridDistance(res15Cell, H3.toCenterChild(pentagon, 15).get).isEmpty)
+    assert(H3.gridDistance(res15Cell, res13Cell).isEmpty) // mixed res
+  }
+
   test("directed edge validity / origin / enumeration (golden)") {
     val edge = 1248204388774707199L
     assert(!H3.edgeIsValid(0L))
