@@ -79,7 +79,9 @@ object GeometryFunctions {
 
     // ------------------------------------------------------ constructors
     val mkPoint = udf((x: Double, y: Double) => serShape(GPoint(Pt(x, y)), 0))
-    Seq("st_makepoint", "st_makegeompoint", "st_geom_point")
+    // st_point is the reference's geography-tier alias of st_makepoint
+    // (geographic/src/geography.rs:73); same lon/lat doubles here
+    Seq("st_makepoint", "st_makegeompoint", "st_geom_point", "st_point")
       .foreach(r.register(_, mkPoint))
 
     r.register("st_geomtext_impl", udf((s: String, srid: Int) =>

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions.udf
   * classpath) — the variant column type casts to/from string at the
   * boundary, matching the reference's jsonb in/out conversions.
   *
-  * Skipped (recorded in COVERAGE.md): running_difference (stateful
-  * per-block, not a pure scalar), glob (ambiguous arg order across
-  * engines), is_interval (no INTERVAL variant kind in Spark's
-  * VARIANT). The json_path_* family runs on the full SQL/JSON path
+  * Round 6 closes the previously-skipped trio: running_difference is
+  * a stateful Nondeterministic expression (RunningDifference.scala),
+  * and is_interval/is_timestamp_tz dispatch on the string payload the
+  * reference itself uses as the variant repr for those tiers.
+  * The json_path_* family runs on the full SQL/JSON path
   * evaluator in JsonPath.scala (filters, index lists, `last`
   * arithmetic, wildcards) rather than get_json_object's dialect.
   */
@@ -54,6 +55,7 @@ object MoreAliases2 {
       "json_strip_nulls", "strip_null_value", "json_pretty",
       "json_contains_in_right", "json_contains_in_left",
       "get_ignore_case", "delete_by_keypath", "xxhash32",
+      "as_timestamp_tz", "is_timestamp_tz",
       "to_uuid", "siphash", "siphash64", "city64withseed", "blake3",
       "json_path_query", "json_path_query_array", "json_path_query_first",
       "json_path_exists", "json_path_match")(name)
@@ -62,6 +64,51 @@ object MoreAliases2 {
     // variadic boolean sugar (reference and_filters/or_filters)
     "and_filters" -> (a => a.map(cast(_, BooleanType)).reduce(And(_, _))),
     "or_filters" -> (a => a.map(cast(_, BooleanType)).reduce(Or(_, _))),
+
+    // benchmark sink: evaluates to constant FALSE whatever the args
+    // (reference scalars/other.rs:199-215 FunctionFactory "ignore")
+    "ignore" -> (_ => Literal(false)),
+
+    // ClickHouse-style per-block running difference
+    // (reference scalars/other.rs:330-380); block == partition here
+    "running_difference" -> (a => RunningDifference(a.head)),
+
+    // array "any" aggregate = first non-NULL element (reference
+    // scalars/array.rs:97 maps array_any -> the ANY aggregate)
+    "array_any" -> (a =>
+      f("element_at", f("filter", a.head, lambda1(x => IsNotNull(x))), Literal(1))),
+
+    // variant accessors for the INTERVAL / TIMESTAMP_TZ tiers
+    // (reference scalars/variant.rs:859-957). The variant payload for
+    // both is their string repr (02_0056_function_semi_structureds_as
+    // .test:77-94), so accessor == parse-from-string here.
+    "as_interval" -> (a => Cast(
+      f("try_variant_get", a.head, Literal("$"), Literal("string")),
+      CalendarIntervalType, None, EvalMode.TRY)),
+    "is_interval" -> (a => If(IsNull(a.head), Literal(null, BooleanType),
+      IsNotNull(Cast(
+        f("try_variant_get", a.head, Literal("$"), Literal("string")),
+        CalendarIntervalType, None, EvalMode.TRY)))),
+    // tz::variant here is the struct's object form {us, offset_minutes}
+    // (TimestampTz.scala model); a string payload with an explicit
+    // offset is accepted too (the reference's own variant repr)
+    "as_timestamp_tz" -> (a => {
+      val us = Cast(f("try_variant_get", a.head, Literal("$.us"), Literal("bigint")), LongType)
+      val om = Cast(f("try_variant_get", a.head, Literal("$.offset_minutes"), Literal("int")), IntegerType)
+      If(And(IsNotNull(us), IsNotNull(om)),
+        CreateNamedStruct(Seq(Literal("us"), us, Literal("offset_minutes"), om)),
+        f("try_to_timestamp_tz", f("try_variant_get", a.head, Literal("$"), Literal("string"))))
+    }),
+    "is_timestamp_tz" -> (a => If(IsNull(a.head), Literal(null, BooleanType), {
+      val us = f("try_variant_get", a.head, Literal("$.us"), Literal("bigint"))
+      val om = f("try_variant_get", a.head, Literal("$.offset_minutes"), Literal("int"))
+      val s = f("try_variant_get", a.head, Literal("$"), Literal("string"))
+      Or(And(IsNotNull(us), IsNotNull(om)),
+        And(
+          // an explicit numeric offset is what makes it tz (not a bare ts)
+          f("rlike", s, Literal("[+-][0-9]{2}:?[0-9]{2}\\s*$")),
+          IsNotNull(f("try_to_timestamp_tz", s))))
+    })),
 
     // array constructors / set-cardinality
     "array_construct" -> (a => CreateArray(a)),
