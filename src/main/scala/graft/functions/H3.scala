@@ -6,15 +6,20 @@ import org.apache.spark.sql.SparkSession
   * src/geo_h3.rs:1-732, which binds the h3o crate; cell layout per the
   * public Uber H3 spec).
   *
-  * Scope: the 19 functions that operate purely on the 64-bit index
-  * structure — validation, resolution/base-cell accessors, parent/
-  * children/center-child hierarchy, string round-trip, pentagon and
-  * class-III predicates, the per-resolution average edge-length/area
-  * constants, and directed-edge origin/validity/enumeration. The
-  * gnomonic projection tier (geo<->cell, k_ring, boundaries, distance)
-  * needs the icosahedron face/base-cell tables, which are not
-  * reconstructible offline — those names stay unregistered rather than
-  * wrong.
+  * Scope: the 27 functions that operate purely on the 64-bit index
+  * structure and the aperture-7 local-IJK grid — validation,
+  * resolution/base-cell accessors, parent/children/center-child
+  * hierarchy, string round-trip, pentagon and class-III predicates,
+  * the per-resolution average edge-length/area constants, directed
+  * edges (validity/origin/destination/pair/construction/enumeration),
+  * and the traversals k_ring/hex_ring/line/distance/neighbors (exact
+  * within one base cell; cross-base or pentagon-seam traversals
+  * return NULL rather than wrong — the cross-base unfold needs the
+  * 122-entry icosahedron base-cell neighbor tables, which are not
+  * reconstructible offline). The remaining gnomonic projection tier
+  * (geo<->cell, boundaries, exact areas/lengths, faces) needs the
+  * same tables plus the face-center gnomonic constants — those names
+  * stay unregistered rather than wrong.
   *
   * Cell layout (H3 spec): bit 63 reserved=0; bits 59-62 mode (1=cell,
   * 2=directed edge); bits 56-58 reserved for cells / edge direction for
@@ -187,12 +192,15 @@ object H3 {
   /** IJK coordinates relative to the cell's own base cell center
     * (the per-resolution walk of H3's h3ToFaceIjk: aperture-7
     * down-sample — reversed orientation on class-III resolutions —
-    * then step to the digit's sub-cell). Defined only for cells whose
-    * base cell is a hexagon: pentagon axes warp and need the
-    * face tables.
+    * then step to the digit's sub-cell). Under a pentagon base cell
+    * the walk is still the plain aperture-7 one for the cells that
+    * exist (the K-axis wedge is deleted, not warped), so coordinates
+    * are usable as long as results are re-validated with
+    * [[isValidCell]]; traversals that would cross the deleted wedge
+    * or the base-cell boundary surface as None downstream.
     */
   private[graft] def localIjk(h: Long): Option[(Int, Int, Int)] = {
-    if (!isValidCell(h) || PentagonBases(baseCell(h))) return None
+    if (!isValidCell(h)) return None
     var i = 0; var j = 0; var k = 0
     for (r <- 1 to resolution(h)) {
       val (ni, nj, nk) =
@@ -214,14 +222,173 @@ object H3 {
   def gridDistance(a: Long, b: Long): Option[Int] = {
     if (!isValidCell(a) || !isValidCell(b)) return None
     if (resolution(a) != resolution(b) || baseCell(a) != baseCell(b)) return None
-    for (pa <- localIjk(a); pb <- localIjk(b)) yield {
+    val plain = for (pa <- localIjk(a); pb <- localIjk(b)) yield {
       val d = ijkNormalize((pa._1 - pb._1, pa._2 - pb._2, pa._3 - pb._3))
       math.max(math.abs(d._1), math.max(math.abs(d._2), math.abs(d._3)))
     }
+    // pentagon patches: the deleted wedge folds the metric (cells
+    // plain-walk-2 apart can be seam-adjacent, e.g. the JK and IK
+    // children across the collapsed K wedge), so only the provably
+    // sound cases survive — equality and direct unit adjacency
+    if (PentagonBases(baseCell(a))) plain.filter(_ <= 1) else plain
   }
 
   def areNeighbors(a: Long, b: Long): Option[Boolean] =
     gridDistance(a, b).map(_ == 1)
+
+  // ---- local IJK inverse + traversals ---------------------------------
+
+  private def ijkAdd(a: (Int, Int, Int), b: (Int, Int, Int)): (Int, Int, Int) =
+    ijkNormalize((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+
+  private def ijkSub(a: (Int, Int, Int), b: (Int, Int, Int)): (Int, Int, Int) =
+    ijkNormalize((a._1 - b._1, a._2 - b._2, a._3 - b._3))
+
+  private val UnitDigit: Map[(Int, Int, Int), Int] =
+    (1 to 6).map(d => digitIjk(d) -> d).toMap
+
+  /** inverse aperture-7 step: the parent (at res r-1) of a cell whose
+    * center sits at `v` in res-r coordinates (H3 _upAp7 / _upAp7r for
+    * class III / class II r). Exactly invertible because cell centers
+    * land on the aperture lattice; /7 never produces a .5 so the
+    * rounding mode is immaterial.
+    */
+  private def upAp7(v: (Int, Int, Int), r: Int): (Int, Int, Int) = {
+    val i = v._1 - v._3
+    val j = v._2 - v._3
+    val (a, b) =
+      if (r % 2 == 1) (math.round((3.0 * i - j) / 7.0).toInt,
+                       math.round((i + 2.0 * j) / 7.0).toInt)
+      else            (math.round((2.0 * i + j) / 7.0).toInt,
+                       math.round((3.0 * j - i) / 7.0).toInt)
+    ijkNormalize((a, b, 0))
+  }
+
+  private def downAp7(v: (Int, Int, Int), r: Int): (Int, Int, Int) =
+    if (r % 2 == 1) (3 * v._1 + v._2, 3 * v._2 + v._3, v._1 + 3 * v._3)
+    else            (3 * v._1 + v._3, v._1 + 3 * v._2, v._2 + 3 * v._3)
+
+  /** rebuild a cell index from local IJK coordinates (inverse of
+    * [[localIjk]], digit recovery top-down via the aperture inverse).
+    * None when the coordinates leave `sample`'s base cell or land on a
+    * pentagon's deleted K-axis subsequence — the traversal genuinely
+    * needs the cross-base face tables there, so callers surface NULL
+    * rather than a wrong cell.
+    */
+  private[graft] def ijkToCell(sample: Long, ijk: (Int, Int, Int)): Option[Long] = {
+    var h = sample
+    var v = ijk
+    var r = resolution(sample)
+    while (r >= 1) {
+      val parent = upAp7(v, r)
+      val center = ijkNormalize(downAp7(parent, r))
+      val diff = ijkSub(v, center)
+      val d = if (diff == (0, 0, 0)) 0 else UnitDigit.getOrElse(diff, -1)
+      if (d < 0) return None
+      h = setDigit(h, r, d)
+      v = parent
+      r -= 1
+    }
+    if (v != (0, 0, 0) || !isValidCell(h)) None else Some(h)
+  }
+
+  /** ring-walk direction cycle (digits J, JK, K, IK, I, IJ), derived
+    * from and validated against the reference's own h3o golden vectors
+    * (02_0060_function_geo_h3.test: the res-15 18-cell hex_ring and
+    * all four k_ring spirals)
+    */
+  private val RingWalk = Array(2, 3, 1, 5, 4, 6)
+
+  /** the hollow ring at exactly distance k — h3o ordering: start at
+    * the k*I corner, walk k steps in each cycle direction. None if
+    * any cell leaves the base cell (needs face tables).
+    */
+  def hexRing(h: Long, k: Int): Option[Seq[Long]] = {
+    if (!isValidCell(h) || k < 0) return None
+    if (k == 0) return Some(Seq(h))
+    localIjk(h).flatMap { o =>
+      var cur = ijkNormalize((o._1 + k, o._2, o._3)) // corner at k*I
+      val out = Vector.newBuilder[Long]
+      var ok = true
+      var di = 0
+      while (ok && di < 6) {
+        var s = 0
+        while (ok && s < k) {
+          ijkToCell(h, cur) match {
+            case Some(c) => out += c
+            case None    => ok = false
+          }
+          cur = ijkAdd(cur, digitIjk(RingWalk(di)))
+          s += 1
+        }
+        di += 1
+      }
+      if (ok) Some(out.result()) else None
+    }
+  }
+
+  /** filled disk out to distance k — h3o ordering: origin, then each
+    * ring's cycle rotated left by one (validated against the golden
+    * spirals). None if the disk spills out of the base cell.
+    */
+  def kRing(h: Long, k: Int): Option[Seq[Long]] = {
+    if (!isValidCell(h) || k < 0) return None
+    var out = Vector(h)
+    var kk = 1
+    while (kk <= k) {
+      hexRing(h, kk) match {
+        case Some(ring) => out = out ++ ring.drop(1) :+ ring.head
+        case None       => return None
+      }
+      kk += 1
+    }
+    Some(out)
+  }
+
+  // cube coordinates for the line lerp (H3 ijkToCube/cubeToIjk)
+  private def ijkToCube(v: (Int, Int, Int)): (Int, Int) =
+    (-v._1 + v._3, v._2 - v._3)
+
+  private def cubeToIjk(ci: Int, cj: Int): (Int, Int, Int) =
+    ijkNormalize((-ci, cj, 0))
+
+  /** the cell path from a to b (H3 gridPathCells: cube-coordinate
+    * linear interpolation with cube rounding). Same restrictions as
+    * [[gridDistance]]: same-resolution, same hexagonal base cell.
+    */
+  def gridLine(a: Long, b: Long): Option[Seq[Long]] =
+    gridDistance(a, b).flatMap { dist =>
+      if (dist == 0) Some(Seq(a))
+      else {
+        val (sa, sb) = (localIjk(a).get, localIjk(b).get)
+        val (ai, aj) = ijkToCube(sa)
+        val (bi, bj) = ijkToCube(sb)
+        val out = Vector.newBuilder[Long]
+        var ok = true
+        var s = 0
+        while (ok && s <= dist) {
+          val t = s.toDouble / dist
+          val fi = ai + (bi - ai) * t
+          val fj = aj + (bj - aj) * t
+          val fk = -fi - fj
+          // cube rounding: fix the axis with the largest error
+          var ri = math.round(fi).toInt
+          var rj = math.round(fj).toInt
+          var rk = math.round(fk).toInt
+          val (ei, ej, ek) =
+            (math.abs(ri - fi), math.abs(rj - fj), math.abs(rk - fk))
+          if (ei > ej && ei > ek) ri = -rj - rk
+          else if (ej > ek) rj = -ri - rk
+          else rk = -ri - rj
+          ijkToCell(a, cubeToIjk(ri, rj)) match {
+            case Some(c) => out += c
+            case None    => ok = false
+          }
+          s += 1
+        }
+        if (ok) Some(out.result()) else None
+      }
+    }
 
   // ---- directed (unidirectional) edges --------------------------------
 
@@ -249,6 +416,35 @@ object H3 {
       val base = (h & 0x00FFFFFFFFFFFFFFL) | (ModeEdge << 59)
       Some(dirs.map(d => base | (d.toLong << 56)))
     }
+
+  /** the directed edge from origin to an adjacent destination: the
+    * origin's index with edge mode and the IJK unit-digit of
+    * (destination - origin) as the direction (validated against both
+    * reference edge goldens, incl. the pentagon-base pair). None when
+    * the cells aren't plain-walk-adjacent in the same base cell —
+    * seam adjacencies need the face tables.
+    */
+  def edgeBetween(origin: Long, dest: Long): Option[Long] = {
+    if (!isValidCell(origin) || !isValidCell(dest)) return None
+    if (resolution(origin) != resolution(dest) ||
+        baseCell(origin) != baseCell(dest)) return None
+    for {
+      po <- localIjk(origin)
+      pd <- localIjk(dest)
+      d <- UnitDigit.get(ijkSub(pd, po))
+    } yield (origin & 0x00FFFFFFFFFFFFFFL) | (ModeEdge << 59) | (d.toLong << 56)
+  }
+
+  /** the destination cell of a directed edge: one unit step from the
+    * origin in the edge direction. None when the step leaves the base
+    * cell or lands on a pentagon's deleted wedge.
+    */
+  def edgeDestination(e: Long): Option[Long] =
+    for {
+      o <- edgeOrigin(e)
+      po <- localIjk(o)
+      dst <- ijkToCell(o, ijkAdd(po, digitIjk(edgeDirection(e))))
+    } yield dst
 
   // ---- registration ---------------------------------------------------
 
@@ -282,5 +478,16 @@ object H3 {
       udf((e: Long) => edgeOrigin(e)))
     r.register("h3_get_unidirectional_edges_from_hexagon",
       udf((h: Long) => edgesFromCell(h)))
+    r.register("h3_k_ring", udf((h: Long, k: Int) => kRing(h, k)))
+    r.register("h3_hex_ring", udf((h: Long, k: Int) => hexRing(h, k)))
+    r.register("h3_line", udf((a: Long, b: Long) => gridLine(a, b)))
+    r.register("h3_get_unidirectional_edge",
+      udf((o: Long, d: Long) => edgeBetween(o, d)))
+    r.register("h3_get_destination_index_from_unidirectional_edge",
+      udf((e: Long) => edgeDestination(e)))
+    // reference output is the (origin, destination) pair
+    r.register("h3_get_indexes_from_unidirectional_edge",
+      udf((e: Long) =>
+        for (o <- edgeOrigin(e); d <- edgeDestination(e)) yield (o, d)))
   }
 }

@@ -142,10 +142,75 @@ class H3Spec extends AnyFunSuite {
     assert(H3.areNeighbors(644325524701193974L, 644325529094369568L).contains(false))
     // symmetric
     for (c <- ring1) assert(H3.gridDistance(c, center).contains(1))
-    // out of scope: pentagon base cells and cross-base-cell pairs -> None
-    assert(H3.gridDistance(pentagon, pentagon).isEmpty)
+    // pentagon bases: only equality and unit adjacency are metrically
+    // sound (the deleted wedge folds longer paths) -> 0/1 pass, >=2 None
+    assert(H3.gridDistance(pentagon, pentagon).contains(0))
     assert(H3.gridDistance(res15Cell, H3.toCenterChild(pentagon, 15).get).isEmpty)
     assert(H3.gridDistance(res15Cell, res13Cell).isEmpty) // mixed res
+  }
+
+  test("k_ring / hex_ring / line traversals (golden spirals)") {
+    // h3_k_ring goldens (02_0060_function_geo_h3.test:12,67)
+    assert(H3.kRing(644325524701193974L, 1).get == Seq(644325524701193974L,
+      644325524701193899L, 644325524701193869L, 644325524701193970L,
+      644325524701193968L, 644325524701193972L, 644325524701193897L))
+    // the res-5 18-cell hex_ring and the res-15 one (test:324,388)
+    assert(H3.hexRing(599686042433355775L, 2).get == Seq(
+      599686018811035647L, 599686034917163007L, 599686029548453887L,
+      599686032769679359L, 599686198125920255L, 599686040285872127L,
+      599686041359613951L, 599686039212130303L, 599686023106002943L,
+      599686027400970239L, 599686013442326527L, 599686012368584703L))
+    assert(H3.hexRing(644325524701193897L, 3).get == Seq(
+      644325524701193744L, 644325524701193746L, 644325524701193889L,
+      644325524701193891L, 644325524701193861L, 644325524701193857L,
+      644325524701193870L, 644325524701193864L, 644325524701193865L,
+      644325524701193940L, 644325524701193971L, 644325524701193969L,
+      644325524701193954L, 644325524701193958L, 644325524701193753L,
+      644325524701193757L, 644325524701193756L, 644325524701193745L))
+    // k_ring = origin ++ each ring's cycle rotated left by one
+    val disk3 = H3.kRing(644325524701193897L, 3).get
+    assert(disk3.length == 1 + 6 + 12 + 18)
+    assert(disk3.distinct.length == disk3.length)
+    assert(disk3.head == 644325524701193897L)
+    assert(disk3.drop(19).toSet == H3.hexRing(644325524701193897L, 3).get.toSet)
+    // every disk cell is at the grid distance its ring claims
+    for ((c, idx) <- disk3.zipWithIndex) {
+      val expected = if (idx == 0) 0 else if (idx <= 6) 1 else if (idx <= 18) 2 else 3
+      assert(H3.gridDistance(644325524701193897L, c).contains(expected), s"disk $c")
+    }
+    // h3_line goldens (test:313,376) — pentagon-base unit-adjacent pairs
+    assert(H3.gridLine(599119489002373119L, 599119491149856767L).get ==
+      Seq(599119489002373119L, 599119491149856767L))
+    assert(H3.gridLine(599119489002373119L, 599119492223598591L).get ==
+      Seq(599119489002373119L, 599119492223598591L))
+    // a longer line: consecutive cells are neighbors, endpoints pinned
+    val line = H3.gridLine(644325524701193897L, 644325524701193745L).get
+    assert(line.head == 644325524701193897L && line.last == 644325524701193745L)
+    assert(line.length == H3.gridDistance(644325524701193897L, 644325524701193745L).get + 1)
+    for (Seq(a, b) <- line.sliding(2)) assert(H3.areNeighbors(a, b).contains(true))
+    // k=0 ring is the cell itself
+    assert(H3.kRing(res15Cell, 0).get == Seq(res15Cell))
+    assert(H3.hexRing(res15Cell, 0).get == Seq(res15Cell))
+  }
+
+  test("directed edge construction / destination / indexes (golden)") {
+    // h3_get_unidirectional_edge goldens (test:329,394)
+    assert(H3.edgeBetween(644325524701193897L, 644325524701193754L)
+      .contains(1581074247194257065L))
+    assert(H3.edgeBetween(644325524701193897L, 644325524701193901L)
+      .contains(1509016653156329129L))
+    // non-adjacent pair -> None
+    assert(H3.edgeBetween(644325524701193897L, 644325524701193745L).isEmpty)
+    // destination goldens (test:410,460) — incl. the pentagon-base edge
+    assert(H3.edgeDestination(1248204388774707199L).contains(599686043507097599L))
+    assert(H3.edgeDestination(1319695429381652479L).contains(599119491149856767L))
+    // edgeBetween and edgeDestination are inverses over a whole ring
+    val center = 644325524701193974L
+    for (c <- H3.hexRing(center, 1).get) {
+      val e = H3.edgeBetween(center, c).get
+      assert(H3.edgeOrigin(e).contains(center))
+      assert(H3.edgeDestination(e).contains(c))
+    }
   }
 
   test("directed edge validity / origin / enumeration (golden)") {
