@@ -1,0 +1,330 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent HNSW graph index (reference: src/query/storages/common/
+  * index/src/hnsw_index/{hnsw.rs,graph_layers_builder.rs,
+  * graph_links/serializer.rs} — qdrant-lineage per-block graphs,
+  * serialized at build and memory-mapped at search). The Spark shape
+  * is the same decomposition the reference uses across blocks:
+  *
+  *  - the corpus is hash-split into `numBuckets` buckets; each bucket
+  *    gets an independent in-memory HNSW graph built in one task
+  *    (`mapPartitions`, no shuffle after the split);
+  *  - each graph is serialized to one compact binary row
+  *    (`graph/` parquet: bucket, n, blob) — the analogue of the
+  *    reference's graph-links blob per block;
+  *  - a query deserializes every bucket's graph in parallel (one task
+  *    per bucket, polylog node visits per graph — not a corpus scan)
+  *    and merges the per-bucket top-k, exactly how the reference
+  *    merges per-block HNSW results;
+  *  - `meta/` pins the exact source file set (AggIndex freshness
+  *    rule): any change to the table's files invalidates the index.
+  *
+  * At 100 TB: buckets bound the per-task graph to what one executor
+  * holds (size `numBuckets` so corpus/numBuckets fits in executor
+  * memory — the same sizing rule as the reference's block size);
+  * build is embarrassingly parallel after one repartition; search
+  * cost is numBuckets * O(ef * log n) distance evaluations instead of
+  * a corpus scan, and the only data movement is numBuckets rows of
+  * top-k candidates.
+  *
+  * Algorithm per bucket: Malkov & Yashunin 2016 (the public HNSW
+  * paper the reference's implementation also follows): exponential
+  * layer assignment with mL = 1/ln(M), greedy descent from the entry
+  * point through upper layers, beam search of width efConstruction at
+  * insertion, bidirectional links trimmed to M (2M at layer 0).
+  * Vectors are L2-normalized at build so cosine similarity is a plain
+  * dot product in the scorer (reference point_scorer.rs does the
+  * same for cosine spaces).
+  *
+  * Determinism: layer levels derive from splitmix64(id), insertion
+  * order is the parquet row order of the pinned file set — a rebuilt
+  * index over identical files is byte-identical.
+  */
+object HnswIndex {
+
+  // ---- tiny deterministic RNG for layer assignment --------------------
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D9ECA592B4C593L
+    x ^ (x >>> 31)
+  }
+
+  private def levelFor(id: Long, mL: Double): Int = {
+    // uniform in (0,1) from the top 53 bits; never exactly 0
+    val u = ((splitmix64(id) >>> 11) + 1).toDouble / (1L << 53).toDouble
+    (-math.log(u) * mL).toInt
+  }
+
+  // ---- in-memory graph -------------------------------------------------
+  private final class Graph(val dim: Int, val m: Int, val efC: Int) {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    val levels = mutable.ArrayBuffer.empty[Int]
+    /** adj(node)(layer) = neighbor local indices */
+    val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    var maxLayer: Int = -1
+    private val mL = 1.0 / math.log(m.toDouble)
+
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    /** distance = 1 - cosine (vectors pre-normalized) */
+    private def dist(a: Array[Double], b: Array[Double]): Double = 1.0 - dot(a, b)
+
+    private def capAt(layer: Int): Int = if (layer == 0) 2 * m else m
+
+    /** best-first beam search at one layer; returns up to ef (dist, idx)
+      * sorted ascending by distance
+      */
+    def searchLayer(q: Array[Double], entries: Seq[Int], ef: Int,
+                    layer: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.BitSet(ids.length)
+      // candidates: nearest first; results: farthest first for trimming
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), Double](_._1).reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), Double](_._1))
+      for (e <- entries) if (!visited.get(e)) {
+        visited.set(e)
+        val d = dist(q, vecs(e))
+        cand.enqueue((d, e)); res.enqueue((d, e))
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) {
+          cand.clear() // every remaining candidate is farther
+        } else {
+          val nbrs = adj(c)
+          if (layer < nbrs.length) {
+            val layerNbrs = nbrs(layer)
+            var i = 0
+            while (i < layerNbrs.length) {
+              val nb = layerNbrs(i)
+              if (!visited.get(nb)) {
+                visited.set(nb)
+                val d = dist(q, vecs(nb))
+                if (res.size < ef || d < res.head._1) {
+                  cand.enqueue((d, nb)); res.enqueue((d, nb))
+                  if (res.size > ef) res.dequeue()
+                }
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      out ++= res.dequeueAll
+      out.sortInPlaceBy(_._1)
+      out
+    }
+
+    private def greedyDescend(q: Array[Double], from: Int, fromLayer: Int,
+                              toLayer: Int): Int = {
+      var cur = from
+      var curDist = dist(q, vecs(cur))
+      var layer = fromLayer
+      while (layer > toLayer) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val nbrs = adj(cur)
+          if (layer < nbrs.length) {
+            val layerNbrs = nbrs(layer)
+            var i = 0
+            while (i < layerNbrs.length) {
+              val nb = layerNbrs(i)
+              val d = dist(q, vecs(nb))
+              if (d < curDist) { cur = nb; curDist = d; improved = true }
+              i += 1
+            }
+          }
+        }
+        layer -= 1
+      }
+      cur
+    }
+
+    def insert(id: Long, v: Array[Double]): Unit = {
+      val level = levelFor(id, mL)
+      val idx = ids.length
+      ids += id; vecs += v; levels += level
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; maxLayer = level; return }
+
+      var cur = greedyDescend(v, entry, maxLayer, math.min(level, maxLayer))
+      var layer = math.min(level, maxLayer)
+      while (layer >= 0) {
+        val w = searchLayer(v, Seq(cur), efC, layer)
+        val selected = w.take(m)
+        for ((_, nb) <- selected) {
+          adj(idx)(layer) += nb
+          val back = adj(nb)(layer)
+          back += idx
+          val cap = capAt(layer)
+          if (back.length > cap) {
+            // trim to the cap nearest (simple selection, as Mmax shrink)
+            val trimmed = back.map(x => (dist(vecs(nb), vecs(x)), x))
+              .sortBy(_._1).take(cap).map(_._2)
+            back.clear(); back ++= trimmed
+          }
+        }
+        if (w.nonEmpty) cur = w.head._2
+        layer -= 1
+      }
+      if (level > maxLayer) { entry = idx; maxLayer = level }
+    }
+
+    def searchTop(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Nil
+      val start = greedyDescend(q, entry, maxLayer, 0)
+      val w = searchLayer(q, Seq(start), math.max(ef, k), 0)
+      w.take(k).map { case (d, i) => (ids(i), 1.0 - d) }.toSeq
+    }
+
+    def serialize(): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(ids.length); out.writeInt(dim)
+      out.writeInt(entry); out.writeInt(maxLayer)
+      var i = 0
+      while (i < ids.length) {
+        out.writeLong(ids(i))
+        val v = vecs(i); var d = 0
+        while (d < dim) { out.writeDouble(v(d)); d += 1 }
+        val layers = adj(i)
+        out.writeInt(layers.length)
+        for (layerNbrs <- layers) {
+          out.writeInt(layerNbrs.length)
+          layerNbrs.foreach(out.writeInt)
+        }
+        i += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  private def deserialize(bytes: Array[Byte], m: Int, efC: Int): Graph = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt(); val dim = in.readInt()
+    val g = new Graph(dim, m, efC)
+    g.entry = in.readInt(); g.maxLayer = in.readInt()
+    var i = 0
+    while (i < n) {
+      g.ids += in.readLong()
+      val v = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { v(d) = in.readDouble(); d += 1 }
+      g.vecs += v
+      val nLayers = in.readInt()
+      val layers = Array.fill(nLayers) {
+        val cnt = in.readInt()
+        val buf = new mutable.ArrayBuffer[Int](cnt)
+        var j = 0
+        while (j < cnt) { buf += in.readInt(); j += 1 }
+        buf
+      }
+      g.adj += layers
+      g.levels += (nLayers - 1)
+      i += 1
+    }
+    g
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Build the per-bucket graphs and persist. `vecCol` must be an
+    * array column (any numeric element type).
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            m: Int = 16, efConstruction: Int = 100, numBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sourceFiles = df.inputFiles.sorted
+    val graphDs = df.select(col(idCol).cast("long").as("id"),
+      expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
+      .repartition(numBuckets, col("id"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        var graph: Graph = null
+        rows.foreach { case (id, vec) =>
+          val arr = vec.toArray
+          if (graph == null) graph = new Graph(arr.length, m, efConstruction)
+          graph.insert(id, normalize(arr))
+        }
+        if (graph == null) Iterator.empty
+        else Iterator((TaskContext.getPartitionId(), graph.ids.length,
+          graph.serialize()))
+      }
+    graphDs.toDF("bucket", "n", "blob")
+      .write.mode("overwrite").parquet(s"$indexPath/graph")
+    spark.createDataFrame(Seq((sourceFiles.toSeq, m, efConstruction, numBuckets)))
+      .toDF("source_files", "m", "ef_construction", "num_buckets")
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** AggIndex freshness rule: exact source file set match. */
+  def isFresh(spark: SparkSession, indexPath: String, source: DataFrame): Boolean =
+    try {
+      val pinned = spark.read.parquet(s"$indexPath/meta")
+        .head().getSeq[String](0).toVector
+      pinned == source.inputFiles.sorted.toVector
+    } catch { case _: Exception => false }
+
+  /** Search every bucket graph in parallel (one task per bucket, beam
+    * width ef) and merge the per-bucket top-k. Returns (id, cos).
+    */
+  def search(spark: SparkSession, indexPath: String, qv: Array[Double],
+             k: Int = 10, ef: Int = 64,
+             excludeIds: Seq[Long] = Nil): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val m = meta.getAs[Int]("m")
+    val efC = meta.getAs[Int]("ef_construction")
+    val qn = normalize(qv.clone())
+    val excl = excludeIds.toSet
+    val bq = spark.sparkContext.broadcast((qn, excl))
+    import spark.implicits._
+    val perBucket = spark.read.parquet(s"$indexPath/graph")
+      .select(col("blob")).as[Array[Byte]]
+      .mapPartitions { blobs =>
+        val (q, ex) = bq.value
+        blobs.flatMap { blob =>
+          val g = deserialize(blob, m, efC)
+          // over-fetch so exclusions don't shrink the candidate pool
+          g.searchTop(q, k + ex.size, ef).filterNot(t => ex.contains(t._1))
+        }
+      }
+      .toDF("id", "cos")
+    perBucket
+      .select(col("id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Build-if-stale convenience (same contract as VectorIndex.ensure). */
+  def ensure(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
+             m: Int = 16, efConstruction: Int = 100, numBuckets: Int = 8): String =
+    synchronized {
+      if (!isFresh(df.sparkSession, indexPath, df))
+        build(df, idCol, vecCol, indexPath, m, efConstruction, numBuckets)
+      indexPath
+    }
+}

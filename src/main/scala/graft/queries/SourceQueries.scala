@@ -246,6 +246,13 @@ object SourceQueries extends QueryModule {
         // v2 positional deletes: a third snapshot deletes every key
         // ending in 3; the read must anti-join them back out
         graft.sources.IcebergLake.deleteWhere(spark, path, col("o_orderkey") % 10 === 3)
+        // v2 equality deletes: a fourth snapshot deletes keys ending in
+        // 7 by key equality, then a fifth re-inserts key 7 — the
+        // strictly-smaller-sequence rule must let the re-insert survive
+        graft.sources.IcebergLake.writeEqualityDeletes(spark, path,
+          src.filter(col("o_orderkey") % 10 === 7).select(col("o_orderkey")),
+          Seq("o_orderkey"))
+        graft.sources.IcebergLake.write(spark, path, src.filter(col("o_orderkey") === 7))
         val out = graft.sources.IcebergLake.read(spark, path)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
@@ -263,7 +270,9 @@ object SourceQueries extends QueryModule {
           Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
     },
-    // the orc-roundtrip slice/aggregate minus the positionally-deleted keys
+    // the orc-roundtrip slice/aggregate minus the positionally-deleted
+    // keys (%10=3) and the equality-deleted keys (%10=7), except key 7
+    // itself which is re-inserted after the equality delete
     Some("""SELECT o_orderstatus,
       |  count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
@@ -271,6 +280,7 @@ object SourceQueries extends QueryModule {
       |  CAST(max(o_orderdate) AS TIMESTAMP) AS max_date,
       |  min(o_orderpriority) AS min_prio
       |FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3
+      |  AND (o_orderkey % 10 <> 7 OR o_orderkey = 7)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   // ---- Paimon external table (reference storages/paimon/) ------------

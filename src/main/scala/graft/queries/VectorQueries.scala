@@ -149,10 +149,36 @@ object VectorQueries extends QueryModule {
 
   private val knnIvf = Q((spark, dir) => knnIvfDf(spark, dir), None, headline = true)
 
+  // ---- HNSW ANN over the PERSISTED graph index (operators.HnswIndex) --
+  // Per-bucket navigable-small-world graphs (the reference's per-block
+  // hnsw_index shape): built once behind the same file-set freshness
+  // pin, searched with beam width ef in parallel across buckets —
+  // polylog node visits per graph instead of a corpus scan. Rows-only:
+  // graph construction depends on insertion order; recall vs brute
+  // force is asserted in VectorSpec.
+  private def hnswIndexPath(dir: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index/hnsw_" +
+      Integer.toHexString(dir.hashCode)
+
+  private def knnHnswDf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HnswIndex
+    val x = t(spark, dir)
+    val idx = HnswIndex.ensure(x.embeddings, "vec_id", "embedding",
+      hnswIndexPath(dir), m = 8, efConstruction = 64, numBuckets = 8)
+    val qv = x.embeddings.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, e -> CAST(e AS DOUBLE))"))
+      .head().getSeq[Double](0).toArray
+    HnswIndex.search(spark, idx, qv, k = 10, ef = 64, excludeIds = Seq(0L))
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private val knnHnsw = Q((spark, dir) => knnHnswDf(spark, dir), None, headline = true)
+
   override def queries: Seq[(String, Q)] = Seq(
     "vec_knn_brute" -> knnBrute,
     "vec_knn_lsh" -> knnLsh,
     "vec_knn_ivf" -> knnIvf,
+    "vec_knn_hnsw" -> knnHnsw,
     "vec_centroid" -> centroid,
     "vec_distances" -> distances)
 }

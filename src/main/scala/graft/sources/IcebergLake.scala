@@ -32,20 +32,31 @@ import scala.jdk.CollectionConverters._
   * Iceberg writers (which carry richer schemas) parse the same as the
   * minimal ones the test writer emits.
   *
-  * v2 positional deletes are applied: delete manifests (content=1)
-  * contribute position-delete parquet files — rows of (file_path, pos)
-  * per the spec — and the read anti-joins them against the data scan's
-  * per-file row ordinals (`_metadata.row_index`, so no synthetic id
-  * shuffle; the join side is delete-set-sized and broadcasts under
-  * AQE's size rule). Equality deletes (data_file.content=2) are still
-  * rejected loudly — reading past them would silently resurrect
-  * deleted rows.
+  * v2 merge-on-read deletes are applied with sequence-number scoping:
+  *  - positional (data_file.content=1): rows of (file_path, pos) per
+  *    the spec, anti-joined against the data scan's per-file row
+  *    ordinals (`_metadata.row_index` — no synthetic id shuffle) for
+  *    data files with sequence number <= the delete's;
+  *  - equality (data_file.content=2): null-safe match on the delete
+  *    file's equality_ids columns, applied to data files with a
+  *    STRICTLY smaller sequence number, so re-inserts of a deleted
+  *    key in later commits survive.
+  * All delete sides are delete-set-sized and broadcast; the data scan
+  * stays one parquet read.
   */
 object IcebergLake {
   private val mapper = new ObjectMapper()
 
+  /** one equality-delete file: path, its data sequence number, and the
+    * top-level column names its equality_ids resolve to
+    */
+  final case class EqDelete(path: String, seq: Long, cols: Seq[String])
+
   final case class State(snapshotId: Long, schema: StructType, files: Seq[String],
-                         posDeletes: Seq[String] = Seq.empty)
+                         posDeletes: Seq[String] = Seq.empty,
+                         fileSeqs: Map[String, Long] = Map.empty,
+                         posDeleteSeqs: Map[String, Long] = Map.empty,
+                         eqDeletes: Seq[EqDelete] = Seq.empty)
 
   // ---- schema translation (iceberg JSON <-> Spark) --------------------
 
@@ -168,37 +179,55 @@ object IcebergLake {
       } else md.get("schema")
     val schema = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
 
-    // manifests: v2 manifest-list avro; v1 may inline `manifests`
-    val manifestPaths: Seq[(String, Int)] =
+    // top-level field id -> column name, for equality_ids resolution
+    val idToName: Map[Int, String] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+
+    // manifests: v2 manifest-list avro; v1 may inline `manifests`.
+    // Each manifest carries its data sequence number (v2 inheritance:
+    // entries without an explicit sequence_number inherit it).
+    val manifestPaths: Seq[(String, Int, Long)] =
       if (snap.has("manifest-list")) {
         avroRecords(resolve(table, snap.get("manifest-list").asText)).map { r =>
           val content = fieldLong(r, "content", 0L).toInt
-          (resolve(table, r.get("manifest_path").toString), content)
+          val seq = fieldLong(r, "sequence_number", 0L)
+          (resolve(table, r.get("manifest_path").toString), content, seq)
         }
       } else {
         snap.get("manifests").elements().asScala.toSeq
-          .map(p => (resolve(table, p.asText), 0))
+          .map(p => (resolve(table, p.asText), 0, 0L))
       }
-    val out = mutable.ArrayBuffer.empty[String]
-    val posDeletes = mutable.ArrayBuffer.empty[String]
-    for ((mp, manifestContent) <- manifestPaths; entry <- avroRecords(mp)) {
+    val out = mutable.ArrayBuffer.empty[(String, Long)]
+    val posDeletes = mutable.ArrayBuffer.empty[(String, Long)]
+    val eqDeletes = mutable.ArrayBuffer.empty[EqDelete]
+    for ((mp, manifestContent, manifestSeq) <- manifestPaths; entry <- avroRecords(mp)) {
       val status = fieldLong(entry, "status", 0L).toInt
       if (status != 2) { // 2 = DELETED
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val content = fieldLong(df, "content", 0L).toInt
         val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("PARQUET")
         require(fmt == "PARQUET", s"iceberg $fmt data files unsupported")
+        val entrySeq = fieldLong(entry, "sequence_number", manifestSeq)
         (manifestContent, content) match {
-          case (0, 0) => out += resolve(table, df.get("file_path").toString)
-          case (_, 1) => posDeletes += resolve(table, df.get("file_path").toString)
-          case (_, 2) => throw new IllegalArgumentException(
-            s"iceberg equality deletes unsupported: ${df.get("file_path")}")
+          case (0, 0) => out += ((resolve(table, df.get("file_path").toString), entrySeq))
+          case (_, 1) => posDeletes += ((resolve(table, df.get("file_path").toString), entrySeq))
+          case (_, 2) =>
+            val eqIdsField = df.getSchema.getField("equality_ids")
+            require(eqIdsField != null && df.get("equality_ids") != null,
+              s"iceberg equality delete without equality_ids: ${df.get("file_path")}")
+            val ids = df.get("equality_ids").asInstanceOf[java.util.List[_]]
+              .asScala.map(_.asInstanceOf[Number].intValue).toSeq
+            val cols = ids.map(id => idToName.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"iceberg equality_id $id is not a top-level column (nested equality deletes unsupported)")))
+            eqDeletes += EqDelete(resolve(table, df.get("file_path").toString), entrySeq, cols)
           case (mc, c) => throw new IllegalArgumentException(
             s"iceberg manifest content=$mc data_file content=$c unsupported")
         }
       }
     }
-    State(targetSnap, schema, out.toSeq, posDeletes.toSeq)
+    State(targetSnap, schema, out.map(_._1).toSeq, posDeletes.map(_._1).toSeq,
+      out.toMap, posDeletes.toMap, eqDeletes.toSeq)
   }
 
   private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -213,22 +242,59 @@ object IcebergLake {
     if (st.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
     val data = spark.read.schema(st.schema).parquet(st.files: _*)
-    if (st.posDeletes.isEmpty) data
-    else {
+    if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return data
+
+    def normKey(p: String) = p.replaceFirst("^file:/+", "/")
+    // data rows tagged with their file's data sequence number (v2
+    // scoping): the path->seq map is driver-known and tiny, attached
+    // with one broadcast join — no data shuffle
+    val seqDf = broadcast(
+      spark.createDataFrame(st.fileSeqs.toSeq.map { case (p, s) => (normKey(p), s) })
+        .toDF("__sp", "__seq"))
+    var cur = data
+      .withColumn("__path", normPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(seqDf, col("__path") === col("__sp"), "left").drop("__sp")
+
+    if (st.posDeletes.nonEmpty) {
       // spec: position delete files carry (file_path, pos = row ordinal
-      // within that file); `_metadata.row_index` is the scan-side
+      // within that file) and apply to data files with data sequence
+      // number <= the delete's; `_metadata.row_index` is the scan-side
       // ordinal, so the apply is one anti-join keyed on normalized
       // path + position — delete-set-sized right side, no data shuffle
+      val delSeqDf = broadcast(
+        spark.createDataFrame(st.posDeleteSeqs.toSeq.map { case (p, s) => (normKey(p), s) })
+          .toDF("__dsp", "__dseq"))
       val dels = spark.read.parquet(st.posDeletes: _*)
-        .select(normPath(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
-      val tagged = data
-        .withColumn("__path", normPath(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-      tagged.join(dels,
-          tagged("__path") === dels("__del_path") && tagged("__pos") === dels("__del_pos"),
-          "left_anti")
-        .drop("__path", "__pos")
+        .withColumn("__dfile", normPath(col("_metadata.file_path")))
+        .join(delSeqDf, col("__dfile") === col("__dsp"))
+        .select(normPath(col("file_path")).as("__del_path"),
+          col("pos").as("__del_pos"), col("__dseq"))
+      cur = cur.join(broadcast(dels),
+        cur("__path") === dels("__del_path") && cur("__pos") === dels("__del_pos") &&
+          cur("__seq") <= dels("__dseq"),
+        "left_anti")
     }
+
+    // equality deletes (content=2): a row is deleted when an equality
+    // delete row null-safe-matches it on the delete file's equality_ids
+    // columns AND the delete's sequence number is strictly greater than
+    // the data file's (spec: rows written in the same or a later commit
+    // are not affected — re-inserts survive). One broadcast anti-join
+    // per distinct equality column set.
+    for ((cols, group) <- st.eqDeletes.groupBy(_.cols)) {
+      val delSeqDf = broadcast(
+        spark.createDataFrame(group.map(d => (normKey(d.path), d.seq)))
+          .toDF("__dsp", "__dseq"))
+      val dels = spark.read.parquet(group.map(_.path): _*)
+        .withColumn("__dfile", normPath(col("_metadata.file_path")))
+        .join(delSeqDf, col("__dfile") === col("__dsp"))
+        .select(cols.map(c => col(c).as(s"__eq_$c")) :+ col("__dseq"): _*)
+      val cond = cols.map(c => cur(c) <=> dels(s"__eq_$c")).reduce(_ && _) &&
+        cur("__seq") < dels("__dseq")
+      cur = cur.join(broadcast(dels), cond, "left_anti")
+    }
+    cur.drop("__path", "__pos", "__seq")
   }
 
   // ---- minimal writer (metadata-only; data files via Spark) -----------
@@ -241,13 +307,15 @@ object IcebergLake {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
       |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long","default":0},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
   private def writeAvro(file: Path, schema: Schema, records: Seq[GenericRecord]): Unit = {
@@ -272,7 +340,8 @@ object IcebergLake {
     val snap = md.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == cur).get
     val prevManifests = avroRecords(resolve(table, snap.get("manifest-list").asText))
-      .map(r => (resolve(table, r.get("manifest_path").toString), fieldLong(r, "content", 0L).toInt))
+      .map(r => (resolve(table, r.get("manifest_path").toString),
+        fieldLong(r, "content", 0L).toInt, fieldLong(r, "sequence_number", 0L)))
     val snapId = cur + 1
 
     val delDir = Paths.get(table, "data", s"deletes-$snapId")
@@ -296,14 +365,97 @@ object IcebergLake {
     val manifestPath = mdir.resolve(s"manifest-$snapId-deletes.avro")
     writeAvro(manifestPath, manifestEntrySchema, entries)
 
-    val mlRecords = (prevManifests :+ (manifestPath.toAbsolutePath.toString, 1)).map { case (p, c) =>
-      val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", p)
-      r.put("manifest_length", Files.size(Paths.get(p)))
-      r.put("content", c)
-      r.put("added_snapshot_id", snapId)
-      r
+    val mlRecords = (prevManifests :+ ((manifestPath.toAbsolutePath.toString, 1, snapId)))
+      .map { case (p, c, sq) =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", Files.size(Paths.get(p)))
+        r.put("content", c)
+        r.put("sequence_number", sq)
+        r.put("added_snapshot_id", snapId)
+        r
+      }
+    val mlPath = mdir.resolve(s"snap-$snapId-manifest-list.avro")
+    writeAvro(mlPath, manifestListSchema, mlRecords)
+
+    val nmd = md.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    nmd.put("current-snapshot-id", snapId)
+    val sn = nmd.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("schema-id", nmd.get("current-schema-id").asInt)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.put("manifest-list", mlPath.toAbsolutePath.toString)
+    val newVersion = v + 1
+    Files.write(mdir.resolve(s"v$newVersion.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(nmd))
+    Files.write(hint, newVersion.toString.getBytes("UTF-8"))
+    snapId
+  }
+
+  /** commit an equality-delete snapshot: `deletes` must contain exactly
+    * the `eqCols` columns; a content=2 manifest with the columns'
+    * schema field ids as equality_ids rides the new snapshot. Rows
+    * matching any delete row on the equality columns are dropped for
+    * data files with a strictly smaller sequence number (v2 spec —
+    * later re-inserts of the same key survive).
+    */
+  def writeEqualityDeletes(spark: SparkSession, table: String,
+                           deletes: DataFrame, eqCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(eqCols.nonEmpty, "equality delete needs at least one column")
+    val mdir = metadataDir(table)
+    val hint = mdir.resolve("version-hint.text")
+    require(Files.exists(hint), s"no iceberg table at $table")
+    val v = new String(Files.readAllBytes(hint), "UTF-8").trim.toInt
+    val md = mapper.readTree(new String(Files.readAllBytes(mdir.resolve(s"v$v.metadata.json")), "UTF-8"))
+    val cur = md.get("current-snapshot-id").asLong
+    val snap = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == cur).get
+    val prevManifests = avroRecords(resolve(table, snap.get("manifest-list").asText))
+      .map(r => (resolve(table, r.get("manifest_path").toString),
+        fieldLong(r, "content", 0L).toInt, fieldLong(r, "sequence_number", 0L)))
+    val snapId = cur + 1
+
+    // resolve the equality column names to schema field ids
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == md.get("current-schema-id").asInt).get
+    val nameToId = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val eqIds = eqCols.map(c => nameToId.getOrElse(c,
+      throw new IllegalArgumentException(s"equality column $c not in table schema")))
+
+    val delDir = Paths.get(table, "data", s"eq-deletes-$snapId")
+    deletes.select(eqCols.map(col): _*)
+      .coalesce(1).write.parquet(delDir.toString)
+    val delFiles = Files.walk(delDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+
+    val entries = delFiles.map { p =>
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1) // ADDED
+      val d = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+      d.put("content", 2) // EQUALITY_DELETES
+      d.put("file_path", p.toAbsolutePath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 0L)
+      d.put("file_size_in_bytes", Files.size(p))
+      d.put("equality_ids", eqIds.map(Int.box).asJava)
+      e.put("data_file", d)
+      e
     }
+    val manifestPath = mdir.resolve(s"manifest-$snapId-eq-deletes.avro")
+    writeAvro(manifestPath, manifestEntrySchema, entries)
+
+    val mlRecords = (prevManifests :+ ((manifestPath.toAbsolutePath.toString, 1, snapId)))
+      .map { case (p, c, sq) =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", Files.size(Paths.get(p)))
+        r.put("content", c)
+        r.put("sequence_number", sq)
+        r.put("added_snapshot_id", snapId)
+        r
+      }
     val mlPath = mdir.resolve(s"snap-$snapId-manifest-list.avro")
     writeAvro(mlPath, manifestListSchema, mlRecords)
 
@@ -351,10 +503,11 @@ object IcebergLake {
         val snap = md.get("snapshots").elements().asScala
           .find(_.get("snapshot-id").asLong == cur).get
         val mls = avroRecords(resolve(table, snap.get("manifest-list").asText))
-          .map(r => (resolve(table, r.get("manifest_path").toString), fieldLong(r, "content", 0L).toInt))
+          .map(r => (resolve(table, r.get("manifest_path").toString),
+            fieldLong(r, "content", 0L).toInt, fieldLong(r, "sequence_number", 0L)))
         val olds = md.get("snapshots").elements().asScala.toSeq
         (v, mls, olds, cur + 1)
-      } else (0, Seq.empty[(String, Int)], Seq.empty[JsonNode], 1L)
+      } else (0, Seq.empty[(String, Int, Long)], Seq.empty[JsonNode], 1L)
 
     // data files
     val dataDir = Paths.get(table, "data", s"snap-$snapId")
@@ -378,15 +531,18 @@ object IcebergLake {
     val manifestPath = mdir.resolve(s"manifest-$snapId.avro")
     writeAvro(manifestPath, manifestEntrySchema, entries)
 
-    // manifest list = previous manifests + the new one
-    val mlRecords = (prevManifests :+ (manifestPath.toAbsolutePath.toString, 0)).map { case (p, c) =>
-      val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", p)
-      r.put("manifest_length", Files.size(Paths.get(p)))
-      r.put("content", c)
-      r.put("added_snapshot_id", snapId)
-      r
-    }
+    // manifest list = previous manifests (keeping their sequence
+    // numbers) + the new one at this snapshot's sequence
+    val mlRecords = (prevManifests :+ ((manifestPath.toAbsolutePath.toString, 0, snapId)))
+      .map { case (p, c, sq) =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", Files.size(Paths.get(p)))
+        r.put("content", c)
+        r.put("sequence_number", sq)
+        r.put("added_snapshot_id", snapId)
+        r
+      }
     val mlPath = mdir.resolve(s"snap-$snapId-manifest-list.avro")
     writeAvro(mlPath, manifestListSchema, mlRecords)
 

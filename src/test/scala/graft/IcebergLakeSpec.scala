@@ -178,4 +178,47 @@ class IcebergLakeSpec extends AnyFunSuite {
       assert(st.posDeletes.nonEmpty)
     } finally rmrf(t)
   }
+
+  test("equality deletes: sequence scoping, re-insert survives, null keys match") {
+    import spark.implicits._
+    val t = scratch()
+    try {
+      IcebergLake.write(spark, t,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))           // seq 1
+      IcebergLake.write(spark, t,
+        Seq((4L, "d"), (5L, "e")).toDF("id", "name"))                      // seq 2
+      val delSnap = IcebergLake.writeEqualityDeletes(spark, t,
+        Seq(Tuple1(2L), Tuple1(5L)).toDF("id"), Seq("id"))                 // seq 3
+      val after = IcebergLake.read(spark, t)
+      assert(after.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+      // time travel before the delete sees everything
+      assert(IcebergLake.read(spark, t, Some(delSnap - 1)).count() == 5)
+      // re-insert of a deleted key AFTER the delete snapshot survives
+      // (strictly-smaller sequence rule)
+      IcebergLake.write(spark, t, Seq((2L, "b2")).toDF("id", "name"))      // seq 4
+      val rows = IcebergLake.read(spark, t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "a"), (3L, "c"), (4L, "d"), (2L, "b2")))
+      // multi-column equality set + null-safe matching
+      val t2 = scratch()
+      try {
+        IcebergLake.write(spark, t2,
+          Seq((1L, Option("x")), (1L, None), (2L, Option("x")))
+            .toDF("k", "tag"))
+        IcebergLake.writeEqualityDeletes(spark, t2,
+          Seq((1L, Option.empty[String])).toDF("k", "tag"), Seq("k", "tag"))
+        val left = IcebergLake.read(spark, t2)
+          .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+        assert(left == Set((1L, Some("x")), (2L, Some("x"))))
+      } finally rmrf(t2)
+      // equality + positional deletes stack
+      IcebergLake.deleteWhere(spark, t, col("id") === 4L)                  // seq 5
+      assert(IcebergLake.read(spark, t).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L, 2L))
+      // unknown equality column refuses loudly
+      intercept[IllegalArgumentException] {
+        IcebergLake.writeEqualityDeletes(spark, t, Seq(Tuple1(1L)).toDF("nope"), Seq("nope"))
+      }
+    } finally rmrf(t)
+  }
 }
