@@ -71,6 +71,66 @@ object BitmapAggs {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** bitmap_xor_agg (reference aggregate_bitmap.rs BitmapXorOp):
+    * symmetric difference fold — associative and commutative, so the
+    * distributed partial merge is order-free.
+    */
+  class BitmapXorAgg extends Aggregator[Array[Byte], RoaringBitmap, Array[Byte]] {
+    override def zero: RoaringBitmap = new RoaringBitmap()
+    override def reduce(b: RoaringBitmap, v: Array[Byte]): RoaringBitmap = { b.xor(deser(v)); b }
+    override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = { a.xor(b); a }
+    override def finish(b: RoaringBitmap): Array[Byte] = ser(b)
+    override def bufferEncoder: Encoder[RoaringBitmap] = Encoders.kryo[RoaringBitmap]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** bitmap_not_count's fold (reference BitmapNotOp = sub_assign):
+    * first-bitmap-minus-the-rest. Set subtraction is not commutative;
+    * like the reference, the result depends on accumulation order, so
+    * it is only deterministic over a sorted/single-partition input.
+    */
+  class BitmapAndNotAgg extends Aggregator[Array[Byte], Option[RoaringBitmap], Array[Byte]] {
+    override def zero: Option[RoaringBitmap] = None
+    override def reduce(b: Option[RoaringBitmap], v: Array[Byte]): Option[RoaringBitmap] =
+      b match {
+        case None => Some(deser(v))
+        case Some(bm) => bm.andNot(deser(v)); Some(bm)
+      }
+    override def merge(a: Option[RoaringBitmap], b: Option[RoaringBitmap]): Option[RoaringBitmap] =
+      (a, b) match {
+        case (Some(x), Some(y)) => x.andNot(y); Some(x)
+        case (x, None) => x
+        case (None, y) => y
+      }
+    override def finish(b: Option[RoaringBitmap]): Array[Byte] =
+      ser(b.getOrElse(new RoaringBitmap()))
+    override def bufferEncoder: Encoder[Option[RoaringBitmap]] = Encoders.kryo[Option[RoaringBitmap]]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** intersect_count (reference aggregate_bitmap.rs
+    * AggregateBitmapIntersectCountFunction): for each tag in `tags`,
+    * union the bitmaps of the rows carrying that tag, then count the
+    * intersection of those per-tag unions. The reference's
+    * `INTERSECT_COUNT('a','b')(bm, tag)` parameterized call syntax has
+    * no Spark SQL equivalent, so this is the library form: one grouped
+    * union per tag (map-side partial merge), then a driver-side AND of
+    * `tags.length` bitmaps.
+    */
+  def intersectCount(df: org.apache.spark.sql.DataFrame, bitmapCol: String,
+                     tagCol: String, tags: Seq[Any]): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val unions = df.filter(col(tagCol).isin(tags: _*))
+      .groupBy(col(tagCol))
+      .agg(expr(s"bitmap_union_agg($bitmapCol)").as("u"))
+      .collect()
+    if (unions.length < tags.length) return 0L // a tag with no rows
+    val bms = unions.map(r => deser(r.getAs[Array[Byte]]("u")))
+    val acc = bms.head
+    bms.tail.foreach(acc.and)
+    acc.getLongCardinality
+  }
+
   // ---- scalar bitmap ops (reference scalars/bitmap.rs name set) -------
 
   private def binop(a: Array[Byte], b: Array[Byte])(

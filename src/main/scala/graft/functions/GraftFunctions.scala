@@ -37,6 +37,20 @@ object GraftFunctions {
     "group_array" -> "collect_list",
     "group_concat" -> "listagg",
     "count_distinct" -> "count_distinct",
+    // aggregate name surface (reference aggregates/aggregator.rs:71-192)
+    "list" -> "collect_list",
+    "string_agg" -> "listagg",
+    "variance_samp" -> "var_samp",
+    "variance_pop" -> "var_pop",
+    // reference maps std to the POPULATION stddev (aggregator.rs:102),
+    // unlike Spark's builtin std = stddev_samp — databend spelling wins
+    "std" -> "stddev_pop",
+    "bitmap_or_agg" -> "bitmap_union_agg",
+    "bitmap_union" -> "bitmap_union_agg",
+    "bitmap_and_agg" -> "bitmap_intersect_agg",
+    "bitmap_intersect" -> "bitmap_intersect_agg",
+    "bitmap_construct_agg" -> "bitmap_agg",
+    "group_bitmap" -> "bitmap_agg",
     // string family
     "lcase" -> "lower",
     "ucase" -> "upper",
@@ -122,8 +136,66 @@ object GraftFunctions {
     // misc (function_list.txt:118)
     "gen_random_uuid" -> "uuid")
 
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(name, args.toSeq, isDistinct = false)
+  private def castD(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.DoubleType)
+  private def castL(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.LongType)
+
   /** names needing argument rewriting */
   val rewrites: Map[String, Seq[Expression] => Expression] = Map(
+    // ---- aggregate surface (reference aggregates/aggregator.rs) ------
+    // sum0 / sum_zero: 0 instead of NULL on empty input
+    "sum0" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
+    "sum_zero" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
+    // quantile_cont: exact continuous-interpolation percentile
+    "quantile_cont" -> (args => fn("percentile", castD(args.head), args(1))),
+    // quantile / quantile_disc: sorted element at floor((n-1)*q)
+    // (reference aggregate_quantile_disc.rs:185). Collect-based — the
+    // scale path for hot groups is operators/Quantiles.
+    "quantile" -> (args =>
+      fn("quantile_disc_pick", fn("collect_list", castD(args.head)), castD(args(1)))),
+    "quantile_disc" -> (args =>
+      fn("quantile_disc_pick", fn("collect_list", castD(args.head)), castD(args(1)))),
+    // t-digest spellings over the registered sketch UDAFs
+    "median_tdigest" -> (args =>
+      fn("tdigest_quantile", fn("tdigest_agg", castD(args.head)), Literal(0.5))),
+    "quantile_tdigest" -> (args =>
+      fn("tdigest_quantile", fn("tdigest_agg", castD(args.head)), castD(args(1)))),
+    "quantile_tdigest_weighted" -> (args =>
+      fn("tdigest_quantile",
+        fn("tdigest_weighted_agg", castD(args.head), castL(args(1))), castD(args(2)))),
+    "median_tdigest_weighted" -> (args =>
+      fn("tdigest_quantile",
+        fn("tdigest_weighted_agg", castD(args.head), castL(args(1))), Literal(0.5))),
+    // VARIANT aggregation (reference aggregate_json_*.rs): the variant
+    // model is JSON text, so the aggregate is a JSON-encoded collect
+    "json_agg" -> (args => fn("to_json", fn("collect_list", args.head))),
+    "json_array_agg" -> (args => fn("to_json", fn("collect_list", args.head))),
+    "json_object_agg" -> (args =>
+      fn("to_json", fn("map_from_entries",
+        fn("collect_list", fn("struct", args.head, args(1)))))),
+    // bitmap count spellings = cardinality of the corresponding fold
+    "bitmap_or_count" -> (args => fn("bitmap_count", fn("bitmap_union_agg", args.head))),
+    "bitmap_and_count" -> (args => fn("bitmap_count", fn("bitmap_intersect_agg", args.head))),
+    "bitmap_xor_count" -> (args => fn("bitmap_count", fn("bitmap_xor_agg", args.head))),
+    "bitmap_not_count" -> (args => fn("bitmap_count", fn("bitmap_andnot_agg", args.head))),
+    // ClickHouse-lineage moving arrays (reference aggregate_array_moving.rs):
+    // collect in group order, post-process into the running window array
+    "group_array_moving_sum" -> (args =>
+      fn("moving_sum_arr", fn("collect_list", castD(args.head)),
+        if (args.length > 1) args(1) else Literal(0))),
+    "group_array_moving_avg" -> (args =>
+      fn("moving_avg_arr", fn("collect_list", castD(args.head)),
+        if (args.length > 1) args(1) else Literal(0))),
+    // equi-height histogram (reference aggregate_histogram.rs), JSON
+    // bucket list [{lower,upper,ndv,count,pre_sum}...]
+    "histogram" -> (args =>
+      fn("histogram_buckets", fn("collect_list", castD(args.head)),
+        if (args.length > 1) args(1) else Literal(128))),
     // ISO day-of-week, Monday=1..Sunday=7 (reference date_helper.rs
     // ToDayOfWeek uses to_monday_one_offset); Spark's dayofweek is
     // Sunday=1, so rewrite to weekday()+1 (weekday is Monday=0).
@@ -382,6 +454,75 @@ object GraftFunctions {
         org.apache.spark.sql.Encoders.BINARY))
     spark.udf.register("tdigest_quantile",
       udf((state: Array[Byte], q: Double) => TDigest.quantile(TDigest.deser(state), q)))
+    // round-6 aggregate name surface (reference aggregator.rs:71-192)
+    spark.udf.register("tdigest_weighted_agg",
+      org.apache.spark.sql.functions.udaf(new TDigest.TDigestWeightedAgg,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong)))
+    spark.udf.register("bitmap_xor_agg",
+      org.apache.spark.sql.functions.udaf(new BitmapAggs.BitmapXorAgg,
+        org.apache.spark.sql.Encoders.BINARY))
+    spark.udf.register("bitmap_andnot_agg",
+      org.apache.spark.sql.functions.udaf(new BitmapAggs.BitmapAndNotAgg,
+        org.apache.spark.sql.Encoders.BINARY))
+    // quantile_disc post-pick: sorted element at floor((n-1)*q)
+    // (reference aggregate_quantile_disc.rs:185)
+    spark.udf.register("quantile_disc_pick", udf((xs: Seq[Double], q: Double) =>
+      if (xs == null || xs.isEmpty) None
+      else {
+        val s = xs.sorted
+        val idx = math.min(s.length - 1,
+          math.max(0, math.floor((s.length - 1) * q).toInt))
+        Some(s(idx))
+      }))
+    // moving window arrays (reference aggregate_array_moving.rs;
+    // window <= 0 means unbounded running sum)
+    def movingSums(xs: Seq[Double], w: Int): Seq[Double] =
+      if (xs == null) Seq.empty
+      else {
+        val out = new Array[Double](xs.length)
+        var acc = 0.0
+        var i = 0
+        while (i < xs.length) {
+          acc += xs(i)
+          if (w > 0 && i >= w) acc -= xs(i - w)
+          out(i) = acc
+          i += 1
+        }
+        out.toSeq
+      }
+    spark.udf.register("moving_sum_arr", udf((xs: Seq[Double], w: Int) => movingSums(xs, w)))
+    spark.udf.register("moving_avg_arr", udf((xs: Seq[Double], w: Int) =>
+      movingSums(xs, w).zipWithIndex.map { case (s, i) =>
+        val denom = if (w > 0) math.min(i + 1, w) else i + 1
+        s / denom
+      }))
+    // equi-height histogram (reference aggregate_histogram.rs:113-130,
+    // 298-301): JSON [{lower,upper,ndv,count,pre_sum}...], pre_sum =
+    // number of elements before the bucket
+    spark.udf.register("histogram_buckets", udf((xs: Seq[Double], maxBuckets: Int) =>
+      if (xs == null || xs.isEmpty) "[]"
+      else {
+        val s = xs.sorted
+        val n = s.length
+        val b = math.max(1, math.min(maxBuckets, n))
+        val per = math.ceil(n.toDouble / b).toInt
+        val sb = new StringBuilder("[")
+        var start = 0
+        var first = true
+        while (start < n) {
+          val end = math.min(n, start + per)
+          val slice = s.slice(start, end)
+          if (!first) sb.append(',')
+          first = false
+          sb.append(s"""{"lower":"${slice.head}","upper":"${slice.last}",""")
+          sb.append(s""""ndv":${slice.distinct.length},"count":${slice.length},""")
+          sb.append(s""""pre_sum":$start}""")
+          start = end
+        }
+        sb.append(']').toString
+      }))
     // scalar bitmap ops — the reference's full scalars/bitmap.rs name
     // set (bitmap_and/or/xor/not, subsets, min/max, conversions)
     spark.udf.register("build_bitmap", udf((xs: Seq[Int]) => BitmapAggs.buildBitmap(xs)))

@@ -139,6 +139,22 @@ object TDigest {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** quantile_tdigest_weighted (reference aggregator.rs:110-113): each
+    * value carries an integer weight — a (mean=v, weight=w) centroid
+    * merged directly into the digest.
+    */
+  class TDigestWeightedAgg extends Aggregator[(Double, Long), Digest, Array[Byte]] {
+    override def zero: Digest = TDigest.empty
+    override def reduce(d: Digest, v: (Double, Long)): Digest =
+      if (v._2 <= 0) d
+      else compress(TDigest.merge(d, Digest(Array(v._1), Array(v._2))))
+    override def merge(a: Digest, b: Digest): Digest = compress(TDigest.merge(a, b))
+    override def finish(d: Digest): Array[Byte] = ser(d)
+    override def bufferEncoder: Encoder[Digest] = Encoders.kryo[Digest]
+    override def outputEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   /** re-merge previously produced states (the `_state` combinator) */
   class TDigestMergeAgg extends Aggregator[Array[Byte], Digest, Array[Byte]] {
     override def zero: Digest = TDigest.empty

@@ -69,6 +69,12 @@ object AsyncFns {
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
 
+  /** keys of every driver-side lock ever taken (system.locks view) */
+  def lockKeys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    locks.keySet().asScala.toSeq.sorted
+  }
+
   def createSequence(dir: String, name: String): GraftSequence = {
     Files.createDirectories(Paths.get(dir))
     val s = new GraftSequence(dir, name)
@@ -89,5 +95,17 @@ object AsyncFns {
     df.join(broadcast(d), col(key) === col(s"__dict_$key"), "left")
       .withColumn(valueCol, coalesce(col(s"__dict_$valueCol"), default))
       .drop(s"__dict_$key", s"__dict_$valueCol")
+  }
+
+  /** dict_get by name: resolve a dictionary registered in
+    * `SystemTables.Dictionaries` (CREATE DICTIONARY metadata — source
+    * path + key/value columns) and apply the same broadcast lookup.
+    */
+  def dictGet(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+              dictName: String, default: Column): DataFrame = {
+    val d = SystemTables.Dictionaries.list.find(_.name == dictName).getOrElse(
+      throw new IllegalArgumentException(s"unknown dictionary $dictName"))
+    val src = spark.read.parquet(d.source.stripPrefix("file://"))
+    dictGet(df, src, d.keyCol, d.valueCol, default)
   }
 }

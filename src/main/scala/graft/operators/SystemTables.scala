@@ -309,6 +309,209 @@ object SystemTables {
     Seq.empty[Tuple1[Int]].toDF("dummy")
   }
 
+  // ---- round-6 second breadth pass ------------------------------------
+
+  /** Node-level Spark conf (reference configs_table.rs — process
+    * configuration, distinct from session `settings`).
+    */
+  def configs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.getConf.getAll.toSeq.sorted.toDF("name", "value")
+  }
+
+  /** Per opened graft table: snapshot version, file count, and the
+    * ANALYZE row count when present (reference statistics_table.rs).
+    */
+  def statistics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sources.GraftTable.openedPaths.map { p =>
+      val t = graft.sources.GraftTable.open(spark, p)
+      val v = t.currentVersion
+      val nFiles = if (v < 0) 0 else t.snapshot(v).files.length
+      val st = t.stats()
+      (p, v, nFiles, st.map(_.rowCount).getOrElse(-1L), st.map(_.cols.size).getOrElse(0))
+    }.toDF("table_path", "version", "num_files", "analyzed_rows", "analyzed_columns")
+  }
+
+  /** The table-valued functions this build ships (reference
+    * table_functions_table.rs).
+    */
+  def tableFunctions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("numbers", "0..n-1, distributed"),
+      ("generate_series", "inclusive range with step (numeric/date/timestamp)"),
+      ("list_stage", "files of a stage directory"),
+      ("infer_schema", "column shape of a parquet/csv/json stage path"),
+      ("fuse_snapshot", "snapshot log of a graft table"),
+      ("fuse_block", "per-file parquet footprint of a graft table"),
+      ("clustering_information", "cluster-key overlap depth histogram"),
+      ("flatten", "lateral VARIANT flatten (6-column shape)"))
+      .toDF("name", "description")
+  }
+
+  /** Functions registered on top of Spark's builtin registry — i.e. the
+    * graft surface itself (reference user_functions_table.rs).
+    */
+  def userFunctions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.listFunction.map(_.funcName.toLowerCase).toSet
+    spark.catalog.listFunctions().collect().toSeq
+      .filter(f => !builtin.contains(f.name.toLowerCase))
+      .map(f => (f.name, Option(f.className).getOrElse(""), f.isTemporary))
+      .sortBy(_._1)
+      .toDF("name", "class_name", "is_temporary")
+  }
+
+  /** Shuffle/spill scratch files under the node's Spark local dirs
+    * (reference temp_files_table.rs). Capped enumeration — this is a
+    * diagnostic view, not a filesystem walk.
+    */
+  def tempFiles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val localDir = spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+    val root = Paths.get(localDir)
+    val rows =
+      if (!Files.isDirectory(root)) Seq.empty
+      else Files.list(root).iterator().asScala
+        .filter { d =>
+          val n = d.getFileName.toString
+          n.startsWith("blockmgr-") || n.startsWith("spark-")
+        }
+        .flatMap { d =>
+          Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_))
+            .map(f => (f.toString, try Files.size(f) catch { case _: Exception => 0L }))
+        }
+        .take(10000).toSeq
+    rows.toDF("path", "size_bytes")
+  }
+
+  /** Live thread stacks (reference backtrace_table.rs). */
+  def backtrace(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    Thread.getAllStackTraces.asScala.toSeq.map { case (t, frames) =>
+      (t.getId, t.getName, t.getState.toString,
+        frames.take(8).map(_.toString).mkString("\n"))
+    }.sortBy(_._1).toDF("thread_id", "name", "state", "stack")
+  }
+
+  /** JVM memory-pool detail (reference malloc_stats_table.rs /
+    * malloc_stats_totals_table.rs role — allocator arenas become the
+    * JVM's named pools).
+    */
+  def mallocStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala.toSeq.map { p =>
+      val u = p.getUsage
+      (p.getName, p.getType.toString, u.getUsed, u.getCommitted, u.getMax)
+    }.toDF("pool", "type", "used_bytes", "committed_bytes", "max_bytes")
+  }
+
+  /** One row per completed/failed query event, reference
+    * query_log_table.rs shape (log_type 2 = Finish, -2 = Error; Start
+    * events are not observable from a QueryExecutionListener).
+    */
+  def queryLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QueryHistory.entries.map { e =>
+      (if (e.status == "Finished") 2 else -2, e.id, e.action, e.plan,
+        e.tsMs, e.durationMs, e.error)
+    }.toDF("log_type", "query_id", "query_kind", "query_text",
+      "event_time_ms", "query_duration_ms", "exception_text")
+  }
+
+  /** RECLUSTER commits from the opened tables' snapshot logs (reference
+    * clustering_history_table.rs) — the log is the on-disk truth, so
+    * reclusters from other sessions appear too.
+    */
+  def clusteringHistory(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = graft.sources.GraftTable.openedPaths.flatMap { p =>
+      val t = graft.sources.GraftTable.open(spark, p)
+      t.versions.map(t.snapshot).filter(_.operation.startsWith("RECLUSTER"))
+        .map(s => (p, s.version, s.timestampMs, s.operation))
+    }
+    rows.toDF("table_path", "version", "timestamp_ms", "operation")
+  }
+
+  /** Named dictionaries for dict_get (reference dictionaries_table.rs;
+    * CREATE DICTIONARY metadata — the lookup itself is
+    * `AsyncFns.dictGet`'s broadcast join).
+    */
+  object Dictionaries {
+    final case class Dict(name: String, source: String, keyCol: String,
+                          valueCol: String, createdMs: Long)
+    private val reg = new java.util.concurrent.ConcurrentHashMap[String, Dict]()
+    def create(name: String, source: String, keyCol: String, valueCol: String): Unit =
+      reg.put(name, Dict(name, source, keyCol, valueCol, System.currentTimeMillis()))
+    def drop(name: String): Unit = reg.remove(name)
+    def list: Seq[Dict] = {
+      import scala.jdk.CollectionConverters._
+      reg.values.asScala.toSeq.sortBy(_.name)
+    }
+  }
+
+  def dictionaries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Dictionaries.list.map(d => (d.name, d.source, d.keyCol, d.valueCol, d.createdMs))
+      .toDF("name", "source", "key_column", "value_column", "created_ms")
+  }
+
+  /** Driver-side locks currently registered (reference locks_table.rs —
+    * table/sequence-level DML locks).
+    */
+  def locks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    AsyncFns.lockKeys.map(k => (k, "DRIVER")).toDF("key", "scope")
+  }
+
+  /** Single-user offline harness: these reference tables exist and are
+    * queryable but hold no rows (tags_table.rs, notifications_table.rs,
+    * notification_history_table.rs, password_policies_table.rs).
+    */
+  def tags(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String)].toDF("tag_name", "object", "value")
+  }
+
+  def notifications(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean)].toDF("name", "type", "enabled")
+  }
+
+  def notificationHistory(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, String)].toDF("name", "event_time_ms", "status")
+  }
+
+  def passwordPolicies(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Int, Int)].toDF("name", "min_length", "max_age_days")
+  }
+
+  /** Repo authorship (reference contributors_table.rs / credits_table.rs
+    * role, scoped to this build).
+    */
+  def contributors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(sys.props.getOrElse("user.name", "root"))).toDF("name")
+  }
+
+  def credits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("apache-spark", spark.version, "execution engine"),
+      ("scala", scala.util.Properties.versionNumberString, "language"),
+      ("openjdk", System.getProperty("java.version"), "runtime"))
+      .toDF("component", "version", "role")
+  }
+
   /** Register all as `system_*` temp views, plus the ANSI
     * `information_schema` mapping (reference
     * src/query/storages/information_schema/: schemata/tables/columns/
@@ -342,6 +545,23 @@ object SystemTables {
     roles(spark).createOrReplaceTempView("system_roles")
     queryCache(spark).createOrReplaceTempView("system_query_cache")
     zero(spark).createOrReplaceTempView("system_zero")
+    configs(spark).createOrReplaceTempView("system_configs")
+    statistics(spark).createOrReplaceTempView("system_statistics")
+    tableFunctions(spark).createOrReplaceTempView("system_table_functions")
+    userFunctions(spark).createOrReplaceTempView("system_user_functions")
+    tempFiles(spark).createOrReplaceTempView("system_temp_files")
+    backtrace(spark).createOrReplaceTempView("system_backtrace")
+    mallocStats(spark).createOrReplaceTempView("system_malloc_stats")
+    queryLog(spark).createOrReplaceTempView("system_query_log")
+    clusteringHistory(spark).createOrReplaceTempView("system_clustering_history")
+    dictionaries(spark).createOrReplaceTempView("system_dictionaries")
+    locks(spark).createOrReplaceTempView("system_locks")
+    tags(spark).createOrReplaceTempView("system_tags")
+    notifications(spark).createOrReplaceTempView("system_notifications")
+    notificationHistory(spark).createOrReplaceTempView("system_notification_history")
+    passwordPolicies(spark).createOrReplaceTempView("system_password_policies")
+    contributors(spark).createOrReplaceTempView("system_contributors")
+    credits(spark).createOrReplaceTempView("system_credits")
 
     // information_schema (ANSI shapes over the same metadata)
     import org.apache.spark.sql.functions.{col, lit, when}

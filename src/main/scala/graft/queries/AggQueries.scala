@@ -266,6 +266,30 @@ object AggQueries extends QueryModule {
     },
     None)
 
+  // round-6 aggregate name surface (aggregator.rs spellings registered
+  // in GraftFunctions): sum0, quantile_disc/quantile/quantile_cont —
+  // gated against DuckDB's identically-named aggregates
+  private val nameSpellings = Q(
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val x = t(spark, dir)
+      x.lineitem.groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(sum0(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)").as("sum0_qty_c"),
+          expr("quantile_disc(l_quantity, 0.5)").as("qd50"),
+          expr("quantile_disc(l_quantity, 0.95)").as("qd95"),
+          expr("round(quantile_cont(l_quantity, 0.25), 6)").as("qc25"),
+          expr("round(std(l_quantity), 6)").as("std_pop_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      |  CAST(coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS sum0_qty_c,
+      |  quantile_disc(l_quantity, 0.5) AS qd50,
+      |  quantile_disc(l_quantity, 0.95) AS qd95,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS qc25,
+      |  round(stddev_pop(l_quantity), 6) AS std_pop_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "agg_basic" -> basic.copy(headline = true),
     "agg_minmax_by" -> minmaxBy,
@@ -280,5 +304,6 @@ object AggQueries extends QueryModule {
     "agg_rollup" -> rollup,
     "agg_cube" -> cube,
     "agg_mode" -> mode_,
-    "agg_approx" -> approx)
+    "agg_approx" -> approx,
+    "agg_name_spellings" -> nameSpellings)
 }

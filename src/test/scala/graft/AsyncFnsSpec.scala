@@ -68,4 +68,21 @@ class AsyncFnsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dict_get by registered dictionary name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dictsrc").toString
+    Seq((1, "one"), (2, "two")).toDF("k", "label").write.mode("overwrite").parquet(dir)
+    graft.operators.SystemTables.Dictionaries.create("numbers_en", dir, "k", "label")
+    try {
+      val facts = Seq((2, "b"), (5, "e")).toDF("k", "payload")
+      val out = AsyncFns.dictGet(spark, facts, "numbers_en", lit("?"))
+        .select("k", "label").as[(Int, String)].collect().toSet
+      assert(out == Set((2, "two"), (5, "?")))
+      intercept[IllegalArgumentException] {
+        AsyncFns.dictGet(spark, facts, "no_such_dict", lit("?"))
+      }
+    } finally graft.operators.SystemTables.Dictionaries.drop("numbers_en")
+  }
 }

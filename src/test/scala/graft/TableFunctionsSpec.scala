@@ -151,6 +151,72 @@ class TableFunctionsSpec extends AnyFunSuite {
       "SELECT * FROM information_schema_keywords WHERE keyword = 'SELECT' AND reserved = 1").count() == 1)
   }
 
+  test("round-6 second breadth: configs/statistics/table_functions/user_functions/query_log/backtrace/locks/dictionaries/clustering_history and empty-shaped views") {
+    import spark.implicits._
+    import graft.operators.SystemTables
+    import graft.sources.GraftTable
+    val dir = tmp()
+    val t = GraftTable.open(spark, dir)
+    t.append((1 to 100).map(i => (i.toLong, i % 5)).toDF("k", "g"))
+    t.analyze()
+    t.recluster(Seq("k"), numFiles = 2)
+    SystemTables.Dictionaries.create("color_names", s"file://$dir", "k", "g")
+    val seqProbe = graft.operators.AsyncFns.createSequence(dir, "sysseq_probe")
+    seqProbe.nextval(Seq(1).toDF("x"), "id").collect() // takes the driver lock
+    spark.sql("SELECT 2").collect()
+    Thread.sleep(500)
+    graft.functions.GraftFunctions.register(spark) // user_functions source
+    SystemTables.register(spark)
+
+    // node conf vs session settings are distinct views
+    assert(spark.sql(
+      "SELECT value FROM system_configs WHERE name = 'spark.app.name'").count() == 1)
+    // statistics picked up the analyzed row count + post-recluster files
+    val st = spark.sql(
+      s"SELECT num_files, analyzed_rows FROM system_statistics WHERE table_path like '%${new java.io.File(dir).getName}%'")
+      .head()
+    assert(st.getInt(0) == 2 && st.getLong(1) == 100L)
+    // the TVF inventory names the fuse introspection functions
+    assert(spark.sql(
+      "SELECT * FROM system_table_functions WHERE name = 'fuse_block'").count() == 1)
+    // user_functions = registered-on-top-of-builtin only
+    val uf = spark.sql("SELECT count(*) FROM system_user_functions").head().getLong(0)
+    assert(uf > 200, s"only $uf user functions")
+    assert(spark.sql(
+      "SELECT * FROM system_user_functions WHERE name = 'bitmap_and'").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM system_user_functions WHERE name = 'abs'").count() == 0)
+    // query_log: reference log_type shape over the same listener ring
+    assert(spark.sql(
+      "SELECT * FROM system_query_log WHERE log_type = 2").count() >= 1)
+    // backtrace sees this very thread
+    assert(spark.sql(
+      "SELECT * FROM system_backtrace WHERE state = 'RUNNABLE'").count() >= 1)
+    assert(spark.sql(
+      "SELECT used_bytes FROM system_malloc_stats").count() >= 2)
+    // locks: the sequence file lock registered above
+    assert(spark.sql(
+      "SELECT * FROM system_locks WHERE key like '%sysseq_probe%'").count() == 1)
+    assert(spark.sql(
+      "SELECT key_column FROM system_dictionaries WHERE name = 'color_names'")
+      .head().getString(0) == "k")
+    SystemTables.Dictionaries.drop("color_names")
+    // clustering_history shows the RECLUSTER commit from the log
+    assert(spark.sql(
+      s"SELECT operation FROM system_clustering_history WHERE table_path like '%${new java.io.File(dir).getName}%'")
+      .head().getString(0).startsWith("RECLUSTER-linear"))
+    // temp_files is enumerable (may be empty on an idle local FS layout)
+    assert(spark.sql("SELECT * FROM system_temp_files").count() >= 0)
+    // empty-shaped single-user views: defined columns, zero rows
+    for (v <- Seq("system_tags", "system_notifications",
+        "system_notification_history", "system_password_policies"))
+      assert(spark.sql(s"SELECT * FROM $v").count() == 0, v)
+    assert(spark.sql("SELECT * FROM system_contributors").count() == 1)
+    assert(spark.sql(
+      "SELECT version FROM system_credits WHERE component = 'apache-spark'")
+      .head().getString(0).startsWith("4."))
+  }
+
   test("blocks and clustering_information introspect the data files") {
     import spark.implicits._
     import graft.operators.TableFunctions
