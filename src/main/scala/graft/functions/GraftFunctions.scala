@@ -36,7 +36,6 @@ object GraftFunctions {
     "arg_max" -> "max_by",
     "group_array" -> "collect_list",
     "group_concat" -> "listagg",
-    "count_distinct" -> "count_distinct",
     // aggregate name surface (reference aggregates/aggregator.rs:71-192)
     "list" -> "collect_list",
     "string_agg" -> "listagg",
@@ -148,6 +147,11 @@ object GraftFunctions {
   /** names needing argument rewriting */
   val rewrites: Map[String, Seq[Expression] => Expression] = Map(
     // ---- aggregate surface (reference aggregates/aggregator.rs) ------
+    // count_distinct(x, ...) = count(DISTINCT x, ...) — an identity
+    // alias cannot express the DISTINCT flag, so it is a rewrite
+    // (was silently unregistered before round 6)
+    "count_distinct" -> (args =>
+      UnresolvedFunction("count", args, isDistinct = true)),
     // sum0 / sum_zero: 0 instead of NULL on empty input
     "sum0" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
     "sum_zero" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
@@ -500,25 +504,37 @@ object GraftFunctions {
       }))
     // equi-height histogram (reference aggregate_histogram.rs:113-130,
     // 298-301): JSON [{lower,upper,ndv,count,pre_sum}...], pre_sum =
-    // number of elements before the bucket
+    // rows before the bucket. The reference buckets over DISTINCT
+    // values — ceil(ndv / max_buckets) distinct values per bucket, so
+    // equal values never split across buckets (its own slt:
+    // histogram(c_id) over 2 ids x 6 rows = 2 buckets of count 6).
     spark.udf.register("histogram_buckets", udf((xs: Seq[Double], maxBuckets: Int) =>
       if (xs == null || xs.isEmpty) "[]"
       else {
-        val s = xs.sorted
-        val n = s.length
-        val b = math.max(1, math.min(maxBuckets, n))
-        val per = math.ceil(n.toDouble / b).toInt
+        def fmt(d: Double): String =
+          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+        // sorted distinct runs: (value, occurrences)
+        val runs = xs.sorted.foldLeft(List.empty[(Double, Int)]) {
+          case ((v, c) :: tail, x) if v == x => (v, c + 1) :: tail
+          case (acc, x) => (x, 1) :: acc
+        }.reverse.toArray
+        val ndv = runs.length
+        val b = math.max(1, math.min(maxBuckets, ndv))
+        val per = math.ceil(ndv.toDouble / b).toInt
         val sb = new StringBuilder("[")
         var start = 0
+        var preSum = 0
         var first = true
-        while (start < n) {
-          val end = math.min(n, start + per)
-          val slice = s.slice(start, end)
+        while (start < ndv) {
+          val end = math.min(ndv, start + per)
+          var cnt = 0
+          var i = start
+          while (i < end) { cnt += runs(i)._2; i += 1 }
           if (!first) sb.append(',')
           first = false
-          sb.append(s"""{"lower":"${slice.head}","upper":"${slice.last}",""")
-          sb.append(s""""ndv":${slice.distinct.length},"count":${slice.length},""")
-          sb.append(s""""pre_sum":$start}""")
+          sb.append(s"""{"lower":"${fmt(runs(start)._1)}","upper":"${fmt(runs(end - 1)._1)}",""")
+          sb.append(s""""ndv":${end - start},"count":$cnt,"pre_sum":$preSum}""")
+          preSum += cnt
           start = end
         }
         sb.append(']').toString

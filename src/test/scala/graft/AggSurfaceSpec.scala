@@ -158,6 +158,13 @@ class AggSurfaceSpec extends AnyFunSuite {
     assert(counts.sum == 100 && counts.length == 4, js)
     val preSums = """"pre_sum":(\d+)""".r.findAllMatchIn(js).map(_.group(1).toInt).toSeq
     assert(preSums == Seq(0, 25, 50, 75), js)
-    assert(js.contains(""""lower":"1.0"""") && js.contains(""""upper":"100.0""""), js)
+    assert(js.contains(""""lower":"1"""") && js.contains(""""upper":"100""""), js)
+    // reference slt: equal values never split across buckets —
+    // histogram(c_id) over 2 ids x 6 rows = 2 buckets of count 6
+    import spark.implicits._
+    (Seq.fill(6)(1.0) ++ Seq.fill(6)(2.0)).toDF("v").createOrReplaceTempView("hist2_probe")
+    assert(spark.sql("SELECT histogram(v) FROM hist2_probe").head().getString(0) ==
+      """[{"lower":"1","upper":"1","ndv":1,"count":6,"pre_sum":0},""" +
+      """{"lower":"2","upper":"2","ndv":1,"count":6,"pre_sum":6}]""")
   }
 }
