@@ -200,6 +200,28 @@ object GraftFunctions {
     "histogram" -> (args =>
       fn("histogram_buckets", fn("collect_list", castD(args.head)),
         if (args.length > 1) args(1) else Literal(128))),
+    // retention(c1..cN) (reference aggregate_retention.rs): r[0] =
+    // any(c1); r[i] = any(c1) AND any(c_i) — conditions may fire on
+    // different rows, so each is an independent boolean-max fold
+    "retention" -> (args => {
+      def toInt(e: Expression) = org.apache.spark.sql.catalyst.expressions
+        .Cast(e, org.apache.spark.sql.types.IntegerType)
+      val anyFirst = fn("max", args.head)
+      fn("array", toInt(anyFirst) +: args.tail.map(c =>
+        toInt(org.apache.spark.sql.catalyst.expressions.And(
+          anyFirst, fn("max", c)))): _*)
+    }),
+    // window_funnel(window, time, c1..cN) — flat spelling of the
+    // reference's window_funnel(window)(time, conds...) parameterized
+    // call (Spark SQL cannot parse that form). `time` must be numeric
+    // (unix_micros(ts) for timestamps); the DP is the Aggregator's
+    // (functions/WindowFunnel.maxLevel), run over the collected
+    // per-group events.
+    "window_funnel" -> (args =>
+      fn("funnel_eval",
+        fn("collect_list",
+          fn("struct", castD(args(1)), fn("array", args.drop(2): _*))),
+        castD(args.head))),
     // ISO day-of-week, Monday=1..Sunday=7 (reference date_helper.rs
     // ToDayOfWeek uses to_monday_one_offset); Spark's dayofweek is
     // Sunday=1, so rewrite to weekday()+1 (weekday is Monday=0).
@@ -496,6 +518,17 @@ object GraftFunctions {
         }
         out.toSeq
       }
+    // window_funnel post-eval: (time, per-step condition flags) rows
+    // collected per group; each true flag k becomes a (t, k+1) event
+    spark.udf.register("funnel_eval", udf((xs: Seq[(Double, Seq[Boolean])], w: Double) =>
+      if (xs == null || xs.isEmpty) 0
+      else {
+        val nSteps = xs.head._2.length
+        val events = xs.flatMap { case (t, conds) =>
+          conds.zipWithIndex.collect { case (true, i) => (t, i + 1) }
+        }
+        WindowFunnel.maxLevel(events, w, nSteps)
+      }))
     spark.udf.register("moving_sum_arr", udf((xs: Seq[Double], w: Int) => movingSums(xs, w)))
     spark.udf.register("moving_avg_arr", udf((xs: Seq[Double], w: Int) =>
       movingSums(xs, w).zipWithIndex.map { case (s, i) =>

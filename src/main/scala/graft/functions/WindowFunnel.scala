@@ -39,22 +39,32 @@ class WindowFunnel(windowMicros: Long, nSteps: Int)
   override def merge(b1: Seq[(Long, Int)], b2: Seq[(Long, Int)]): Seq[(Long, Int)] =
     b1 ++ b2
 
-  override def finish(events: Seq[(Long, Int)]): Int = {
+  override def finish(events: Seq[(Long, Int)]): Int =
+    WindowFunnel.maxLevel(
+      events.map { case (t, k) => (t.toDouble, k) }, windowMicros.toDouble, nSteps)
+
+  override def bufferEncoder: Encoder[Seq[(Long, Int)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Int] = ExpressionEncoder()
+}
+
+object WindowFunnel {
+  /** The funnel DP over (time, 1-based step) events — shared by the
+    * typed Aggregator (epoch micros fit a Double exactly: < 2^53) and
+    * the SQL `window_funnel` spelling, which takes any numeric time.
+    */
+  def maxLevel(events: Seq[(Double, Int)], window: Double, nSteps: Int): Int = {
     val sorted = events.sortBy(identity)
-    val best = Array.fill(nSteps + 1)(Long.MinValue)
+    val best = Array.fill(nSteps + 1)(Double.NegativeInfinity)
     var level = 0
     for ((t, k) <- sorted) {
       if (k == 1) {
         if (t > best(1)) best(1) = t
         if (level < 1) level = 1
-      } else if (best(k - 1) != Long.MinValue) {
+      } else if (k <= nSteps && !best(k - 1).isNegInfinity) {
         if (best(k - 1) > best(k)) best(k) = best(k - 1)
-        if (level < k && best(k - 1) >= t - windowMicros) level = k
+        if (level < k && best(k - 1) >= t - window) level = k
       }
     }
     level
   }
-
-  override def bufferEncoder: Encoder[Seq[(Long, Int)]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Int] = ExpressionEncoder()
 }

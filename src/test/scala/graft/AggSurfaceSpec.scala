@@ -17,11 +17,11 @@ class AggSurfaceSpec extends AnyFunSuite {
   }
 
   /** aggregate names SQL-callable only in the reference's parameterized
-    * syntax; covered by library APIs instead
+    * syntax; covered by library APIs instead. window_funnel and
+    * retention gained flat SQL spellings in round 6 —
+    * window_funnel(w, t, c...) / retention(c...).
     */
   private val LibraryLevel = Set(
-    "window_funnel",  // functions/WindowFunnel.scala Aggregator
-    "retention",      // queries/EventQueries retention pipeline
     "intersect_count" // BitmapAggs.intersectCount
   )
 
@@ -148,6 +148,31 @@ class AggSurfaceSpec extends AnyFunSuite {
       .head().getSeq[Double](0) == Seq(1.0, 3.0, 5.0, 7.0))
     assert(spark.sql("SELECT group_array_moving_avg(v, 2) FROM mov_probe")
       .head().getSeq[Double](0) == Seq(1.0, 1.5, 2.5, 3.5))
+  }
+
+  test("flat SQL window_funnel and retention spellings") {
+    import spark.implicits._
+    // events at t=0..8 carrying ids 1000..1008 (reference
+    // 02_0011_function_window_funnel.test shape)
+    (0 to 8).map(i => (i, 1000 + i)).toDF("t", "event")
+      .createOrReplaceTempView("funnel_sql_probe")
+    def lvl(conds: String): Int = spark.sql(
+      s"SELECT window_funnel(10000, t, $conds) FROM funnel_sql_probe").head().getInt(0)
+    assert(lvl("event = 1000") == 1)
+    assert(lvl("event = 1000, event = 1001") == 2)
+    assert(lvl("event = 1000, event = 1001, event = 1002") == 3)
+    assert(lvl("event = 1000, event = 1001, event = 1002, event = 1008") == 4)
+    // a tight window cuts the chain: step 2 at t=8 is outside w=5 of t=0
+    assert(spark.sql(
+      "SELECT window_funnel(5, t, event = 1000, event = 1008) FROM funnel_sql_probe")
+      .head().getInt(0) == 1)
+    // retention: conditions fire on different rows of the same group
+    Seq((1, "a"), (1, "b"), (2, "a")).toDF("uid", "day")
+      .createOrReplaceTempView("ret_sql_probe")
+    val r = spark.sql(
+      "SELECT uid, retention(day = 'a', day = 'b') AS r FROM ret_sql_probe GROUP BY uid ORDER BY uid")
+      .collect().map(x => (x.getInt(0), x.getSeq[Int](1)))
+    assert(r.toSeq == Seq((1, Seq(1, 1)), (2, Seq(1, 0))))
   }
 
   test("histogram emits equi-height JSON buckets with pre_sum") {
