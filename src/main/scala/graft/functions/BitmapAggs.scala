@@ -119,16 +119,28 @@ object BitmapAggs {
     */
   def intersectCount(df: org.apache.spark.sql.DataFrame, bitmapCol: String,
                      tagCol: String, tags: Seq[Any]): Long = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.functions.{col, expr}
     val unions = df.filter(col(tagCol).isin(tags: _*))
       .groupBy(col(tagCol))
       .agg(expr(s"bitmap_union_agg($bitmapCol)").as("u"))
       .collect()
-    if (unions.length < tags.length) return 0L // a tag with no rows
-    val bms = unions.map(r => deser(r.getAs[Array[Byte]]("u")))
-    val acc = bms.head
-    bms.tail.foreach(acc.and)
-    acc.getLongCardinality
+    // reference semantics (its own slt): a tag with no rows is SKIPPED,
+    // not treated as an empty bitmap — the intersection runs over the
+    // tags that are present; all-absent yields 0
+    intersectNonEmpty(unions.map(_.getAs[Array[Byte]]("u")).toSeq)
+  }
+
+  /** AND together the non-empty bitmaps and count (intersect_count's
+    * merge step; absent/empty per-tag unions are skipped per reference)
+    */
+  def intersectNonEmpty(blobs: Seq[Array[Byte]]): Long = {
+    val bms = blobs.filter(_ != null).map(deser).filter(!_.isEmpty)
+    if (bms.isEmpty) 0L
+    else {
+      val acc = bms.head
+      bms.tail.foreach(acc.and)
+      acc.getLongCardinality
+    }
   }
 
   // ---- scalar bitmap ops (reference scalars/bitmap.rs name set) -------

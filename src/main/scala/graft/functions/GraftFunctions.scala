@@ -187,6 +187,20 @@ object GraftFunctions {
     "bitmap_and_count" -> (args => fn("bitmap_count", fn("bitmap_intersect_agg", args.head))),
     "bitmap_xor_count" -> (args => fn("bitmap_count", fn("bitmap_xor_agg", args.head))),
     "bitmap_not_count" -> (args => fn("bitmap_count", fn("bitmap_andnot_agg", args.head))),
+    // intersect_count(bm, tag, v1..vN) — flat spelling of the
+    // reference's INTERSECT_COUNT(v1..vN)(bm, tag): one FILTER'd
+    // bitmap union per tag value (distributed, merge-combined), then a
+    // scalar AND+count over the per-tag unions; absent tags are
+    // skipped per the reference's own slt vectors
+    "intersect_count" -> (args => {
+      val bm = args.head
+      val tag = args(1)
+      val unions = args.drop(2).map(v => UnresolvedFunction(
+        Seq("bitmap_union_agg"), Seq(bm), isDistinct = false,
+        filter = Some(org.apache.spark.sql.catalyst.expressions.EqualNullSafe(tag, v))))
+      fn("bitmap_intersect_count_merge",
+        org.apache.spark.sql.catalyst.expressions.CreateArray(unions))
+    }),
     // ClickHouse-lineage moving arrays (reference aggregate_array_moving.rs):
     // collect in group order, post-process into the running window array
     "group_array_moving_sum" -> (args =>
@@ -518,6 +532,8 @@ object GraftFunctions {
         }
         out.toSeq
       }
+    spark.udf.register("bitmap_intersect_count_merge",
+      udf((blobs: Seq[Array[Byte]]) => BitmapAggs.intersectNonEmpty(blobs)))
     // window_funnel post-eval: (time, per-step condition flags) rows
     // collected per group; each true flag k becomes a (t, k+1) event
     spark.udf.register("funnel_eval", udf((xs: Seq[(Double, Seq[Boolean])], w: Double) =>

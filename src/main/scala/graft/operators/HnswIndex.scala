@@ -126,7 +126,7 @@ object HnswIndex {
         }
       }
       val out = mutable.ArrayBuffer.empty[(Double, Int)]
-      out ++= res.dequeueAll
+      while (res.nonEmpty) out += res.dequeue()
       out.sortInPlaceBy(_._1)
       out
     }

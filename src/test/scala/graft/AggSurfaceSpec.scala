@@ -16,14 +16,12 @@ class AggSurfaceSpec extends AnyFunSuite {
     s
   }
 
-  /** aggregate names SQL-callable only in the reference's parameterized
-    * syntax; covered by library APIs instead. window_funnel and
-    * retention gained flat SQL spellings in round 6 —
-    * window_funnel(w, t, c...) / retention(c...).
+  /** Names whose databend parameterized call syntax required a flat
+    * SQL respelling: window_funnel(w, t, c...), retention(c...),
+    * intersect_count(bm, tag, v...). All resolve — nothing is left at
+    * library level.
     */
-  private val LibraryLevel = Set(
-    "intersect_count" // BitmapAggs.intersectCount
-  )
+  private val LibraryLevel = Set.empty[String]
 
   test("every aggregator.rs registration resolves (or is documented library-level)") {
     val src = "/root/reference/src/query/functions/src/aggregates/aggregator.rs"
@@ -132,10 +130,18 @@ class AggSurfaceSpec extends AnyFunSuite {
     Seq(1, 2, 2, 7).toDF("x").createOrReplaceTempView("bmc_probe")
     assert(one("SELECT bitmap_count(bitmap_construct_agg(x)) FROM bmc_probe") == 3L)
     assert(one("SELECT bitmap_count(group_bitmap(x)) FROM bmc_probe") == 3L)
-    // library-level intersect_count: tags sharing bits
+    // intersect_count: SQL spelling and library helper agree, and an
+    // absent tag is SKIPPED per the reference's own slt (its group with
+    // only tag 'b' present returns that union's count, not 0)
     val df = Seq(("a", "1,2,3"), ("a", "4"), ("b", "2,4")).toDF("tag", "s")
       .selectExpr("tag", "to_bitmap(s) AS bm")
     assert(graft.functions.BitmapAggs.intersectCount(df, "bm", "tag", Seq("a", "b")) == 2L) // {2,4}
+    assert(graft.functions.BitmapAggs.intersectCount(df, "bm", "tag", Seq("b", "zz")) == 2L) // skip zz
+    assert(graft.functions.BitmapAggs.intersectCount(df, "bm", "tag", Seq("zz", "yy")) == 0L)
+    df.createOrReplaceTempView("ic_probe")
+    assert(one("SELECT intersect_count(bm, tag, 'a', 'b') FROM ic_probe") == 2L)
+    assert(one("SELECT intersect_count(bm, tag, 'b', 'zz') FROM ic_probe") == 2L)
+    assert(one("SELECT intersect_count(bm, tag, 'zz', 'yy') FROM ic_probe") == 0L)
   }
 
   test("group_array_moving_sum / moving_avg windows") {
