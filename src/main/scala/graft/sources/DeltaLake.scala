@@ -34,9 +34,17 @@ import scala.jdk.CollectionConverters._
   * per data file. At 100 TB that is ~1e5-1e6 metadata rows — the same
   * driver-side state every Delta reader reconstructs.
   *
-  * Reader guards: protocol minReaderVersion <= 2 semantics only —
-  * tables using column mapping or deletion vectors are rejected
-  * loudly rather than read wrongly.
+  * Column mapping (PROTOCOL.md "Column Mapping", modes name/id): data
+  * files carry PHYSICAL column names (`delta.columnMapping.physicalName`
+  * in the schema field metadata; id-mode files embed field ids too but
+  * are written with the same physical names). The read builds the
+  * physical schema for the scan, then restores logical names — a
+  * top-level alias plus a by-position struct cast for nested fields —
+  * and resolves `add.partitionValues` keys (physical under mapping)
+  * back to logical partition columns.
+  *
+  * Reader guards: unknown reader features and columnMapping fields
+  * without a physicalName are rejected loudly rather than read wrongly.
   */
 object DeltaLake {
   private val mapper = new ObjectMapper()
@@ -179,7 +187,8 @@ object DeltaLake {
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      configuration: Map[String, String] = Map.empty)
 
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
   private def commitPath(table: String, v: Long): Path =
@@ -218,12 +227,47 @@ object DeltaLake {
 
   private def rejectUnsupported(readerVersion: Int, readerFeatures: Seq[String],
       configuration: Map[String, String]): Unit = {
-    // deletionVectors supported since round 6 (readDv applies them)
-    val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
+    // deletionVectors + columnMapping supported since round 6
+    val unsupported = readerFeatures.filterNot(
+      Set("timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping"))
     require(readerVersion <= 2 || unsupported.isEmpty,
       s"delta reader: unsupported readerFeatures ${unsupported.mkString(",")}")
     val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none", s"delta reader: columnMapping.mode=$cm unsupported")
+    require(Set("none", "name", "id")(cm),
+      s"delta reader: columnMapping.mode=$cm unsupported")
+  }
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** physical (on-disk) name of a mapped field */
+  private def physName(f: StructField): String = {
+    require(f.metadata.contains(PhysNameKey),
+      s"delta columnMapping: field ${f.name} has no $PhysNameKey metadata")
+    f.metadata.getString(PhysNameKey)
+  }
+
+  /** rewrite a logical type to the physical field names, recursively */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physName(f), toPhysical(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
+  }
+
+  /** strip columnMapping metadata so a restored logical type compares
+    * clean (cast targets must not carry the physical annotations)
+    */
+  private def stripMeta(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, stripMeta(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = stripMeta(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = stripMeta(m.keyType), valueType = stripMeta(m.valueType))
+    case other => other
   }
 
   /** reconstruct table state at `versionAsOf` (default: latest) */
@@ -326,7 +370,7 @@ object DeltaLake {
     }
     require(schema != null, s"delta log at $table has no metaData action")
     rejectUnsupported(readerVersion, readerFeatures, configuration)
-    State(target, schema, partCols, active.values.toSeq)
+    State(target, schema, partCols, active.values.toSeq, configuration)
   }
 
   /** read the table as of `versionAsOf` (default latest): one parquet
@@ -336,8 +380,18 @@ object DeltaLake {
   def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None): DataFrame = {
     val st = state(table, spark, versionAsOf)
     val partSet = st.partitionColumns.toSet
-    val dataSchema = StructType(st.schema.fields.filterNot(f => partSet(f.name)))
-    val ordered = st.schema.fields.map(f => col(f.name))
+    val mapped = st.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    // on-disk name of a top-level field (identity without columnMapping)
+    def disk(f: StructField): String = if (mapped) physName(f) else f.name
+    val byName = st.schema.fields.map(f => f.name -> f).toMap
+    val dataSchema = StructType(st.schema.fields.filterNot(f => partSet(f.name)).map(f =>
+      if (mapped) StructField(physName(f), toPhysical(f.dataType), f.nullable) else f))
+    // restore logical names: alias the top level, by-position struct
+    // cast for nested physical names
+    val ordered = st.schema.fields.map { f =>
+      if (partSet(f.name) || !mapped) col(f.name)
+      else col(disk(f)).cast(stripMeta(f.dataType)).as(f.name)
+    }
     if (st.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
     val abs = st.files.map(f => Paths.get(table).toAbsolutePath.resolve(f.path).normalize.toString)
@@ -368,8 +422,11 @@ object DeltaLake {
       }
     if (st.partitionColumns.isEmpty) base.select(ordered.toSeq: _*)
     else {
+      // add.partitionValues keys are PHYSICAL names under columnMapping
+      val partKey = st.partitionColumns.map(c => c -> disk(byName(c))).toMap
       val rows = abs.zip(st.files).map { case (p, f) =>
-        Row.fromSeq(p +: st.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+        Row.fromSeq(p +: st.partitionColumns.map(c =>
+          f.partitionValues.getOrElse(partKey(c), null)))
       }
       val joinSchema = StructType(
         StructField("_graft_file", StringType) +:
@@ -399,6 +456,11 @@ object DeltaLake {
   def deleteWhere(spark: SparkSession, table: String,
                   cond: org.apache.spark.sql.Column): Long = {
     val st = state(table, spark)
+    // the DV writer evaluates `cond` against on-disk column names;
+    // under columnMapping those differ from the logical ones — refuse
+    // rather than silently match nothing
+    require(st.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "delta deleteWhere: columnMapping tables unsupported (read-only support)")
     val partSet = st.partitionColumns.toSet
     val dataSchema = StructType(st.schema.fields.filterNot(f => partSet(f.name)))
     val absOf = st.files.map(f =>

@@ -79,8 +79,16 @@ object IcebergLake {
       case other => throw new IllegalArgumentException(s"iceberg type $other unsupported")
     } else t.get("type").asText match {
       case "struct" => StructType(t.get("fields").elements().asScala.map { f =>
+        // carry the iceberg field id so the parquet scan can resolve
+        // columns BY ID (the iceberg contract — names are mutable,
+        // ids are not; spec "Column Projection"). Spark honors
+        // `parquet.field.id` metadata when
+        // spark.sql.parquet.fieldId.read.enabled is set; files
+        // without embedded ids fall back to name matching.
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", f.get("id").asLong).build()
         StructField(f.get("name").asText, icebergTypeToSpark(f.get("type")),
-          nullable = !f.get("required").asBoolean)
+          nullable = !f.get("required").asBoolean, metadata = md)
       }.toSeq)
       case "list" => ArrayType(icebergTypeToSpark(t.get("element")),
         containsNull = !t.get("element-required").asBoolean)
@@ -236,12 +244,40 @@ object IcebergLake {
   /** read the table at `snapshotId` (default: current snapshot),
     * applying positional deletes
     */
+  /** does this parquet file's footer carry field ids on any column? */
+  private def filesEmbedFieldIds(spark: SparkSession, file: String): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
+    finally r.close()
+  }
+
+  private def stripFieldIds(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType => stripFieldIds(st)
+        case other => other
+      }
+      StructField(f.name, dt, f.nullable)
+    })
+
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val st = state(table, snapshotId)
     if (st.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
-    val data = spark.read.schema(st.schema).parquet(st.files: _*)
+    // iceberg resolves columns by FIELD ID, not name (spec "Column
+    // Projection") — renamed columns keep their id. Real iceberg
+    // writers always embed parquet field ids; probe the first file's
+    // footer and resolve by id when they are there (the requested
+    // schema carries parquet.field.id metadata), by name otherwise
+    // (Spark's ignoreMissing mode would return silent NULLs, never use
+    // it). Mixed id/no-id file sets don't occur in spec tables.
+    val useIds = filesEmbedFieldIds(spark, st.files.head)
+    val readSchema = if (useIds) st.schema else stripFieldIds(st.schema)
+    if (useIds) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val data = spark.read.schema(readSchema).parquet(st.files: _*)
     if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return data
 
     def normKey(p: String) = p.replaceFirst("^file:/+", "/")
@@ -481,7 +517,13 @@ object IcebergLake {
     import org.apache.spark.sql.functions.col
     val st = state(table)
     require(st.files.nonEmpty, "deleteWhere on an empty table")
-    val rows = spark.read.schema(st.schema).parquet(st.files: _*)
+    // same id-vs-name resolution rule as read(): Spark 4 enables
+    // parquet.field.id matching by default, and an id-annotated request
+    // schema over id-less files is a hard error
+    val delSchema =
+      if (filesEmbedFieldIds(spark, st.files.head)) st.schema
+      else stripFieldIds(st.schema)
+    val rows = spark.read.schema(delSchema).parquet(st.files: _*)
       .filter(cond)
       .select(normPath(col("_metadata.file_path")).as("file_path"),
         col("_metadata.row_index").as("pos"))

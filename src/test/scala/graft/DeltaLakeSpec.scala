@@ -108,15 +108,14 @@ class DeltaLakeSpec extends AnyFunSuite {
     } finally rmrf(t)
   }
 
-  test("rejects column mapping and unknown reader features") {
+  test("rejects unknown reader features and unknown columnMapping modes") {
     import spark.implicits._
     val t = scratch()
     try {
       onePart(Seq((1L, 1.0)).toDF("id", "v"), t, "f1.parquet")
       val sch = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}"""
-      // deletionVectors is SUPPORTED since round 6; columnMapping is not
       commit(t, 0L,
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureMagic"]}}""",
         s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{}}}""",
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
       intercept[IllegalArgumentException] { DeltaLake.read(spark, t) }
@@ -126,7 +125,59 @@ class DeltaLakeSpec extends AnyFunSuite {
         onePart(Seq((1L, 1.0)).toDF("id", "v"), t2, "f1.parquet")
         commit(t2, 0L,
           """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-          s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+          s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"weird"}}}""",
+          """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        intercept[IllegalArgumentException] { DeltaLake.read(spark, t2) }
+      } finally rmrf(t2)
+    } finally rmrf(t)
+  }
+
+  test("columnMapping name mode: physical->logical rename, nested structs, partition keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val t = scratch()
+    try {
+      // data files carry PHYSICAL names: col-1 (id), col-2 (payload
+      // struct with inner col-3 = v); partition column ds is col-9 in
+      // add.partitionValues and never in the data files
+      onePart(
+        Seq((1L, 1.5), (2L, 2.5)).toDF("col-1", "x")
+          .select(col("col-1"), struct(col("x").as("col-3")).as("col-2")),
+        t, "f1.parquet")
+      onePart(
+        Seq((3L, 3.5)).toDF("col-1", "x")
+          .select(col("col-1"), struct(col("x").as("col-3")).as("col-2")),
+        t, "f2.parquet")
+      val meta1 = """{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-1\"}"""
+      val meta3 = """{\"delta.columnMapping.id\":3,\"delta.columnMapping.physicalName\":\"col-3\"}"""
+      val payloadType = raw"""{\"type\":\"struct\",\"fields\":[{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":$meta3}]}"""
+      val meta2 = """{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-2\"}"""
+      val meta9 = """{\"delta.columnMapping.id\":9,\"delta.columnMapping.physicalName\":\"col-9\"}"""
+      val sch = raw"""{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":$meta1},{\"name\":\"payload\",\"type\":$payloadType,\"nullable\":true,\"metadata\":$meta2},{\"name\":\"ds\",\"type\":\"string\",\"nullable\":true,\"metadata\":$meta9}]}"""
+      commit(t, 0L,
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+        s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$sch","partitionColumns":["ds"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{"col-9":"a"},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{"col-9":"b"},"size":1,"modificationTime":1,"dataChange":true}}""")
+      val out = DeltaLake.read(spark, t)
+      assert(out.columns.toSeq == Seq("id", "payload", "ds"))
+      val rows = out.selectExpr("id", "payload.v", "ds")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(rows == Set((1L, 1.5, "a"), (2L, 2.5, "a"), (3L, 3.5, "b")))
+      // logical predicates prune/push down against the renamed scan
+      assert(out.filter(col("id") === 3L).count() == 1)
+      // DV writer refuses mapped tables rather than matching nothing
+      intercept[IllegalArgumentException] {
+        DeltaLake.deleteWhere(spark, t, col("id") === 1L)
+      }
+      // a mapped field without physicalName metadata is loud
+      val t2 = scratch()
+      try {
+        onePart(Seq(Tuple1(1L)).toDF("col-1"), t2, "f1.parquet")
+        val badSch = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+        commit(t2, 0L,
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$badSch","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
           """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
         intercept[IllegalArgumentException] { DeltaLake.read(spark, t2) }
       } finally rmrf(t2)

@@ -179,6 +179,38 @@ class IcebergLakeSpec extends AnyFunSuite {
     } finally rmrf(t)
   }
 
+  test("column rename resolves by field id (iceberg column projection)") {
+    import org.apache.spark.sql.types._
+    val t = scratch()
+    try {
+      // data files embed parquet field ids (1, 2) matching the iceberg
+      // schema the writer generates
+      val schema = StructType(Seq(
+        StructField("a", LongType, nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+        StructField("b", StringType, nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.add(org.apache.spark.sql.Row(7L, "x"))
+      rows.add(org.apache.spark.sql.Row(8L, "y"))
+      IcebergLake.write(spark, t, spark.createDataFrame(rows, schema))
+      // a rename commit: same field id, new name (edit the metadata the
+      // way a real ALTER TABLE RENAME COLUMN does — ids never change)
+      val mdir = java.nio.file.Paths.get(t, "metadata")
+      val v = new String(java.nio.file.Files.readAllBytes(
+        mdir.resolve("version-hint.text")), "UTF-8").trim.toInt
+      val mp = mdir.resolve(s"v$v.metadata.json")
+      val edited = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+        .replace("\"a\"", "\"renamed\"")
+      java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+      val out = IcebergLake.read(spark, t)
+      assert(out.columns.toSeq == Seq("renamed", "b"))
+      // by-id projection: the renamed column still reads the stored
+      // values (name-based matching would return nulls here)
+      assert(out.select("renamed").collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+    } finally rmrf(t)
+  }
+
   test("equality deletes: sequence scoping, re-insert survives, null keys match") {
     import spark.implicits._
     val t = scratch()
