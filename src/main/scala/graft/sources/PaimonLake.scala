@@ -51,7 +51,9 @@ object PaimonLake {
 
   final case class State(snapshotId: Long, schema: StructType, files: Seq[String],
                          entries: Seq[PFile] = Seq.empty,
-                         primaryKeys: Seq[String] = Seq.empty)
+                         primaryKeys: Seq[String] = Seq.empty,
+                         mergeEngine: String = "deduplicate",
+                         fieldAggs: Map[String, String] = Map.empty)
 
   /** RowKind bytes as paimon/flink serialize them in `_VALUE_KIND` */
   private val KindInsert: Byte = 0
@@ -261,17 +263,25 @@ object PaimonLake {
     require(Files.exists(sf), s"paimon snapshot $sid not found at $table")
     val snap = mapper.readTree(new String(Files.readAllBytes(sf), "UTF-8"))
     val (schema, partitionKeys, primaryKeys) = readSchema(table, snap.get("schemaId").asLong)
+    // all four documented merge engines read (deduplicate,
+    // partial-update, aggregation, first-row); anything else refuses
+    // rather than merging wrongly
+    var mergeEngine = "deduplicate"
+    var fieldAggs = Map.empty[String, String]
     if (primaryKeys.nonEmpty) {
-      // merge-on-read supported for the DEFAULT merge engine only:
-      // per-key latest-sequence wins, DELETE kinds drop. Other engines
-      // (partial-update, aggregation, first-row) change row semantics
-      // and must refuse rather than merge wrongly.
       val f = Paths.get(table, "schema", s"schema-${snap.get("schemaId").asLong}")
       val opts = mapper.readTree(new String(Files.readAllBytes(f), "UTF-8")).get("options")
-      val engine = Option(opts).filterNot(_.isNull)
+      mergeEngine = Option(opts).filterNot(_.isNull)
         .flatMap(o => Option(o.get("merge-engine"))).map(_.asText).getOrElse("deduplicate")
-      require(engine == "deduplicate",
-        s"paimon merge-engine '$engine' unsupported (only deduplicate merge-on-read)")
+      require(Set("deduplicate", "partial-update", "aggregation", "first-row")(mergeEngine),
+        s"paimon merge-engine '$mergeEngine' unsupported")
+      // aggregation engine: per-field functions from
+      // `fields.<name>.aggregate-function` options
+      fieldAggs = Option(opts).filterNot(_.isNull).map(_.properties().asScala
+        .filter(e => e.getKey.startsWith("fields.") && e.getKey.endsWith(".aggregate-function"))
+        .map(e => e.getKey.stripPrefix("fields.").stripSuffix(".aggregate-function")
+          -> e.getValue.asText)
+        .toMap).getOrElse(Map.empty)
     }
 
     val lists =
@@ -337,7 +347,7 @@ object PaimonLake {
       }
     val bad = located.map(_.path).filterNot(f => f.endsWith(".parquet") || f.endsWith(".orc"))
     require(bad.isEmpty, s"paimon non-parquet/orc data files unsupported: ${bad.take(3).mkString(",")}")
-    State(sid, schema, located.map(_.path), located, primaryKeys)
+    State(sid, schema, located.map(_.path), located, primaryKeys, mergeEngine, fieldAggs)
   }
 
   /** physical schema of a primary-key table's data files (paimon KeyValue
@@ -373,21 +383,68 @@ object PaimonLake {
     val raw = parts.reduce(_ unionByName _)
     if (st.primaryKeys.isEmpty) raw
     else {
-      // deduplicate merge-on-read (paimon's default merge engine): the
-      // record with the highest sequence number wins per key; a DELETE
-      // (or retract) winner drops the key. One key-partitioned window
-      // shuffle — the distributed form of the LSM merge, no driver
-      // state, same result as level-by-level merging because sequence
-      // numbers are globally ordered across levels.
+      // merge-on-read: one key-partitioned window shuffle — the
+      // distributed form of the LSM merge, no driver state, same
+      // result as level-by-level merging because sequence numbers are
+      // globally ordered across levels.
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val keyCols = st.primaryKeys.map(k => col(s"_KEY_$k"))
-      val w = Window.partitionBy(keyCols: _*)
-        .orderBy(col("_SEQUENCE_NUMBER").desc)
-      raw.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .filter(col("_VALUE_KIND") === KindInsert || col("_VALUE_KIND") === KindUpdateAfter)
-        .select(st.schema.fields.map(f => col(f.name)).toSeq: _*)
+      st.mergeEngine match {
+        case "deduplicate" | "first-row" =>
+          // deduplicate: highest sequence wins per key, DELETE winners
+          // drop the key; first-row: LOWEST sequence wins (paimon's
+          // first-value-forever engine)
+          val ord = if (st.mergeEngine == "first-row")
+            col("_SEQUENCE_NUMBER").asc else col("_SEQUENCE_NUMBER").desc
+          val w = Window.partitionBy(keyCols: _*).orderBy(ord)
+          raw.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .filter(col("_VALUE_KIND") === KindInsert || col("_VALUE_KIND") === KindUpdateAfter)
+            .select(st.schema.fields.map(f => col(f.name)).toSeq: _*)
+        case engine @ ("partial-update" | "aggregation") =>
+          // paimon raises on DELETE/retract records for these engines
+          // (unless ignore-delete etc. is configured) — match that,
+          // loudly, with one pushed-filter LIMIT 1 probe
+          require(raw.filter(col("_VALUE_KIND") === KindDelete ||
+              col("_VALUE_KIND") === KindUpdateBefore).limit(1).isEmpty,
+            s"paimon merge-engine '$engine' does not accept DELETE/retract records")
+          // full-frame window in sequence order: partial-update takes
+          // the latest non-null per column; aggregation applies each
+          // field's declared aggregate-function
+          val wAsc = Window.partitionBy(keyCols: _*)
+            .orderBy(col("_SEQUENCE_NUMBER").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          def mergeExpr(f: org.apache.spark.sql.types.StructField) = {
+            val c = col(f.name)
+            val fn = if (engine == "partial-update") "last_non_null_value"
+              else st.fieldAggs.getOrElse(f.name, "last_non_null_value")
+            val m = fn match {
+              case "last_non_null_value" => last(c, ignoreNulls = true).over(wAsc)
+              case "last_value" => last(c, ignoreNulls = false).over(wAsc)
+              case "first_non_null_value" => first(c, ignoreNulls = true).over(wAsc)
+              case "first_value" => first(c, ignoreNulls = false).over(wAsc)
+              case "sum" => sum(c).over(wAsc)
+              case "max" => max(c).over(wAsc)
+              case "min" => min(c).over(wAsc)
+              case "bool_and" => min(c).over(wAsc) // false < true
+              case "bool_or" => max(c).over(wAsc)
+              case "count" => count(c).over(wAsc)
+              case "listagg" => array_join(collect_list(c).over(wAsc), ",")
+              case other => throw new IllegalArgumentException(
+                s"paimon aggregate-function '$other' on ${f.name} unsupported")
+            }
+            m.cast(f.dataType).as(f.name)
+          }
+          val rn = row_number().over(
+            Window.partitionBy(keyCols: _*).orderBy(col("_SEQUENCE_NUMBER").desc))
+          raw.select(st.schema.fields.map { f =>
+              if (st.primaryKeys.contains(f.name)) col(f.name) else mergeExpr(f)
+            }.toSeq :+ rn.as("__rn"): _*)
+            .filter(col("__rn") === 1).drop("__rn")
+        case other => throw new IllegalArgumentException(
+          s"paimon merge-engine '$other' unsupported")
+      }
     }
   }
 
@@ -600,7 +657,8 @@ object PaimonLake {
     * path on real chains.
     */
   def writePk(spark: SparkSession, table: String, df0: DataFrame,
-              primaryKeys: Seq[String], kindCol: Option[String] = None): Long = {
+              primaryKeys: Seq[String], kindCol: Option[String] = None,
+              options: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions._
     require(primaryKeys.nonEmpty, "writePk needs primary keys")
     val root = Paths.get(table)
@@ -624,7 +682,8 @@ object PaimonLake {
       node.putArray("partitionKeys")
       val pk = node.putArray("primaryKeys")
       primaryKeys.foreach(pk.add)
-      node.putObject("options")
+      val opts = node.putObject("options")
+      options.foreach { case (k, v) => opts.put(k, v) }
       Files.write(schemaFile, mapper.writeValueAsBytes(node))
     }
 

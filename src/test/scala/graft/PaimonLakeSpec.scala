@@ -190,7 +190,7 @@ class PaimonLakeSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
-  test("non-deduplicate merge engines are rejected loudly") {
+  test("unknown merge engines are rejected loudly") {
     val dir = tmp("paimonpk")
     try {
       val root = Paths.get(dir)
@@ -198,7 +198,7 @@ class PaimonLakeSpec extends AnyFunSuite {
       Files.write(root.resolve("schema/schema-0"),
         """{"version":3,"id":0,"fields":[{"id":0,"name":"id","type":"BIGINT"}],
           |"highestFieldId":0,"partitionKeys":[],"primaryKeys":["id"],
-          |"options":{"merge-engine":"partial-update"}}""".stripMargin.getBytes("UTF-8"))
+          |"options":{"merge-engine":"replace-everything"}}""".stripMargin.getBytes("UTF-8"))
       Files.write(root.resolve("snapshot/snapshot-1"),
         """{"version":3,"id":1,"schemaId":0,"baseManifestList":null,
           |"deltaManifestList":null,"commitKind":"APPEND"}""".stripMargin.getBytes("UTF-8"))
@@ -206,6 +206,61 @@ class PaimonLakeSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](PaimonLake.read(spark, dir))
       assert(e.getMessage.contains("merge-engine"))
     } finally cleanup(dir)
+  }
+
+  test("partial-update, aggregation, and first-row merge engines") {
+    import spark.implicits._
+    // partial-update: latest NON-NULL per column wins; nulls keep old
+    val pu = tmp("paimonpu")
+    try {
+      PaimonLake.writePk(spark, pu,
+        Seq((1L, Option("a"), Option(10)), (2L, Option("b"), Option(20)))
+          .toDF("id", "name", "v"),
+        primaryKeys = Seq("id"), options = Map("merge-engine" -> "partial-update"))
+      PaimonLake.writePk(spark, pu,
+        Seq((1L, Option.empty[String], Option(11)), (2L, Option("B2"), Option.empty[Int]))
+          .toDF("id", "name", "v"),
+        primaryKeys = Seq("id"))
+      val rows = PaimonLake.read(spark, pu).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(rows == Seq((1L, "a", 11), (2L, "B2", 20)))
+      // DELETE records refuse loudly under partial-update
+      PaimonLake.writePk(spark, pu,
+        Seq((1L, Option("x"), Option(0), "-D")).toDF("id", "name", "v", "op"),
+        primaryKeys = Seq("id"), kindCol = Some("op"))
+      val e = intercept[IllegalArgumentException](PaimonLake.read(spark, pu).collect())
+      assert(e.getMessage.contains("DELETE"))
+    } finally cleanup(pu)
+    // aggregation: per-field functions from the schema options
+    val ag = tmp("paimonagg")
+    try {
+      PaimonLake.writePk(spark, ag,
+        Seq((1L, 10, 5, "x"), (2L, 20, 9, "y")).toDF("id", "total", "peak", "tag"),
+        primaryKeys = Seq("id"),
+        options = Map("merge-engine" -> "aggregation",
+          "fields.total.aggregate-function" -> "sum",
+          "fields.peak.aggregate-function" -> "max",
+          "fields.tag.aggregate-function" -> "listagg"))
+      PaimonLake.writePk(spark, ag,
+        Seq((1L, 7, 3, "z"), (2L, 5, 11, "w")).toDF("id", "total", "peak", "tag"),
+        primaryKeys = Seq("id"))
+      val rows = PaimonLake.read(spark, ag).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+      assert(rows == Seq((1L, 17, 5, "x,z"), (2L, 25, 11, "y,w")))
+    } finally cleanup(ag)
+    // first-row: the FIRST record per key wins forever
+    val fr = tmp("paimonfr")
+    try {
+      PaimonLake.writePk(spark, fr,
+        Seq((1L, "first")).toDF("id", "name"),
+        primaryKeys = Seq("id"), options = Map("merge-engine" -> "first-row"))
+      PaimonLake.writePk(spark, fr,
+        Seq((1L, "second"), (2L, "other")).toDF("id", "name"),
+        primaryKeys = Seq("id"))
+      val rows = PaimonLake.read(spark, fr).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "first"), (2L, "other")))
+    } finally cleanup(fr)
   }
 
   test("primary-key merge-on-read: latest sequence wins, deletes drop, time travel") {
