@@ -247,6 +247,14 @@ class PaimonLakeSpec extends AnyFunSuite {
       val rows = PaimonLake.read(spark, ag).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
       assert(rows == Seq((1L, 17, 5, "x,z"), (2L, 25, 11, "y,w")))
+      // scale shape: the merge (agg windows + pick) reuses ONE key
+      // shuffle — the aggregate windows and the row_number pick share
+      // the same partitioning
+      val df = PaimonLake.read(spark, ag)
+      df.collect() // materialize so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
     } finally cleanup(ag)
     // first-row: the FIRST record per key wins forever
     val fr = tmp("paimonfr")
