@@ -315,28 +315,30 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       case "hilbert" | "zorder" =>
         // space-filling-curve recluster for multi-key pruning
         // (reference: src/query/expression/src/hilbert/,
-        // physical_recluster.rs): normalize both keys to 16-bit ranks
-        // by min/max, map to the curve index, range-partition + sort on
-        // it. Every file then covers a narrow range in EVERY key, so
-        // zone maps prune on any clustered column, not just the first.
-        require(keys.length == 2, s"$curve recluster takes exactly 2 keys")
-        val Seq(a, b) = keys
-        val bounds = df.agg(
-          min(col(a)).cast("double"), max(col(a)).cast("double"),
-          min(col(b)).cast("double"), max(col(b)).cast("double")).collect()(0)
-        val (aMin, aMax) = (bounds.getDouble(0), bounds.getDouble(1))
-        val (bMin, bMax) = (bounds.getDouble(2), bounds.getDouble(3))
-        def rank(c: String, lo: Double, hi: Double) = {
+        // physical_recluster.rs): normalize every key to a 16-bit rank
+        // by min/max, map to the curve key (byte array — n keys x 16
+        // bits, so 2..n keys work; the reference's ClickBench table
+        // clusters on 5), range-partition + sort on it. Every file then
+        // covers a narrow range in EVERY key, so zone maps prune on any
+        // clustered column, not just the first.
+        require(keys.length >= 2, s"$curve recluster takes at least 2 keys")
+        val aggs = keys.flatMap(k =>
+          Seq(min(col(k)).cast("double"), max(col(k)).cast("double")))
+        val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        def rank(i: Int) = {
+          val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
           val span = if (hi > lo) hi - lo else 1.0
-          least(lit(65535), greatest(lit(0),
-            ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)).cast("long")))
+          // NULL keys rank lowest (coalesce keeps the curve UDF total)
+          coalesce(least(lit(65535), greatest(lit(0),
+            ((col(keys(i)).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+              .cast("long"))), lit(0L))
         }
         val curveFn = if (curve == "hilbert")
-          udf((x: Long, y: Long) => GraftTable.hilbertIndex(16, x, y))
+          udf((xs: Seq[Long]) => GraftTable.hilbertBytes(16, xs.toArray))
         else
-          udf((x: Long, y: Long) => GraftTable.zorderIndex(x, y))
+          udf((xs: Seq[Long]) => GraftTable.zorderBytes(16, xs.toArray))
         val withIdx = df.withColumn("__curve",
-          curveFn(rank(a, aMin, aMax), rank(b, bMin, bMax)))
+          curveFn(array(keys.indices.map(rank): _*)))
         withIdx.repartitionByRange(numFiles, col("__curve"))
           .sortWithinPartitions(col("__curve"))
           .drop("__curve")
@@ -505,6 +507,61 @@ object GraftTable {
       s >>= 1
     }
     d
+  }
+
+  /** n-dimensional Hilbert sort key as a fixed-width byte array
+    * (n*order bits, MSB first — BinaryType's unsigned lexicographic
+    * ordering equals curve order). Skilling's AxesToTranspose (public:
+    * J. Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707,
+    * 2004) converts the n order-bit coordinates to the transposed code;
+    * the key is its bit-interleave. This is what lets CLUSTER BY take
+    * 3..n keys (the reference's ClickBench table clusters on 5).
+    */
+  def hilbertBytes(order: Int, coords: Array[Long]): Array[Byte] = {
+    val n = coords.length
+    val X = coords.clone()
+    val M = 1L << (order - 1)
+    var Q = M // inverse undo excess work
+    while (Q > 1) {
+      val P = Q - 1
+      var i = 0
+      while (i < n) {
+        if ((X(i) & Q) != 0L) X(0) ^= P
+        else { val t = (X(0) ^ X(i)) & P; X(0) ^= t; X(i) ^= t }
+        i += 1
+      }
+      Q >>= 1
+    }
+    var i = 1 // Gray encode
+    while (i < n) { X(i) ^= X(i - 1); i += 1 }
+    var t = 0L
+    Q = M
+    while (Q > 1) { if ((X(n - 1) & Q) != 0L) t ^= Q - 1; Q >>= 1 }
+    i = 0
+    while (i < n) { X(i) ^= t; i += 1 }
+    interleaveBits(order, X)
+  }
+
+  /** n-dimensional Morton key: plain bit-interleave, MSB first. */
+  def zorderBytes(order: Int, coords: Array[Long]): Array[Byte] =
+    interleaveBits(order, coords)
+
+  private def interleaveBits(order: Int, words: Array[Long]): Array[Byte] = {
+    val n = words.length
+    val out = new Array[Byte]((order * n + 7) / 8)
+    var bitPos = 0
+    var bit = order - 1
+    while (bit >= 0) {
+      var w = 0
+      while (w < n) {
+        if (((words(w) >>> bit) & 1L) != 0L)
+          out(bitPos / 8) = (out(bitPos / 8) | (0x80 >>> (bitPos % 8))).toByte
+        bitPos += 1
+        w += 1
+      }
+      bit -= 1
+    }
+    out
   }
 
   /** Z-order (Morton) index: interleave the low 16 bits of x and y. */

@@ -122,4 +122,52 @@ class ExtensionsSpec extends AnyFunSuite {
         s"hilbert discontinuity between ($x1,$y1) and ($x2,$y2)")
     }
   }
+
+  test("n-dim hilbert: Skilling key is a true curve; 3-key recluster narrows all dims") {
+    val spark = GraftSession(cpus = 4, appName = "graft-hilbert3-test")
+    import spark.implicits._
+    // curve property in 3-D: sorting all 8^3 cells of an order-3 cube
+    // by hilbertBytes visits grid NEIGHBOURS consecutively
+    val cells = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)
+    implicit val byteOrd: Ordering[Array[Byte]] =
+      (a, b) => java.util.Arrays.compareUnsigned(a, b)
+    val walk = cells.sortBy { case (x, y, z) =>
+      GraftTable.hilbertBytes(3, Array(x, y, z))
+    }
+    assert(walk.distinct.size == 512)
+    walk.sliding(2).foreach { case Seq((x1, y1, z1), (x2, y2, z2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"3-D hilbert discontinuity ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    // 2-D Skilling agrees with the curve property too (same path family
+    // as hilbertIndex even if the traversal orientation differs)
+    val walk2 = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .sortBy { case (x, y) => GraftTable.hilbertBytes(4, Array(x, y)) }
+    walk2.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+
+    // recluster with THREE keys (the reference's ClickBench table
+    // clusters on five): every dimension's per-file span stays well
+    // under the domain, where lexicographic leaves later keys full-span
+    val base = java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target", "tmp"))
+    val grid = (0 until 8000).map { i =>
+      (i / 400, (i / 20) % 20, i % 20)
+    }.toDF("x", "y", "z")
+    val hil = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory(base, "hil3").toString, grid.repartition(8))
+    hil.recluster(Seq("x", "y", "z"), numFiles = 16, curve = "hilbert")
+    val spans = hil.snapshot(hil.currentVersion).files.map { f =>
+      val r = spark.read.parquet(s"${hil.path}/$f")
+        .agg(min($"x"), max($"x"), min($"y"), max($"y"), min($"z"), max($"z")).head()
+      (r.getInt(1) - r.getInt(0), r.getInt(3) - r.getInt(2), r.getInt(5) - r.getInt(4))
+    }
+    val (ax, ay, az) = (
+      spans.map(_._1).sum.toDouble / spans.size,
+      spans.map(_._2).sum.toDouble / spans.size,
+      spans.map(_._3).sum.toDouble / spans.size)
+    assert(ax < 12 && ay < 14 && az < 14, s"3-key hilbert spans too wide: $ax $ay $az")
+    assert(hil.read().count() == 8000)
+  }
 }
