@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, QueryModule, Tables}
+import graft.{GraftSql, Q, QueryModule, Tables}
 import graft.sources.GraftTable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,23 +35,31 @@ object DmlQueries extends QueryModule {
     spark.createDataFrame(rows, df.schema)
   }
 
-  // insert -> update -> delete -> merge, then aggregate the final state
+  // insert -> update -> delete -> merge, then aggregate the final state.
+  // Driven ENTIRELY as SQL text through the GraftSql statement head
+  // (reference: the user surface is SQL — ast/statements/statement.rs;
+  // merge grammar merge_into.rs) — this gate proves the text surface,
+  // not just the Scala API underneath it.
   private val lifecycle = Q(
     (spark, dir) => {
-      val x = Tables(spark, dir)
+      Tables(spark, dir).registerAll()
       val path = scratch("dml")
       try {
-        val base = x.customer.filter(col("c_custkey") < 100)
-          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
-        val t = GraftTable.create(spark, path, base)
-        t.update(col("seg") === "BUILDING", Map("bal" -> (col("bal") + 1000.0)))
-        t.delete(col("bal") < 0.0)
-        val src = x.customer.filter(col("c_custkey") <= 5)
-          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"), lit(9999.0).as("bal"))
-        t.mergeByKey(src, "k")
-        val out = t.read().groupBy(col("seg"))
-          .agg(count(lit(1)).as("n"), sum(Exact.cents(col("bal"))).as("bal_c"))
-          .orderBy(col("seg"))
+        val g = GraftSql(spark, path)
+        g.execute("""CREATE TABLE dml AS
+          SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+          FROM customer WHERE c_custkey < 100""")
+        g.execute("UPDATE dml SET bal = bal + 1000.0 WHERE seg = 'BUILDING'")
+        g.execute("DELETE FROM dml WHERE bal < 0.0")
+        g.execute("""MERGE INTO dml USING (
+            SELECT c_custkey AS k, c_mktsegment AS seg, CAST(9999.0 AS DOUBLE) AS bal
+            FROM customer WHERE c_custkey <= 5) AS s
+          ON dml.k = s.k
+          WHEN MATCHED THEN UPDATE *
+          WHEN NOT MATCHED THEN INSERT *""")
+        val out = g.execute("""SELECT seg, count(*) AS n,
+          CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+          FROM dml GROUP BY seg ORDER BY seg""")
         materialize(spark, out)
       } finally rmrf(path)
     },
@@ -71,22 +79,30 @@ object DmlQueries extends QueryModule {
       |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
       |FROM merged GROUP BY seg ORDER BY seg""".stripMargin))
 
-  // CDC: v0 snapshot -> delete -> append; change feed per action
+  // CDC: v0 snapshot -> delete -> append; change feed per action, read
+  // back with the SQL CHANGES clause (reference ast/query.rs:568-601)
   private val cdc = Q(
     (spark, dir) => {
-      val x = Tables(spark, dir)
+      Tables(spark, dir).registerAll()
       val path = scratch("cdc")
       try {
-        val v0 = x.orders.filter(col("o_orderkey") < 1000)
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
-        val t = GraftTable.create(spark, path, v0)
-        t.delete(col("price") > 300000.0)
-        t.append(x.orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1500)
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price")))
-        val feed = t.changes(0, 1).unionByName(t.changes(1, 2))
-        val out = feed.groupBy(col("change$action").as("action"))
-          .agg(count(lit(1)).as("n"), sum(Exact.cents(col("price"))).as("price_c"))
-          .orderBy(col("action"))
+        val g = GraftSql(spark, path)
+        g.execute("""CREATE TABLE cdc AS
+          SELECT o_orderkey AS k, o_totalprice AS price
+          FROM orders WHERE o_orderkey < 1000""")
+        g.execute("DELETE FROM cdc WHERE price > 300000.0")
+        g.execute("""INSERT INTO cdc
+          SELECT o_orderkey AS k, o_totalprice AS price
+          FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500""")
+        val out = g.execute("""SELECT action, count(*) AS n,
+            CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS price_c
+          FROM (
+            SELECT `change$action` AS action, price
+            FROM cdc CHANGES (INFORMATION => DEFAULT) AT (SNAPSHOT => 0) END (SNAPSHOT => 1)
+            UNION ALL
+            SELECT `change$action` AS action, price
+            FROM cdc CHANGES (INFORMATION => DEFAULT) AT (SNAPSHOT => 1) END (SNAPSHOT => 2))
+          GROUP BY action ORDER BY action""")
         materialize(spark, out)
       } finally rmrf(path)
     },
@@ -103,20 +119,21 @@ object DmlQueries extends QueryModule {
       |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS price_c
       |FROM feed GROUP BY action ORDER BY action""".stripMargin))
 
-  // time travel: aggregate across three versions of the same table
+  // time travel: aggregate across three versions of the same table,
+  // resolved with the SQL AT (SNAPSHOT => v) clause
   private val timeTravel = Q(
     (spark, dir) => {
-      val x = Tables(spark, dir)
+      Tables(spark, dir).registerAll()
       val path = scratch("tt")
       try {
-        val t = GraftTable.create(spark, path,
-          x.nation.select(col("n_nationkey").as("k"), col("n_name").as("name")))
-        t.append(x.region.select((col("r_regionkey") + 100).as("k"), col("r_name").as("name")))
-        t.delete(col("k") < 10)
-        val out = spark.range(1).select(
-          lit(t.readAt(0).count()).as("v0_rows"),
-          lit(t.readAt(1).count()).as("v1_rows"),
-          lit(t.readAt(2).count()).as("v2_rows"))
+        val g = GraftSql(spark, path)
+        g.execute("CREATE TABLE tt AS SELECT n_nationkey AS k, n_name AS name FROM nation")
+        g.execute("INSERT INTO tt SELECT r_regionkey + 100 AS k, r_name AS name FROM region")
+        g.execute("DELETE FROM tt WHERE k < 10")
+        val out = g.execute("""SELECT
+          (SELECT count(*) FROM tt AT (SNAPSHOT => 0)) AS v0_rows,
+          (SELECT count(*) FROM tt AT (SNAPSHOT => 1)) AS v1_rows,
+          (SELECT count(*) FROM tt AT (SNAPSHOT => 2)) AS v2_rows""")
         materialize(spark, out)
       } finally rmrf(path)
     },

@@ -225,6 +225,110 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     commit(writeParts(merged), prev.ledger, "MERGE")
   }
 
+  /** Full MERGE INTO clause set (reference grammar:
+    * src/query/ast/src/ast/statements/merge_into.rs:52-95 —
+    * MatchOperation Update/Delete, MatchedClause/UnmatchedClause with
+    * optional AND selections, evaluated in order, first match wins).
+    *
+    * File-granular copy-on-write like delete/update: only target files
+    * that contain at least one matched row are rewritten; inserted rows
+    * become new parts. Limitation (same as the reference without its
+    * multi-match error path): a target row matching several source rows
+    * is transformed once per match — callers should dedup the source on
+    * the join keys.
+    */
+  def mergeInto(source: DataFrame, targetAlias: String, sourceAlias: String,
+                onCond: String,
+                matched: Seq[GraftTable.MatchedClause],
+                notMatched: Seq[GraftTable.NotMatchedClause]): Long = {
+    val prev = snapshot(currentVersion)
+    val tgtAll = readFiles(prev.files)
+    val userCols = tgtAll.columns.filterNot(_.startsWith("__virt_")).toSeq
+    val tgtSchema = tgtAll.schema
+    def fieldType(c: String) =
+      tgtSchema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+    val src = source.withColumn("__sm", lit(true)).alias(sourceAlias)
+    val on = expr(onCond)
+
+    // which files hold at least one row hit by a matched clause
+    val touched: Seq[String] = if (matched.isEmpty || prev.files.isEmpty) Seq.empty else {
+      val tgtF = tgtAll.withColumn("__f", input_file_name()).alias(targetAlias)
+      val joined = tgtF.join(src, on, "inner")
+      val anyClause = matched.map(_.cond.map(expr).getOrElse(lit(true)))
+        .reduce(_ || _)
+      joined.filter(anyClause).select(col("__f")).distinct().collect()
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+        .toSeq
+    }
+
+    // rewrite touched files: matched rows take the first applicable
+    // clause (update columns / delete), untouched rows pass through
+    val kept: Option[DataFrame] = if (touched.isEmpty) None else {
+      val rawT = readFiles(touched)
+      val tgtT = rawT.drop(
+        rawT.columns.filter(_.startsWith("__virt_")).toIndexedSeq: _*).alias(targetAlias)
+      val joined = tgtT.join(src, on, "left_outer")
+      val isM = col("__sm").isNotNull
+      val clauseIdx = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+        case (acc, (c, i)) =>
+          acc.when(isM && c.cond.map(expr).getOrElse(lit(true)), lit(i))
+      }.otherwise(lit(-1))
+      val withIdx = joined.withColumn("__ci", clauseIdx)
+      val deleteIdx = matched.zipWithIndex.collect {
+        case (GraftTable.MatchedClause(_, None), i) => i
+      }
+      val outCols = userCols.map { c =>
+        val base: Column = col(s"$targetAlias.$c")
+        matched.zipWithIndex.foldLeft(when(lit(false), base)) {
+          case (acc, (GraftTable.MatchedClause(_, Some(set)), i)) =>
+            val e = if (set.isEmpty) col(s"$sourceAlias.$c").cast(fieldType(c))
+                    else set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v).cast(fieldType(c)) }
+                           .getOrElse(base)
+            acc.when(col("__ci") === i, e)
+          case (acc, _) => acc
+        }.otherwise(base).as(c)
+      }
+      val survivors =
+        if (deleteIdx.isEmpty) withIdx
+        else withIdx.filter(!col("__ci").isin(deleteIdx.map(Integer.valueOf): _*))
+      Some(survivors.select(outCols: _*))
+    }
+
+    // unmatched source rows: first applicable NOT MATCHED clause inserts
+    val inserted: Option[DataFrame] = if (notMatched.isEmpty) None else {
+      val anti = src.join(tgtAll.alias(targetAlias), on, "left_anti")
+      val isApplicable = notMatched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+        case (acc, (c, i)) => acc.when(c.cond.map(expr).getOrElse(lit(true)), lit(i))
+      }.otherwise(lit(-1))
+      val withIdx = anti.withColumn("__ni", isApplicable).filter(col("__ni") >= 0)
+      val outCols = userCols.map { c =>
+        val chain = notMatched.zipWithIndex.foldLeft(
+          when(lit(false), lit(null).cast(fieldType(c)))) { case (acc, (cl, i)) =>
+          val e = cl.values match {
+            case None => col(s"$sourceAlias.$c") // INSERT *
+            case Some((cols0, vals)) =>
+              cols0.indexWhere(_.equalsIgnoreCase(c)) match {
+                case -1 => lit(null)
+                case j  => expr(vals(j))
+              }
+          }
+          acc.when(col("__ni") === i, e.cast(fieldType(c)))
+        }.otherwise(lit(null).cast(fieldType(c)))
+        chain.as(c)
+      }
+      Some(withIdx.select(outCols: _*))
+    }
+
+    val newRows = (kept, inserted) match {
+      case (Some(k), Some(i)) => Some(k.unionByName(i))
+      case (k, i)             => k.orElse(i)
+    }
+    if (newRows.isEmpty && touched.isEmpty)
+      return commit(prev.files, prev.ledger, "MERGE-NOOP")
+    val newParts = newRows.map(writeParts).getOrElse(Seq.empty)
+    commit(prev.files.diff(touched) ++ newParts, prev.ledger, "MERGE")
+  }
+
   private def touchedFiles(prev: Snapshot, cond: Column): Seq[String] = {
     if (prev.files.isEmpty) return Seq.empty
     val withFile = readFiles(prev.files).withColumn("__f", input_file_name())
@@ -452,6 +556,19 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET k=expr,... / UPDATE * /
+    * DELETE. `set == None` is DELETE; `Some(Map.empty)` is UPDATE *
+    * (every target column takes the same-named source column).
+    */
+  final case class MatchedClause(cond: Option[String],
+                                 set: Option[Map[String, String]])
+
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT [(cols) VALUES (exprs)].
+    * `values == None` is INSERT * (positional same-named source cols).
+    */
+  final case class NotMatchedClause(cond: Option[String],
+                                    values: Option[(Seq[String], Seq[String])])
 
   /** deterministic materialized-column name for (json column, path);
     * the short hash disambiguates paths that sanitize identically
