@@ -22,11 +22,22 @@ final class Tables(val spark: SparkSession, val dir: String) {
   lazy val orders: DataFrame = read("orders")
   lazy val lineitem: DataFrame = read("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and re-derive micros.
+  /** events.ts has shipped under two encodings: legacy parquet
+    * TIMESTAMP(NANOS) surfaced as long nanos (via
+    * spark.sql.legacy.parquet.nanosAsLong) and, currently,
+    * timestamp[us]. Read schema-adaptively and normalize both to
+    * TIMESTAMP (session TZ is pinned to UTC, so the cast is
+    * value-preserving) — the column type every downstream plan expects.
     */
-  lazy val events: DataFrame =
-    read("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  lazy val events: DataFrame = {
+    val raw = read("events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
+  }
 
   lazy val documents: DataFrame = read("documents")
   lazy val embeddings: DataFrame = read("embeddings")

@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.pojo.{Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** Embedded Python script-UDF engine.
+  *
+  * Reference: databend's UDFScript runtime
+  * (src/query/script_udf_support/src/transform_udf_script.rs:55-93)
+  * keeps a pool of embedded Python runtimes, hands each input block to
+  * the user handler as Arrow data, and reads an Arrow array back. The
+  * Spark-first re-expression runs one `python3` worker per partition —
+  * the same process model Spark itself uses for Python UDFs — and
+  * speaks Arrow IPC streaming over the worker's stdin/stdout, so the
+  * data plane is identical (Arrow RecordBatches both ways) while the
+  * control plane is a plain subprocess: no sockets, no daemons, and a
+  * crashed interpreter fails only its partition's task.
+  *
+  * Contract (matches the per-row scalar semantics of the reference's
+  * arrow-udf Python functions): `source` defines `def <handler>(*cols)`
+  * taking one Python value per input column and returning the output
+  * value (or a tuple when there are several output columns).
+  *
+  * Scale notes: the worker pipeline is streaming — a bounded in-flight
+  * queue (4 batches) keeps the Scala reader and Python writer
+  * overlapped without unbounded buffering; per-partition workers scale
+  * with executor cores, exactly like PySpark's worker-per-task model.
+  */
+object PythonScriptUdf {
+
+  /** Is a python3 with pyarrow importable on this machine? Checked once
+    * per JVM on the driver for fail-fast registration errors; workers
+    * re-raise per-task if the executor image differs.
+    */
+  lazy val available: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "-c", "import pyarrow").start()
+      p.waitFor(30, TimeUnit.SECONDS) && p.exitValue() == 0
+    } catch { case _: Exception => false }
+
+  /** Append `outputs` columns computed by the Python `handler` to `df`.
+    *
+    * @param source    Python source text defining the handler function.
+    * @param handler   name of the function to call per row.
+    * @param timeoutMs per-partition wall-clock budget; the worker is
+    *                  destroyed past it (reference kills its script
+    *                  runtime on budget exhaustion too).
+    */
+  def applyRows(
+      df: DataFrame,
+      outputs: StructType,
+      handler: String,
+      source: String,
+      batchSize: Int = 8192,
+      timeoutMs: Long = 600000L): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ outputs.fields)
+    (inSchema.fields ++ outputs.fields).foreach(f => ScriptUdf.arrowType(f.dataType))
+    val enc = Encoders.row(outSchema)
+    val worker = workerProgram(source, handler, outputs)
+    val inFields = inSchema.fields
+    val nIn = inFields.length
+
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else new Iterator[Row] {
+        private val deadline = System.nanoTime() + timeoutMs * 1000000L
+        private val proc = {
+          try new ProcessBuilder("python3", "-c", worker).start()
+          catch { case e: java.io.IOException =>
+            throw new UnsupportedOperationException(
+              "UDFScript language 'python' needs a python3 interpreter " +
+                s"on the worker host: ${e.getMessage}")
+          }
+        }
+        // a limit/take may drop the iterator mid-stream: kill the worker
+        // at task end rather than leaking it to JVM exit
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => { proc.destroyForcibly(); () }))
+        // stderr drain — keep the tail for error reporting, never block
+        private val errBuf = new StringBuilder
+        private val errT = thread("py-udf-stderr") {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getErrorStream, "UTF-8"))
+          var line = r.readLine()
+          while (line != null) {
+            errBuf.synchronized {
+              errBuf.append(line).append('\n')
+              if (errBuf.length > 8192) errBuf.delete(0, errBuf.length - 8192)
+            }
+            line = r.readLine()
+          }
+        }
+        private val watchdog = thread("py-udf-watchdog") {
+          try {
+            val waitMs = (deadline - System.nanoTime()) / 1000000L
+            if (!proc.waitFor(waitMs max 1L, TimeUnit.MILLISECONDS)) proc.destroyForcibly()
+          } catch { case _: InterruptedException => () }
+        }
+        // in-flight input row batches, paired FIFO with output batches
+        private val inflight = new ArrayBlockingQueue[Seq[Row]](4)
+        private val alloc = new RootAllocator(Long.MaxValue)
+        @volatile private var writeErr: Throwable = null
+        private val writer = thread("py-udf-writer") {
+          val root = VectorSchemaRoot.create(
+            arrowSchema(inFields.toSeq), alloc)
+          val w = new ArrowStreamWriter(root, null, proc.getOutputStream)
+          try {
+            w.start()
+            rows.grouped(batchSize).foreach { batch =>
+              root.allocateNew()
+              batch.zipWithIndex.foreach { case (row, i) =>
+                var c = 0
+                while (c < nIn) {
+                  ScriptUdf.writeCell(root.getVector(c), i,
+                    if (row.isNullAt(c)) null else row.get(c))
+                  c += 1
+                }
+              }
+              root.setRowCount(batch.size)
+              inflight.put(batch)
+              w.writeBatch()
+            }
+            w.end()
+          } catch { case e: Throwable => writeErr = e }
+          finally {
+            try proc.getOutputStream.close() catch { case _: Exception => () }
+            root.close()
+          }
+        }
+        private val reader = new ArrowStreamReader(proc.getInputStream, alloc)
+        private var pending: Iterator[Row] = Iterator.empty
+        private var done = false
+
+        private def fail(cause: Throwable): Nothing = {
+          proc.destroyForcibly()
+          val tail = errBuf.synchronized(errBuf.toString.trim)
+          val timedOut = System.nanoTime() > deadline
+          throw new RuntimeException(
+            (if (timedOut) s"python UDF worker exceeded ${timeoutMs}ms budget"
+             else "python UDF worker failed") +
+              (if (tail.nonEmpty) s":\n$tail" else ""),
+            cause)
+        }
+
+        private def advance(): Unit = {
+          if (done || pending.hasNext) return
+          val more =
+            try reader.loadNextBatch()
+            catch { case e: Throwable => if (writeErr != null) fail(writeErr) else fail(e) }
+          if (!more) {
+            done = true
+            if (writeErr != null) fail(writeErr)
+            proc.waitFor(10, TimeUnit.SECONDS)
+            if (proc.exitValue() != 0) fail(null)
+            watchdog.interrupt(); errT.join(2000)
+            reader.close(); alloc.close()
+          } else {
+            val out = reader.getVectorSchemaRoot
+            val inRows = inflight.take()
+            require(out.getRowCount == inRows.size,
+              s"python UDF returned ${out.getRowCount} rows for a ${inRows.size}-row batch")
+            val nOut = out.getFieldVectors.size()
+            pending = inRows.iterator.zipWithIndex.map { case (in, i) =>
+              Row.fromSeq(in.toSeq ++ (0 until nOut).map(c => ScriptUdf.readCell(out.getVector(c), i)))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending.hasNext }
+        override def next(): Row = { advance(); pending.next() }
+      }
+    }(enc)
+  }
+
+  private def arrowSchema(fields: Seq[StructField]): ArrowSchema =
+    new ArrowSchema(fields.map(f => new Field(f.name,
+      new FieldType(true, ScriptUdf.arrowType(f.dataType), null), null)).asJava)
+
+  private def thread(name: String)(body: => Unit): Thread = {
+    val t = new Thread(() => body, name)
+    t.setDaemon(true); t.start(); t
+  }
+
+  private def pyType(dt: DataType): String = dt match {
+    case IntegerType => "pa.int32()"
+    case LongType => "pa.int64()"
+    case FloatType => "pa.float32()"
+    case DoubleType => "pa.float64()"
+    case StringType => "pa.string()"
+    case BooleanType => "pa.bool_()"
+    case DateType => "pa.date32()"
+    case TimestampType => "pa.timestamp('us', 'UTC')"
+    case BinaryType => "pa.binary()"
+    case other => throw new IllegalArgumentException(s"unsupported python UDF type $other")
+  }
+
+  /** The worker program: read input batches from stdin as an Arrow IPC
+    * stream, call the handler per row, write output batches to stdout.
+    * User source is embedded via repr-style escaping and exec'd in a
+    * fresh namespace (the reference isolates each script runtime the
+    * same way).
+    */
+  private def workerProgram(source: String, handler: String, outputs: StructType): String = {
+    val srcLit = "\"\"\"" + source.replace("\\", "\\\\").replace("\"", "\\\"") + "\"\"\""
+    val names = outputs.fields.map(f => "'" + f.name + "'").mkString("[", ",", "]")
+    val types = outputs.fields.map(f => pyType(f.dataType)).mkString("[", ",", "]")
+    s"""import sys
+       |import pyarrow as pa
+       |ns = {}
+       |exec(compile($srcLit, '<udf>', 'exec'), ns)
+       |fn = ns[${"'" + handler + "'"}]
+       |onames = $names
+       |otypes = $types
+       |single = len(onames) == 1
+       |rdr = pa.ipc.open_stream(sys.stdin.buffer)
+       |wtr = None
+       |for b in rdr:
+       |    cols = [c.to_pylist() for c in b.columns]
+       |    rows = zip(*cols) if cols else ((),) * b.num_rows
+       |    outs = [[] for _ in onames]
+       |    for r in rows:
+       |        v = fn(*r)
+       |        if single:
+       |            v = (v,)
+       |        for j, x in enumerate(v):
+       |            outs[j].append(x)
+       |    arrs = [pa.array(outs[j], type=otypes[j]) for j in range(len(onames))]
+       |    ob = pa.record_batch(arrs, names=onames)
+       |    if wtr is None:
+       |        wtr = pa.ipc.new_stream(sys.stdout.buffer, ob.schema)
+       |    wtr.write_batch(ob)
+       |    sys.stdout.buffer.flush()
+       |if wtr is None:
+       |    sch = pa.schema([pa.field(n, t) for n, t in zip(onames, otypes)])
+       |    wtr = pa.ipc.new_stream(sys.stdout.buffer, sch)
+       |wtr.close()
+       |sys.stdout.buffer.flush()
+       |""".stripMargin
+  }
+}

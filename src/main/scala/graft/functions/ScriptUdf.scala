@@ -21,11 +21,13 @@ import scala.jdk.CollectionConverters._
   * `mapPartitions`, so it distributes like any other narrow transform
   * and never touches the driver.
   *
-  * Embedded script ENGINES (QuickJS/CPython/WASM in the reference) are
-  * not available in this offline JVM build: `language = "native"` takes
-  * a JVM handler; "javascript" | "python" | "wasm" raise the same
-  * UNSUPPORTED error databend raises for an unknown language, making
-  * this the documented extension point rather than a silent stub.
+  * Embedded script ENGINES: `language = "native"` takes a JVM batch
+  * handler; Python scripts are executed by [[PythonScriptUdf]] (one
+  * python3 worker per partition, Arrow IPC both ways — the same data
+  * plane as the reference's embedded runtime pool); "javascript" |
+  * "wasm" raise the same UNSUPPORTED error databend raises for an
+  * unknown language, making them documented extension points rather
+  * than silent stubs.
   *
   * Supported Arrow column types: Int32/Int64/Float32/Float64/Utf8/
   * Bool/Date32/Timestamp(us, UTC)/VarBinary — the scalar subset the
@@ -55,11 +57,15 @@ object ScriptUdf {
       batchSize: Int = 8192)(handler: BatchHandler): DataFrame = {
     language match {
       case "native" => // executable in-JVM
-      case "javascript" | "python" | "wasm" =>
+      case "python" =>
+        throw new UnsupportedOperationException(
+          "python UDFScripts use the per-row contract: call " +
+            "PythonScriptUdf.applyRows (subprocess pool + Arrow IPC)")
+      case "javascript" | "wasm" =>
         throw new UnsupportedOperationException(
           s"UDFScript language '$language' needs an embedded engine " +
             "(arrow-udf runtime) that is not available in this build; " +
-            "use language='native' with a JVM handler")
+            "use language='native' with a JVM handler or python")
       case other =>
         throw new IllegalArgumentException(s"unknown UDF language '$other'")
     }
@@ -104,7 +110,7 @@ object ScriptUdf {
     }(enc)
   }
 
-  private def arrowType(dt: DataType): ArrowType = dt match {
+  private[graft] def arrowType(dt: DataType): ArrowType = dt match {
     case IntegerType => new ArrowType.Int(32, true)
     case LongType => new ArrowType.Int(64, true)
     case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
@@ -119,7 +125,7 @@ object ScriptUdf {
         s"timestamp/binary columns, got $other")
   }
 
-  private def writeCell(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
+  private[graft] def writeCell(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
     case (x: IntVector, null) => x.setNull(i)
     case (x: IntVector, a: Int) => x.setSafe(i, a)
     case (x: BigIntVector, null) => x.setNull(i)
@@ -146,7 +152,7 @@ object ScriptUdf {
       s"cannot write ${a.getClass} into ${x.getClass}")
   }
 
-  private def readCell(v: FieldVector, i: Int): Any =
+  private[graft] def readCell(v: FieldVector, i: Int): Any =
     if (v.isNull(i)) null
     else v match {
       case x: IntVector => x.get(i)

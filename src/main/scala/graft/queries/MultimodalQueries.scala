@@ -64,6 +64,40 @@ object MultimodalQueries extends QueryModule {
       |  '[' || upper(lang) || ']' AS lang_tag
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
+  // Embedded-Python script UDF (reference transform_udf_script.rs:55-93):
+  // one python3 worker per partition, Arrow IPC both ways. The handler
+  // is ordinary per-row Python; the oracle replays it in SQL. Outputs
+  // are integers/strings only so the cross-engine hash is float-free.
+  private val udfScriptPython = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val x = Tables(spark, dir)
+      val in = x.documents.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.functions.PythonScriptUdf.applyRows(in,
+        StructType(Seq(
+          StructField("n_tokens", LongType),
+          StructField("n_chars", LongType),
+          StructField("n_vowels", LongType),
+          StructField("lang_tag", StringType))),
+        handler = "feat",
+        source =
+          """def feat(doc_id, text, lang):
+            |    toks = [t for t in text.split() if t]
+            |    v = sum(1 for c in text.lower() if c in 'aeiou')
+            |    return (len(toks), len(text), v, '[' + lang.upper() + ']')
+            |""".stripMargin)
+        .select("doc_id", "n_tokens", "n_chars", "n_vowels", "lang_tag")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+      |  '[' || upper(lang) || ']' AS lang_tag
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin))
+
   // real header decode (round 6): payloads are synthesized with genuine
   // PNG/JPEG/GIF/BMP container headers (dimensions derived from doc_id)
   // + the text bytes as body; decodeHeader must recover format and
@@ -102,5 +136,6 @@ object MultimodalQueries extends QueryModule {
   override def queries: Seq[(String, Q)] = Seq(
     "mm_features" -> mmFeatures,
     "mm_decode" -> mmDecode,
-    "udf_script_arrow" -> udfScript)
+    "udf_script_arrow" -> udfScript,
+    "udf_script_python" -> udfScriptPython)
 }

@@ -232,10 +232,10 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     *
     * File-granular copy-on-write like delete/update: only target files
     * that contain at least one matched row are rewritten; inserted rows
-    * become new parts. Limitation (same as the reference without its
-    * multi-match error path): a target row matching several source rows
-    * is transformed once per match — callers should dedup the source on
-    * the join keys.
+    * become new parts. Like the reference, a target row matched by more
+    * than one source row raises an ambiguous-merge error (databend's
+    * unmatched-multiple-rows path in its merge-into pipeline) instead of
+    * silently transforming the row once per match.
     */
   def mergeInto(source: DataFrame, targetAlias: String, sourceAlias: String,
                 onCond: String,
@@ -266,8 +266,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val kept: Option[DataFrame] = if (touched.isEmpty) None else {
       val rawT = readFiles(touched)
       val tgtT = rawT.drop(
-        rawT.columns.filter(_.startsWith("__virt_")).toIndexedSeq: _*).alias(targetAlias)
+        rawT.columns.filter(_.startsWith("__virt_")).toIndexedSeq: _*)
+        .withColumn("__tid", monotonically_increasing_id()).alias(targetAlias)
       val joined = tgtT.join(src, on, "left_outer")
+      val ambiguous = joined.filter(col("__sm").isNotNull)
+        .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
+      if (ambiguous > 0)
+        throw new IllegalStateException(
+          "MERGE INTO: a target row matches multiple source rows " +
+          "(ambiguous merge) — dedup the source on the join keys")
       val isM = col("__sm").isNotNull
       val clauseIdx = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
         case (acc, (c, i)) =>

@@ -81,6 +81,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows == Seq((0L, "old"), (1L, "old"), (2L, "new"), (3L, "new!")))
   }
 
+  test("MERGE INTO: a target row matching multiple source rows raises") {
+    val g = sqlHead()
+    g.execute("CREATE TABLE mt AS SELECT id AS k, CAST(0 AS DOUBLE) AS bal FROM range(3)")
+    // source has k=1 twice — the reference errors on the ambiguous match
+    val ex = intercept[Exception] {
+      g.execute("""MERGE INTO mt USING
+        (SELECT CAST(1 AS BIGINT) AS k, CAST(10 AS DOUBLE) AS bal
+         UNION ALL SELECT CAST(1 AS BIGINT), CAST(20 AS DOUBLE)) AS s
+        ON mt.k = s.k
+        WHEN MATCHED THEN UPDATE SET bal = mt.bal + s.bal""")
+    }
+    def chain(e: Throwable): String =
+      if (e == null) "" else e.getMessage + "|" + chain(e.getCause)
+    assert(chain(ex).toLowerCase.contains("multiple source rows"))
+    // target unchanged — the failed merge committed nothing
+    assert(g.execute("SELECT sum(bal) AS s FROM mt").head.getDouble(0) == 0.0)
+  }
+
   test("COPY INTO from a stage is idempotent per file") {
     val g = sqlHead()
     val stage = tmp()

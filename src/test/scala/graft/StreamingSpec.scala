@@ -24,9 +24,13 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val tsFix =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
     val streamEvents = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsFix)
 
     val q = GraftStreams.windowedCounts(streamEvents)
       .writeStream.outputMode("complete")
