@@ -319,11 +319,63 @@ object HnswIndex {
       .limit(k)
   }
 
-  /** Build-if-stale convenience (same contract as VectorIndex.ensure). */
+  /** Incremental maintenance (reference builds per-block HNSW graphs at
+    * write — hnsw_index/, fuse_pruner.rs:88-93): when the source grew
+    * append-only, build generation subgraphs over ONLY the new files'
+    * rows and append their blobs to `graph/`. [[search]] already
+    * deserializes every blob and merges per-graph top-k, so generation
+    * graphs need no probe change — the exact analogue of the
+    * reference's per-block graphs merged at query time. Existing blob
+    * files are never touched. Returns true when the delta path applied.
+    */
+  def refresh(df: DataFrame, idCol: String, vecCol: String, indexPath: String): Boolean = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val current = df.inputFiles.sorted.toVector
+    val (pinned, meta) =
+      try {
+        val m0 = spark.read.parquet(s"$indexPath/meta").head()
+        (m0.getSeq[String](0).toVector, m0)
+      } catch { case _: Exception => (Vector.empty[String], null) }
+    if (meta == null || pinned.isEmpty || pinned == current ||
+        !pinned.toSet.subsetOf(current.toSet)) return false
+    val m = meta.getAs[Int]("m")
+    val efC = meta.getAs[Int]("ef_construction")
+    val numBuckets = meta.getAs[Int]("num_buckets")
+    val newFiles = current.filterNot(pinned.toSet)
+    spark.read.parquet(newFiles: _*)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
+      .repartition(numBuckets, col("id"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        var graph: Graph = null
+        rows.foreach { case (id, vec) =>
+          val arr = vec.toArray
+          if (graph == null) graph = new Graph(arr.length, m, efC)
+          graph.insert(id, normalize(arr))
+        }
+        if (graph == null) Iterator.empty
+        else Iterator((TaskContext.getPartitionId(), graph.ids.length,
+          graph.serialize()))
+      }
+      .toDF("bucket", "n", "blob")
+      .write.mode("append").parquet(s"$indexPath/graph")
+    spark.createDataFrame(Seq((current, m, efC, numBuckets)))
+      .toDF("source_files", "m", "ef_construction", "num_buckets")
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+    true
+  }
+
+  /** Build-if-stale convenience (same contract as VectorIndex.ensure).
+    * Append-only growth takes the [[refresh]] delta path; any other
+    * file-set change rebuilds.
+    */
   def ensure(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
              m: Int = 16, efConstruction: Int = 100, numBuckets: Int = 8): String =
     synchronized {
-      if (!isFresh(df.sparkSession, indexPath, df))
+      if (!isFresh(df.sparkSession, indexPath, df) &&
+          !refresh(df, idCol, vecCol, indexPath))
         build(df, idCol, vecCol, indexPath, m, efConstruction, numBuckets)
       indexPath
     }

@@ -39,7 +39,22 @@ object InvertedIndex {
     * length norm needs NO corpus-sized doc-length join at query time —
     * a term lookup stays one IN-pruned scan at 100 TB (+8 bytes/row).
     */
-  def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+  def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit =
+    writeGeneration(docs, idCol, textCol, indexPath,
+      docs.inputFiles.sorted.toSeq, overwrite = true)
+
+  /** One index GENERATION: postings + per-generation term dfs + one
+    * meta row holding the generation's exact integer totals and the
+    * source files it covers. The read side merges generations (df-sums
+    * and avgdl from summed totals), so an append-only refresh writes a
+    * new generation without touching existing files — the reference
+    * indexes per-block at write (fuse_pruner.rs:88-93) and merges
+    * per-block indexes at query time the same way.
+    */
+  private def writeGeneration(docs: DataFrame, idCol: String, textCol: String,
+                              indexPath: String, files: Seq[String],
+                              overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val postings = docs
       .select(col(idCol).as("doc_id"),
@@ -47,45 +62,79 @@ object InvertedIndex {
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("dl", sum(col("tf")).over(byDoc))
-    postings
-      .repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"))
-      .write.mode("overwrite").parquet(s"$indexPath/postings")
-    val spark = docs.sparkSession
-    val written = spark.read.parquet(s"$indexPath/postings")
-    val stats = written.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    stats.repartitionByRange(col("token")).sortWithinPartitions(col("token"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
-    // avgdl from exact integer totals so an oracle can reproduce the
-    // double bit-for-bit (sum of tf = total tokens; one row per doc)
-    val t = written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(sum(col("dl")).as("total"), count(lit(1)).as("n")).head()
-    val nDocs = docs.count()
-    val avgdl = if (t.isNullAt(0)) 0.0 else t.getLong(0).toDouble / t.getLong(1)
-    spark.createDataFrame(Seq((nDocs, avgdl, docs.inputFiles.sorted.toSeq)))
-      .toDF("n_docs", "avgdl", "source_files")
-      .write.mode("overwrite").parquet(s"$indexPath/meta")
+      .cache()
+    try {
+      postings
+        .repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode(mode).parquet(s"$indexPath/postings")
+      val stats = postings.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      stats.repartitionByRange(col("token")).sortWithinPartitions(col("token"))
+        .write.mode(mode).parquet(s"$indexPath/stats")
+      // exact integer totals so the merged avgdl is reproducible
+      // bit-for-bit by an oracle (sum of tf = total tokens)
+      val t = postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(sum(col("dl")).as("total"), count(lit(1)).as("n")).head()
+      val (totalDl, nDlDocs) =
+        if (t.isNullAt(0)) (0L, 0L) else (t.getLong(0), t.getLong(1))
+      val nDocs = docs.count()
+      docs.sparkSession
+        .createDataFrame(Seq((nDocs, totalDl, nDlDocs, files)))
+        .toDF("n_docs", "total_dl", "n_dl_docs", "source_files")
+        .write.mode(mode).parquet(s"$indexPath/meta")
+    } finally postings.unpersist()
   }
 
-  /** True iff the index exists and was built from exactly the files the
-    * corpus currently scans (VectorIndex/AggIndex's exact file-set
-    * rule — prefix/subset matches are NOT fresh).
+  /** Union of every generation's pinned files (empty if no index).
+    * Selecting `total_dl` too makes a pre-generational meta layout read
+    * as absent, so old index dirs rebuild instead of failing search.
     */
-  def isFresh(spark: SparkSession, indexPath: String, docs: DataFrame): Boolean =
-    try {
-      val pinned = spark.read.parquet(s"$indexPath/meta")
-        .select(col("source_files")).head().getSeq[String](0).toVector
-      pinned.nonEmpty && pinned == docs.inputFiles.sorted.toVector
-    } catch { case _: Exception => false }
+  private def pinnedFiles(spark: SparkSession, indexPath: String): Set[String] =
+    try spark.read.parquet(s"$indexPath/meta")
+      .select(col("source_files"), col("total_dl"))
+      .collect().flatMap(_.getSeq[String](0)).toSet
+    catch { case _: Exception => Set.empty }
+
+  /** True iff the index exists and its generations together cover
+    * exactly the files the corpus currently scans (VectorIndex/
+    * AggIndex's exact file-set rule — prefix/subset matches are NOT
+    * fresh).
+    */
+  def isFresh(spark: SparkSession, indexPath: String, docs: DataFrame): Boolean = {
+    val pinned = pinnedFiles(spark, indexPath)
+    pinned.nonEmpty && pinned == docs.inputFiles.toSet
+  }
+
+  /** Incremental maintenance: append-only corpus growth indexes ONLY
+    * the new files as a fresh generation (postings/stats/meta appends;
+    * existing files untouched). Returns true when the delta path
+    * applied. Requires `docs` to be a plain parquet scan and doc_ids
+    * of appended files to be new (true for every gate corpus).
+    */
+  def refresh(docs: DataFrame, idCol: String, textCol: String,
+              indexPath: String): Boolean = {
+    val spark = docs.sparkSession
+    val current = docs.inputFiles.toSet
+    val pinned = pinnedFiles(spark, indexPath)
+    if (pinned.isEmpty || pinned == current || !pinned.subsetOf(current))
+      return false
+    val newFiles = (current -- pinned).toSeq.sorted
+    writeGeneration(spark.read.parquet(newFiles: _*), idCol, textCol,
+      indexPath, newFiles, overwrite = false)
+    true
+  }
 
   /** Build-if-stale: the index is built ONCE per corpus file set and
     * every subsequent query is probe-only — the production shape (a
-    * 100 TB corpus is indexed at ingest, not per query).
+    * 100 TB corpus is indexed at ingest, not per query). Append-only
+    * growth takes the [[refresh]] delta path; any other file-set
+    * change rebuilds.
     */
   def ensure(docs: DataFrame, idCol: String, textCol: String,
              indexPath: String): String = synchronized {
-    if (!isFresh(docs.sparkSession, indexPath, docs))
+    if (!isFresh(docs.sparkSession, indexPath, docs) &&
+        !refresh(docs, idCol, textCol, indexPath))
       build(docs, idCol, textCol, indexPath)
     indexPath
   }
@@ -100,13 +149,18 @@ object InvertedIndex {
   def search(spark: SparkSession, indexPath: String, terms: Seq[String],
              all: Boolean = true, k: Int = 10): DataFrame = {
     val normTerms = terms.map(_.toLowerCase).distinct
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    // merge generations: integer totals sum exactly, so avgdl over the
+    // merged corpus is the same double a single-generation build yields
+    val meta = spark.read.parquet(s"$indexPath/meta")
+      .agg(sum(col("n_docs")), sum(col("total_dl")), sum(col("n_dl_docs"))).head()
     val nDocs = meta.getLong(0)
-    val avgdl = meta.getDouble(1)
+    val avgdl = if (meta.getLong(2) == 0L) 0.0
+                else meta.getLong(1).toDouble / meta.getLong(2)
     val post = spark.read.parquet(s"$indexPath/postings")
       .filter(col("token").isin(normTerms: _*))
     val stats = spark.read.parquet(s"$indexPath/stats")
       .filter(col("token").isin(normTerms: _*))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val scored = post.join(broadcast(stats), "token")
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

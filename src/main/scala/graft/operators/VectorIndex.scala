@@ -124,12 +124,54 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Pinned source file set, or empty when the index doesn't exist. */
+  private def pinnedFiles(spark: SparkSession, indexPath: String): Vector[String] =
+    try spark.read.parquet(s"$indexPath/meta").head().getSeq[String](0).toVector
+    catch { case _: Exception => Vector.empty }
+
+  /** Incremental maintenance (reference indexes per-block at write —
+    * fuse_pruner.rs:88-93): when the source grew append-only (pinned
+    * set ⊂ current set), assign ONLY the new files' rows to the
+    * existing centroids and append them into their `cid=` partitions —
+    * no re-train, no touch of existing assignment files. Centroids stay
+    * pinned (standard IVF practice; recall drifts only if the data
+    * distribution shifts, at which point a full rebuild retrains).
+    * Returns true when the delta path applied. Requires `df` to be a
+    * plain parquet scan (true for every gate table).
+    */
+  def refresh(df: DataFrame, idCol: String, vecCol: String, indexPath: String): Boolean = {
+    val spark = df.sparkSession
+    val current = df.inputFiles.sorted.toVector
+    val pinned = pinnedFiles(spark, indexPath)
+    if (pinned.isEmpty || pinned == current || !pinned.toSet.subsetOf(current.toSet))
+      return false
+    val newFiles = current.filterNot(pinned.toSet)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val fresh = spark.read.parquet(newFiles: _*)
+      .select(col(idCol).as("id"),
+        expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
+    fresh.crossJoin(broadcast(cents))
+      .withColumn("d",
+        expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (s, e) -> s + e)"))
+      .groupBy(col("id"))
+      .agg(min_by(col("cid"), col("d")).as("cid"), first(col("v")).as("v"))
+      .select(col("id"), col("cid"), col("v"))
+      .write.mode("append").partitionBy("cid").parquet(s"$indexPath/assignments")
+    spark.createDataFrame(Seq(Tuple1(current))).toDF("source_files")
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+    true
+  }
+
   /** Build-if-stale convenience: one index per (source table, path);
     * returns the path. Thread-safe per JVM (bench + verify reuse).
+    * Append-only growth takes the [[refresh]] delta path; any other
+    * file-set change (delete/compact) rebuilds.
     */
   def ensure(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
              k: Int = 16, iters: Int = 2): String = synchronized {
-    if (!isFresh(df.sparkSession, indexPath, df)) build(df, idCol, vecCol, indexPath, k, iters)
+    if (!isFresh(df.sparkSession, indexPath, df) &&
+        !refresh(df, idCol, vecCol, indexPath))
+      build(df, idCol, vecCol, indexPath, k, iters)
     indexPath
   }
 }
