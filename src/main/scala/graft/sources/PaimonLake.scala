@@ -376,13 +376,183 @@ object PaimonLake {
       return spark.createDataFrame(new java.util.ArrayList[Row](), st.schema)
     val physical =
       if (st.primaryKeys.isEmpty) st.schema else pkFileSchema(st.schema, st.primaryKeys)
-    val (orc, parquet) = picked.map(_.path).partition(_.endsWith(".orc"))
-    val parts = Seq(
-      if (parquet.nonEmpty) Some(spark.read.schema(physical).parquet(parquet: _*)) else None,
-      if (orc.nonEmpty) Some(spark.read.schema(physical).orc(orc: _*)) else None).flatten
-    val raw = parts.reduce(_ unionByName _)
-    if (st.primaryKeys.isEmpty) raw
+    def readPaths(paths: Seq[String]): DataFrame = {
+      val (orc, parquet) = paths.partition(_.endsWith(".orc"))
+      Seq(
+        if (parquet.nonEmpty) Some(spark.read.schema(physical).parquet(parquet: _*)) else None,
+        if (orc.nonEmpty) Some(spark.read.schema(physical).orc(orc: _*)) else None)
+        .flatten.reduce(_ unionByName _)
+    }
+    if (st.primaryKeys.isEmpty) readPaths(picked.map(_.path))
     else {
+      // paimon hash-buckets a key into exactly one (partition, bucket)
+      // LSM tree, so merge-on-read is bucket-LOCAL: each file group
+      // merges independently — coalesce(1) + sortWithinPartitions +
+      // one streaming pass over the sorted runs, NO exchange anywhere
+      // (the reference reads one merge task per bucket the same way).
+      // At 100 TB the union has one single-task branch per bucket —
+      // the table's own read-parallelism unit. Fall back to the keyed
+      // window only when bucketing is unknown (bucket < 0) or the
+      // branch count would bloat the plan.
+      val groups = picked.groupBy(e => (e.partition, e.bucket))
+      if (picked.forall(_.bucket >= 0) && groups.size <= 512)
+        mergedBucketLocal(spark, groups.values.toSeq.sortBy(_.head.path), st, readPaths)
+      else mergedByKeyWindow(readPaths(picked.map(_.path)), st)
+    }
+  }
+
+  /** Bucket-local LSM merge: one task per (partition, bucket) file
+    * group, shuffle-free (see [[read]]).
+    */
+  private def mergedBucketLocal(spark: SparkSession, groups: Seq[Seq[PFile]],
+                                st: State,
+                                readPaths: Seq[String] => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyNames = st.primaryKeys.map(k => s"_KEY_$k")
+    val nKeys = keyNames.length
+    val outEnc = org.apache.spark.sql.Encoders.row(st.schema)
+    val schema = st.schema
+    val engine = st.mergeEngine
+    val fieldAggs = st.fieldAggs
+    val pks = st.primaryKeys.toSet
+    groups.map { files =>
+      val sorted = readPaths(files.map(_.path))
+        .coalesce(1)
+        .sortWithinPartitions(
+          (keyNames.map(col) :+ col("_SEQUENCE_NUMBER")).toSeq: _*)
+      sorted.mapPartitions(rows =>
+        mergeSortedRuns(rows, nKeys, schema, engine, fieldAggs, pks))(outEnc)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Single-pass merge of key-sorted runs (rows sorted by key asc,
+    * sequence asc; key cols 0..nKeys-1, then _SEQUENCE_NUMBER,
+    * _VALUE_KIND, then every table field). Implements the same engine
+    * semantics as [[mergedByKeyWindow]].
+    */
+  private def mergeSortedRuns(rows: Iterator[Row], nKeys: Int, schema: StructType,
+                              engine: String, fieldAggs: Map[String, String],
+                              pks: Set[String]): Iterator[Row] = {
+    val valueOffset = nKeys + 2
+    val nVals = schema.fields.length
+    val in = rows.buffered
+
+    def sameKey(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < nKeys) {
+        val x = a.get(i); val y = b.get(i)
+        if (if (x == null) y != null else x != y) return false
+        i += 1
+      }
+      true
+    }
+
+    def kindOf(r: Row): Byte = r.getByte(nKeys + 1)
+
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    /** fold one column over a key's rows (seq asc) per its agg fn */
+    def fold(fn: String, dt: DataType, vals: Seq[Any]): Any = fn match {
+      case "last_non_null_value" => vals.reverse.find(_ != null).orNull
+      case "last_value"          => if (vals.isEmpty) null else vals.last
+      case "first_non_null_value" => vals.find(_ != null).orNull
+      case "first_value"         => if (vals.isEmpty) null else vals.head
+      case "max" | "bool_or"     =>
+        val nn = vals.filter(_ != null); if (nn.isEmpty) null else nn.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+      case "min" | "bool_and"    =>
+        val nn = vals.filter(_ != null); if (nn.isEmpty) null else nn.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+      case "count"               => castIntegral(vals.count(_ != null).toLong, dt)
+      case "listagg"             =>
+        val nn = vals.filter(_ != null).map(_.toString); if (nn.isEmpty) null else nn.mkString(",")
+      case "sum"                 => sumFold(vals, dt)
+      case other => throw new IllegalArgumentException(
+        s"paimon aggregate-function '$other' unsupported")
+    }
+
+    def emit(run: Seq[Row]): Option[Row] = engine match {
+      case "deduplicate" =>
+        val r = run.last // highest sequence
+        val k = kindOf(r)
+        if (k == KindInsert || k == KindUpdateAfter)
+          Some(Row.fromSeq((0 until nVals).map(i => r.get(valueOffset + i))))
+        else None
+      case "first-row" =>
+        val r = run.head // lowest sequence
+        val k = kindOf(r)
+        if (k == KindInsert || k == KindUpdateAfter)
+          Some(Row.fromSeq((0 until nVals).map(i => r.get(valueOffset + i))))
+        else None
+      case "partial-update" | "aggregation" =>
+        run.find(r => kindOf(r) == KindDelete || kindOf(r) == KindUpdateBefore)
+          .foreach(_ => throw new IllegalArgumentException(
+            s"paimon merge-engine '$engine' does not accept DELETE/retract records"))
+        Some(Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+          val vals = run.map(_.get(valueOffset + i))
+          if (pks.contains(f.name)) vals.find(_ != null).orNull
+          else {
+            val fn = if (engine == "partial-update") "last_non_null_value"
+                     else fieldAggs.getOrElse(f.name, "last_non_null_value")
+            fold(fn, f.dataType, vals)
+          }
+        }.toSeq))
+      case other => throw new IllegalArgumentException(
+        s"paimon merge-engine '$other' unsupported")
+    }
+
+    new Iterator[Row] {
+      private var nextRow: Row = null
+      private def advance(): Unit = {
+        while (nextRow == null && in.hasNext) {
+          val run = mutable.ArrayBuffer(in.next())
+          while (in.hasNext && sameKey(in.head, run.head))
+            run += in.next()
+          emit(run.toSeq).foreach(nextRow = _)
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextRow != null }
+      override def next(): Row = {
+        advance()
+        val r = nextRow; nextRow = null; r
+      }
+    }
+  }
+
+  private def castIntegral(v: Long, dt: DataType): Any = dt match {
+    case LongType    => v
+    case IntegerType => v.toInt
+    case ShortType   => v.toShort
+    case ByteType    => v.toByte
+    case DoubleType  => v.toDouble
+    case FloatType   => v.toFloat
+    case _: DecimalType => new java.math.BigDecimal(v)
+    case _           => v
+  }
+
+  private def sumFold(vals: Seq[Any], dt: DataType): Any = {
+    val nn = vals.filter(_ != null)
+    if (nn.isEmpty) return null
+    dt match {
+      case DoubleType | FloatType =>
+        val s = nn.map {
+          case d: java.lang.Double => d.doubleValue(); case f: java.lang.Float => f.doubleValue()
+          case n: Number => n.doubleValue()
+        }.sum
+        if (dt == FloatType) s.toFloat else s
+      case _: DecimalType =>
+        nn.map {
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d.bigDecimal
+          case n: Number => new java.math.BigDecimal(n.toString)
+        }.reduce(_ add _)
+      case _ => castIntegral(nn.map(_.asInstanceOf[Number].longValue()).sum, dt)
+    }
+  }
+
+  /** Keyed-window merge fallback (pre-round-8 path): correct for any
+    * bucketing but pays one full key shuffle.
+    */
+  private def mergedByKeyWindow(raw: DataFrame, st: State): DataFrame = {
+    {
       // merge-on-read: one key-partitioned window shuffle — the
       // distributed form of the LSM merge, no driver state, same
       // result as level-by-level merging because sequence numbers are

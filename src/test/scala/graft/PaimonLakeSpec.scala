@@ -228,8 +228,11 @@ class PaimonLakeSpec extends AnyFunSuite {
       PaimonLake.writePk(spark, pu,
         Seq((1L, Option("x"), Option(0), "-D")).toDF("id", "name", "v", "op"),
         primaryKeys = Seq("id"), kindCol = Some("op"))
-      val e = intercept[IllegalArgumentException](PaimonLake.read(spark, pu).collect())
-      assert(e.getMessage.contains("DELETE"))
+      // raised in the merge task, so it surfaces wrapped by Spark
+      val e = intercept[Exception](PaimonLake.read(spark, pu).collect())
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+      assert(chain(e).contains("DELETE"))
     } finally cleanup(pu)
     // aggregation: per-field functions from the schema options
     val ag = tmp("paimonagg")
@@ -247,14 +250,14 @@ class PaimonLakeSpec extends AnyFunSuite {
       val rows = PaimonLake.read(spark, ag).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
       assert(rows == Seq((1L, 17, 5, "x,z"), (2L, 25, 11, "y,w")))
-      // scale shape: the merge (agg windows + pick) reuses ONE key
-      // shuffle — the aggregate windows and the row_number pick share
-      // the same partitioning
+      // scale shape (round 8): the merge is bucket-LOCAL — one task
+      // per (partition, bucket) file group, sortWithinPartitions + a
+      // streaming run merge, NO exchange anywhere in the plan
       val df = PaimonLake.read(spark, ag)
       df.collect() // materialize so AQE finalizes the plan
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-      assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+      assert(exchanges == 0, s"bucketed PK read must not shuffle, got $exchanges:\n$plan")
     } finally cleanup(ag)
     // first-row: the FIRST record per key wins forever
     val fr = tmp("paimonfr")
