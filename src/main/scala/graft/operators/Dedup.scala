@@ -47,8 +47,11 @@ object Dedup {
           """transform(
                sequence(1, greatest(size(tk) - 2, 1)),
                i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
+    // explode + codegen'd min-aggregates (NOT a transform()/array_min()
+    // HOF pass: interpreted HOFs measured 8x slower at sf0.1); map-side
+    // partial aggregation keeps the shuffle at one 32-value row per doc
     val exploded = shingled
-      .select(col("__id"), explode(col("sh")).as("s"))
+      .select(col("__id"), explode_outer(col("sh")).as("s"))
       .select(col("__id"),
         pmod(xxhash64(col("s")), lit(2147483647L)).as("h1"),
         (pmod(xxhash64(concat(lit("graft-salt:"), col("s"))), lit(2147483629L)) + 1L).as("h2"))
@@ -57,10 +60,15 @@ object Dedup {
     val mh = exploded.groupBy(col("__id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("__id"), array((0 until nHash).map(i => col(s"mh_$i")): _*).as("mh"))
+    // materialize the signature frame ONCE: the bucket self-join below
+    // references it on both sides, and without a checkpoint each side
+    // replays the full shingle -> 32-way min-agg pipeline (ReuseExchange
+    // does not fire across the differing join-side aliases)
     val banded = mh.select(col("__id"), col("mh"),
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
           b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col("__id").as("id_a"), col("mh").as("mh_a"))
     val r = banded.select(col("band"), col("bucket"), col("__id").as("id_b"), col("mh").as("mh_b"))
     l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))

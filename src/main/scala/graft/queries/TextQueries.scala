@@ -186,7 +186,13 @@ object TextQueries extends QueryModule {
     val nHash = 32
     val bands = 8
     val rows = nHash / bands
+    // the corpus parquet is ONE small file -> the scan stage gets ~2
+    // tasks, serializing all shingling+hashing on 2 cores; one cheap
+    // row-level repartition spreads the map work across the cluster
+    // (at 100 TB the scan has thousands of splits and this is a no-op
+    // cost — maxPartitionBytes already yields full parallelism)
     val shingled = withNearDups(x)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"),
         array_distinct(expr(
@@ -194,12 +200,25 @@ object TextQueries extends QueryModule {
                sequence(1, greatest(size(tk) - 2, 1)),
                i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
     // pmod into 31-bit range: i*h2 + h1 stays far below 2^63, so the
-    // combination is ANSI-overflow-safe
+    // combination is ANSI-overflow-safe. Shape note (round 8): an
+    // explode-free variant computing signatures map-side with nested
+    // transform()/array_min() was measured 8x SLOWER (24s vs 3s at
+    // sf0.1) — higher-order functions evaluate interpreted, while this
+    // explode + 32 min-aggregates pipeline stays inside whole-stage
+    // codegen with map-side partial aggregation (the shuffle carries
+    // one 32-value row per doc, not per shingle).
+    // explode_OUTER, deliberately: for plain explode the optimizer
+    // infers `size(sh) > 0` and pushes the whole interpreted shingle
+    // expression into the 2-task scan stage (measured 1.5s of the
+    // query); sh is never empty (greatest(..., 1)), so outer semantics
+    // are identical and the inferred filter disappears
     val exploded = shingled
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .select(col("doc_id"),
         pmod(xxhash64(col("s")), lit(2147483647L)).as("h1"),
-        (pmod(xxhash64(concat(lit("graft-salt:"), col("s"))), lit(2147483629L)) + 1L).as("h2"))
+        // second hash family from murmur3 (`hash`) — one string scan,
+        // no salted concat allocation (measured ~15% of query time)
+        (pmod(hash(col("s")).cast("long"), lit(2147483629L)) + 1L).as("h2"))
     val minAggs = (0 until nHash).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"mh_$i"))
     val mh = exploded.groupBy(col("doc_id"))
@@ -210,10 +229,10 @@ object TextQueries extends QueryModule {
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
           b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // aliased self-join: both sides stay canonically identical, so the
-    // shuffle is planned once and ReusedExchange serves the probe side —
-    // renamed projections per side would compute the whole minhash
-    // pipeline twice
+      // materialized ONCE: the planner broadcasts one side of the
+      // self-join (no exchange to reuse), which would otherwise replay
+      // the whole signature pipeline for each side
+      .localCheckpoint()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -221,8 +240,10 @@ object TextQueries extends QueryModule {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (size(filter(zip_with(col("a.mh"), col("b.mh"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / nHash).as("est_sim"))
-      .distinct()
       .filter(col("est_sim") >= 0.5)
+      // one aggregate replaces distinct (a pair matching in k bands
+      // collapses to one row) and the sort rides the same exchange
+      .groupBy(col("id_a"), col("id_b")).agg(first(col("est_sim")).as("est_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
   private val minhash = Q((spark, dir) => minhashDF(spark, dir), None, headline = true)
