@@ -512,6 +512,44 @@ object SystemTables {
       .toDF("component", "version", "role")
   }
 
+  /** table constraints (reference constraints_table.rs): Spark temp
+    * views carry no declared PK/FK/CHECK constraints, so the only
+    * materializable rows are NOT NULL constraints derived from the
+    * catalog's column nullability — same shape, honest content.
+    */
+  def constraints(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    columns(spark).filter(!col("nullable"))
+      .select(lit("default").as("database"), col("table_name").as("table"),
+        concat_ws("_", lit("nn"), col("table_name"), col("column_name")).as("name"),
+        lit("NOT NULL").as("constraint_type"), col("column_name").as("expr"))
+  }
+
+  /** allocator totals (reference malloc_stats_totals_table.rs — jemalloc
+    * totals; here the JVM's pool totals, one row per memory pool)
+    */
+  def mallocStatsTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala.toSeq
+      .map { p =>
+        val u = p.getUsage
+        (p.getName, u.getUsed, u.getCommitted, math.max(u.getMax, -1L))
+      }.toDF("name", "used_bytes", "committed_bytes", "max_bytes")
+  }
+
+  /** per-query execution stats (reference query_execution_table.rs:
+    * time-series of cpu/memory per running query; here the completed
+    * queries the in-process history captured, one row per execution)
+    */
+  def queryExecution(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QueryHistory.entries
+      .map(e => (e.id, e.plan, e.status, e.durationMs, e.tsMs,
+        Runtime.getRuntime.availableProcessors()))
+      .toDF("query_id", "plan", "status", "duration_ms", "event_time_ms", "cpus")
+  }
+
   /** Register all as `system_*` temp views, plus the ANSI
     * `information_schema` mapping (reference
     * src/query/storages/information_schema/: schemata/tables/columns/
@@ -562,6 +600,9 @@ object SystemTables {
     passwordPolicies(spark).createOrReplaceTempView("system_password_policies")
     contributors(spark).createOrReplaceTempView("system_contributors")
     credits(spark).createOrReplaceTempView("system_credits")
+    constraints(spark).createOrReplaceTempView("system_constraints")
+    mallocStatsTotals(spark).createOrReplaceTempView("system_malloc_stats_totals")
+    queryExecution(spark).createOrReplaceTempView("system_query_execution")
 
     // information_schema (ANSI shapes over the same metadata)
     import org.apache.spark.sql.functions.{col, lit, when}

@@ -215,6 +215,12 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT version FROM system_credits WHERE component = 'apache-spark'")
       .head().getString(0).startsWith("4."))
+    // round-8 completions: constraints / malloc_stats_totals / query_execution
+    assert(spark.sql("SELECT * FROM system_constraints").columns.toSeq ==
+      Seq("database", "table", "name", "constraint_type", "expr"))
+    assert(spark.sql(
+      "SELECT used_bytes FROM system_malloc_stats_totals WHERE used_bytes > 0").count() >= 1)
+    assert(spark.sql("SELECT * FROM system_query_execution").count() >= 1)
   }
 
   test("blocks and clustering_information introspect the data files") {
