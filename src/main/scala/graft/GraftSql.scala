@@ -82,6 +82,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("CREATE") && up.contains("STREAM") &&
              CreateStreamRe.findFirstIn(s).isDefined) createStream(s)
     else if (is("CREATE") && CreateStageRe.findFirstIn(s).isDefined) createStage(s)
+    else if (is("CREATE") && CreatePyFnRe.findFirstIn(s).isDefined) createPyFunction(s)
+    else if (is("DROP FUNCTION") && DropFnRe.findFirstIn(s).isDefined) dropFunction(s)
     else if (is("CREATE")) createTable(s)
     else if (is("DROP STREAM")) dropStream(s)
     else if (is("DROP TABLE")) dropTable(s)
@@ -407,6 +409,27 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
 
   // ---- COPY INTO / stages --------------------------------------------
 
+  /** CREATE FUNCTION ... LANGUAGE python: register a scalar python UDF
+    * into Spark's registry (persistent worker pool; see PyScalarUdf).
+    */
+  private def createPyFunction(s: String): DataFrame = s match {
+    case CreatePyFnRe(name, argList, retDdl, handler, body) =>
+      val args = argList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(t => StructType.fromDDL(s"x $t").head.dataType)
+      val ret = StructType.fromDDL(s"x ${retDdl.trim}").head.dataType
+      graft.functions.PyScalarUdf.register(spark,
+        graft.functions.PyScalarUdf.PyFn(norm(name), args, ret, handler, body))
+      status("function" -> norm(name), "op" -> "create-function", "language" -> "python")
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE FUNCTION: $s")
+  }
+
+  private def dropFunction(s: String): DataFrame = s match {
+    case DropFnRe(name) =>
+      graft.functions.PyScalarUdf.drop(spark, norm(name))
+      status("function" -> norm(name), "op" -> "drop-function")
+    case _ => throw new IllegalArgumentException(s"cannot parse DROP FUNCTION: $s")
+  }
+
   private def createStage(s: String): DataFrame = s match {
     case CreateStageRe(name, url) =>
       stages(norm(name)) = url
@@ -589,6 +612,16 @@ object GraftSql {
     """(?is)FILE_FORMAT\s*=\s*\((.*?)\)""".r
   private val CreateStageRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(\w+)\s+URL\s*=\s*'([^']*)'\s*""".r
+  /** reference UDF DDL (src/query/ast/src/ast/statements/udf.rs):
+    * CREATE [OR REPLACE] FUNCTION f (t1, t2) RETURNS t LANGUAGE python
+    * HANDLER = 'h' AS $$ body $$
+    */
+  private val CreatePyFnRe =
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*""" +
+     """RETURNS\s+([\w<>,() ]+?)\s+LANGUAGE\s+python\s+HANDLER\s*=\s*'(\w+)'\s*""" +
+     """AS\s+\$\$(.*)\$\$\s*""").r
+  private val DropFnRe =
+    """(?is)\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateStreamRe =
     """(?is)\s*CREATE\s+STREAM\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+ON\s+TABLE\s+(\w+)(?:\s+APPEND_ONLY\s*=\s*(\w+))?\s*""".r
   private val AlterClusterRe =

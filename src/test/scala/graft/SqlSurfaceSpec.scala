@@ -99,6 +99,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(g.execute("SELECT sum(bal) AS s FROM mt").head.getDouble(0) == 0.0)
   }
 
+  test("CREATE FUNCTION ... LANGUAGE python registers a SQL-callable scalar") {
+    assume(graft.functions.PythonScriptUdf.available, "python3 not on this host")
+    val g = sqlHead()
+    g.execute("""CREATE OR REPLACE FUNCTION py_gcd (BIGINT, BIGINT) RETURNS BIGINT
+      LANGUAGE python HANDLER = 'gcd' AS $$
+import math
+def gcd(a, b):
+    if a is None or b is None:
+        return None
+    return math.gcd(a, b)
+$$""")
+    val rows = g.execute(
+      "SELECT id, py_gcd(id * 6, 4) AS g FROM range(4) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 4L), (1L, 2L), (2L, 4L), (3L, 2L)))
+    // python exceptions surface with the function name
+    g.execute("""CREATE FUNCTION py_boom (BIGINT) RETURNS BIGINT
+      LANGUAGE python HANDLER = 'f' AS $$
+def f(x):
+    raise ValueError("nope")
+$$""")
+    val ex = intercept[Exception](g.execute("SELECT py_boom(1) AS x").collect())
+    def chain(e: Throwable): String =
+      if (e == null) "" else e.getMessage + "|" + chain(e.getCause)
+    assert(chain(ex).contains("py_boom"))
+    g.execute("DROP FUNCTION py_boom")
+    g.execute("DROP FUNCTION IF EXISTS py_gcd")
+  }
+
   test("COPY INTO from a stage is idempotent per file") {
     val g = sqlHead()
     val stage = tmp()
