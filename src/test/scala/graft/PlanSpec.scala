@@ -24,6 +24,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_returnflag"), "scan should prune unused columns")
   }
 
+  test("txt_minhash_lsh: signatures materialized once, no HOF filter in the scan") {
+    // round-8 regression gates: (a) InferFiltersFromGenerate must not
+    // push the interpreted shingle expression into the parquet scan;
+    // (b) the banded signature frame is checkpointed, so the join plan
+    // reads ExistingRDD scans — the shingle/minhash pipeline cannot be
+    // replayed per join side
+    val df = SparkEntry.all("txt_minhash_lsh").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DataFilters: [(size(array_distinct"),
+      "interpreted shingle filter pushed into the scan")
+    assert(!plan.contains("FileScan"),
+      "join must read the checkpointed signature frame, not re-scan documents")
+    assert(plan.contains("ExistingRDD"), s"expected checkpoint scans:\n${plan.take(800)}")
+  }
+
   test("hive-style partitioned dirs prune partitions at the scan") {
     // external hive-layout tables are Spark-native partition discovery;
     // the property that matters at 100 TB is that a partition predicate
