@@ -198,9 +198,14 @@ object MoreAliases2 {
         "day" -> 86400L, "week" -> 604800L)
       if (secsOf.contains(unit)) {
         val w = secsOf(unit) * n
-        val b = Multiply(cast(f("floor", Divide(
-          f("unix_seconds", cast(a.head, TimestampType)),
-          Literal(w.toDouble))), LongType), Literal(w))
+        // week slices anchor at 1969-12-29, the Monday BEFORE epoch
+        // (Snowflake semantics, verified against the reference's
+        // 02_0083_function_time_slice vectors); every other unit
+        // anchors at the epoch itself
+        val off = if (unit == "week") -3L * 86400L else 0L
+        val b = Add(Multiply(cast(f("floor", Divide(
+          Subtract(f("unix_seconds", cast(a.head, TimestampType)), Literal(off)),
+          Literal(w.toDouble))), LongType), Literal(w)), Literal(off))
         f("timestamp_seconds", if (side == "START") b else Add(b, Literal(w)))
       } else {
         val monthsOf = Map("month" -> 1, "quarter" -> 3, "year" -> 12)
