@@ -545,6 +545,52 @@ object GraftFunctions {
         }
         WindowFunnel.maxLevel(events, w, nSteps)
       }))
+    // MySQL-style soundex (reference string.rs soundex; its own slt
+    // 02_0039 vectors): unbounded code length (Spark's builtin
+    // truncates to 4), leading non-letters skipped, a non-ASCII lead
+    // character is kept verbatim, vowels never reset the dup check.
+    spark.udf.register("soundex", udf((s: String) =>
+      if (s == null) null
+      else {
+        val cps = s.codePoints().toArray
+        def code(c: Int): Int = Character.toUpperCase(c) match {
+          case 'B' | 'F' | 'P' | 'V' => 1
+          case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => 2
+          case 'D' | 'T' => 3
+          case 'L' => 4
+          case 'M' | 'N' => 5
+          case 'R' => 6
+          case _ => 0
+        }
+        def leadOk(c: Int) = c >= 128 || Character.isLetter(c)
+        var i = 0
+        while (i < cps.length && !leadOk(cps(i))) i += 1
+        if (i >= cps.length) ""
+        else {
+          val sb = new StringBuilder
+          val first = cps(i)
+          sb.appendAll(Character.toChars(
+            if (first < 128) Character.toUpperCase(first) else first))
+          var last = code(first)
+          var n = 1 // emitted length in code points
+          i += 1
+          while (i < cps.length) {
+            val cd = code(cps(i))
+            if (cd != 0) {
+              if (cd != last) { sb.append(('0' + cd).toChar); n += 1 }
+              last = cd
+            }
+            i += 1
+          }
+          while (n < 4) { sb.append('0'); n += 1 }
+          sb.toString
+        }
+      }))
+    // HEX_DECODE_STRING (reference string.rs): unhex straight to text
+    spark.udf.register("hex_decode_string", udf((s: String) =>
+      if (s == null) null
+      else new String(
+        s.sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")))
     spark.udf.register("moving_sum_arr", udf((xs: Seq[Double], w: Int) => movingSums(xs, w)))
     spark.udf.register("moving_avg_arr", udf((xs: Seq[Double], w: Int) =>
       movingSums(xs, w).zipWithIndex.map { case (s, i) =>

@@ -163,6 +163,7 @@ object MoreAliases {
         EqualTo(cast(a.head, DoubleType), Literal(Double.NegativeInfinity)))),
       "oct" -> (a => f("conv", cast(a.head, LongType), Literal(10), Literal(8))),
       "strcmp" -> (a => CaseWhen(Seq(
+        (Or(IsNull(a.head), IsNull(a(1))), cast(Literal(null), IntegerType)),
         (LessThan(a.head, a(1)), Literal(-1)),
         (GreaterThan(a.head, a(1)), Literal(1))), Some(Literal(0)))),
       "is_true" -> (a => EqualNullSafe(cast(a.head, BooleanType), Literal(true))),
@@ -206,7 +207,12 @@ object MoreAliases {
         if (a.length == 1) StringTrimLeft(a.head) else StringTrimLeft(a.head, a(1))),
       "trim_trailing" -> (a =>
         if (a.length == 1) StringTrimRight(a.head) else StringTrimRight(a.head, a(1))),
-      "insert" -> (a => f("overlay", a.head, a(3), a(1), a(2))),
+      // MySQL semantics (reference 02_0027 slt): a position outside
+      // [1, len] returns the string unchanged — overlay alone clamps
+      "insert" -> (a => CaseWhen(Seq(
+        (Or(LessThan(a(1), Literal(1)),
+            GreaterThan(a(1), f("length", a.head))), a.head)),
+        Some(f("overlay", a.head, a(3), a(1), a(2))))),
 
       // datetime add/subtract families
       "add_days" -> dAdd(1) _,
