@@ -31,7 +31,6 @@ object GraftFunctions {
     "date_sub_alias" -> "date_sub",
     // aggregate-ish / misc
     "uniq" -> "approx_count_distinct",
-    "any" -> "any_value",
     "arg_min" -> "min_by",
     "arg_max" -> "max_by",
     "group_array" -> "collect_list",
@@ -144,8 +143,53 @@ object GraftFunctions {
     org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.LongType)
 
+  private def unresolved(name: String, args: Seq[Expression], distinct: Boolean = false,
+                         filter: Option[Expression] = None,
+                         ignoreNulls: Boolean = false): Expression =
+    new UnresolvedFunction(Seq(name), args.toSeq, distinct, filter, ignoreNulls, Nil, false)
+
+  /** the reference's aggregate suffix combinators
+    * (aggregate_combinator.rs): every aggregate spawns `<agg>_if(args...,
+    * cond)` (rows where cond holds) and `<agg>_distinct(args...)`.
+    * Spark spells these FILTER (WHERE ...) and DISTINCT; the rewrites
+    * below make the databend spellings resolve to exactly those forms
+    * (codegen'd, no UDFs). Bases that are themselves databend names
+    * (uniq, arg_min...) resolve recursively through this registry.
+    */
+  private val combinatorBases: Seq[(String, String, Boolean)] = Seq(
+    // (databend base, spark function, ignoreNulls) — spark names
+    // directly: a recursive databend-name base would drop the outer
+    // filter/distinct flags when the analyzer re-resolves it
+    ("sum", "sum", false), ("count", "count", false), ("avg", "avg", false),
+    ("min", "min", false), ("max", "max", false),
+    ("any", "any_value", true),
+    ("uniq", "approx_count_distinct", false),
+    ("arg_min", "min_by", false), ("arg_max", "max_by", false),
+    ("stddev_pop", "stddev_pop", false), ("stddev_samp", "stddev_samp", false),
+    ("var_pop", "var_pop", false), ("var_samp", "var_samp", false),
+    ("median", "median", false), ("array_agg", "collect_list", false))
+
+  private val combinators: Map[String, Seq[Expression] => Expression] =
+    combinatorBases.flatMap { case (b, sparkName, ign) =>
+      Seq(
+        s"${b}_if" -> ((a: Seq[Expression]) =>
+          unresolved(sparkName, a.init, filter = Some(a.last), ignoreNulls = ign)),
+        s"${b}_distinct" -> ((a: Seq[Expression]) =>
+          unresolved(sparkName, a, distinct = true, ignoreNulls = ign)))
+    }.toMap
+
   /** names needing argument rewriting */
-  val rewrites: Map[String, Seq[Expression] => Expression] = Map(
+  val rewrites: Map[String, Seq[Expression] => Expression] = combinators ++ Map(
+    // databend `any` takes the first NON-NULL value (its min_max_any
+    // slt: any over (null,1,...) = 1); Spark's any_value keeps nulls
+    // unless ignoreNulls is set
+    "any" -> (args => unresolved("any_value", args, ignoreNulls = true)),
+    // count_if is both Spark's 1-arg builtin (count rows where pred)
+    // and databend's 2-arg combinator (count x where cond) — express
+    // both as count + FILTER so neither spelling shadows the other
+    "count_if" -> (args =>
+      if (args.length <= 1) unresolved("count", Seq(Literal(1)), filter = args.headOption)
+      else unresolved("count", args.init, filter = Some(args.last))),
     // ---- aggregate surface (reference aggregates/aggregator.rs) ------
     // count_distinct(x, ...) = count(DISTINCT x, ...) — an identity
     // alias cannot express the DISTINCT flag, so it is a rewrite
