@@ -148,12 +148,18 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         scala.util.matching.Regex.quoteReplacement(freshView(df))
       }
     })
+    // numbers(N)/numbers_mt(N) table functions (reference numbers TVF):
+    // an unsigned 0..N-1 sequence named `number`
+    sql = NumbersRe.replaceAllIn(sql, m =>
+      s"(SELECT id AS number FROM range(${m.group(1)}))")
     // stream references: register each stream mentioned as a view
     val refs = streams.keys.filter(n => wordRe(n).findFirstIn(sql).isDefined).toSeq
     refs.foreach(n => streams(n).read().createOrReplaceTempView(n))
     lastStreamRefs = refs
     sql
   }
+
+  private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*(\d+)\s*\)""".r
 
   private def resolvePoint(t: GraftTable, kind: String, value: String): Long = {
     val v = value.trim.stripPrefix("'").stripSuffix("'")
@@ -183,6 +189,20 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val df = spark.sql(rewriteReads(select))
       register(n, GraftTable.create(spark, tablePath(n), df))
       status("table" -> n, "op" -> "create-as")
+    case CreateTableDdlClusterRe(orReplace, ifNotExists, name, ddl, cluster) =>
+      val n = norm(name)
+      if (tables.contains(n) && ifNotExists != null)
+        return status("table" -> n, "op" -> "exists")
+      require(orReplace != null || !tables.contains(n), s"table $n exists")
+      if (tables.contains(n)) rmrf(tablePath(n))
+      val schema = StructType.fromDDL(stripConstraints(ddl))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      register(n, GraftTable.create(spark, tablePath(n), empty))
+      // inline CLUSTER BY (reference create_table.rs) = the declared
+      // recluster key set, same as ALTER TABLE ... CLUSTER BY
+      Option(cluster).foreach(k => clusterKeys(n) = splitTopLevel(k, ',').map(norm))
+      status("table" -> n, "op" -> "create")
     case CreateTableDdlRe(orReplace, ifNotExists, name, ddl) =>
       val n = norm(name)
       if (tables.contains(n) && ifNotExists != null)
@@ -198,7 +218,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private def dropTable(s: String): DataFrame = {
-    val name = norm(s.replaceAll("(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?", "").trim)
+    // databend allows a trailing ALL (purge history too; COW tables
+    // drop their whole directory anyway)
+    val name = norm(s.replaceAll("(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?", "")
+      .replaceAll("(?is)\\s+ALL\\s*$", "").trim)
     tables.remove(name).foreach { t =>
       spark.catalog.dropTempView(name)
       rmrf(t.path)
@@ -393,7 +416,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val setTxt = after.replaceAll("(?is)^SET\\s+", "")
           val set = splitTopLevel(setTxt, ',').map { a =>
             val eq = indexOfTopLevel(a, '=')
-            norm(a.take(eq)) -> a.drop(eq + 1).trim
+            // target-side SET columns may be alias-qualified (t.c = ...)
+            // — the reference's grammar allows it; match on the column
+            val rawKey = norm(a.take(eq))
+            val key = rawKey.split('.').last
+            key -> a.drop(eq + 1).trim
           }.toMap
           matched += GraftTable.MatchedClause(cond, Some(set))
         }
@@ -587,6 +614,15 @@ object GraftSql {
       c.replaceAll("(?i)\\s+NOT\\s+NULL", "")
         .replaceAll("(?i)\\s+DEFAULT\\s+.*$", "")
         .replaceAll("(?i)\\s+NULL$", "")
+        // databend type spellings Spark's DDL parser lacks: length-less
+        // varchar, and the sized int family (unsigned types widen so
+        // the whole unsigned range fits — Types.scala's widening rule)
+        .replaceAll("(?i)\\bvarchar$", "string")
+        .replaceAll("(?i)\\buint64$", "decimal(20,0)")
+        .replaceAll("(?i)\\b(int64|uint32)$", "bigint")
+        .replaceAll("(?i)\\b(int32|uint16)$", "int")
+        .replaceAll("(?i)\\b(int16|uint8)$", "smallint")
+        .replaceAll("(?i)\\bint8$", "tinyint")
     }.mkString(", ")
 
   // ---- statement shapes ----------------------------------------------
@@ -595,6 +631,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(\w+)\s+AS\s+(.*)""".r
   private val CreateTableDdlRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\((.*)\)\s*""".r
+  private val CreateTableDdlClusterRe =
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\((.*)\)\s*CLUSTER\s+BY\s*\(([^)]*)\)\s*""".r
   private val InsertRe =
     """(?is)\s*(?:INSERT\s+(INTO|OVERWRITE)|REPLACE\s+INTO)\s+(?:TABLE\s+)?(\w+)\s*(?:\(([\w\s,`]+)\))?\s*(SELECT.*|WITH.*|VALUES.*|TABLE\s.*)""".r
   private val UpdateRe =

@@ -79,10 +79,18 @@ object Slt {
   def formatRow(r: Row): String = r.toSeq.map(formatCell).mkString("\t")
 
   /** Run one file's cases; returns failure messages (empty = pass). */
-  def run(spark: SparkSession, name: String, text: String): Seq[String] = {
+  def run(spark: SparkSession, name: String, text: String): Seq[String] =
+    runWith(sql => spark.sql(sql), name, text)
+
+  /** Run with a custom executor — a `GraftSql.execute` head lets suites
+    * exercise the full statement surface (CREATE/INSERT/DROP/...) the
+    * way the reference's own harness does.
+    */
+  def runWith(exec: String => org.apache.spark.sql.DataFrame, name: String,
+              text: String): Seq[String] = {
     parse(text).flatMap {
       case Statement(sql, line, expectError) =>
-        val r = try { spark.sql(sql).write.format("noop").mode("overwrite").save(); None }
+        val r = try { exec(sql).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e) }
         (r, expectError) match {
           case (None, true) => Seq(s"$name:$line expected error, statement succeeded")
@@ -91,7 +99,7 @@ object Slt {
         }
       case Query(sql, line, expected, rowsort) =>
         try {
-          var got = spark.sql(sql).collect().map(formatRow).toSeq
+          var got = exec(sql).collect().map(formatRow).toSeq
           var exp = expected
           if (rowsort) { got = got.sorted; exp = exp.sorted }
           if (got == exp) Nil
