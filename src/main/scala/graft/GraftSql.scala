@@ -89,6 +89,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("DROP TABLE")) dropTable(s)
     else if (is("TRUNCATE")) truncateTable(s)
     else if (is("INSERT FIRST") || is("INSERT ALL")) insertMulti(s)
+    else if (is("REPLACE INTO") && ReplaceRe.findFirstIn(s).isDefined) replaceInto(s)
     else if (is("INSERT") || is("REPLACE INTO")) insert(s)
     else if (is("UPDATE")) update(s)
     else if (is("DELETE")) delete(s)
@@ -237,7 +238,57 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     status("table" -> name, "op" -> "truncate")
   }
 
-  // ---- INSERT ---------------------------------------------------------
+  // ---- INSERT / REPLACE INTO ------------------------------------------
+
+  /** REPLACE INTO t ON [CONFLICT](keys) <source> — the reference's
+    * upsert (ast/statements/replace.rs): source rows REPLACE target
+    * rows sharing the conflict key, others append; duplicated conflict
+    * keys WITHIN the source are an error (databend 4000). Routed onto
+    * the file-granular mergeInto (UPDATE * / INSERT *).
+    */
+  private def replaceInto(s: String): DataFrame = s match {
+    case ReplaceRe(name, colList, keys, body) =>
+      val n = norm(name)
+      val t = table(n)
+      val df = alignToTarget(t, colList, body)
+      val keyCols = splitTopLevel(keys, ',').map(norm)
+      require(keyCols.nonEmpty, "REPLACE INTO needs at least one conflict key")
+      val dup = df.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalArgumentException(
+        s"REPLACE INTO: duplicated on-conflict keys (${keyCols.mkString(",")}) in source")
+      val src = df.alias("__src")
+      val on = keyCols.map(k => s"$n.$k = __src.$k").mkString(" AND ")
+      t.mergeInto(src, n, "__src", on,
+        matched = Seq(GraftTable.MatchedClause(None, Some(Map.empty))),
+        notMatched = Seq(GraftTable.NotMatchedClause(None, None)))
+      refreshView(n)
+      status("table" -> n, "op" -> "replace-into", "keys" -> keyCols.mkString(","))
+    case _ => throw new IllegalArgumentException(s"cannot parse REPLACE INTO: $s")
+  }
+
+  /** align a statement's source rows (col list + body) to `t`'s schema */
+  private def alignToTarget(t: GraftTable, colList: String, body: String): DataFrame = {
+    val tgtSchema = t.read().schema
+    val tgtCols = tgtSchema.fieldNames.toSeq
+    val df0 = spark.sql(rewriteReads(body.trim))
+    Option(colList).map(splitTopLevel(_, ',').map(c => norm(c))) match {
+      case Some(cols) =>
+        require(cols.length == df0.columns.length,
+          s"column list has ${cols.length} names, query produces ${df0.columns.length}")
+        val renamed = df0.toDF(cols: _*)
+        val out = tgtCols.map { c =>
+          if (cols.exists(_.equalsIgnoreCase(c))) col(c).cast(tgtSchema(c).dataType).as(c)
+          else lit(null).cast(tgtSchema(c).dataType).as(c)
+        }
+        renamed.select(out: _*)
+      case None =>
+        require(df0.columns.length == tgtCols.length,
+          s"query produces ${df0.columns.length} columns, table has ${tgtCols.length}")
+        df0.toDF(tgtCols: _*)
+          .select(tgtCols.map(c => col(c).cast(tgtSchema(c).dataType).as(c)): _*)
+    }
+  }
 
   private def insert(s: String): DataFrame = s match {
     case InsertRe(verb, name, colList, body) =>
@@ -635,6 +686,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\((.*)\)\s*CLUSTER\s+BY\s*\(([^)]*)\)\s*""".r
   private val InsertRe =
     """(?is)\s*(?:INSERT\s+(INTO|OVERWRITE)|REPLACE\s+INTO)\s+(?:TABLE\s+)?(\w+)\s*(?:\(([\w\s,`]+)\))?\s*(SELECT.*|WITH.*|VALUES.*|TABLE\s.*)""".r
+  private val ReplaceRe =
+    """(?is)\s*REPLACE\s+INTO\s+(?:TABLE\s+)?(\w+)\s*(?:\(([\w\s,`]+)\))?\s*ON\s*(?:CONFLICT\s*)?\(([^)]*)\)\s*(SELECT.*|WITH.*|VALUES.*|TABLE\s.*)""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
   private val DeleteRe =
