@@ -374,11 +374,21 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     case UpdateRe(name, setPart, wherePart) =>
       val n = norm(name)
       val t = table(n)
-      val assigns = splitTopLevel(setPart, ',').map { a =>
+      val pairs = splitTopLevel(setPart, ',').map { a =>
         val eq = indexOfTopLevel(a, '=')
         require(eq > 0, s"bad assignment: $a")
-        norm(a.take(eq)) -> expr(a.drop(eq + 1).trim)
-      }.toMap
+        norm(a.take(eq)).split('.').last -> expr(a.drop(eq + 1).trim)
+      }
+      // reference errors (1006) on duplicated assignments and on
+      // assignments to columns the table does not have — both would
+      // otherwise be silent wrong answers (last-wins / new column)
+      val dups = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+      require(dups.isEmpty, s"UPDATE sets column(s) more than once: ${dups.mkString(",")}")
+      val have = t.read().columns.map(_.toLowerCase).toSet
+      val unknown = pairs.map(_._1).filterNot(c => have(c.toLowerCase))
+      require(unknown.isEmpty,
+        s"table $n does not have a column with name ${unknown.mkString(",")}")
+      val assigns = pairs.toMap
       val cond = Option(wherePart).map(w => expr(w.trim)).getOrElse(lit(true))
       t.update(cond, assigns)
       refreshView(n)
@@ -683,7 +693,7 @@ object GraftSql {
   private val CreateTableDdlRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\((.*)\)\s*""".r
   private val CreateTableDdlClusterRe =
-    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\((.*)\)\s*CLUSTER\s+BY\s*\(([^)]*)\)\s*""".r
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\((.*)\)\s*CLUSTER\s+BY\s*\((.*)\)\s*""".r
   private val InsertRe =
     """(?is)\s*(?:INSERT\s+(INTO|OVERWRITE)|REPLACE\s+INTO)\s+(?:TABLE\s+)?(\w+)\s*(?:\(([\w\s,`]+)\))?\s*(SELECT.*|WITH.*|VALUES.*|TABLE\s.*)""".r
   private val ReplaceRe =
@@ -716,7 +726,7 @@ object GraftSql {
   private val CreateStreamRe =
     """(?is)\s*CREATE\s+STREAM\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+ON\s+TABLE\s+(\w+)(?:\s+APPEND_ONLY\s*=\s*(\w+))?\s*""".r
   private val AlterClusterRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*\(([^)]*)\)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*\((.*)\)\s*""".r
   private val AlterReclusterRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RECLUSTER(?:\s+FINAL)?\s*""".r
   private val OptimizeRe =
