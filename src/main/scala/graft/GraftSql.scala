@@ -622,6 +622,23 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       table(n).recluster(keys, curve = curve)
       refreshView(n)
       status("table" -> n, "op" -> "recluster", "curve" -> curve)
+    case AlterAddColRe(name, colName, typeDdl, dflt) =>
+      val n = norm(name)
+      table(n).addColumn(norm(colName),
+        typeDdl.trim.replaceAll("(?i)\\s+NOT\\s+NULL", "").replaceAll("(?i)\\s+NULL$", ""),
+        Option(dflt).map(_.trim))
+      refreshView(n)
+      status("table" -> n, "op" -> "add-column", "column" -> norm(colName))
+    case AlterDropColRe(name, colName) =>
+      val n = norm(name)
+      table(n).dropColumn(norm(colName))
+      refreshView(n)
+      status("table" -> n, "op" -> "drop-column", "column" -> norm(colName))
+    case AlterRenameColRe(name, from, to) =>
+      val n = norm(name)
+      table(n).renameColumn(norm(from), norm(to))
+      refreshView(n)
+      status("table" -> n, "op" -> "rename-column")
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER TABLE: $s")
   }
 
@@ -729,6 +746,12 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*\((.*)\)\s*""".r
   private val AlterReclusterRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RECLUSTER(?:\s+FINAL)?\s*""".r
+  private val AlterAddColRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
+  private val AlterDropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  private val AlterRenameColRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+TABLE\s+(\w+)\s+(\w+)\s*""".r
   private val WhenBranchRe =

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -140,9 +141,131 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     named
   }
 
+  // ---- schema evolution (reference: fuse ALTER TABLE ADD/DROP COLUMN
+  // is a metadata-only TableSchema change — data files are never
+  // rewritten; old files read the added column as its default).
+  // `_graft_schema.ddl` pins the declared user schema once the table
+  // has been altered; `_graft_alters.json` records, per added column,
+  // the files that predate it (those read the column filled with its
+  // default/NULL). DROP is pure metadata: the explicit read schema
+  // simply omits the column. RENAME rewrites (no field ids in parquet
+  // to resolve old names through), then clears the alter log.
+  private def schemaFile = Paths.get(path, "_graft_schema.ddl")
+  private def altersFile = Paths.get(path, "_graft_alters.json")
+
+  private final case class AlterAdd(col: String, typeDdl: String,
+                                    default: Option[String], files: Set[String])
+
+  private def declaredSchema: Option[StructType] =
+    if (!Files.exists(schemaFile)) None
+    else Some(StructType.fromDDL(new String(Files.readAllBytes(schemaFile), "UTF-8")))
+
+  private def alterAdds: Seq[AlterAdd] =
+    if (!Files.exists(altersFile)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(altersFile), "UTF-8"))
+      node.elements().asScala.map { e =>
+        AlterAdd(e.get("col").asText, e.get("type").asText,
+          Option(e.get("default")).filterNot(_.isNull).map(_.asText),
+          e.get("files").elements().asScala.map(_.asText).toSet)
+      }.toSeq
+    }
+
+  private def writeAlters(adds: Seq[AlterAdd]): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = adds.map { a =>
+      s"""{"col":${q(a.col)},"type":${q(a.typeDdl)},""" +
+        s""""default":${a.default.map(q).getOrElse("null")},""" +
+        s""""files":${a.files.toSeq.sorted.map(q).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+    Files.write(altersFile, json.getBytes("UTF-8"))
+  }
+
+  private def pinSchema(st: StructType): Unit =
+    Files.write(schemaFile, st.toDDL.getBytes("UTF-8"))
+
+  /** user-visible schema (declared if pinned, else the files') */
+  def schema: StructType =
+    declaredSchema.getOrElse(
+      StructType(readWithVirtual().schema.filterNot(_.name.startsWith("__virt_"))))
+
+  /** ALTER TABLE ADD COLUMN — metadata-only; existing files read the
+    * column as `default` (NULL when none). Reference errors when the
+    * column exists (1108): so do we.
+    */
+  def addColumn(name: String, typeDdl: String, default: Option[String] = None): Long = {
+    val cur = schema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    val dt = StructType.fromDDL(s"x $typeDdl").head.dataType
+    pinSchema(StructType(cur.fields :+ org.apache.spark.sql.types.StructField(name, dt)))
+    val prev = snapshot(currentVersion)
+    writeAlters(alterAdds :+ AlterAdd(name, typeDdl, default, prev.files.toSet))
+    commit(prev.files, prev.ledger, s"ALTER-ADD-$name")
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only. Reference errors when the
+    * column is absent or it is the last one (1109): so do we.
+    */
+  def dropColumn(name: String): Long = {
+    val cur = schema
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(name)), s"no column $name")
+    require(cur.fields.length > 1, s"cannot drop the only column $name")
+    pinSchema(StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
+    writeAlters(alterAdds.filterNot(_.col.equalsIgnoreCase(name)))
+    val prev = snapshot(currentVersion)
+    commit(prev.files, prev.ledger, s"ALTER-DROP-$name")
+  }
+
+  /** ALTER TABLE RENAME COLUMN — copy-on-write (parquet files carry no
+    * field ids to resolve old names through), then the alter log is
+    * clear because every live file matches the declared schema.
+    */
+  def renameColumn(from: String, to: String): Long = {
+    val cur = schema
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(from)), s"no column $from")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)), s"column $to already exists")
+    val prev = snapshot(currentVersion)
+    val rewritten = writeParts(readFiles(prev.files)
+      .drop(readFiles(prev.files).columns.filter(_.startsWith("__virt_")).toIndexedSeq: _*)
+      .withColumnRenamed(from, to))
+    pinSchema(StructType(cur.fields.map(f =>
+      if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+    writeAlters(Seq.empty)
+    commit(rewritten, prev.ledger, s"ALTER-RENAME-$from-$to")
+  }
+
   private def readFiles(files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    if (files.isEmpty) {
+      declaredSchema match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case None => spark.emptyDataFrame
+      }
+    } else declaredSchema match {
+      case None => spark.read.parquet(files.map(f => s"$path/$f"): _*)
+      case Some(user) =>
+        // full stored schema = declared user columns + materialized
+        // virtual columns (always strings)
+        val virtFields = virtualColumns.toSeq.flatMap { case (c, ps) =>
+          ps.map(p => org.apache.spark.sql.types.StructField(
+            GraftTable.virtName(c, p), org.apache.spark.sql.types.StringType))
+        }
+        val full = StructType(user.fields ++ virtFields)
+        val adds = alterAdds
+        // group files by WHICH added columns they predate
+        val groups = files.groupBy(f => adds.filter(_.files.contains(f)).map(_.col).toSet)
+        groups.map { case (missing, fs) =>
+          val readSchema = StructType(full.fields.filterNot(x => missing.contains(x.name)))
+          val df = spark.read.schema(readSchema).parquet(fs.map(f => s"$path/$f"): _*)
+          adds.filter(a => missing.contains(a.col)).foldLeft(df) { (acc, a) =>
+            val dt = full(a.col).dataType
+            acc.withColumn(a.col,
+              a.default.map(d => expr(d).cast(dt)).getOrElse(lit(null).cast(dt)))
+          }.select(full.fieldNames.map(col).toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+    }
 
   // ---- reads ----------------------------------------------------------
 
