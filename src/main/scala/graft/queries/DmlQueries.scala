@@ -174,9 +174,35 @@ object DmlQueries extends QueryModule {
       |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 3
       |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // schema evolution (round 8): metadata-only ADD/DROP COLUMN across
+  // existing files — pre-alter rows read the added column's DEFAULT,
+  // dropped columns vanish, and post-alter inserts carry real values.
+  // The oracle replays the timeline relationally.
+  private val alterColumn = Q(
+    (spark, dir) => {
+      Tables(spark, dir).registerAll()
+      val path = scratch("alt")
+      try {
+        val g = GraftSql(spark, path)
+        g.execute("""CREATE TABLE alt AS
+          SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region
+          FROM nation""")
+        g.execute("ALTER TABLE alt ADD COLUMN score INT DEFAULT 7")
+        g.execute("INSERT INTO alt VALUES (100, 'ATLANTIS', 9, 42)")
+        g.execute("ALTER TABLE alt DROP COLUMN region")
+        val out = g.execute(
+          "SELECT k, name, score FROM alt ORDER BY k")
+        materialize(spark, out)
+      } finally rmrf(path)
+    },
+    Some("""SELECT k, name, score FROM (
+      |  SELECT n_nationkey AS k, n_name AS name, 7 AS score FROM nation
+      |  UNION ALL SELECT 100, 'ATLANTIS', 42) ORDER BY k""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "dml_lifecycle" -> lifecycle,
     "dml_cdc_feed" -> cdc,
     "dml_time_travel" -> timeTravel,
-    "dml_virtual_column" -> virtualColumn)
+    "dml_virtual_column" -> virtualColumn,
+    "dml_alter_column" -> alterColumn)
 }
