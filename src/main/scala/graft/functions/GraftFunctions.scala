@@ -62,7 +62,6 @@ object GraftFunctions {
     // math family
     "ceiling" -> "ceil",
     "power" -> "power",
-    "truncate" -> "trunc",
     "rand_alias" -> "rand",
     "intdiv" -> "div",
     "plus" -> "try_add",
@@ -377,6 +376,12 @@ object GraftFunctions {
     // Snowflake/databend-style lateral FLATTEN (custom Generator)
     "flatten_json" -> (args => JsonFlatten(args.head, recursive = false)),
     "flatten_json_recursive" -> (args => JsonFlatten(args.head, recursive = true)),
+    // VARIANT-typed flatten: the FROM-clause `LATERAL FLATTEN(...)`
+    // table factor (GraftSql rewrites onto this generator)
+    "flatten_variant" -> (args => VariantFlatten(args.head, args.lift(1) match {
+      case Some(Literal(s, _)) if s != null => s.toString
+      case _ => ""
+    })),
     // more to_start_of_* units (reference scalars/timestamp family)
     "to_start_of_quarter" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("quarter")) ++ args, isDistinct = false)),

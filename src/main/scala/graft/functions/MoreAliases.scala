@@ -153,6 +153,14 @@ object MoreAliases {
       "lt" -> (a => LessThan(a.head, a(1))),
       "lte" -> (a => LessThanOrEqual(a.head, a(1))),
       "xor" -> (a => Not(EqualTo(cast(a.head, BooleanType), cast(a(1), BooleanType)))),
+      // numeric truncate-toward-zero at scale d (reference math.rs
+      // truncate; NOT Spark's date trunc)
+      "truncate" -> (a => {
+        val x = cast(a.head, DoubleType)
+        val p = f("power", Literal(10.0), if (a.length > 1) a(1) else Literal(0))
+        Multiply(f("sign", x),
+          Divide(f("floor", Multiply(f("abs", x), p)), p))
+      }),
       "div0" -> (a => CaseWhen(
         Seq((EqualTo(cast(a(1), DoubleType), Literal(0.0)), Literal(0.0))),
         Some(Divide(cast(a.head, DoubleType), cast(a(1), DoubleType))))),

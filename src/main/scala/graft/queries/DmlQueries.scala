@@ -199,10 +199,57 @@ object DmlQueries extends QueryModule {
       |  SELECT n_nationkey AS k, n_name AS name, 7 AS score FROM nation
       |  UNION ALL SELECT 100, 'ATLANTIS', 42) ORDER BY k""".stripMargin))
 
+  // dynamic PIVOT (reference pivot binder: IN (ANY ORDER BY ...)
+  // resolves the value set at bind time) driven as SQL text; the
+  // oracle enumerates the known value set as FILTERed counts.
+  private val dynPivot = Q(
+    (spark, dir) => {
+      Tables(spark, dir).registerAll()
+      val path = scratch("dynpivot")
+      try {
+        val g = GraftSql(spark, path)
+        g.execute("""CREATE TABLE dp AS
+          SELECT o_orderstatus AS st, o_orderpriority AS pri, o_totalprice AS price
+          FROM orders""")
+        val out = g.execute("""SELECT * FROM dp
+          PIVOT(COUNT(price) FOR pri IN (ANY ORDER BY pri)) ORDER BY st""")
+        materialize(spark, out)
+      } finally rmrf(path)
+    },
+    Some("""SELECT o_orderstatus AS st,
+      | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+      | count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+      | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+      | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+      | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+      |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin))
+
+  // QUALIFY (window-predicate filter) through the SQL text head; the
+  // oracle is the classic wrapped-subquery spelling.
+  private val qualifyTop = Q(
+    (spark, dir) => {
+      Tables(spark, dir).registerAll()
+      val path = scratch("qual")
+      try {
+        val g = GraftSql(spark, path)
+        g.execute("""CREATE TABLE q AS
+          SELECT c_mktsegment AS seg, c_custkey AS k, c_acctbal AS bal FROM customer""")
+        val out = g.execute("""SELECT seg, k FROM q
+          QUALIFY row_number() OVER (PARTITION BY seg ORDER BY bal DESC, k) <= 3
+          ORDER BY seg, k""")
+        materialize(spark, out)
+      } finally rmrf(path)
+    },
+    Some("""SELECT seg, k FROM (SELECT c_mktsegment AS seg, c_custkey AS k,
+      | row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      | FROM customer) WHERE rn <= 3 ORDER BY seg, k""".stripMargin))
+
   override def queries: Seq[(String, Q)] = Seq(
     "dml_lifecycle" -> lifecycle,
     "dml_cdc_feed" -> cdc,
     "dml_time_travel" -> timeTravel,
     "dml_virtual_column" -> virtualColumn,
-    "dml_alter_column" -> alterColumn)
+    "dml_alter_column" -> alterColumn,
+    "sql_dyn_pivot" -> dynPivot,
+    "sql_qualify" -> qualifyTop)
 }

@@ -47,14 +47,21 @@ object Slt {
         i = j
       } else if (l.startsWith("query")) {
         val rowsort = l.split("\\s+").contains("rowsort")
-        val (sql, j) = collectSql(i + 1, _.trim == "----")
-        var k = j + 1 // skip ----
-        val exp = Vector.newBuilder[String]
-        while (k < lines.length && lines(k).trim.nonEmpty) {
-          exp += lines(k); k += 1
+        val (sql, j) = collectSql(i + 1, ln => ln.trim == "----" || ln.trim.isEmpty)
+        if (j >= lines.length || lines(j).trim != "----") {
+          // the reference's runner tolerates a query with no result
+          // block — execute-only, like `statement ok`
+          out += Statement(sql, i + 1, expectError = false)
+          i = j
+        } else {
+          var k = j + 1 // skip ----
+          val exp = Vector.newBuilder[String]
+          while (k < lines.length && lines(k).trim.nonEmpty) {
+            exp += lines(k); k += 1
+          }
+          out += Query(sql, i + 1, exp.result(), rowsort)
+          i = k
         }
-        out += Query(sql, i + 1, exp.result(), rowsort)
-        i = k
       } else sys.error(s"slt parse error at line ${i + 1}: $l")
     }
     out.result()
