@@ -104,17 +104,51 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   // ---- entry ----------------------------------------------------------
 
   def execute(sql: String): DataFrame = {
-    val s = sql.trim.stripSuffix(";").trim
+    var s = sql.trim.stripSuffix(";").trim
+    // trailing IGNORE_RESULT (databend statement suffix: run, discard
+    // rows — tests/sqllogictests suites use it on large results)
+    s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
+    // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
+    // (ast/statements/statement.rs StatementWithSettings). The knobs
+    // are engine-internal (spill/topn/shuffle modes) with no Spark
+    // analog that changes results — strip and run the statement.
+    val settingsM = """(?is)^SETTINGS\s*\(""".r.findPrefixMatchOf(s)
+    if (settingsM.isDefined) {
+      val open = settingsM.get.end - 1
+      val close = matchParen(s, open)
+      return execute(s.substring(close + 1))
+    }
     val up = s.toUpperCase
     def is(kw: String) = up.startsWith(kw)
-    if (is("SELECT") || is("WITH") || is("VALUES") || is("EXPLAIN") ||
+    if (is("FROM ") || is("FROM(")) {
+      // databend FROM-first queries (ast/query.rs): a bare `FROM t`
+      // means `SELECT * FROM t`; `FROM t SELECT ...` is Hive-style and
+      // Spark parses it natively
+      return query(if (indexOfKeyword(s, "SELECT") >= 0) s else "SELECT * " + s)
+    }
+    if (is("WITH")) {
+      if ("""(?is)^WITH\s+RECURSIVE\b""".r.findPrefixMatchOf(s).isDefined)
+        // run the fixpoint ourselves: Spark's native recursion allows
+        // only one self-reference per recursive term; the reference
+        // permits several (r_cte multi-ref, sudoku) — basic_r_cte.test
+        executeRecursiveWith(s)
+      else withDmlSplit(s) match {
+        // databend allows a CTE prologue on DML (query/cte/
+        // {insert,delete,update}_cte.test): expose each CTE as a temp
+        // view for the statement, then run the DML itself
+        case Some((ctes, dml)) => executeWithCtes(ctes, dml)
+        case None => query(s)
+      }
+    }
+    else if (is("SELECT") || is("VALUES") || is("EXPLAIN") ||
         is("TABLE ") || is("(")) query(s)
     else if (is("CREATE") && up.contains("STREAM") &&
              CreateStreamRe.findFirstIn(s).isDefined) createStream(s)
     else if (is("CREATE") && CreateStageRe.findFirstIn(s).isDefined) createStage(s)
     else if (is("CREATE") && CreatePyFnRe.findFirstIn(s).isDefined) createPyFunction(s)
     else if (is("DROP FUNCTION") && DropFnRe.findFirstIn(s).isDefined) dropFunction(s)
-    else if (is("CREATE DATABASE") || is("CREATE SCHEMA")) createDatabase(s)
+    else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(DATABASE|SCHEMA)\\b.*"))
+      createDatabase(s)
     else if (is("DROP DATABASE") || is("DROP SCHEMA")) dropDatabase(s)
     else if (is("CREATE")) createTable(s)
     else if (is("DROP STREAM")) dropStream(s)
@@ -146,6 +180,118 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else query(s) // let Spark handle anything else (CREATE VIEW, SET, ...)
   }
 
+  /** split `WITH name [(cols)] AS (...), ... <DML>` into the CTE list
+    * and the trailing DML statement; None when the tail is a plain
+    * query (handled natively) or the prologue is RECURSIVE
+    */
+  private def withDmlSplit(
+      s: String): Option[(Seq[(String, String, String)], String)] = {
+    var i = "WITH".length
+    if ("""(?is)^\s*RECURSIVE\b""".r.findPrefixMatchOf(s.substring(i)).isDefined)
+      return None
+    val ctes = mutable.Buffer[(String, String, String)]()
+    while (true) {
+      val hm = """(?is)^\s*(\w+)\s*(\(([^)]*)\))?\s*AS\s*\(""".r
+        .findPrefixMatchOf(s.substring(i))
+      hm match {
+        case None => return None
+        case Some(h) =>
+          val open = i + h.end - 1
+          val close = matchParen(s, open)
+          ctes += ((h.group(1), h.group(3), s.substring(open + 1, close)))
+          val after = s.substring(close + 1)
+          val cm = """(?is)^\s*,""".r.findPrefixMatchOf(after)
+          if (cm.isDefined) i = close + 1 + cm.get.end
+          else {
+            val rest = after.trim
+            val up = rest.toUpperCase
+            if (up.startsWith("INSERT") || up.startsWith("DELETE") ||
+                up.startsWith("UPDATE") || up.startsWith("MERGE") ||
+                up.startsWith("REPLACE") || up.startsWith("COPY"))
+              return Some((ctes.toSeq, rest))
+            return None
+          }
+      }
+    }
+    None
+  }
+
+  /** `WITH RECURSIVE c1 AS (...), c2 AS (...) <main>` — each
+    * self-referencing CTE runs through the driver-side fixpoint
+    * (operators/RecursiveCte, the RecursiveCteScan analog): the step
+    * query sees the CTE name as the PREVIOUS frontier (standard
+    * UNION ALL working-table semantics), so multiple self-references
+    * and references to earlier CTEs both work. Non-recursive members
+    * become plain views.
+    */
+  private def executeRecursiveWith(s: String): DataFrame = {
+    var i = indexOfKeyword(s, "RECURSIVE") + "RECURSIVE".length
+    val created = mutable.Buffer[String]()
+    var main: String = null
+    while (main == null) {
+      val hm = """(?is)^\s*(\w+)\s*(\(([^)]*)\))?\s*AS\s*\(""".r
+        .findPrefixMatchOf(s.substring(i))
+      require(hm.isDefined,
+        s"cannot parse recursive WITH at: ${s.substring(i).take(80)}")
+      val h = hm.get
+      val name = h.group(1)
+      val cols = Option(h.group(3)).map(splitTopLevel(_, ',').map(norm))
+      val open = i + h.end - 1
+      val close = matchParen(s, open)
+      val body = s.substring(open + 1, close)
+      val selfRef = wordRe(name).findFirstIn(body).isDefined
+      val df =
+        if (!selfRef) {
+          var d = spark.sql(rewriteReads(body))
+          cols.foreach(c => d = d.toDF(c: _*))
+          d
+        } else {
+          val u = indexOfKeyword(body, "UNION")
+          require(u >= 0, s"recursive CTE $name needs UNION ALL")
+          val allM = """(?is)^UNION\s+ALL\s+""".r.findPrefixMatchOf(body.substring(u))
+          require(allM.isDefined, s"recursive CTE $name: only UNION ALL recursion")
+          val baseText = body.substring(0, u)
+          val stepText = body.substring(u + allM.get.end)
+          var baseDf = spark.sql(rewriteReads(baseText))
+          cols.foreach(c => baseDf = baseDf.toDF(c: _*))
+          val schema = baseDf.schema
+          graft.operators.RecursiveCte.run(baseDf, maxIter = 1000, step = fr => {
+            fr.createOrReplaceTempView(name)
+            if (!created.contains(name)) created += name
+            // recursive term aligns by position and casts to the base
+            // term's types (the reference's binder does the same)
+            val sd = spark.sql(rewriteReads(stepText))
+              .toDF(schema.fieldNames.toSeq: _*)
+            sd.select(schema.fields.map(f =>
+              col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
+          })
+        }
+      df.createOrReplaceTempView(name)
+      if (!created.contains(name)) created += name
+      val after = s.substring(close + 1)
+      val cm = """(?is)^\s*,""".r.findPrefixMatchOf(after)
+      if (cm.isDefined) i = close + 1 + cm.get.end
+      else main = after.trim
+    }
+    try query(main)
+    finally created.foreach(n => spark.catalog.dropTempView(n))
+  }
+
+  private def executeWithCtes(ctes: Seq[(String, String, String)],
+                              dml: String): DataFrame = {
+    val created = mutable.Buffer[String]()
+    try {
+      for ((name, cols, body) <- ctes) {
+        var df = spark.sql(rewriteReads(body))
+        if (cols != null && cols.trim.nonEmpty)
+          df = df.toDF(splitTopLevel(cols, ',').map(norm): _*)
+        df.createOrReplaceTempView(name)
+        created += name
+      }
+      execute(dml)
+    } finally created.foreach(spark.catalog.dropTempView(_))
+  }
+
   // ---- queries (with time-travel / changes / stream rewrite) ----------
 
   /** Streams referenced by the LAST query() call — consumed by DML that
@@ -154,7 +300,172 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     */
   private var lastStreamRefs: Seq[String] = Seq.empty
 
-  private def query(s: String): DataFrame = spark.sql(rewriteReads(s))
+  private def query(s: String): DataFrame = {
+    var cur = rewriteReads(s)
+    var tries = 0
+    while (tries < 5) {
+      try return spark.sql(cur)
+      catch {
+        // databend (like DuckDB) lets WHERE reference a select-list
+        // alias as sugar for its expression (query/aggregate.test
+        // total_user_income); Spark resolves only real columns. When
+        // the unresolved name is a declared alias, substitute the
+        // aliased expression and retry — columns always win because
+        // this path only runs after Spark failed to resolve the name.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+               e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
+          val name = Option(e.getMessageParameters.get("objectName"))
+            .map(_.stripPrefix("`").stripSuffix("`"))
+          val fixed = name.map(substituteAlias(cur, _)).getOrElse(cur)
+          if (fixed == cur) throw e
+          cur = fixed; tries += 1
+        // databend evaluates a scalar subquery correlated on the group
+        // key directly in a grouped select list; Spark wants it inside
+        // an aggregate — first() over the group is value-identical
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null && e.getCondition.startsWith(
+              "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION") =>
+          val fixed = wrapGroupedScalarSubqueries(cur)
+          if (fixed == cur) throw e
+          cur = fixed; tries += 1
+        // databend lets a window spec reference a select-list alias;
+        // Spark rejects the lateral alias — substitute the expression
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+               e.getCondition.endsWith("LATERAL_COLUMN_ALIAS_IN_WINDOW") =>
+          val name = Option(e.getMessageParameters.get("lca"))
+            .map(_.stripPrefix("`").stripSuffix("`"))
+            .orElse("`(\\w+)`".r.findFirstMatchIn(
+              String.valueOf(e.getMessage)).map(_.group(1)))
+          val fixed = name.map(substituteAlias(cur, _)).getOrElse(cur)
+          if (fixed == cur) throw e
+          cur = fixed; tries += 1
+      }
+    }
+    spark.sql(cur)
+  }
+
+  /** first occurrence of `kw` outside quotes, at ANY paren depth */
+  private def indexOfKeywordAnyDepth(s: String, kw: String, from: Int): Int = {
+    val upper = s.toUpperCase; val k = kw.toUpperCase
+    var i = from; var q: Char = 0
+    def wc(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`') { q = c; i += 1 }
+      else if (upper.startsWith(k, i) && (i == 0 || !wc(s.charAt(i - 1))) &&
+               (i + k.length >= s.length || !wc(s.charAt(i + k.length))))
+        return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** end of the clause starting at `start`: the first same-depth ender
+    * keyword, the `)` closing the enclosing scope, or end of input
+    */
+  private def clauseEnd(sql: String, start: Int, enders: Set[String]): Int = {
+    var i = start; var depth = 0; var q: Char = 0
+    def wc(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`') { q = c; i += 1 }
+      else if (c == '(' || c == '[') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']') {
+        if (depth == 0) return i else { depth -= 1; i += 1 }
+      } else if (depth == 0 && c.isLetter && (i == 0 || !wc(sql.charAt(i - 1)))) {
+        var j = i; while (j < sql.length && wc(sql.charAt(j))) j += 1
+        if (enders.contains(sql.substring(i, j).toUpperCase)) return i
+        i = j
+      } else i += 1
+    }
+    sql.length
+  }
+
+  /** wrap bare scalar-subquery select items of GROUPed blocks in
+    * first(...) — used on analysis retry only
+    */
+  private def wrapGroupedScalarSubqueries(sql0: String): String = {
+    var sql = sql0; var pos = 0
+    while (true) {
+      val sel = indexOfKeywordAnyDepth(sql, "SELECT", pos)
+      if (sel < 0) return sql
+      val listStart = sel + "SELECT".length
+      val listEnd = clauseEnd(sql, listStart, Set("FROM"))
+      val blockEnd = clauseEnd(sql, listEnd,
+        Set("GROUP", "UNION", "EXCEPT", "INTERSECT", "ORDER", "LIMIT"))
+      val grouped = blockEnd < sql.length &&
+        sql.regionMatches(true, blockEnd, "GROUP", 0, 5)
+      if (grouped) {
+        val items = splitTopLevel(sql.substring(listStart, listEnd), ',')
+        var changed = false
+        val rebuilt = items.map { it =>
+          val t = it.trim
+          val m = """(?is)^\((\s*SELECT\b.*)\)(\s*(?:AS\s+)?\w+)?$""".r
+            .findFirstMatchIn(t)
+          m match {
+            case Some(mm) =>
+              changed = true
+              s"first((${mm.group(1)}))" + Option(mm.group(2)).getOrElse("")
+            case None => it
+          }
+        }.mkString(", ")
+        if (changed)
+          return sql.substring(0, listStart) + " " + rebuilt + " " +
+            sql.substring(listEnd)
+      }
+      pos = sel + "SELECT".length
+    }
+    sql
+  }
+
+  /** replace standalone references to select-list alias `name` with its
+    * parenthesized expression (the defining `AS name` is left alone)
+    */
+  private def substituteAlias(sql: String, name: String): String = {
+    var from = 0
+    while (from >= 0 && from < sql.length) {
+      val sel = indexOfKeywordAnyDepth(sql, "SELECT", from)
+      if (sel < 0) return sql
+      val listStart = sel + "SELECT".length
+      val listEnd = clauseEnd(sql, listStart,
+        Set("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+            "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY"))
+      // explicit `expr AS name` or implicit `expr name` trailing alias
+      val asSuffix = ("(?is)^(.*?)\\s+(?:AS\\s+)?`?" + java.util.regex.Pattern.quote(name) + "`?\\s*$").r
+      val item = splitTopLevel(sql.substring(listStart, listEnd), ',')
+        .collectFirst { case asSuffix(e) => e.trim }
+      item match {
+        case Some(exprTxt) =>
+          val nameRe = ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) + "(?![\\w`])").r
+          val sb = new StringBuilder
+          var last = 0
+          for (mm <- nameRe.findAllMatchIn(sql)) {
+            val before = sql.substring(0, mm.start)
+            val afterAs = """(?is).*\bAS\s*$""".r.matches(before)
+            // the DEFINING occurrence: a trailing alias token of a
+            // select-list item (followed only by whitespace then a
+            // comma or the end of the list) — keep it
+            val defining = mm.start >= listStart && mm.end <= listEnd && {
+              var j = mm.end
+              while (j < listEnd && sql.charAt(j).isWhitespace) j += 1
+              j >= listEnd || sql.charAt(j) == ','
+            }
+            sb.append(sql.substring(last, mm.start))
+            if (afterAs || defining) sb.append(mm.matched)
+            else sb.append(s"($exprTxt)")
+            last = mm.end
+          }
+          sb.append(sql.substring(last))
+          return sb.toString
+        case None => from = listStart
+      }
+    }
+    sql
+  }
 
   /** resolve `t AT (POINT => v)` / `t CHANGES (...) AT (...) [END (...)]`
     * / stream references into temp views over the snapshot log
@@ -165,6 +476,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // Spark uses backticks — convert outside string literals first so
     // every later pass sees one identifier spelling
     var sql = identQuotes(sql0)
+    // databend's default null ordering is NULLS LAST in BOTH sort
+    // directions; Spark's ASC default is NULLS FIRST — make it explicit
+    sql = rewriteOrderNulls(sql)
     // CHANGES first (its text contains an AT clause)
     sql = ChangesRe.replaceAllIn(sql, m => {
       val t = norm(m.group(1))
@@ -194,6 +508,28 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // an unsigned 0..N-1 sequence named `number`
     sql = NumbersRe.replaceAllIn(sql, m =>
       s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // DATE_ADD(unit, n, d) / DATE_SUB(unit, n, d) — databend's
+    // unit-keyword-first spelling (datetime.rs) -> the registered
+    // add_/subtract_<unit>s pair (date-preserving for date inputs)
+    sql = rewriteUnitDateAdd(sql)
+    // EXTRACT(EPOCH FROM x) — Spark's extract has no epoch field
+    sql = sql.replaceAll("(?i)\\bextract\\s*\\(\\s*epoch\\s+from\\b",
+      "unix_seconds(")
+    // parameterized aggregate calls `quantile[_cont|_disc](p)(x)`
+    // (databend's two-stage call form) -> flat (x, p) spellings
+    sql = rewriteParamAggCall(sql)
+    // json_array_agg/json_object_agg used as WINDOW functions: the
+    // registered forms are to_json over an aggregate, and Spark would
+    // attach OVER to the outer (non-aggregate) to_json — push the
+    // window onto the aggregate itself
+    sql = rewriteWindowedJsonAgg(sql)
+    // generate_series(a, b[, step]) as a FROM/JOIN/LATERAL table
+    // factor (reference table function, inclusive end) ->
+    // explode(sequence) in a (lateral) subquery
+    sql = rewriteGenSeriesTvf(sql)
+    // unnest(arr) as a FROM-clause table factor: the scalar registry's
+    // unnest->explode alias doesn't cover TVF position
+    sql = sql.replaceAll("(?i)\\b(FROM|JOIN)(\\s+)unnest\\s*\\(", "$1$2explode(")
     // databend [..] array literals -> array(..) (subscripts untouched)
     sql = arrayLiterals(sql)
     // databend `SELECT * EXCLUDE (c1, ...)` -> Spark's `* EXCEPT (...)`
@@ -203,6 +539,38 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // length-less VARCHAR casts (databend treats VARCHAR as unbounded)
     sql = sql.replaceAll("(?i)\\b(as\\s+)varchar\\b(?!\\s*\\()", "$1string")
       .replaceAll("(?i)::varchar\\b(?!\\s*\\()", "::string")
+    // databend sized-int / float cast spellings in query position
+    // (src/query/ast types; unsigned widens per SURVEY §1.2)
+    for ((from, to) <- CastSpellings)
+      sql = sql.replaceAll(s"(?i)::$from\\b", s"::$to")
+        .replaceAll(s"(?i)\\b(as\\s+)$from\\b", s"$$1$to")
+    // HAVING without GROUP BY filters like WHERE when it references no
+    // aggregate (databend/MySQL extension; query/having.test:1)
+    sql = rewriteBareHaving(sql)
+    // DATE_TRUNC(unit, x) with a bare unit keyword (databend grammar;
+    // Spark takes a string literal)
+    sql = sql.replaceAll(
+      "(?i)\\bdate_trunc\\s*\\(\\s*(year|quarter|month|week|day|hour|minute|second)\\s*,",
+      "date_trunc('$1',")
+    // JOIN binds tighter than the comma-join in databend/MySQL
+    // (`FROM a, b RIGHT JOIN c` = a x (b JOIN c)); Spark folds
+    // left-associatively — wrap comma segments containing a JOIN
+    sql = rewriteCommaJoinPrecedence(sql)
+    // IN (subquery) used as a VALUE (select list) loses its ternary
+    // NULL in Spark's existence join; reroute through the quantified
+    // forms (IN ≡ = ANY, NOT IN ≡ != ALL) expanded below
+    sql = rewriteProjInSubquery(sql)
+    // quantified comparisons `x <op> ALL|ANY|SOME (subquery)` (databend
+    // subquery.rs mark-join lowering; Spark lacks the syntax)
+    sql = rewriteQuantified(sql)
+    // subqueries inside JOIN ... ON conditions (databend decorrelates
+    // them; Spark rejects them outright)
+    sql = rewriteJoinOnSubquery(sql)
+    // OFFSET literals beyond Int.MaxValue (databend accepts u64; the
+    // observable result is identical — everything is skipped)
+    sql = BigOffsetRe.replaceAllIn(sql, m =>
+      if (BigInt(m.group(1)) > Int.MaxValue) "OFFSET 2147483646"
+      else m.matched)
     // correlated `LATERAL (VALUES ...)` -> correlated UNION ALL
     // lateral subquery (Spark can't evaluate outer refs in inline
     // tables, but handles them fine in lateral subqueries)
@@ -210,6 +578,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // FROM-clause `LATERAL FLATTEN(...)`/`LATERAL unnest(...)` table
     // factors -> LATERAL VIEW over the variant generators
     sql = rewriteLateralTvf(sql)
+    // RIGHT SEMI/ANTI spellings (databend join types; Spark only has
+    // the LEFT forms) -> flip the two factors
+    sql = rewriteRightSemiAnti(sql)
     // databend variant colon paths (x:a.b[0]) -> try_variant_get
     sql = rewriteColonPaths(sql)
     // WITHIN GROUP ordered-set aggregates (listagg & friends) — Spark
@@ -231,7 +602,531 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val refs = streams.keys.filter(n => wordRe(n).findFirstIn(sql).isDefined).toSeq
     refs.foreach(n => streams(n).read().createOrReplaceTempView(viewPrefix + n))
     lastStreamRefs = refs
-    prefixRefs(qualifiedRefs(sql), refs.toSet)
+    // names defined by CTE (or WINDOW) clauses in this statement
+    // shadow same-named tables for bare references — do not rewrite
+    // them onto table views (query/cte/name_conflict.test)
+    val cteDefined = CteDefRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+    prefixRefs(qualifiedRefs(sql), refs.toSet, cteDefined)
+  }
+
+  private val CteDefRe =
+    ("(?i)" + "\\b" + """(\w+)\s*(?:\(\s*[\w`",\s]*\))?\s+AS\s*\(""").r
+
+  private val UnitDateAddRe =
+    """(?i)\b(date_add|date_sub|dateadd|datesub)\s*\(\s*(year|quarter|month|week|day|hour|minute|second)\s*,""".r
+
+  private def rewriteUnitDateAdd(sql: String): String = {
+    val m0 = UnitDateAddRe.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val open = sql.indexOf('(', m.start)
+    val close = matchParen(sql, open)
+    val args = splitTopLevel(sql.substring(open + 1, close), ',').map(_.trim)
+    if (args.length != 3) // 2-arg date_add (a column named like a unit)
+      return sql.substring(0, m.end) + rewriteUnitDateAdd(sql.substring(m.end))
+    val fn =
+      if (m.group(1).toLowerCase.contains("sub")) "subtract" else "add"
+    val unit = m.group(2).toLowerCase
+    sql.substring(0, m.start) +
+      s"${fn}_${unit}s(${rewriteUnitDateAdd(args(2))}, ${rewriteUnitDateAdd(args(1))})" +
+      rewriteUnitDateAdd(sql.substring(close + 1))
+  }
+
+  private val BigOffsetRe = """(?i)\bOFFSET\s+(\d{10,})""".r
+
+  private val QuantifiedRe =
+    """(<=|>=|!=|<>|<|>|=)\s*(?i:(ALL|ANY|SOME))\s*\(""".r
+
+  /** `x <op> ALL (q)` / `x <op> ANY|SOME (q)` -> EXISTS forms with the
+    * reference's mark-join truth table as observed in WHERE context
+    * (UNKNOWN filters like FALSE): ALL holds when no row makes the
+    * comparison false-or-unknown; ANY holds when some row makes it
+    * true. The subquery's single output column is resolved by analysis.
+    */
+  private def rewriteQuantified(sql: String): String = {
+    val m0 = QuantifiedRe.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val open = m.end - 1
+    val inner = sql.substring(open + 1, matchParen(sql, open))
+    if (!inner.trim.toUpperCase.startsWith("SELECT") &&
+        !inner.trim.toUpperCase.startsWith("WITH"))
+      return sql // ANY(...) the aggregate, or an IN-list — leave alone
+    val close = matchParen(sql, open)
+    // walk back over the left operand: an identifier path or a
+    // parenthesized/call expression ending just before the operator
+    var e = m.start - 1
+    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+    val lhsEnd = e + 1
+    var s0 = e
+    if (e >= 0 && sql.charAt(e) == '\'') {
+      // string-literal operand: scan back to its opening quote
+      s0 = e - 1
+      while (s0 >= 0 && sql.charAt(s0) != '\'') s0 -= 1
+      s0 -= 1
+    } else if (e >= 0 && (sql.charAt(e) == ')' || sql.charAt(e) == '`')) {
+      val openCh = if (sql.charAt(e) == ')') '(' else '`'
+      var depth = 0
+      while (s0 >= 0 && { val c = sql.charAt(s0)
+        if (c == sql.charAt(e)) depth += 1 else if (c == openCh) depth -= 1
+        depth != 0 }) s0 -= 1
+      s0 -= 1
+      // a call: include the function name / qualifier
+      while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
+             "_.$".contains(sql.charAt(s0)))) s0 -= 1
+    } else
+      while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
+             "_.$".contains(sql.charAt(s0)))) s0 -= 1
+    val lhs = sql.substring(s0 + 1, lhsEnd)
+    require(lhs.nonEmpty, s"cannot locate left operand of quantified comparison")
+    // normalize the subquery's single output column to a known name
+    // textually — the subquery may be correlated, so it can't be
+    // analyzed standalone
+    val selIdx = indexOfKeyword(inner, "SELECT")
+    require(selIdx >= 0, s"quantified subquery has no SELECT: $inner")
+    val listStart = selIdx + "SELECT".length
+    val listEnd = clauseEnd(inner, listStart,
+      Set("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+          "UNION", "EXCEPT", "INTERSECT"))
+    val items = splitTopLevel(inner.substring(listStart, listEnd), ',')
+    require(items.length == 1,
+      s"1065: quantified subquery must return one column, got ${items.length}")
+    var item = items.head.trim
+    val distinct = item.toUpperCase.startsWith("DISTINCT ")
+    if (distinct) item = item.substring("DISTINCT ".length).trim
+    item = item.replaceAll("(?is)\\s+AS\\s+[`\\w]+$", "")
+    val inner2 = inner.substring(0, listStart) +
+      (if (distinct) " DISTINCT" else "") + s" ($item) AS __qv " +
+      inner.substring(listEnd)
+    val op = m.group(1)
+    val quant = m.group(2).toUpperCase
+    val cmpTxt = s"(($lhs) $op __qq.__qv)"
+    // full three-valued truth table (the reference's mark join yields
+    // TRUE/FALSE/NULL and suites observe it with IS NULL —
+    // query/subquery.test): ANY = TRUE if any true, NULL if none true
+    // but some unknown, else FALSE; ALL dually; empty set -> FALSE/TRUE
+    val repl =
+      if (quant == "ALL")
+        s"(CASE WHEN EXISTS (SELECT 1 FROM ($inner2) __qq WHERE NOT $cmpTxt) THEN FALSE " +
+        s"WHEN EXISTS (SELECT 1 FROM ($inner2) __qq WHERE ($cmpTxt) IS NULL) THEN CAST(NULL AS BOOLEAN) " +
+        s"ELSE TRUE END)"
+      else
+        s"(CASE WHEN EXISTS (SELECT 1 FROM ($inner2) __qq WHERE $cmpTxt) THEN TRUE " +
+        s"WHEN EXISTS (SELECT 1 FROM ($inner2) __qq WHERE ($cmpTxt) IS NULL) THEN CAST(NULL AS BOOLEAN) " +
+        s"ELSE FALSE END)"
+    sql.substring(0, s0 + 1) + repl + rewriteQuantified(sql.substring(close + 1))
+  }
+
+  private val FromEnders = Set(
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION",
+    "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "SETTINGS", "SELECT")
+
+  private def rewriteCommaJoinPrecedence(sql0: String): String = {
+    var sql = sql0; var pos = 0
+    while (true) {
+      val f = indexOfKeywordAnyDepth(sql, "FROM", pos)
+      if (f < 0) return sql
+      val start = f + "FROM".length
+      val end = clauseEnd(sql, start, FromEnders)
+      val clause = sql.substring(start, end)
+      if (indexOfTopLevel(clause, ',') >= 0 &&
+          indexOfKeyword(clause, "JOIN") >= 0) {
+        val segs = splitTopLevel(clause, ',')
+        val rebuilt = segs.zipWithIndex.map { case (seg, k) =>
+          if (k > 0 && indexOfKeyword(seg, "JOIN") >= 0 &&
+              !seg.toUpperCase.startsWith("LATERAL")) s"($seg)"
+          else seg
+        }.mkString(", ")
+        sql = sql.substring(0, start) + " " + rebuilt + " " + sql.substring(end)
+        pos = start + rebuilt.length + 1
+      } else pos = end
+    }
+    sql
+  }
+
+  /** replace top-of-select-list `[NOT] IN (subquery)` with the
+    * quantified spellings so they expand to the three-valued forms
+    */
+  private def rewriteProjInSubquery(sql0: String): String = {
+    var sql = sql0; var pos = 0
+    while (true) {
+      val sel = indexOfKeywordAnyDepth(sql, "SELECT", pos)
+      if (sel < 0) return sql
+      val listStart = sel + "SELECT".length
+      val listEnd = clauseEnd(sql, listStart, FromEnders - "SELECT" + "FROM")
+      var list = sql.substring(listStart, listEnd)
+      var i = 0
+      var changed = false
+      while (i >= 0 && i < list.length) {
+        val in = indexOfKeyword(list, "IN", i)
+        if (in < 0) i = -1
+        else {
+          val after = list.substring(in + 2)
+          val isSub = """(?is)^\s*\(\s*(SELECT|WITH)\b""".r
+            .findPrefixMatchOf(after).isDefined
+          if (!isSub) i = in + 2
+          else {
+            val notM = """(?is)\bNOT\s*$""".r
+              .findFirstMatchIn(list.substring(0, in))
+            if (notM.isDefined) {
+              list = list.substring(0, notM.get.start) + " != ALL " +
+                after
+            } else {
+              list = list.substring(0, in) + "= ANY " + after
+            }
+            changed = true
+            i = 0 // rescan (indices shifted)
+          }
+        }
+      }
+      if (changed)
+        sql = sql.substring(0, listStart) + list + sql.substring(listEnd)
+      pos = sel + "SELECT".length
+    }
+    sql
+  }
+
+  /** clause keywords that terminate a JOIN ... ON condition */
+  private val OnCondEnders = Set(
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION",
+    "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "SETTINGS", "JOIN",
+    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "LATERAL")
+
+  /** Subqueries in JOIN ON conditions: the reference decorrelates them
+    * (binder/join.rs); Spark rejects correlated subqueries in join
+    * predicates. Two lowering paths, mirroring what the reference's
+    * own planner effectively produces:
+    *   - inner joins: ON moves to WHERE over a cross join (filters
+    *     support arbitrary subqueries);
+    *   - outer joins: a subquery referencing exactly one side becomes
+    *     a computed column on that side's factor (`(SELECT ...)` ->
+    *     `side.__jxN`), leaving a plain outer-join condition.
+    */
+  private def rewriteJoinOnSubquery(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 8) {
+      guard += 1
+      rewriteOneJoinOn(sql) match {
+        case Some(next) => sql = next
+        case None => return sql
+      }
+    }
+    sql
+  }
+
+  private val SubqueryOpenRe = """(?i)\(\s*SELECT\b""".r
+
+  private def rewriteOneJoinOn(sql: String): Option[String] = {
+    var from = 0
+    while (from < sql.length) {
+      val j = indexOfKeyword(sql, "JOIN", from)
+      if (j < 0) return None
+      val onIdx = indexOfKeyword(sql, "ON", j + 4)
+      if (onIdx < 0) return None
+      val condStart = onIdx + 2
+      val condEnd = {
+        var e = clauseEnd(sql, condStart, OnCondEnders)
+        // a top-level comma also ends the ON condition (comma-join
+        // relation separator, e.g. `ON TRUE, LATERAL (...)`)
+        val comma = indexOfTopLevel(sql.substring(condStart, e), ',')
+        if (comma >= 0) condStart + comma else e
+      }
+      val cond = sql.substring(condStart, condEnd)
+      if (SubqueryOpenRe.findFirstIn(cond).isEmpty) { from = onIdx + 2 }
+      else {
+        // join type + left/right factor spans
+        var jt = j
+        var joinType = "INNER"
+        def prevWord(endPos: Int): (String, Int) = {
+          var e = endPos - 1
+          while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+          var s = e
+          while (s >= 0 && (sql.charAt(s).isLetterOrDigit || sql.charAt(s) == '_')) s -= 1
+          (sql.substring(s + 1, e + 1), s + 1)
+        }
+        val (w1, w1s) = prevWord(j)
+        val up1 = w1.toUpperCase
+        if (Set("LEFT", "RIGHT", "FULL", "INNER", "CROSS").contains(up1)) {
+          joinType = up1; jt = w1s
+        } else if (up1 == "OUTER") {
+          val (w2, w2s) = prevWord(w1s)
+          joinType = w2.toUpperCase; jt = w2s
+        }
+        val rightFactor = sql.substring(j + 4, onIdx).trim
+        // left factor: tokens back from the join-type start until a
+        // FROM / comma / ON / JOIN boundary
+        var lfEnd = jt
+        while (lfEnd > 0 && sql.charAt(lfEnd - 1).isWhitespace) lfEnd -= 1
+        var lfStart = lfEnd
+        var done = false
+        while (!done) {
+          var e = lfStart - 1
+          while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+          if (e < 0) done = true
+          else if (sql.charAt(e) == ')') {
+            var depth = 0; var s = e
+            while (s >= 0 && { val c = sql.charAt(s)
+              if (c == ')') depth += 1 else if (c == '(') depth -= 1
+              depth != 0 }) s -= 1
+            lfStart = s
+          } else if (sql.charAt(e) == ',') done = true
+          else {
+            val (w, ws) = prevWord(e + 1)
+            if (w.isEmpty ||
+                Set("FROM", "ON", "JOIN", "WHERE", "SELECT").contains(w.toUpperCase))
+              done = true
+            else lfStart = ws
+          }
+        }
+        val leftFactor = sql.substring(lfStart, lfEnd).trim
+        def aliasOf(factor: String): String = {
+          val m = """(?is)^.*?(?:\)|\S)\s+(?:AS\s+)?(\w+)\s*$""".r
+            .findFirstMatchIn(factor)
+          m.map(_.group(1)).getOrElse(factor.replaceAll("^`|`$", ""))
+        }
+        val lAlias = aliasOf(leftFactor)
+        val rAlias = aliasOf(rightFactor)
+        if (joinType == "INNER" || joinType == "CROSS") {
+          // ON -> WHERE over a cross join
+          val afterCond = sql.substring(condEnd)
+          val whereM = """(?is)^\s*WHERE\s+""".r.findPrefixMatchOf(afterCond)
+          val rebuilt = sql.substring(0, jt) + s"CROSS JOIN $rightFactor" +
+            (whereM match {
+              case Some(wm) =>
+                s" WHERE ($cond) AND " + afterCond.substring(wm.end)
+              case None => s" WHERE $cond" + afterCond
+            })
+          return Some(rebuilt)
+        }
+        // outer join: attach each single-side subquery as a computed
+        // column on its side
+        var newCond = cond
+        var newLeft = leftFactor
+        var newRight = rightFactor
+        var idx = 0
+        var any = false
+        var m = SubqueryOpenRe.findFirstMatchIn(newCond)
+        while (m.isDefined) {
+          val open = m.get.start
+          val close = matchParen(newCond, open)
+          val sq = newCond.substring(open, close + 1)
+          val refsL = (s"(?i)\\b" + java.util.regex.Pattern.quote(lAlias) + "\\s*\\.").r
+            .findFirstIn(sq).isDefined
+          val refsR = (s"(?i)\\b" + java.util.regex.Pattern.quote(rAlias) + "\\s*\\.").r
+            .findFirstIn(sq).isDefined
+          if (refsL == refsR) {
+            // both or neither: leave for Spark (it may be uncorrelated)
+            val rest = SubqueryOpenRe.findAllMatchIn(newCond).filter(_.start > open)
+            m = if (rest.hasNext) Some(rest.next()) else None
+          } else {
+            val col = s"__jx$idx"; idx += 1
+            val (alias, factor) = if (refsR) (rAlias, newRight) else (lAlias, newLeft)
+            val bare = {
+              // factor minus its trailing alias (if it has one)
+              val am = ("""(?is)^(.*?)\s+(?:AS\s+)?""" +
+                java.util.regex.Pattern.quote(alias) + """\s*$""").r
+                .findFirstMatchIn(factor)
+              am.map(_.group(1).trim).getOrElse(factor)
+            }
+            val sqInner = sq.replaceAll(
+              "(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\s*\\.", "__sqr.")
+            val derived = s"(SELECT __sqr.*, $sqInner AS $col FROM $bare __sqr) $alias"
+            if (refsR) newRight = derived else newLeft = derived
+            newCond = newCond.substring(0, open) + s"$alias.$col" +
+              newCond.substring(close + 1)
+            any = true
+            m = SubqueryOpenRe.findFirstMatchIn(newCond)
+          }
+        }
+        if (!any) { from = condEnd; }
+        else {
+          val joinWord = sql.substring(jt, j + 4)
+          var rebuilt = sql.substring(0, lfStart) + newLeft + " " + joinWord + " " +
+            newRight + " ON " + newCond + sql.substring(condEnd)
+          // hide the helper columns from a bare `SELECT *` projection
+          if (idx > 0) {
+            val selIdx = {
+              var last = -1; var p = indexOfKeywordAnyDepth(rebuilt, "SELECT", 0)
+              while (p >= 0 && p < lfStart) {
+                last = p; p = indexOfKeywordAnyDepth(rebuilt, "SELECT", p + 6)
+              }
+              last
+            }
+            if (selIdx >= 0) {
+              val listStart = selIdx + "SELECT".length
+              val listEnd = clauseEnd(rebuilt, listStart, Set("FROM"))
+              if (rebuilt.substring(listStart, listEnd).trim == "*") {
+                val cols = (0 until idx).map(k => s"__jx$k").mkString(", ")
+                rebuilt = rebuilt.substring(0, listStart) +
+                  s" * EXCEPT ($cols) " + rebuilt.substring(listEnd)
+              }
+            }
+          }
+          return Some(rebuilt)
+        }
+      }
+    }
+    None
+  }
+
+  private val WindowedJsonAggRe =
+    """(?i)\b(json_array_agg|json_agg|json_object_agg)\s*\(""".r
+
+  private def rewriteWindowedJsonAgg(sql: String): String = {
+    val m0 = WindowedJsonAggRe.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val open = m.end - 1
+    val close = matchParen(sql, open)
+    val overM = """(?is)^\s*OVER\s*\(""".r.findPrefixMatchOf(sql.substring(close + 1))
+    if (overM.isEmpty)
+      return sql.substring(0, close + 1) +
+        rewriteWindowedJsonAgg(sql.substring(close + 1))
+    val oOpen = close + 1 + overM.get.end - 1
+    val oClose = matchParen(sql, oOpen)
+    val args = sql.substring(open + 1, close)
+    val spec = sql.substring(oOpen + 1, oClose)
+    val fn = m.group(1).toLowerCase
+    val repl =
+      if (fn == "json_object_agg") {
+        val parts = splitTopLevel(args, ',')
+        s"to_json(map_from_entries(collect_list(struct(${parts(0)}, ${parts(1)})) OVER ($spec)))"
+      } else
+        s"to_json(collect_list($args) OVER ($spec))"
+    sql.substring(0, m.start) + repl +
+      rewriteWindowedJsonAgg(sql.substring(oClose + 1))
+  }
+
+  private val ParamAggRe =
+    """(?i)\b(quantile_cont|quantile_disc|quantile|median_tdigest)\s*\(""".r
+
+  private def rewriteParamAggCall(sql: String): String = {
+    val m0 = ParamAggRe.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val open1 = m.end - 1
+    val close1 = matchParen(sql, open1)
+    val after = sql.substring(close1 + 1)
+    val second = """^\s*\(""".r.findPrefixMatchOf(after)
+    if (second.isEmpty)
+      return sql.substring(0, close1 + 1) +
+        rewriteParamAggCall(sql.substring(close1 + 1))
+    val open2 = close1 + 1 + second.get.end - 1
+    val close2 = matchParen(sql, open2)
+    val params = sql.substring(open1 + 1, close1)
+    val argsTxt = sql.substring(open2 + 1, close2)
+    sql.substring(0, m.start) +
+      s"${m.group(1)}($argsTxt, $params)" +
+      rewriteParamAggCall(sql.substring(close2 + 1))
+  }
+
+  private val CastSpellings = Seq(
+    "int8" -> "tinyint", "int16" -> "smallint", "uint8" -> "smallint",
+    "int32" -> "int", "uint16" -> "int", "int64" -> "bigint",
+    "uint32" -> "bigint", "uint64" -> "decimal(20,0)",
+    "float32" -> "float", "float64" -> "double",
+    "text" -> "string", "json" -> "variant")
+
+  private val AggCallRe =
+    ("""(?i)\b(sum|count|avg|min|max|any|stddev\w*|var\w*|median|mode|""" +
+     """array_agg|string_agg|listagg|group_concat|bool_and|bool_or|""" +
+     """approx_\w+|uniq|arg_min|arg_max|min_by|max_by|quantile\w*|""" +
+     """percentile\w*|covar\w*|corr|skewness|kurtosis|bitmap_\w+|""" +
+     """histogram\w*|retention|window_funnel|\w+_if|\w+_distinct)\s*\(""").r
+
+  /** `SELECT ... HAVING p` with no GROUP BY and no aggregate in `p` is
+    * a plain filter in databend (MySQL extension; query/having.test).
+    * Spark would bind it as an empty-grouping aggregate and fail.
+    */
+  private def rewriteBareHaving(sql: String): String = {
+    val h = indexOfKeyword(sql, "HAVING")
+    if (h < 0 || indexOfKeyword(sql, "GROUP") >= 0) return sql
+    if (AggCallRe.findFirstIn(sql.substring(h)).isDefined) return sql
+    val kw = if (indexOfKeyword(sql, "WHERE") >= 0) "AND" else "WHERE"
+    sql.substring(0, h) + kw + sql.substring(h + "HAVING".length)
+  }
+
+  /** databend sorts NULLS LAST by default in both ASC and DESC
+    * (settings_getter_setter.rs:844 `get_nulls_first`; default setting
+    * `default_order_by_null` = "nulls_last"), while Spark's ASC default
+    * is NULLS FIRST. Append an explicit NULLS LAST to every ORDER BY
+    * item — at any depth (query, subquery, OVER clause) — that doesn't
+    * already carry a NULLS qualifier, so the SQL surface sorts like the
+    * reference (vectors: query/order.test).
+    */
+  private def rewriteOrderNulls(sql: String): String = {
+    val upper = sql.toUpperCase
+    val out = new StringBuilder(sql.length + 32)
+    var i = 0; var q: Char = 0; var last = 0
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`') { q = c; i += 1 }
+      else if (upper.startsWith("ORDER", i) &&
+               (i == 0 || !wordChar(sql.charAt(i - 1))) &&
+               (i + 5 >= sql.length || !wordChar(sql.charAt(i + 5)))) {
+        """(?is)^ORDER\s+BY\s+""".r.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(pm) =>
+            val listStart = i + pm.end
+            out.append(sql.substring(last, listStart))
+            val (txt, end) = rewriteSortList(sql, listStart)
+            out.append(txt)
+            last = end; i = end
+          case None => i += 5
+        }
+      } else i += 1
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
+
+  /** keywords that terminate an ORDER BY sort-item list at its own
+    * paren depth (clause keywords after ORDER BY in a query block, set
+    * operators, and window-frame heads inside an OVER clause)
+    */
+  private val SortListEnders = Set(
+    "LIMIT", "OFFSET", "FETCH", "SETTINGS", "UNION", "INTERSECT",
+    "EXCEPT", "MINUS", "ROWS", "RANGE", "GROUPS", "WINDOW", "INTO",
+    "IGNORE_RESULT", "FORMAT")
+
+  /** rewrite the sort items starting at `start`; returns (rewritten
+    * text, index just past the list). The list ends at a `)`/`]`
+    * closing the enclosing scope, a terminator keyword at the same
+    * depth, or end of input.
+    */
+  private def rewriteSortList(sql: String, start: Int): (String, Int) = {
+    val upper = sql.toUpperCase
+    var i = start; var depth = 0; var q: Char = 0
+    var end = sql.length
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var done = false
+    while (i < sql.length && !done) {
+      val c = sql.charAt(i)
+      if (q != 0) { if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`') { q = c; i += 1 }
+      else if (c == '(' || c == '[') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']') {
+        if (depth == 0) { end = i; done = true } else { depth -= 1; i += 1 }
+      } else if (depth == 0 && c.isLetter &&
+                 (i == 0 || !wordChar(sql.charAt(i - 1)))) {
+        val kwEnd = {
+          var j = i; while (j < sql.length && wordChar(sql.charAt(j))) j += 1; j
+        }
+        if (SortListEnders.contains(upper.substring(i, kwEnd))) {
+          end = i; done = true
+        } else i = kwEnd
+      } else i += 1
+    }
+    val list = sql.substring(start, end)
+    val items = splitTopLevel(list, ',').map { item0 =>
+      // recurse into subquery sort clauses nested inside the item
+      val item = rewriteOrderNulls(item0)
+      if ("""(?is).*\bNULLS\s+(FIRST|LAST)\s*$""".r.matches(item)) item
+      else item + " NULLS LAST"
+    }
+    (items.mkString(", ") + (if (end < sql.length) " " else ""), end)
   }
 
   /** databend double-quoted identifiers -> Spark backticks, skipping
@@ -257,6 +1152,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * array literal syntax, expr.rs). A `[` directly following an
     * identifier/`)`/`]` is a subscript and is left alone.
     */
+  private val PreArrayKeywords = Set(
+    "AND", "OR", "NOT", "ON", "WHERE", "SELECT", "WHEN", "THEN", "ELSE",
+    "IN", "BY", "ALL", "ANY", "SOME", "BETWEEN", "LIKE", "IS", "CASE",
+    "UNION", "EXCEPT", "INTERSECT", "VALUES", "FROM", "HAVING", "SET",
+    "RETURN", "RETURNS", "AS", "DISTINCT", "END")
+
   private def arrayLiterals(sql: String): String = {
     val sb = new StringBuilder(sql.length + 16)
     // stack of flags: for each currently-open bracket, whether we
@@ -265,13 +1166,22 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     var i = 0; var q: Char = 0; var prevNonSpace: Char = 0
     def isSubscriptAnchor(c: Char) =
       Character.isLetterOrDigit(c) || c == '_' || c == ')' || c == ']' || c == '`'
+    // a `[` after a KEYWORD (`and [1,2]`) is a literal even though the
+    // preceding char is a letter — check the word the char terminates
+    def prevIsKeyword(): Boolean = {
+      var e = sb.length
+      while (e > 0 && sb.charAt(e - 1).isWhitespace) e -= 1
+      var s = e
+      while (s > 0 && (sb.charAt(s - 1).isLetterOrDigit || sb.charAt(s - 1) == '_')) s -= 1
+      s < e && PreArrayKeywords.contains(sb.substring(s, e).toUpperCase)
+    }
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (q != 0) { sb += c; if (c == q) q = 0; i += 1 }
       else c match {
         case '\'' | '`' => q = c; sb += c; prevNonSpace = c; i += 1
         case '[' =>
-          val literal = !isSubscriptAnchor(prevNonSpace)
+          val literal = !isSubscriptAnchor(prevNonSpace) || prevIsKeyword()
           if (literal) sb.append("array(") else sb += '['
           open.push(literal); prevNonSpace = '('; i += 1
         case ']' =>
@@ -414,8 +1324,60 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
               case s if s.startsWith("[") => s
               case s => "." + s.stripPrefix("`").stripSuffix("`")
             }.mkString
-            sb.append(s"try_variant_get($base, '$$$jp')")
-            i += mm.end
+            // Spark can't compare VARIANT values; databend compares a
+            // variant against a literal as jsonb (string literal ->
+            // jsonb string, number -> numeric compare). When the path
+            // is directly compared to a literal, emit the typed form.
+            val rest = sql.substring(i + mm.end)
+            val inM = """(?is)^\s*(NOT\s+)?IN\s*\(""".r.findPrefixMatchOf(rest)
+            val cmp = """(?s)^\s*(=|!=|<>)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"""
+              .r.findPrefixMatchOf(rest)
+            if (inM.isDefined) {
+              // `path IN (...)`: string-literal lists compare as jsonb
+              // strings (text form); numeric lists and subqueries via a
+              // typed numeric get — the reference's jsonb coercions
+              val open = inM.get.end - 1
+              val close = matchParen(rest, open)
+              val inner = rest.substring(open + 1, close)
+              val not = if (inM.get.group(1) != null) "NOT " else ""
+              val items = splitTopLevel(inner, ',').map(_.trim)
+              val allStrings = items.nonEmpty && items.forall(s =>
+                s.startsWith("'") && s.endsWith("'"))
+              val isSubquery = inner.trim.toUpperCase.startsWith("SELECT") ||
+                inner.trim.toUpperCase.startsWith("WITH")
+              if (isSubquery) {
+                // IN (subquery): compare numerically on both sides —
+                // the subquery may itself produce variants (colon
+                // paths), which cast to DOUBLE like the probe side
+                sb.append(s"try_variant_get($base, '$$$jp', 'double') ${not}IN " +
+                  s"(SELECT CAST(__v AS DOUBLE) FROM (${rewriteColonPaths(inner)}) __vq(__v))")
+              } else if (allStrings) {
+                val jsonLits = items.map { it =>
+                  val v = it.stripPrefix("'").stripSuffix("'").replace("''", "'")
+                  val j = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+                  "'" + j.replace("'", "''") + "'"
+                }
+                sb.append(s"to_json(try_variant_get($base, '$$$jp')) ${not}IN (${jsonLits.mkString(", ")})")
+              } else
+                sb.append(s"try_variant_get($base, '$$$jp', 'double') ${not}IN (${rewriteColonPaths(inner)})")
+              i += mm.end + close + 1
+            } else cmp match {
+              case Some(cm) if cm.group(2).startsWith("'") =>
+                val inner = cm.group(2).stripPrefix("'").stripSuffix("'")
+                  .replace("''", "'")
+                val jsonLit = "\"" + inner.replace("\\", "\\\\")
+                  .replace("\"", "\\\"") + "\""
+                val sqlLit = "'" + jsonLit.replace("'", "''") + "'"
+                sb.append(s"to_json(try_variant_get($base, '$$$jp')) ${cm.group(1)} $sqlLit")
+                i += mm.end + cm.end
+              case Some(cm) =>
+                sb.append(
+                  s"try_variant_get($base, '$$$jp', 'double') ${cm.group(1)} ${cm.group(2)}")
+                i += mm.end + cm.end
+              case None =>
+                sb.append(s"try_variant_get($base, '$$$jp')")
+                i += mm.end
+            }
           }
         case None => sb += c; i += 1
       }
@@ -659,7 +1621,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         val fromIdx = lastIndexOfKeyword(before, "FROM")
         require(fromIdx >= 0, "PIVOT (ANY) needs a FROM source")
         val src = before.substring(fromIdx + 4).trim
-        val orderTxt = Option(am.group(1)).map(_.trim)
+        // rewriteOrderNulls may have made the default null ordering
+        // explicit — drop it here; the .orderBy below already sorts
+        // nulls last in both directions (the reference's default)
+        val orderTxt = Option(am.group(1)).map(
+          _.trim.replaceAll("(?i)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "").trim)
         val desc = orderTxt.exists(_.toUpperCase.endsWith(" DESC"))
         val orderExpr = orderTxt.map(_.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", ""))
           .getOrElse(pivotCol)
@@ -770,7 +1736,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * access is left alone while `t.col` qualification still follows the
     * rename consistently (every bare `t` word maps to the same view).
     */
-  private def prefixRefs(sql: String, streamRefs: Set[String]): String = {
+  private def prefixRefs(sql: String, streamRefs: Set[String],
+                         skip: Set[String] = Set.empty): String = {
     if (tables.isEmpty && streamRefs.isEmpty) return sql
     val sb = new StringBuilder(sql.length + 32)
     var i = 0; var q: Char = 0; var prevNonSpace: Char = 0
@@ -784,7 +1751,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
                sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
         val w = sql.substring(start, i)
         val lw = w.toLowerCase
-        if (prevNonSpace != '.' && prevNonSpace != ':' &&
+        if (prevNonSpace != '.' && prevNonSpace != ':' && !skip(lw) &&
             (tables.contains(resolveKey(lw)) || streamRefs.contains(lw)))
           sb.append(if (streamRefs.contains(lw)) viewName(lw)
                     else viewName(resolveKey(lw)))
@@ -800,6 +1767,113 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*(\d+)\s*\)""".r
+  /** generate_series as a table factor anywhere in a FROM clause —
+    * leading, comma-separated, JOINed, or LATERAL — becomes an
+    * explode(sequence(...)) subquery. Scoped to FROM clauses so the
+    * scalar generate_series registered for select-list position is
+    * untouched.
+    */
+  private def rewriteGenSeriesTvf(sql0: String): String = {
+    def expand(args: String) =
+      s"(SELECT explode(sequence($args)) AS generate_series)"
+    var sql = sql0; var pos = 0
+    while (true) {
+      val f = indexOfKeywordAnyDepth(sql, "FROM", pos)
+      if (f < 0) return sql
+      val start = f + "FROM".length
+      val end = clauseEnd(sql, start, FromEnders)
+      val clause = sql.substring(start, end)
+      if ("""(?i)\bgenerate_series\s*\(""".r.findFirstIn(clause).isEmpty) pos = end
+      else {
+        val segs = splitTopLevel(clause, ',').map { seg0 =>
+          val seg = seg0.trim
+          """(?i)^(LATERAL\s+)?generate_series\s*\(""".r
+            .findPrefixMatchOf(seg) match {
+            case Some(mm) =>
+              val open = mm.end - 1
+              val close = matchParen(seg, open)
+              Option(mm.group(1)).getOrElse("") +
+                expand(seg.substring(open + 1, close)) + seg.substring(close + 1)
+            case None =>
+              """(?i)\b(JOIN\s+|LATERAL\s+)generate_series\s*\(""".r
+                .findFirstMatchIn(seg) match {
+                case Some(jm) =>
+                  val open = jm.end - 1
+                  val close = matchParen(seg, open)
+                  seg.substring(0, jm.start) + jm.group(1) +
+                    expand(seg.substring(open + 1, close)) + seg.substring(close + 1)
+                case None => seg
+              }
+          }
+        }
+        val rebuilt = segs.mkString(", ")
+        sql = sql.substring(0, start) + " " + rebuilt + " " + sql.substring(end)
+        pos = start + rebuilt.length
+      }
+    }
+    sql
+  }
+  private val RightSemiAntiKwRe = """(?is)\bRIGHT\s+(ANTI|SEMI)\s+JOIN\b""".r
+
+  /** start index of the table factor that ends just before `endPos`
+    * (identifier chain, optionally parenthesized subquery, optional
+    * alias) — stops at FROM / comma / JOIN / ON boundaries
+    */
+  private def factorStart(sql: String, endPos: Int): Int = {
+    var lfEnd = endPos
+    while (lfEnd > 0 && sql.charAt(lfEnd - 1).isWhitespace) lfEnd -= 1
+    var lfStart = lfEnd
+    var done = false
+    def prevWord(p: Int): (String, Int) = {
+      var e = p - 1
+      while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+      var s = e
+      while (s >= 0 && (sql.charAt(s).isLetterOrDigit || sql.charAt(s) == '_' ||
+             sql.charAt(s) == '.' || sql.charAt(s) == '`')) s -= 1
+      (sql.substring(s + 1, e + 1), s + 1)
+    }
+    while (!done) {
+      var e = lfStart - 1
+      while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+      if (e < 0) done = true
+      else if (sql.charAt(e) == ')') {
+        var depth = 0; var s = e
+        while (s >= 0 && { val c = sql.charAt(s)
+          if (c == ')') depth += 1 else if (c == '(') depth -= 1
+          depth != 0 }) s -= 1
+        lfStart = s
+      } else if (sql.charAt(e) == ',') done = true
+      else {
+        val (w, ws) = prevWord(e + 1)
+        if (w.isEmpty ||
+            Set("FROM", "ON", "JOIN", "WHERE", "SELECT").contains(w.toUpperCase))
+          done = true
+        else lfStart = ws
+      }
+    }
+    lfStart
+  }
+
+  private def rewriteRightSemiAnti(sql: String): String = {
+    val m0 = RightSemiAntiKwRe.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val onIdx = indexOfKeyword(sql, "ON", m.end)
+    if (onIdx < 0) return sql
+    val rightFactor = sql.substring(m.end, onIdx).trim
+    val lfStart = factorStart(sql, m.start)
+    val leftFactor = sql.substring(lfStart, m.start).trim
+    val condStart = onIdx + 2
+    val condEnd = {
+      val e = clauseEnd(sql, condStart, OnCondEnders)
+      val comma = indexOfTopLevel(sql.substring(condStart, e), ',')
+      if (comma >= 0) condStart + comma else e
+    }
+    sql.substring(0, lfStart) + rightFactor +
+      s" LEFT ${m.group(1).toUpperCase} JOIN " + leftFactor + " ON " +
+      sql.substring(condStart, condEnd) +
+      rewriteRightSemiAnti(sql.substring(condEnd))
+  }
 
   private def resolvePoint(t: GraftTable, kind: String, value: String): Long = {
     val v = value.trim.stripPrefix("'").stripSuffix("'")
@@ -821,7 +1895,50 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private def tablePath(name: String): String =
     Paths.get(warehouse, norm(name)).toString
 
-  private def createTable(s: String): DataFrame = s match {
+  private def createTable(s0: String): DataFrame = {
+    // strip trailing fuse-engine table options (row_per_block=N,
+    // change_tracking=true, compression='zstd', ... —
+    // ast/statements/table.rs table_options); they tune block layout
+    // in the reference and have no bearing on COW-parquet semantics
+    val s =
+      if (CreateTableAsRe.findFirstIn(s0).isDefined) s0
+      else TrailingOptsRe.replaceAllIn(s0, "$1")
+    createTableDispatch(s)
+  }
+
+  private val TrailingOptsRe =
+    """(?is)^(.*\))\s*((?:\w+\s*=\s*(?:'[^']*'|[\w.]+)\s*)+)$""".r
+
+  private def createTableDispatch(s: String): DataFrame = s match {
+    case CreateTableLikeRe(orReplace, ifNotExists, name, src) =>
+      val n = qualifyNew(name)
+      if (tables.contains(n) && ifNotExists != null)
+        return status("table" -> n, "op" -> "exists")
+      require(orReplace != null || !tables.contains(n), s"table $n exists")
+      if (tables.contains(n)) rmrf(tablePath(n))
+      val schema = table(resolveKey(src)).read().schema
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      register(n, GraftTable.create(spark, tablePath(n), empty))
+      status("table" -> n, "op" -> "create-like")
+    case CreateTableDdlAsRe(orReplace, ifNotExists, name, ddl, select) =>
+      // typed CTAS (reference create_table.rs: explicit schema + AS
+      // query): source columns align by position and cast to the
+      // declared types
+      val n = qualifyNew(name)
+      if (tables.contains(n) && ifNotExists != null)
+        return status("table" -> n, "op" -> "exists")
+      require(orReplace != null || !tables.contains(n), s"table $n exists")
+      val schema = StructType.fromDDL(stripConstraints(ddl))
+      val df0 = spark.sql(rewriteReads(select))
+      require(df0.columns.length == schema.length,
+        s"query produces ${df0.columns.length} columns, declared ${schema.length}")
+      val df1 = df0.toDF(schema.fieldNames.toSeq: _*)
+      var df = df1.select(schema.fields.map(f =>
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
+      if (tables.contains(n)) { df = df.localCheckpoint(true); tables.remove(n); rmrf(tablePath(n)) }
+      register(n, GraftTable.create(spark, tablePath(n), df))
+      status("table" -> n, "op" -> "create-as")
     case CreateTableAsRe(orReplace, name, select) =>
       val n = qualifyNew(name)
       require(orReplace != null || !tables.contains(n), s"table $n exists")
@@ -829,7 +1946,15 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       // REPLACE may read the table being replaced (and rewriteReads
       // refreshes every registered view, so the old files must still
       // exist while the source frame is materialized)
-      val df0 = spark.sql(rewriteReads(select))
+      var df0 = spark.sql(rewriteReads(select))
+      // bare NULL literals type as NullType, which parquet can't store;
+      // databend's CTAS accepts them — land them as nullable strings
+      if (df0.schema.exists(_.dataType == org.apache.spark.sql.types.NullType))
+        df0 = df0.select(df0.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.NullType)
+            col(s"`${f.name}`").cast("string").as(f.name)
+          else col(s"`${f.name}`")
+        }.toSeq: _*)
       val df = if (tables.contains(n)) df0.localCheckpoint(true) else df0
       if (tables.contains(n)) { tables.remove(n); rmrf(tablePath(n)) }
       register(n, GraftTable.create(spark, tablePath(n), df))
@@ -859,8 +1984,24 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
       status("table" -> n, "op" -> "create")
-    case _ => query(s) // CREATE VIEW / FUNCTION / ... -> Spark
+    case CreateViewRecRe(name, body) =>
+      // a view over WITH RECURSIVE: evaluate through the fixpoint and
+      // register the resulting (lazy) plan as the view
+      val df = execute(body.trim)
+      df.createOrReplaceTempView(norm(name))
+      status("view" -> norm(name), "op" -> "create-view")
+    case _ =>
+      // CREATE [OR REPLACE] VIEW -> temp view: the instance's tables
+      // are session temp views, which a permanent Spark view may not
+      // reference (window_basic.test vwpush)
+      query(s.replaceAll(
+        "(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?)(VIEW\\b)",
+        "$1TEMPORARY $2"))
   }
+
+  private lazy val CreateViewRecRe =
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(""" + NamePat +
+     """)\s+AS\s*\(\s*(WITH\s+RECURSIVE\b.*)\)\s*""").r
 
   /** Databases are a namespace over the instance's table registry (the
     * reference scopes tables per-database in its meta service;
@@ -868,7 +2009,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     */
   private def createDatabase(s: String): DataFrame = {
     val name = norm(s.replaceAll(
-      "(?is)^CREATE\\s+(DATABASE|SCHEMA)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?", "").trim)
+      "(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(DATABASE|SCHEMA)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?", "").trim)
     databases += name
     status("database" -> name, "op" -> "create-database")
   }
@@ -946,7 +2087,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       case (Some(org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.VariantType) =>
         expr(s"parse_json(`$name`)").as(name)
-      case _ => col(name).cast(tgt).as(name)
+      // backtick-quote: CTAS can mint literal-text column names ("3.4")
+      // that a bare col() would parse as nested-field access
+      case _ => col(s"`$name`").cast(tgt).as(name)
     }
   }
 
@@ -1074,7 +2217,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       require(unknown.isEmpty,
         s"table $n does not have a column with name ${unknown.mkString(",")}")
       val assigns = pairs.toMap
-      val cond = Option(wherePart).map(w => expr(rewriteReads(w.trim))).getOrElse(lit(true))
+      val cond = Option(wherePart)
+        .map(w => expr(rewriteReads(stripSelfQualifier(w.trim, name))))
+        .getOrElse(lit(true))
       t.update(cond, assigns)
       refreshView(n)
       status("table" -> n, "op" -> "update")
@@ -1086,7 +2231,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val n = resolveKey(name)
       val t = table(n)
       Option(wherePart) match {
-        case Some(w) => t.delete(expr(rewriteReads(w.trim)))
+        case Some(w) =>
+          t.delete(expr(rewriteReads(stripSelfQualifier(w.trim, name))))
         case None    => t.overwrite(t.read().limit(0).repartition(1))
       }
       refreshView(n)
@@ -1179,6 +2325,15 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     status("table" -> n, "op" -> "merge",
       "matched_clauses" -> matched.size, "not_matched_clauses" -> notMatched.size)
   }
+
+  /** drop `<table>.` qualifiers from a DML predicate: the filter runs
+    * against the table's own DataFrame, where the raw name no longer
+    * resolves as a qualifier (delete_cte/update_cte suites)
+    */
+  private def stripSelfQualifier(cond: String, table: String): String =
+    cond.replaceAll(
+      "(?i)\\b" + java.util.regex.Pattern.quote(norm(table)) + "\\s*\\.",
+      "")
 
   // ---- COPY INTO / stages --------------------------------------------
 
@@ -1388,8 +2543,10 @@ object GraftSql {
         .replaceAll("(?i)\\barray\\s*\\(\\s*([\\w() ,<>]+?)\\s*\\)", "array<$1>")
         .replaceAll("(?i)\\bmap\\s*\\(\\s*([\\w() ]+?)\\s*,\\s*([\\w() ,<>]+?)\\s*\\)", "map<$1,$2>")
         .replaceAll("(?i)\\s+NOT\\s+NULL", "")
-        .replaceAll("(?i)\\s+DEFAULT\\s+.*$", "")
+        .replaceAll("(?i)\\s+DEFAULT\\b.*$", "")
         .replaceAll("(?i)\\s+NULL$", "")
+        .replaceAll("(?i)\\bbool$", "boolean")
+        .replaceAll("(?i)\\bjson$", "variant")
         // databend type spellings Spark's DDL parser lacks: length-less
         // varchar, and the sized int family (unsigned types widen so
         // the whole unsigned range fits — Types.scala's widening rule)
@@ -1418,6 +2575,10 @@ object GraftSql {
 
   private val CreateTableAsRe =
     ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(""" + NamePat + """)\s+AS\s+(.*)""").r
+  private val CreateTableDdlAsRe =
+    ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s*\((.*)\)\s+AS\s+(SELECT.*|WITH.*|VALUES.*)""").r
+  private val CreateTableLikeRe =
+    ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s+LIKE\s+(""" + NamePat + """)\s*""").r
   private val CreateTableDdlRe =
     ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s*\((.*)\)\s*""").r
   private val CreateTableDdlClusterRe =

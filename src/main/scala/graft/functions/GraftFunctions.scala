@@ -56,7 +56,6 @@ object GraftFunctions {
     "character_length" -> "character_length",
     "mid" -> "substring",
     "locate" -> "locate",
-    "str_to_date" -> "to_timestamp",
     "regexp_like" -> "regexp_like",
     "rlike" -> "rlike",
     // math family
@@ -199,7 +198,9 @@ object GraftFunctions {
     "sum0" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
     "sum_zero" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
     // quantile_cont: exact continuous-interpolation percentile
-    "quantile_cont" -> (args => fn("percentile", castD(args.head), args(1))),
+    // (1-arg form = median, reference aggregate_quantile_cont.rs)
+    "quantile_cont" -> (args => fn("percentile", castD(args.head),
+      if (args.length > 1) args(1) else Literal(0.5))),
     // quantile / quantile_disc: sorted element at floor((n-1)*q)
     // (reference aggregate_quantile_disc.rs:185). Collect-based — the
     // scale path for hot groups is operators/Quantiles.
@@ -300,11 +301,21 @@ object GraftFunctions {
     "to_start_of_day" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("day")) ++ args, isDistinct = false)),
     "to_string" -> (args =>
-      org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+      if (args.length >= 2) fmtDate(args)
+      else org.apache.spark.sql.catalyst.expressions.Cast(args.head,
         org.apache.spark.sql.types.StringType)),
+    // the reference formats with strftime specifiers (datetime.rs
+    // prepare_format_string; to_string/date_format/strftime aliases);
+    // translate literal %-patterns to Java DateTimeFormatter
+    "date_format" -> (args => fmtDate(args)),
+    // str_to_date is the reference's to_date alias (datetime.rs:386)
+    "str_to_date" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.ParseToDate(
+        args.head, translateFmt(args(1)))),
     // to_string spellings (function_list.txt:100-106)
     "to_char" -> (args =>
-      org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+      if (args.length >= 2) fmtDate(args)
+      else org.apache.spark.sql.catalyst.expressions.Cast(args.head,
         org.apache.spark.sql.types.StringType)),
     "to_text" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Cast(args.head,
@@ -510,6 +521,49 @@ object GraftFunctions {
       Literal(2.0 * graft.functions.Geo.EarthRadius),
       f("asin", f("least", Literal(1.0), f("sqrt", a))))
   }
+
+  /** chrono/strftime format -> Java DateTimeFormatter pattern (the
+    * reference's default date_format_style formats with strftime
+    * specifiers — datetime.rs prepare_format_string — while Spark
+    * expects Java patterns). Literal letters are quoted so they stay
+    * literal; unknown specifiers pass through quoted.
+    */
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+      'H' -> "HH", 'k' -> "H", 'I' -> "hh", 'l' -> "h", 'M' -> "mm",
+      'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a", 'a' -> "EEE", 'A' -> "EEEE",
+      'b' -> "MMM", 'h' -> "MMM", 'B' -> "MMMM", 'j' -> "DDD",
+      'T' -> "HH:mm:ss", 'F' -> "yyyy-MM-dd", 'D' -> "MM/dd/yy",
+      'R' -> "HH:mm", 'G' -> "YYYY", 'V' -> "ww", 'z' -> "xx", 'Z' -> "zz",
+      '%' -> "%")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val n = fmt.charAt(i + 1)
+        sb.append(map.getOrElse(n, "'" + n + "'")); i += 2
+      } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
+      else if (c == '\'') { sb.append("''"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** translate a literal strftime pattern argument; non-% literals and
+    * non-literal expressions pass through untouched
+    */
+  private def translateFmt(e: Expression): Expression = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+        if s != null && s.toString.contains("%") =>
+      Literal(strftimeToJava(s.toString))
+    case other => other
+  }
+
+  private def fmtDate(args: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+      args.head, translateFmt(args(1)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

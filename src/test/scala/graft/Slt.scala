@@ -45,6 +45,12 @@ object Slt {
         val (sql, j) = collectSql(i + 1, _.trim.isEmpty)
         out += Statement(sql, i + 1, expectError)
         i = j
+      } else if (l.startsWith("query error")) {
+        // reference runner: the query must fail (optionally matching a
+        // message pattern, which we don't check — any failure passes)
+        val (sql, j) = collectSql(i + 1, _.trim.isEmpty)
+        out += Statement(sql, i + 1, expectError = true)
+        i = j
       } else if (l.startsWith("query")) {
         val rowsort = l.split("\\s+").contains("rowsort")
         val (sql, j) = collectSql(i + 1, ln => ln.trim == "----" || ln.trim.isEmpty)
@@ -71,6 +77,9 @@ object Slt {
     case null => "NULL"
     case d: java.lang.Double => formatDouble(d)
     case f: java.lang.Float => formatDouble(f.doubleValue())
+    // plain form: BigDecimal.toString switches to scientific notation
+    // below 1e-6, which no engine's text output does
+    case b: java.math.BigDecimal => b.toPlainString
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
     case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ",", "]")
     case other => other.toString

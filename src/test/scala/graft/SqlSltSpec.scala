@@ -24,8 +24,9 @@ class SqlSltSpec extends AnyFunSuite {
 
   for (path <- suites) {
     test(s"slt-sql ${path.getFileName}") {
-      val wh = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target", "tmp"), "sqlslt").toString
+      val base = java.nio.file.Paths.get("target", "tmp")
+      java.nio.file.Files.createDirectories(base)
+      val wh = java.nio.file.Files.createTempDirectory(base, "sqlslt").toString
       val g = GraftSql(spark, wh)
       val failures = Slt.runWith(g.execute, path.getFileName.toString,
         java.nio.file.Files.readString(path))
