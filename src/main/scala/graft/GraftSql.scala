@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Paths}
 import scala.collection.mutable
+import scala.util.chaining._
 
 /** SQL-text statement surface: the reference's user-facing DML/DDL
   * grammar routed onto the engine's existing operations, so that the
@@ -109,13 +110,22 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // rows — tests/sqllogictests suites use it on large results)
     s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
     // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
-    // (ast/statements/statement.rs StatementWithSettings). The knobs
+    // (ast/statements/statement.rs StatementWithSettings). Most knobs
     // are engine-internal (spill/topn/shuffle modes) with no Spark
     // analog that changes results — strip and run the statement.
+    // enable_group_by_column_first flips GROUP BY name resolution.
     val settingsM = """(?is)^SETTINGS\s*\(""".r.findPrefixMatchOf(s)
     if (settingsM.isDefined) {
       val open = settingsM.get.end - 1
       val close = matchParen(s, open)
+      val knobs = s.substring(open + 1, close)
+      val colFirst = """(?i)enable_group_by_column_first\s*=\s*1""".r
+        .findFirstIn(knobs).isDefined
+      if (colFirst) {
+        columnFirstGroupBy = true
+        try return execute(s.substring(close + 1))
+        finally columnFirstGroupBy = false
+      }
       return execute(s.substring(close + 1))
     }
     val up = s.toUpperCase
@@ -479,6 +489,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // databend's default null ordering is NULLS LAST in BOTH sort
     // directions; Spark's ASC default is NULLS FIRST — make it explicit
     sql = rewriteOrderNulls(sql)
+    // GROUP BY binds select-list ALIASES before source columns
+    // (03_0003_select_group_by.test: `number % 3 AS number ... GROUP
+    // BY number` groups on the alias; Spark prefers the column) —
+    // substitute the aliased expression for shadowing names. Runs
+    // before any generated-subquery expansion so alias maps come from
+    // user text only.
+    if (!columnFirstGroupBy) sql = rewriteGroupByAliasFirst(sql)
     // CHANGES first (its text contains an AT clause)
     sql = ChangesRe.replaceAllIn(sql, m => {
       val t = norm(m.group(1))
@@ -532,6 +549,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = sql.replaceAll("(?i)\\b(FROM|JOIN)(\\s+)unnest\\s*\\(", "$1$2explode(")
     // databend [..] array literals -> array(..) (subscripts untouched)
     sql = arrayLiterals(sql)
+    // databend {k:v, ...} map literals -> map(k, v, ...)
+    sql = mapLiterals(sql)
     // databend `SELECT * EXCLUDE (c1, ...)` -> Spark's `* EXCEPT (...)`
     sql = sql.replaceAll("(?i)\\*\\s+EXCLUDE\\s*\\(", "* EXCEPT (")
     // databend's zero-arg count() (aggregator.rs) -> count(*)
@@ -583,6 +602,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = rewriteRightSemiAnti(sql)
     // databend variant colon paths (x:a.b[0]) -> try_variant_get
     sql = rewriteColonPaths(sql)
+    // subscripts: databend arrays are 1-BASED (array.rs get; index 0
+    // is NULL) and map[k] looks keys up — both are try_element_at in
+    // Spark, whose native [] is 0-based on arrays. Variant columns
+    // keep jsonb's 0-based path access.
+    sql = rewriteSubscripts(sql)
     // WITHIN GROUP ordered-set aggregates (listagg & friends) — Spark
     // lacks the syntax, expand to sorted-collect expression trees
     sql = rewriteWithinGroup(sql)
@@ -1028,6 +1052,90 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     "float32" -> "float", "float64" -> "double",
     "text" -> "string", "json" -> "variant")
 
+  /** quote-aware paren depth at every character position */
+  private def parenDepths(sql: String): Array[Int] = {
+    val out = new Array[Int](sql.length)
+    var d = 0; var q: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '`') q = c
+      else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      out(i) = d
+      i += 1
+    }
+    out
+  }
+
+  private var columnFirstGroupBy = false
+
+  /** substitute select-list alias expressions for bare GROUP BY items
+    * that name an alias (databend's default binding order)
+    */
+  private def rewriteGroupByAliasFirst(sql0: String): String = {
+    var sql = sql0; var pos = 0
+    while (true) {
+      val g = indexOfKeywordAnyDepth(sql, "GROUP", pos)
+      if (g < 0) return sql
+      val bm = """(?is)^GROUP\s+BY\s+""".r.findPrefixMatchOf(sql.substring(g))
+      if (bm.isEmpty) { pos = g + 5 }
+      else {
+        val listStart = g + bm.get.end
+        val listEnd = clauseEnd(sql, listStart,
+          Set("HAVING", "ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT",
+              "INTERSECT", "WINDOW", "QUALIFY", "SETTINGS"))
+        // the owning block's select list: nearest preceding SELECT at
+        // the SAME paren depth (subqueries in FROM are deeper)
+        val sel = {
+          val depths = parenDepths(sql)
+          var last = -1; var p = indexOfKeywordAnyDepth(sql, "SELECT", 0)
+          while (p >= 0 && p < g) {
+            if (depths(p) == depths(g)) last = p
+            p = indexOfKeywordAnyDepth(sql, "SELECT", p + 6)
+          }
+          last
+        }
+        if (sel < 0) { pos = listEnd }
+        else {
+          val selStart = sel + "SELECT".length
+          val selEnd = clauseEnd(sql, selStart, FromEnders - "SELECT" + "FROM")
+          val ExplicitAs = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?$""".r
+          val Implicit = """(?is)^(.*\S)\s+`?(\w+)`?$""".r
+          val aliasMap = splitTopLevel(sql.substring(selStart, selEnd), ',')
+            .flatMap { it =>
+              it.trim match {
+                case ExplicitAs(e, n) => Some(n.toLowerCase -> e.trim)
+                case Implicit(e, n)
+                    // implicit alias: the head must be an expression,
+                    // not just another identifier (`t x` table alias)
+                    if !e.trim.matches("(?i)[\\w.`]+") =>
+                  Some(n.toLowerCase -> e.trim)
+                case _ => None
+              }
+            }.toMap
+          if (aliasMap.isEmpty) { pos = listEnd }
+          else {
+            val items = splitTopLevel(sql.substring(listStart, listEnd), ',')
+            var changed = false
+            val rebuilt = items.map { it =>
+              val t = it.trim
+              if (t.matches("(?i)\\w+") && aliasMap.contains(t.toLowerCase) &&
+                  !t.matches("\\d+")) {
+                changed = true; "(" + aliasMap(t.toLowerCase) + ")"
+              } else it
+            }.mkString(", ")
+            if (changed)
+              sql = sql.substring(0, listStart) + rebuilt + sql.substring(listEnd)
+            pos = listStart + rebuilt.length
+          }
+        }
+      }
+    }
+    sql
+  }
+
   private val AggCallRe =
     ("""(?i)\b(sum|count|avg|min|max|any|stddev\w*|var\w*|median|mode|""" +
      """array_agg|string_agg|listagg|group_concat|bool_and|bool_or|""" +
@@ -1197,6 +1305,42 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sb.toString
   }
 
+  /** `{k:v, ...}` map literals (the reference's map syntax,
+    * ast/expr.rs Map) -> map(k, v, ...); `{}` -> map()
+    */
+  private def mapLiterals(sql: String): String = {
+    val open = {
+      var i = 0; var q: Char = 0; var found = -1
+      while (i < sql.length && found < 0) {
+        val c = sql.charAt(i)
+        if (q != 0) { if (c == q) q = 0 }
+        else if (c == '\'' || c == '`') q = c
+        else if (c == '{') found = i
+        i += 1
+      }
+      found
+    }
+    if (open < 0) return sql
+    // matching close brace (quote-aware)
+    var depth = 0; var j = open; var q: Char = 0
+    while (j < sql.length && {
+      val cj = sql.charAt(j)
+      if (q != 0) { if (cj == q) q = 0 }
+      else if (cj == '\'' || cj == '`') q = cj
+      else if (cj == '{') depth += 1
+      else if (cj == '}') depth -= 1
+      depth != 0 || sql.charAt(j) != '}'
+    }) j += 1
+    val inner = sql.substring(open + 1, j)
+    val entries = splitTopLevel(inner, ',').map { kv =>
+      val colon = indexOfTopLevel(kv, ':')
+      require(colon > 0, s"bad map entry: $kv")
+      s"${kv.take(colon).trim}, ${mapLiterals(kv.drop(colon + 1).trim)}"
+    }
+    sql.substring(0, open) + s"map(${entries.mkString(", ")})" +
+      mapLiterals(sql.substring(j + 1))
+  }
+
   /** `ORDER BY <window expr>` — the reference evaluates window
     * functions in the sort clause; Spark doesn't, so hoist each such
     * item into the select list of a wrapping subquery.
@@ -1307,6 +1451,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val ColonRe =
       ("""(?<![:\w`'"])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*(?<!:):(?!:)""" +
        """((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*)|\[\d+\]|:(?:`[^`]+`|[A-Za-z_]\w*))*)""").r
+    lazy val colTypes = mentionedColumnTypes(sql)
     // quote-aware: apply only outside string literals
     val sb = new StringBuilder(sql.length)
     var i = 0; var q: Char = 0
@@ -1317,8 +1462,28 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       else ColonRe.findPrefixMatchOf(sql.substring(i)) match {
         case Some(mm) =>
           val base = mm.group(1)
+          val leafType = colTypes.get(base.toLowerCase.split('.').last)
           if (KeywordsBeforeColon(base.toUpperCase)) { sb += c; i += 1 }
-          else {
+          else if (leafType.exists(_.isInstanceOf[org.apache.spark.sql.types.StructType])) {
+            // tuple column: the same colon syntax is field access
+            // (insert_into_tuple.test) — emit plain struct navigation
+            val segs = splitPathSegs(mm.group(2))
+            sb.append(base + segs.map {
+              case s if s.startsWith("[") => s
+              case s if s.startsWith("`") => "." + s
+              case s => ".`" + s + "`"
+            }.mkString)
+            i += mm.end
+          } else if (leafType.exists(_.isInstanceOf[org.apache.spark.sql.types.MapType])) {
+            // map column: colon looks the key up (insert_into_map.test)
+            val segs = splitPathSegs(mm.group(2))
+            val key = segs.head.stripPrefix("`").stripSuffix("`")
+            sb.append(s"try_element_at($base, '$key')" + segs.tail.map {
+              case s if s.startsWith("[") => s
+              case s => "." + s
+            }.mkString)
+            i += mm.end
+          } else {
             val segs = splitPathSegs(mm.group(2))
             val jp = segs.map {
               case s if s.startsWith("[") => s
@@ -1386,6 +1551,83 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private val KeywordsBeforeColon = Set[String]() // reserved for future guards
+
+  /** columns (lowercased leaf name -> type) of every table this
+    * statement mentions — used to dispatch subscript/colon accessors
+    * by column type
+    */
+  private def mentionedColumnTypes(
+      sql: String): Map[String, org.apache.spark.sql.types.DataType] =
+    tables.iterator.filter { case (k, _) =>
+      wordRe(k.split('.').last).findFirstIn(sql).isDefined
+    }.flatMap { case (_, t) =>
+      t.read().schema.fields.map(f => f.name.toLowerCase -> f.dataType)
+    }.toMap
+
+  /** rewrite `X[e]` subscripts (identifier / call / chained bases) to
+    * try_element_at (1-based arrays with NULL at 0, map lookups);
+    * integer subscripts on VARIANT columns become jsonb paths (0-based)
+    */
+  private def rewriteSubscripts(sql: String): String = {
+    if (sql.indexOf('[') < 0) return sql
+    lazy val colTypes = mentionedColumnTypes(sql)
+    val sb = new StringBuilder(sql.length + 16)
+    var i = 0; var q: Char = 0
+    def baseChar(c: Char) = c.isLetterOrDigit || "_.$`".contains(c)
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { sb += c; if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`') { q = c; sb += c; i += 1 }
+      else if (c == '[') {
+        var e = sb.length - 1
+        while (e >= 0 && sb.charAt(e).isWhitespace) e -= 1
+        val anchor = if (e >= 0) sb.charAt(e) else ' '
+        if (!(anchor.isLetterOrDigit || anchor == '_' || anchor == ')' ||
+              anchor == '`')) { sb += c; i += 1 }
+        else {
+          // find the matching ]
+          var depth = 0; var j = i; var q2: Char = 0
+          while (j < sql.length && {
+            val cj = sql.charAt(j)
+            if (q2 != 0) { if (cj == q2) q2 = 0 }
+            else if (cj == '\'' || cj == '`') q2 = cj
+            else if (cj == '[') depth += 1
+            else if (cj == ']') depth -= 1
+            depth != 0 || sql.charAt(j) != ']'
+          }) j += 1
+          val close = j
+          val subExpr = rewriteSubscripts(sql.substring(i + 1, close))
+          // base span in sb
+          var s0 = e
+          if (sb.charAt(e) == ')') {
+            var d = 0
+            while (s0 >= 0 && { val cc = sb.charAt(s0)
+              if (cc == ')') d += 1 else if (cc == '(') d -= 1
+              d != 0 }) s0 -= 1
+            s0 -= 1
+            while (s0 >= 0 && baseChar(sb.charAt(s0))) s0 -= 1
+          } else {
+            while (s0 >= 0 && baseChar(sb.charAt(s0))) s0 -= 1
+          }
+          val base = sb.substring(s0 + 1, e + 1)
+          val leaf = base.toLowerCase.split('.').last.replace("`", "")
+          val isVariant =
+            colTypes.get(leaf).contains(org.apache.spark.sql.types.VariantType)
+          sb.setLength(s0 + 1)
+          if (isVariant && subExpr.trim.matches("-?\\d+"))
+            sb.append(s"try_variant_get($base, '$$[${subExpr.trim}]')")
+          else if (subExpr.trim.matches("\\d+"))
+            sb.append(
+              if (subExpr.trim == "0") s"try_element_at($base, CAST(NULL AS INT))"
+              else s"try_element_at($base, $subExpr)")
+          else
+            sb.append(s"try_element_at($base, $subExpr)")
+          i = close + 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** split `a.b[0]:c` accessor text into segments (idents, [n]) */
   private def splitPathSegs(p: String): Seq[String] = {
@@ -1549,7 +1791,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private val RankOverRe =
-    """(?i)\b(rank|dense_rank|percent_rank|row_number|cume_dist|ntile)\s*\(([^()]*)\)\s*OVER\s*\(""".r
+    ("""(?i)\b(rank|dense_rank|percent_rank|row_number|cume_dist|ntile""" +
+     """|lag|lead|nth_value)\s*\(((?:[^()]|\([^()]*\))*)\)\s*OVER\s*\(""").r
 
   /** rank-family OVER specs: the reference ignores explicit frames and
     * permits unordered ranking windows (all rows tie); Spark rejects
@@ -1906,6 +2149,27 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     createTableDispatch(s)
   }
 
+  /** the reference rejects non-scalar map KEY types (1006,
+    * types/map.rs: keys must be scalar) — Spark would accept them
+    */
+  private def validateDeclaredSchema(schema: StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType): Unit = dt match {
+      case m: MapType =>
+        m.keyType match {
+          case _: ArrayType | _: MapType | _: StructType | VariantType =>
+            throw new IllegalArgumentException(
+              "1006: map key type must be a scalar type, got " + m.keyType.sql)
+          case _ =>
+        }
+        walk(m.valueType)
+      case a: ArrayType => walk(a.elementType)
+      case st: StructType => st.fields.foreach(f => walk(f.dataType))
+      case _ =>
+    }
+    schema.fields.foreach(f => walk(f.dataType))
+  }
+
   private val TrailingOptsRe =
     """(?is)^(.*\))\s*((?:\w+\s*=\s*(?:'[^']*'|[\w.]+)\s*)+)$""".r
 
@@ -1930,6 +2194,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         return status("table" -> n, "op" -> "exists")
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       val schema = StructType.fromDDL(stripConstraints(ddl))
+      validateDeclaredSchema(schema)
       val df0 = spark.sql(rewriteReads(select))
       require(df0.columns.length == schema.length,
         s"query produces ${df0.columns.length} columns, declared ${schema.length}")
@@ -1966,6 +2231,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       if (tables.contains(n)) rmrf(tablePath(n))
       val schema = StructType.fromDDL(stripConstraints(ddl))
+      validateDeclaredSchema(schema)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
@@ -1980,6 +2246,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       if (tables.contains(n)) rmrf(tablePath(n))
       val schema = StructType.fromDDL(stripConstraints(ddl))
+      validateDeclaredSchema(schema)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
@@ -2093,11 +2360,51 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** VALUES rows: cast every cell to its target column type BEFORE
+    * Spark's inline-table type unification — rows like map(100,'a')
+    * vs map('300',123) only share a type via the table's schema
+    * (insert_into_map.test). Non-VALUES bodies pass through.
+    */
+  private def castValuesBody(body: String, colList: Option[String],
+      tgtSchema: StructType): String = {
+    // braces first: splitTopLevel does not track {..} nesting
+    val bt = mapLiterals(body.trim)
+    if (!bt.toUpperCase.startsWith("VALUES")) return bt
+    val types: Seq[org.apache.spark.sql.types.DataType] = colList match {
+      case Some(cl) => splitTopLevel(cl, ',').map { c =>
+        val n = norm(c)
+        tgtSchema.fields.find(_.name.equalsIgnoreCase(n))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown column $n")).dataType
+      }
+      case None => tgtSchema.fields.map(_.dataType).toSeq
+    }
+    val rows = splitTopLevel(bt.substring("VALUES".length), ',')
+    val ok = rows.nonEmpty && rows.forall { r0 =>
+      val r = r0.trim
+      r.startsWith("(") && matchParen(r, 0) == r.length - 1 &&
+        splitTopLevel(r.substring(1, r.length - 1), ',').length == types.length
+    }
+    if (!ok) return bt
+    rows.map { r0 =>
+      val r = r0.trim
+      val cells = splitTopLevel(r.substring(1, r.length - 1), ',')
+      "SELECT " + cells.zip(types).map { case (c, ty) =>
+        ty match {
+          case org.apache.spark.sql.types.VariantType =>
+            s"parse_json(CAST(($c) AS STRING))"
+          case _ => s"CAST(($c) AS ${ty.sql})"
+        }
+      }.mkString(", ")
+    }.mkString(" UNION ALL ")
+  }
+
   /** align a statement's source rows (col list + body) to `t`'s schema */
   private def alignToTarget(t: GraftTable, colList: String, body: String): DataFrame = {
     val tgtSchema = t.read().schema
     val tgtCols = tgtSchema.fieldNames.toSeq
-    val df0 = spark.sql(rewriteReads(body.trim))
+    val body1 = castValuesBody(body, Option(colList), tgtSchema)
+    val df0 = spark.sql(rewriteReads(body1))
     Option(colList).map(splitTopLevel(_, ',').map(c => norm(c))) match {
       case Some(cols) =>
         require(cols.length == df0.columns.length,
@@ -2122,7 +2429,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val t = table(n)
       val tgtSchema = t.read().schema
       val tgtCols = tgtSchema.fieldNames.toSeq
-      val df0 = spark.sql(rewriteReads(body.trim))
+      val df0 = spark.sql(rewriteReads(
+        castValuesBody(body, Option(colList), tgtSchema)))
       val explicit = Option(colList).map(splitTopLevel(_, ',').map(c => norm(c)))
       val df = explicit match {
         case Some(cols) =>
@@ -2539,13 +2847,14 @@ object GraftSql {
   private def stripConstraints(ddl: String): String =
     splitTopLevel(ddl, ',').map { c =>
       c.replaceAll("\"([^\"]+)\"", "`$1`") // databend ident quotes -> backticks
-        // databend composite-type spellings: ARRAY(T)/MAP(K,V) -> Spark DDL
-        .replaceAll("(?i)\\barray\\s*\\(\\s*([\\w() ,<>]+?)\\s*\\)", "array<$1>")
-        .replaceAll("(?i)\\bmap\\s*\\(\\s*([\\w() ]+?)\\s*,\\s*([\\w() ,<>]+?)\\s*\\)", "map<$1,$2>")
+        // databend composite-type spellings: ARRAY(T)/MAP(K,V) -> Spark
+        // DDL, innermost-first so nesting (Array(Array(T))) converts
+        .pipe(compositeTypes)
         .replaceAll("(?i)\\s+NOT\\s+NULL", "")
         .replaceAll("(?i)\\s+DEFAULT\\b.*$", "")
         .replaceAll("(?i)\\s+NULL$", "")
         .replaceAll("(?i)\\bbool$", "boolean")
+        .replaceAll("(?i)\\bdatetime$", "timestamp")
         .replaceAll("(?i)\\bjson$", "variant")
         // databend type spellings Spark's DDL parser lacks: length-less
         // varchar, and the sized int family (unsigned types widen so
@@ -2563,7 +2872,41 @@ object GraftSql {
         .replaceAll("(?i)\\b(int32|uint16)$", "int")
         .replaceAll("(?i)\\b(int16|uint8)$", "smallint")
         .replaceAll("(?i)\\bint8$", "tinyint")
+    }.map { c =>
+      // the $-anchored spellings above only cover scalar columns;
+      // composite types (array<UInt8>, map<Int64,String>) carry the
+      // sized spellings INSIDE the angle brackets
+      if (!c.contains("<")) c
+      else c
+        .replaceAll("(?i)\\s+(not\\s+)?null\\s*>", ">")
+        .replaceAll("(?i)\\s+(not\\s+)?null\\s*,", ",")
+        .replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "string")
+        .replaceAll("(?i)\\btext\\b", "string")
+        .replaceAll("(?i)\\bbool\\b", "boolean")
+        .replaceAll("(?i)\\bjson\\b", "variant")
+        .replaceAll("(?i)\\bdatetime\\b", "timestamp")
+        .replaceAll("(?i)\\buint64\\b", "decimal(20,0)")
+        .replaceAll("(?i)\\b(int64|uint32)\\b", "bigint")
+        .replaceAll("(?i)\\b(int32|uint16)\\b", "int")
+        .replaceAll("(?i)\\b(int16|uint8)\\b", "smallint")
+        .replaceAll("(?i)\\bint8\\b", "tinyint")
+        .replaceAll("(?i)\\bfloat64\\b", "double")
+        .replaceAll("(?i)\\bfloat32\\b", "float")
     }.mkString(", ")
+
+  /** ARRAY(T) / MAP(K,V) -> array<T> / map<K,V>, innermost first */
+  private def compositeTypes(c0: String): String = {
+    var c = c0
+    var changed = true
+    while (changed) {
+      val n = c
+        .replaceAll("(?i)\\barray\\s*\\(\\s*([^()]*?)\\s*\\)", "array<$1>")
+        .replaceAll("(?i)\\bmap\\s*\\(\\s*([^(),]*?)\\s*,\\s*([^()]*?)\\s*\\)", "map<$1,$2>")
+      changed = n != c
+      c = n
+    }
+    c
+  }
 
   // ---- statement shapes ----------------------------------------------
 

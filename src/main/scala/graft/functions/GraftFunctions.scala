@@ -83,7 +83,6 @@ object GraftFunctions {
     "modulo" -> "mod",
     "pow" -> "pow",
     // array spellings (function_list.txt:3-7)
-    "array_get" -> "get",
     "array_length" -> "size",
     "array_size" -> "size",
     "array_slice" -> "slice",
@@ -197,6 +196,12 @@ object GraftFunctions {
     // sum0 / sum_zero: 0 instead of NULL on empty input
     "sum0" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
     "sum_zero" -> (args => fn("coalesce", fn("sum", args.head), Literal(0))),
+    // array_get/get are 1-BASED in the reference (array.rs:404-412;
+    // index 0 yields NULL) — Spark's builtin get is 0-based
+    "array_get" -> (args => fn("try_element_at", args.head,
+      fn("nullif", args(1), Literal(0)))),
+    "get" -> (args => fn("try_element_at", args.head,
+      fn("nullif", args(1), Literal(0)))),
     // quantile_cont: exact continuous-interpolation percentile
     // (1-arg form = median, reference aggregate_quantile_cont.rs)
     "quantile_cont" -> (args => fn("percentile", castD(args.head),

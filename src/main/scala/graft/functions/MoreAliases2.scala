@@ -172,7 +172,7 @@ object MoreAliases2 {
           f("json_path_query_impl", jstr(a.head), jstr(a(1))), Literal(",")),
         Literal("]")))),
     "json_path_query_first" -> (a => f("try_parse_json",
-      f("get", f("json_path_query_impl", jstr(a.head), jstr(a(1))), Literal(0)))),
+      f("try_element_at", f("json_path_query_impl", jstr(a.head), jstr(a(1))), Literal(1)))),
     "json_path_exists" -> (a => GreaterThan(
       f("size", f("json_path_query_impl", jstr(a.head), jstr(a(1)))),
       Literal(0))),

@@ -190,7 +190,7 @@ object RegistryQueries extends QueryModule {
           |  to_monday(o_orderdate) AS monday,
           |  to_day_of_week(o_orderdate) AS dow,
           |  to_unix_timestamp(o_orderdate) AS epoch_s,
-          |  array_get(split(o_orderpriority, '-'), 0) AS prio_num,
+          |  array_get(split(o_orderpriority, '-'), 1) AS prio_num,
           |  array_length(split(o_orderpriority, '-')) AS prio_parts,
           |  hex_encode(o_orderstatus) AS status_hex,
           |  base64_encode(o_orderstatus) AS status_b64,

@@ -82,6 +82,9 @@ object Slt {
     case b: java.math.BigDecimal => b.toPlainString
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
     case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => s"${formatCell(k)}:${formatCell(v)}" }
+        .mkString("{", ",", "}")
     case other => other.toString
   }
 
