@@ -4,10 +4,15 @@
 # once each, one fresh JVM per query, and write BENCH_STRESS.json.
 # A query whose sf1 time exceeds 10x its sf0.1 time is a scale cliff.
 #
-# Usage: scripts/stress_sf1.sh [BENCH_rN.json=BENCH_r07.json] [N=10]
+# Usage: scripts/stress_sf1.sh [BENCH.json=BENCH_LATEST.json] [N=10]
+# EXTRA_QUERIES adds named queries beyond the slowest N (round-9 ask:
+# join_interval_bucket + geo_clip ride along by default).
 set -euo pipefail
-BENCH_JSON="${1:-BENCH_r07.json}"
+DEFAULT_JSON=BENCH_LATEST.json
+[ -f "$DEFAULT_JSON" ] || DEFAULT_JSON=BENCH_r08.json
+BENCH_JSON="${1:-$DEFAULT_JSON}"
 TOP_N="${2:-10}"
+EXTRA_QUERIES="${EXTRA_QUERIES:-join_interval_bucket geo_clip}"
 STRESS_DIR=/tmp/graft_stress/sf1
 cd "$(dirname "$0")/.."
 
@@ -15,7 +20,7 @@ sbt --error "runMain graft.StressGen $STRESS_DIR" >/dev/null
 
 # slowest N with a valid sf0.1 time; fall back to the previous round's
 # numbers for queries the given file recorded as errored (-1)
-SLOWEST=$(python3 - "$BENCH_JSON" "$TOP_N" <<'EOF'
+SLOWEST=$(python3 - "$BENCH_JSON" "$TOP_N" "$EXTRA_QUERIES" <<'EOF'
 import json, sys, glob
 def queries(path):
     d = json.load(open(path))
@@ -26,7 +31,12 @@ for f in sorted(glob.glob("BENCH_r0*.json"), reverse=True):
         if merged.get(k, -1.0) <= 0 and v > 0:
             merged[k] = v
 qs = sorted(((k, v) for k, v in merged.items() if v > 0), key=lambda kv: -kv[1])
-print("\n".join(f"{k} {v}" for k, v in qs[: int(sys.argv[2])]))
+picked = qs[: int(sys.argv[2])]
+names = {k for k, _ in picked}
+for extra in sys.argv[3].split():
+    if extra not in names and merged.get(extra, -1.0) > 0:
+        picked.append((extra, merged[extra]))
+print("\n".join(f"{k} {v}" for k, v in picked))
 EOF
 )
 

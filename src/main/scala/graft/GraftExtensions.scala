@@ -52,5 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // virtual-column rewrite: get_json_object over declared paths ->
     // the materialized __virt_* column (no-op without such columns)
     e.injectOptimizerRule(session => new graft.plans.VirtualColumnRule(session))
+    // SQL-declared python scalar UDFs -> Arrow batch engine (no-op
+    // without registered python functions)
+    e.injectOptimizerRule(session => new graft.plans.PyUdfBatchRule(session))
   }
 }

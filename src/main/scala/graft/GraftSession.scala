@@ -36,6 +36,9 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.VirtualColumnRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new graft.plans.VirtualColumnRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.PyUdfBatchRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.PyUdfBatchRule(spark)
     spark
   }
 

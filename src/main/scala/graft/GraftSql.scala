@@ -40,6 +40,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private val streams = mutable.LinkedHashMap[String, GraftStream]()
   private val stages  = mutable.LinkedHashMap[String, String]()
   private val clusterKeys = mutable.LinkedHashMap[String, Seq[String]]()
+  // declared NOT NULL columns per table — parquet storage is nullable,
+  // so DESCRIBE/SHOW COLUMNS report the declared constraint from here
+  // (the reference keeps it in table meta)
+  private val notNullCols = mutable.LinkedHashMap[String, Set[String]]()
   private val databases = mutable.LinkedHashSet[String]("default")
   private var currentDb = "default"
   private var viewSeq = 0
@@ -152,6 +156,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }
     else if (is("SELECT") || is("VALUES") || is("EXPLAIN") ||
         is("TABLE ") || is("(")) query(s)
+    else if (up.matches("(?s)^CREATE\\s+(OR\\s+REPLACE\\s+)?TASK\\b.*")) createTask(s)
+    else if (is("ALTER TASK")) alterTask(s)
+    else if (is("DROP TASK")) dropTask(s)
+    else if (is("EXECUTE TASK")) executeTask(s)
+    else if (is("SHOW TASKS")) showTasks(s.substring("SHOW TASKS".length))
     else if (is("CREATE") && up.contains("STREAM") &&
              CreateStreamRe.findFirstIn(s).isDefined) createStream(s)
     else if (is("CREATE") && CreateStageRe.findFirstIn(s).isDefined) createStage(s)
@@ -184,6 +193,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("SHOW STREAMS")) showStreams()
     else if (is("SHOW TABLES")) showTables()
     else if (is("SHOW STAGES")) showStages()
+    else if (is("SHOW CREATE TABLE"))
+      showCreateTable(s.substring("SHOW CREATE TABLE".length).trim)
+    else if (is("SHOW ") || is("DESC ") || is("DESCRIBE ")) showDescribe(s)
     else if (is("BEGIN") || is("EXECUTE IMMEDIATE") || s.startsWith("$$"))
       graft.operators.SqlScript.executeImmediate(spark,
         s.replaceAll("(?i)^EXECUTE\\s+IMMEDIATE\\s*", ""))
@@ -521,6 +533,14 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         scala.util.matching.Regex.quoteReplacement(freshView(df))
       }
     })
+    // system.tasks / system.task_history (reference system tables for
+    // the task registry) -> this instance's refreshed views
+    if ("""(?i)\bsystem\s*\.\s*task""".r.findFirstIn(sql).isDefined) {
+      refreshTaskViews()
+      sql = sql
+        .replaceAll("(?i)\\bsystem\\s*\\.\\s*task_history\\b", "system_task_history")
+        .replaceAll("(?i)\\bsystem\\s*\\.\\s*tasks\\b", "system_tasks")
+    }
     // numbers(N)/numbers_mt(N) table functions (reference numbers TVF):
     // an unsigned 0..N-1 sequence named `number`
     sql = NumbersRe.replaceAllIn(sql, m =>
@@ -678,29 +698,57 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       return sql // ANY(...) the aggregate, or an IN-list — leave alone
     val close = matchParen(sql, open)
     // walk back over the left operand: an identifier path or a
-    // parenthesized/call expression ending just before the operator
+    // parenthesized/call/literal primary ending just before the operator
+    def scanPrimaryBack(e: Int): Int = {
+      var s0 = e
+      if (e >= 0 && sql.charAt(e) == '\'') {
+        // string-literal operand: scan back to its opening quote
+        s0 = e - 1
+        while (s0 >= 0 && sql.charAt(s0) != '\'') s0 -= 1
+        s0 -= 1
+      } else if (e >= 0 && (sql.charAt(e) == ')' || sql.charAt(e) == '`')) {
+        val openCh = if (sql.charAt(e) == ')') '(' else '`'
+        var depth = 0
+        while (s0 >= 0 && { val c = sql.charAt(s0)
+          if (c == sql.charAt(e)) depth += 1 else if (c == openCh) depth -= 1
+          depth != 0 }) s0 -= 1
+        s0 -= 1
+        // a call: include the function name / qualifier
+        while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
+               "_.$".contains(sql.charAt(s0)))) s0 -= 1
+      } else
+        while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
+               "_.$".contains(sql.charAt(s0)))) s0 -= 1
+      s0
+    }
+    val lhsStops = Set("WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+      "CASE", "SELECT", "ON", "HAVING", "SET", "BY", "IN", "LIKE", "BETWEEN",
+      "DISTINCT", "ALL", "AS", "JOIN", "FROM", "RETURN", "END", "IS")
     var e = m.start - 1
     while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
     val lhsEnd = e + 1
-    var s0 = e
-    if (e >= 0 && sql.charAt(e) == '\'') {
-      // string-literal operand: scan back to its opening quote
-      s0 = e - 1
-      while (s0 >= 0 && sql.charAt(s0) != '\'') s0 -= 1
-      s0 -= 1
-    } else if (e >= 0 && (sql.charAt(e) == ')' || sql.charAt(e) == '`')) {
-      val openCh = if (sql.charAt(e) == ')') '(' else '`'
-      var depth = 0
-      while (s0 >= 0 && { val c = sql.charAt(s0)
-        if (c == sql.charAt(e)) depth += 1 else if (c == openCh) depth -= 1
-        depth != 0 }) s0 -= 1
-      s0 -= 1
-      // a call: include the function name / qualifier
-      while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
-             "_.$".contains(sql.charAt(s0)))) s0 -= 1
-    } else
-      while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
-             "_.$".contains(sql.charAt(s0)))) s0 -= 1
+    var s0 = scanPrimaryBack(e)
+    // extend across binary operators so a compound lhs like
+    // `a + 1 > ANY (...)` captures `a + 1`, not just `1`
+    var extending = true
+    while (extending) {
+      var p = s0
+      while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+      val isConcat = p >= 1 && sql.charAt(p) == '|' && sql.charAt(p - 1) == '|'
+      val isBinOp = p >= 0 && "+-*/%".contains(sql.charAt(p))
+      if (isConcat || isBinOp) {
+        var q = (if (isConcat) p - 2 else p - 1)
+        while (q >= 0 && sql.charAt(q).isWhitespace) q -= 1
+        val s1 = scanPrimaryBack(q)
+        val tok = sql.substring(s1 + 1, q + 1).trim.toUpperCase
+        if (q < 0 || "(,".contains(sql.charAt(q)) || lhsStops.contains(tok)) {
+          // nothing usable before the operator: it's a unary sign
+          // (include it for +/-) or a clause boundary — stop here
+          if (isBinOp && (sql.charAt(p) == '-' || sql.charAt(p) == '+')) s0 = p - 1
+          extending = false
+        } else s0 = s1
+      } else extending = false
+    }
     val lhs = sql.substring(s0 + 1, lhsEnd)
     require(lhs.nonEmpty, s"cannot locate left operand of quantified comparison")
     // normalize the subquery's single output column to a known name
@@ -1613,13 +1661,30 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val leaf = base.toLowerCase.split('.').last.replace("`", "")
           val isVariant =
             colTypes.get(leaf).contains(org.apache.spark.sql.types.VariantType)
+          val isArrayCol = colTypes.get(leaf)
+            .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          val isMapCol = colTypes.get(leaf)
+            .exists(_.isInstanceOf[org.apache.spark.sql.types.MapType])
           sb.setLength(s0 + 1)
           if (isVariant && subExpr.trim.matches("-?\\d+"))
             sb.append(s"try_variant_get($base, '$$[${subExpr.trim}]')")
-          else if (subExpr.trim.matches("\\d+"))
+          else if (isMapCol)
+            // map lookup: keys pass through verbatim (0/negative int
+            // keys are legitimate map keys)
+            sb.append(s"try_element_at($base, $subExpr)")
+          else if (subExpr.trim.matches("-?\\d+"))
             sb.append(
-              if (subExpr.trim == "0") s"try_element_at($base, CAST(NULL AS INT))"
+              // 1-based array subscript: index < 1 yields NULL (the
+              // reference's UInt64 index neither hits 0 nor goes
+              // negative) rather than Spark's error / from-the-end read
+              if (subExpr.trim.toLong < 1) s"try_element_at($base, CAST(NULL AS INT))"
               else s"try_element_at($base, $subExpr)")
+          else if (isArrayCol)
+            // non-literal index on a known array column: guard runtime
+            // zero/negative values the same way (Spark would throw
+            // SQL_ARRAY_INDEX_START_AT_ONE on 0, read backwards on <0)
+            sb.append(s"try_element_at($base, CASE WHEN ($subExpr) < 1 " +
+              s"THEN CAST(NULL AS INT) ELSE ($subExpr) END)")
           else
             sb.append(s"try_element_at($base, $subExpr)")
           i = close + 1
@@ -1797,15 +1862,33 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   /** rank-family OVER specs: the reference ignores explicit frames and
     * permits unordered ranking windows (all rows tie); Spark rejects
     * both, so strip the frame and order by a constant when absent.
+    * `nth_value` is the exception: it is frame-SENSITIVE (PostgreSQL,
+    * DuckDB and the reference agree — e.g. `nth_value(x, 2) OVER (...
+    * ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)` returns the
+    * NEXT row, not the partition's 2nd), and Spark accepts frames on
+    * it — so its explicit frame passes through untouched and only a
+    * missing ORDER BY is defaulted.
     */
   private def fixRankWindows(sql: String): String = {
     val m = RankOverRe.findFirstMatchIn(sql)
     if (m.isEmpty) return sql
+    val fn = m.get.group(1).toLowerCase
     val open = m.get.end - 1
     val close = matchParen(sql, open)
     val spec = sql.substring(open + 1, close)
-    var s2 = spec.replaceAll("(?is)\\b(ROWS|RANGE|GROUPS)\\b.*$", "").trim
-    if (indexOfKeyword(s2, "ORDER") < 0) s2 = (s2 + " ORDER BY 1").trim
+    var s2 =
+      if (fn == "nth_value") spec.trim
+      else spec.replaceAll("(?is)\\b(ROWS|RANGE|GROUPS)\\b.*$", "").trim
+    if (indexOfKeyword(s2, "ORDER") < 0) {
+      // keep any frame clause after the injected ORDER BY
+      val frameAt = Seq("ROWS", "RANGE", "GROUPS")
+        .map(k => indexOfKeyword(s2, k)).filter(_ >= 0)
+      if (frameAt.isEmpty) s2 = (s2 + " ORDER BY 1").trim
+      else {
+        val f = frameAt.min
+        s2 = (s2.substring(0, f).trim + " ORDER BY 1 " + s2.substring(f)).trim
+      }
+    }
     sql.substring(0, open) + "(" + s2 + ")" +
       fixRankWindows(sql.substring(close + 1))
   }
@@ -2195,6 +2278,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       val schema = StructType.fromDDL(stripConstraints(ddl))
       validateDeclaredSchema(schema)
+      notNullCols(n) = declaredNotNull(ddl)
       val df0 = spark.sql(rewriteReads(select))
       require(df0.columns.length == schema.length,
         s"query produces ${df0.columns.length} columns, declared ${schema.length}")
@@ -2232,6 +2316,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       if (tables.contains(n)) rmrf(tablePath(n))
       val schema = StructType.fromDDL(stripConstraints(ddl))
       validateDeclaredSchema(schema)
+      notNullCols(n) = declaredNotNull(ddl)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
@@ -2247,6 +2332,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       if (tables.contains(n)) rmrf(tablePath(n))
       val schema = StructType.fromDDL(stripConstraints(ddl))
       validateDeclaredSchema(schema)
+      notNullCols(n) = declaredNotNull(ddl)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
@@ -2636,12 +2722,33 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
 
   /** drop `<table>.` qualifiers from a DML predicate: the filter runs
     * against the table's own DataFrame, where the raw name no longer
-    * resolves as a qualifier (delete_cte/update_cte suites)
+    * resolves as a qualifier (delete_cte/update_cte suites). Quote-aware:
+    * occurrences inside '...'/"..."/`...` literals are left untouched so
+    * e.g. `WHERE note = 't1.x'` on table t1 doesn't become `'x'`.
     */
-  private def stripSelfQualifier(cond: String, table: String): String =
-    cond.replaceAll(
-      "(?i)\\b" + java.util.regex.Pattern.quote(norm(table)) + "\\s*\\.",
-      "")
+  private def stripSelfQualifier(cond: String, table: String): String = {
+    val name = norm(table)
+    val sb = new StringBuilder
+    var i = 0; var q: Char = 0
+    while (i < cond.length) {
+      val c = cond.charAt(i)
+      if (q != 0) { sb.append(c); if (c == q) q = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => q = c; sb.append(c); i += 1
+        case _ =>
+          val wordBoundary = i == 0 || {
+            val p = cond.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.'
+          }
+          if (wordBoundary && cond.regionMatches(true, i, name, 0, name.length)) {
+            var j = i + name.length
+            val ws = { var k = j; while (k < cond.length && cond.charAt(k).isWhitespace) k += 1; k }
+            if (ws < cond.length && cond.charAt(ws) == '.') i = ws + 1
+            else { sb.append(cond, i, j); i = j }
+          } else { sb.append(c); i += 1 }
+      }
+    }
+    sb.toString
+  }
 
   // ---- COPY INTO / stages --------------------------------------------
 
@@ -2733,6 +2840,465 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val name = norm(s.replaceAll("(?is)^DROP\\s+STREAM\\s+(IF\\s+EXISTS\\s+)?", "").trim)
     streams.remove(name)
     status("stream" -> name, "op" -> "drop")
+  }
+
+  // ---- tasks (reference ast/statements/task.rs; semantics from
+  // tests/sqllogictests/suites/task/*.test). The reference's scheduler
+  // daemon is a cloud-control service; here scheduling is manual-tick
+  // (`EXECUTE TASK`) with the full DDL/registry/DAG/WHEN surface — a
+  // real deployment drives ticks with Structured Streaming triggers
+  // (streaming/GraftStreams), which subsumes the cron daemon. ----------
+
+  private final class TaskDef(
+      val name: String,
+      var warehouse: Option[String],
+      var schedule: Option[String],
+      var after: Vector[String],
+      var when: Option[String],
+      var suspendAfter: Option[Long],
+      var errorIntegration: Option[String],
+      var comment: Option[String],
+      var sessionParams: Map[String, String],
+      var definition: String,
+      var state: String = "Suspended",
+      var failures: Long = 0L)
+
+  private val tasks = mutable.LinkedHashMap[String, TaskDef]()
+  private val taskHistory =
+    mutable.Buffer[(String, String, String, String, String, Long, String)]()
+  private var taskRunSeq = 0L
+
+  /** databend's observable schedule spelling (system.tasks.schedule) */
+  private def scheduleDisplay(n: Long, unit: String): String =
+    unit.toUpperCase.stripSuffix("S") match {
+      case "MINUTE" => s"INTERVAL ${n * 60} SECOND"
+      case "SECOND" => s"INTERVAL $n SECOND"
+      case "MILLISECOND" => s"INTERVAL ${n / 1000} SECOND ${n % 1000} MILLISECOND"
+      case other => throw new IllegalArgumentException(s"1005: bad schedule unit $other")
+    }
+
+  /** settings accepted as task session parameters (reference validates
+    * against its settings registry — unknown keys are error 2801)
+    */
+  private val TaskSessionSettings = Set(
+    "timezone", "query_tag", "max_threads", "max_memory_usage",
+    "enable_query_result_cache", "sql_dialect", "date_format_style")
+
+  private val CreateTaskRe =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?TASK\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+(.*)$""".r
+
+  /** parse the option region of CREATE/ALTER TASK into a mutator */
+  private def applyTaskOpts(td: TaskDef, opts0: String): Unit = {
+    var t = opts0.trim
+    while (t.nonEmpty) {
+      if (t.startsWith(",")) { t = t.substring(1).trim }
+      else {
+        val up = t.toUpperCase
+        var matched = true
+        if (up.startsWith("WHEN")) { // condition: the remainder of opts
+          td.when = Some(t.substring(4).trim)
+          t = ""
+        } else {
+          val res: Option[(Int, TaskDef => Unit)] =
+            """(?is)^WAREHOUSE\s*=\s*'([^']*)'""".r.findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) => d.warehouse = Some(m.group(1))))
+            .orElse("""(?is)^SCHEDULE\s*=\s*USING\s+CRON\s+'([^']*)'(?:\s+'([^']*)')?""".r
+              .findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) => d.schedule = Some(s"CRON ${m.group(1)}"))))
+            .orElse("""(?is)^SCHEDULE\s*=\s*(\d+)\s+(MINUTE|SECOND|MILLISECOND)S?\b""".r
+              .findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) =>
+                d.schedule = Some(scheduleDisplay(m.group(1).toLong, m.group(2))))))
+            .orElse("""(?is)^AFTER\s+((?:'[^']*'|[\w.]+)(?:\s*,\s*(?:'[^']*'|[\w.]+))*)""".r
+              .findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) =>
+                d.after = splitTopLevel(m.group(1), ',')
+                  .map(_.trim.stripPrefix("'").stripSuffix("'")).toVector)))
+            .orElse("""(?is)^SUSPEND_TASK_AFTER_NUM_FAILURES\s*=\s*(\d+)""".r
+              .findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) => d.suspendAfter = Some(m.group(1).toLong))))
+            .orElse("""(?is)^ERROR_INTEGRATION\s*=\s*'([^']*)'""".r
+              .findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) => d.errorIntegration = Some(m.group(1)))))
+            .orElse("""(?is)^COMMENTS?\s*=\s*'([^']*)'""".r
+              .findPrefixMatchOf(t)
+              .map(m => (m.end, (d: TaskDef) => d.comment = Some(m.group(1)))))
+            .orElse("""(?is)^(\w+)\s*=\s*('[^']*'|[\w.]+)""".r
+              .findPrefixMatchOf(t)
+              .map { m =>
+                val k = m.group(1).toLowerCase
+                if (!TaskSessionSettings.contains(k))
+                  throw new IllegalArgumentException(
+                    s"2801: Unknown setting $k for task ${td.name}")
+                (m.end, (d: TaskDef) => d.sessionParams = d.sessionParams +
+                  (k -> m.group(2).stripPrefix("'").stripSuffix("'")))
+              })
+          res match {
+            case Some((end, f)) => f(td); t = t.substring(end).trim
+            case None => matched = false
+          }
+        }
+        require(matched, s"1005: cannot parse task option at: ${t.take(60)}")
+      }
+    }
+  }
+
+  private def createTask(s: String): DataFrame = s match {
+    case CreateTaskRe(orRepl, ifNot, name0, rest0) =>
+      val name = name0.replace("`", "")
+      val asIdx = indexOfKeyword(rest0, "AS")
+      require(asIdx >= 0, s"1005: CREATE TASK without AS: $s")
+      val td = new TaskDef(name, None, None, Vector.empty, None, None, None,
+        None, Map.empty, rest0.substring(asIdx + 2).trim.stripSuffix(";"))
+      applyTaskOpts(td, rest0.substring(0, asIdx))
+      require(td.after.isEmpty || td.schedule.isEmpty,
+        s"1005: task $name: AFTER and SCHEDULE are mutually exclusive")
+      if (tasks.contains(name) && ifNot != null)
+        return status("task" -> name, "op" -> "create-task", "skipped" -> true)
+      require(!tasks.contains(name) || orRepl != null,
+        s"2302: task $name already exists")
+      tasks(name) = td
+      refreshTaskViews()
+      status("task" -> name, "op" -> "create-task")
+    case _ => throw new IllegalArgumentException(s"1005: cannot parse: $s")
+  }
+
+  private def taskOf(name0: String, ifExists: Boolean): Option[TaskDef] = {
+    val name = name0.replace("`", "")
+    tasks.get(name).orElse {
+      if (ifExists) None
+      else throw new IllegalArgumentException(s"2303: unknown task $name")
+    }
+  }
+
+  private def alterTask(s: String): DataFrame = {
+    val m = """(?is)^ALTER\s+TASK\s+(IF\s+EXISTS\s+)?([`\w.]+)\s+(.*)$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"1005: cannot parse: $s"))
+    val tdOpt = taskOf(m.group(2), m.group(1) != null)
+    if (tdOpt.isEmpty)
+      return status("task" -> m.group(2), "op" -> "alter-task", "skipped" -> true)
+    val td = tdOpt.get
+    val action = m.group(3).trim.stripSuffix(";")
+    val up = action.toUpperCase
+    if (up == "RESUME") td.state = "Started"
+    else if (up == "SUSPEND") td.state = "Suspended"
+    else if (up.startsWith("MODIFY AS")) td.definition = action.substring(9).trim
+    else if (up.startsWith("MODIFY WHEN")) td.when = Some(action.substring(11).trim)
+    else if (up.startsWith("REMOVE AFTER")) {
+      val name = action.substring(12).trim.stripPrefix("'").stripSuffix("'")
+      td.after = td.after.filterNot(_ == name)
+      // observed reference quirk (task_dag_test): an AFTER-less,
+      // schedule-less task reports the default INTERVAL 0 SECOND
+      if (td.after.isEmpty && td.schedule.isEmpty)
+        td.schedule = Some("INTERVAL 0 SECOND")
+    } else if (up.startsWith("ADD AFTER")) {
+      val name = action.substring(9).trim.stripPrefix("'").stripSuffix("'")
+      if (!td.after.contains(name)) td.after = td.after :+ name
+      if (td.schedule.contains("INTERVAL 0 SECOND")) td.schedule = None
+    } else if (up.startsWith("SET")) applyTaskOpts(td, action.substring(3))
+    else throw new IllegalArgumentException(s"1005: cannot parse ALTER TASK: $action")
+    refreshTaskViews()
+    status("task" -> td.name, "op" -> "alter-task")
+  }
+
+  private def dropTask(s: String): DataFrame = {
+    val m = """(?is)^DROP\s+TASK\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$""".r
+      .findFirstMatchIn(s.stripSuffix(";"))
+      .getOrElse(throw new IllegalArgumentException(s"1005: cannot parse: $s"))
+    taskOf(m.group(2), m.group(1) != null).foreach(td => tasks.remove(td.name))
+    refreshTaskViews()
+    status("task" -> m.group(2), "op" -> "drop-task")
+  }
+
+  /** `WHEN` gate: SYSTEM$STREAM_HAS_DATA('s') resolves against the
+    * stream registry (changes.rs stream_has_data — rows past the
+    * cursor), everything else evaluates as a scalar boolean
+    */
+  private def taskWhenPasses(td: TaskDef): Boolean = td.when match {
+    case None => true
+    case Some(cond0) =>
+      val cond = """(?i)SYSTEM\$STREAM_HAS_DATA\s*\(\s*'([^']*)'\s*\)""".r
+        .replaceAllIn(cond0, w => {
+          val sName = norm(w.group(1))
+          val has = streams.contains(sName) &&
+            (try !streams(sName).read().isEmpty catch { case _: Exception => false })
+          has.toString
+        })
+      try query(s"SELECT ($cond) AS c").head().getBoolean(0)
+      catch { case _: Exception => false }
+  }
+
+  /** run a task now (manual tick), then cascade to AFTER-dependents
+    * that are Started and whose WHEN passes (the reference's DAG run)
+    */
+  private def runTask(td: TaskDef, manual: Boolean,
+      visited: mutable.Set[String]): Unit = {
+    if (!visited.add(td.name)) return
+    if (!manual && (td.state != "Started" || !taskWhenPasses(td))) return
+    taskRunSeq += 1
+    val runId = taskRunSeq
+    try {
+      execute(td.definition)
+      td.failures = 0
+      taskHistory += ((td.name, "SUCCEEDED", td.warehouse.orNull,
+        td.schedule.orNull, td.definition, runId, null))
+    } catch {
+      case e: Exception =>
+        td.failures += 1
+        if (td.suspendAfter.exists(td.failures >= _)) td.state = "Suspended"
+        taskHistory += ((td.name, "FAILED", td.warehouse.orNull,
+          td.schedule.orNull, td.definition, runId, e.getMessage))
+        refreshTaskViews()
+        if (manual) throw e else return
+    }
+    tasks.values.toSeq.filter(_.after.contains(td.name))
+      .foreach(ch => runTask(ch, manual = false, visited))
+    refreshTaskViews()
+  }
+
+  private def executeTask(s: String): DataFrame = {
+    val name = s.substring("EXECUTE TASK".length).trim.stripSuffix(";")
+    val td = taskOf(name, ifExists = false).get
+    runTask(td, manual = true, mutable.Set.empty)
+    status("task" -> td.name, "op" -> "execute-task")
+  }
+
+  private def showTasks(tail: String): DataFrame = {
+    refreshTaskViews()
+    showTail(spark.table("system_tasks"), "name", tail)
+  }
+
+  /** publish system.tasks / system.task_history (reference
+    * system/src/task*.rs shapes)
+    */
+  private def refreshTaskViews(): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val taskSchema = StructType(Seq(
+      StructField("name", StringType), StructField("state", StringType),
+      StructField("warehouse", StringType), StructField("schedule", StringType),
+      StructField("definition", StringType),
+      StructField("condition_text", StringType),
+      StructField("after", StringType),
+      StructField("suspend_task_after_num_failures", LongType),
+      StructField("error_integration", StringType),
+      StructField("comment", StringType),
+      StructField("session_parameters", StringType)))
+    val taskRows = tasks.values.toSeq.map { t =>
+      org.apache.spark.sql.Row(t.name, t.state, t.warehouse.orNull,
+        t.schedule.orNull, t.definition, t.when.orNull,
+        t.after.mkString(","),
+        t.suspendAfter.map(java.lang.Long.valueOf).orNull,
+        t.errorIntegration.orNull, t.comment.orNull,
+        t.sessionParams.map { case (k, v) => s""""$k":"$v"""" }
+          .mkString("{", ",", "}"))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(taskRows).asJava), taskSchema)
+      .createOrReplaceTempView("system_tasks")
+    val histSchema = StructType(Seq(
+      StructField("name", StringType), StructField("state", StringType),
+      StructField("warehouse", StringType), StructField("schedule", StringType),
+      StructField("definition", StringType), StructField("run_id", LongType),
+      StructField("exception_text", StringType)))
+    val histRows = taskHistory.toSeq.map { case (n, st, w, sc, d, r, e) =>
+      org.apache.spark.sql.Row(n, st, w, sc, d, r, e)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(histRows).asJava), histSchema)
+      .createOrReplaceTempView("system_task_history")
+  }
+
+  // ---- SHOW / DESCRIBE (reference ast/statements/show.rs; output
+  // shapes from tests/sqllogictests/suites/base/06_show/) -------------
+
+  /** databend type spelling for a Spark type (DESCRIBE/SHOW COLUMNS) */
+  private def dbTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case StringType => "VARCHAR"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BINARY"
+      case VariantType => "VARIANT"
+      case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+      case a: ArrayType => s"ARRAY(${dbTypeName(a.elementType)})"
+      case m: MapType => s"MAP(${dbTypeName(m.keyType)}, ${dbTypeName(m.valueType)})"
+      case s: StructType =>
+        s.fields.map(f => dbTypeName(f.dataType)).mkString("TUPLE(", ", ", ")")
+      case other => other.sql
+    }
+  }
+
+  /** schema of a (graft or Spark-native) table/view by name */
+  private def schemaOf(name: String): org.apache.spark.sql.types.StructType = {
+    val key = resolveKey(name)
+    if (tables.contains(key)) tables(key).read().schema
+    else spark.table(norm(name).split('.').last).schema
+  }
+
+  /** apply a `[LIKE 'pat'] [WHERE cond] [LIMIT n]` SHOW tail to `df`,
+    * with LIKE matching `nameCol`
+    */
+  private def showTail(df: DataFrame, nameCol: String, tail0: String): DataFrame = {
+    var d = df
+    var t = tail0.trim
+    """(?is)^LIKE\s+('(?:[^']|'')*')""".r.findPrefixMatchOf(t).foreach { m =>
+      d = d.where(s"$nameCol LIKE ${m.group(1)}")
+      t = t.substring(m.end).trim
+    }
+    if (t.toUpperCase.startsWith("WHERE")) {
+      val rest = t.substring(5)
+      val lim = indexOfKeyword(rest, "LIMIT")
+      val cond = if (lim < 0) rest else rest.substring(0, lim)
+      d = d.where(cond.trim)
+      t = if (lim < 0) "" else rest.substring(lim).trim
+    }
+    """(?is)^LIMIT\s+(\d+)""".r.findPrefixMatchOf(t).foreach { m =>
+      d = d.limit(m.group(1).toInt)
+      t = t.substring(m.end).trim
+    }
+    require(t.isEmpty, s"1005: cannot parse SHOW tail: $t")
+    d
+  }
+
+  /** per-column description rows (DESCRIBE / SHOW FIELDS / SHOW COLUMNS) */
+  private def columnRows(tableName: String): Seq[(String, String, String, String, String, String)] = {
+    val nn = notNullCols.getOrElse(resolveKey(tableName), Set.empty)
+    schemaOf(tableName).fields.toSeq.map { f =>
+      val nullable = f.nullable && !nn.contains(f.name.toLowerCase)
+      (f.name, dbTypeName(f.dataType), if (nullable) "YES" else "NO",
+        "NULL", "", "")
+    }
+  }
+
+  /** DESC[RIBE] [TABLE|VIEW] name — five columns like the reference's
+    * (Field, Type, Null, Default, Extra)
+    */
+  private def describeTable(name: String): DataFrame = {
+    import spark.implicits._
+    columnRows(name).map { case (n, t, nl, d, e, _) => (n, t, nl, d, e) }
+      .toDF("field", "type", "null", "default", "extra")
+  }
+
+  /** SHOW [FULL] COLUMNS {FROM|IN} t [{FROM|IN} db] [LIKE|WHERE ...] */
+  private def showColumns(s: String): DataFrame = {
+    import spark.implicits._
+    val m = """(?is)^SHOW\s+(FULL\s+)?COLUMNS\s+(?:FROM|IN)\s+([`\w.]+)(?:\s+(?:FROM|IN)\s+([`\w.]+))?(.*)$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"1005: cannot parse: $s"))
+    val full = m.group(1) != null
+    val tbl0 = norm(m.group(2)).split('.').last
+    val tbl = Option(m.group(3)).map(db => s"${norm(db)}.$tbl0").getOrElse(tbl0)
+    val base =
+      if (full)
+        columnRows(tbl).map { case (n, t, nl, d, k, _) =>
+          (n, t, nl, d, k, null: String, null: String, null: String, "")
+        }.toDF("column_name", "data_type", "is_nullable", "default", "key",
+               "extra", "collation", "privileges", "comment")
+      else
+        columnRows(tbl).map { case (n, t, nl, d, k, e) => (n, t, nl, d, k, e) }
+          .toDF("column_name", "data_type", "is_nullable", "default", "key", "extra")
+    showTail(base, "column_name", m.group(4)).orderBy("column_name")
+  }
+
+  /** SHOW FUNCTIONS [LIKE|WHERE ...] — (name, is_aggregate, description) */
+  private def showFunctions(tail: String): DataFrame = {
+    import spark.implicits._
+    val aggNames = graft.functions.GraftFunctions.aggregateNames
+    val rows = spark.catalog.listFunctions().collect().toSeq
+      .map(f => (f.name.toLowerCase, if (aggNames.contains(f.name.toLowerCase)) 1 else 0, ""))
+      .distinct.sortBy(_._1)
+    showTail(rows.toDF("name", "is_aggregate", "description"), "name", tail)
+  }
+
+  /** SHOW SETTINGS [LIKE|WHERE ...] — session configuration as a
+    * relation (reference settings_table.rs)
+    */
+  private def showSettings(tail: String): DataFrame = {
+    import spark.implicits._
+    val rows = spark.conf.getAll.toSeq.sorted
+      .map { case (k, v) => (k, v, v, "SESSION", "") }
+    showTail(
+      rows.toDF("name", "value", "default", "level", "description"), "name", tail)
+  }
+
+  private def showDatabases(tail: String): DataFrame = {
+    import spark.implicits._
+    showTail(databases.toSeq.sorted.toDF("name"), "name", tail)
+  }
+
+  /** SHOW CREATE TABLE t — (table, create_table), DDL regenerated from
+    * the live schema (the reference rebuilds it from table meta too)
+    */
+  private def showCreateTable(name: String): DataFrame = {
+    import spark.implicits._
+    val cols = schemaOf(name).fields.map { f =>
+      s"  ${f.name} ${dbTypeName(f.dataType)}" + (if (f.nullable) " NULL" else " NOT NULL")
+    }.mkString(",\n")
+    val key = resolveKey(name)
+    val cluster = clusterKeys.get(key)
+      .map(ks => s" CLUSTER BY (${ks.mkString(", ")})").getOrElse("")
+    val tname = norm(name).split('.').last
+    Seq((tname, s"CREATE TABLE $tname (\n$cols\n) ENGINE=FUSE$cluster"))
+      .toDF("table", "create_table")
+  }
+
+  /** generic `SHOW <thing>` onto the system relations (reference maps
+    * SHOW onto system.<table> rewrites in ast/statements/show.rs)
+    */
+  private val showSystem: Map[String, SparkSession => DataFrame] = {
+    import graft.operators.SystemTables
+    Map(
+      "ENGINES" -> SystemTables.engines,
+      "USERS" -> SystemTables.users,
+      "ROLES" -> SystemTables.roles,
+      "METRICS" -> SystemTables.metrics,
+      "PROCESSLIST" -> SystemTables.processes,
+      "INDEXES" -> SystemTables.indexes,
+      "LOCKS" -> SystemTables.locks,
+      "CATALOGS" -> SystemTables.catalogs,
+      "TABLE_FUNCTIONS" -> SystemTables.tableFunctions,
+      "PROCEDURES" -> SystemTables.procedures,
+      "DICTIONARIES" -> SystemTables.dictionaries,
+      "STATISTICS" -> SystemTables.statistics)
+  }
+
+  /** SHOW / DESC dispatch beyond the dedicated forms */
+  private def showDescribe(s: String): DataFrame = {
+    val up = s.toUpperCase
+    if (up.startsWith("DESC")) {
+      val rest = s.replaceAll("(?is)^DESC(RIBE)?\\s+(TABLE\\s+|VIEW\\s+)?", "").trim
+      if (rest.toUpperCase.startsWith("FUNCTION") ||
+          rest.toUpperCase.startsWith("QUERY")) return query(s)
+      return describeTable(rest)
+    }
+    val m = """(?is)^SHOW\s+(FULL\s+)?(\w+)(.*)$""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"1005: cannot parse: $s"))
+    val word = m.group(2).toUpperCase
+    val tail = m.group(3)
+    word match {
+      case "COLUMNS" => showColumns(s)
+      case "FIELDS" =>
+        val t = """(?is)^\s*(?:FROM|IN)\s+([`\w.]+)""".r.findFirstMatchIn(tail)
+          .getOrElse(throw new IllegalArgumentException(s"1005: cannot parse: $s"))
+        describeTable(t.group(1))
+      case "FUNCTIONS" => showFunctions(tail)
+      case "SETTINGS" => showSettings(tail)
+      case "DATABASES" | "SCHEMAS" => showDatabases(tail)
+      case w if showSystem.contains(w) =>
+        showTail(showSystem(w)(spark), showSystem(w)(spark).columns.head, tail)
+      case _ => query(s) // SHOW VIEWS etc.: Spark-native
+    }
   }
 
   private def showStreams(): DataFrame = {
@@ -2844,6 +3410,14 @@ object GraftSql {
   private def wordRe(w: String) = ("(?i)\\b" + java.util.regex.Pattern.quote(w) + "\\b").r
 
   // DDL constraints Spark's fromDDL doesn't know: strip NOT NULL / DEFAULT
+  /** column names declared NOT NULL in a CREATE TABLE column list */
+  private def declaredNotNull(ddl: String): Set[String] =
+    splitTopLevel(ddl, ',').flatMap { c =>
+      if ("""(?is).*\bNOT\s+NULL\b.*""".r.matches(c))
+        """^\s*[`"]?(\w+)[`"]?""".r.findFirstMatchIn(c).map(_.group(1).toLowerCase)
+      else None
+    }.toSet
+
   private def stripConstraints(ddl: String): String =
     splitTopLevel(ddl, ',').map { c =>
       c.replaceAll("\"([^\"]+)\"", "`$1`") // databend ident quotes -> backticks

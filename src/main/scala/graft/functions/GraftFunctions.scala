@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions.udf
   */
 object GraftFunctions {
 
+  /** aggregate-function names, for SHOW FUNCTIONS' is_aggregate flag
+    * (reference aggregates/aggregator.rs:73-187 registration list)
+    */
+  val aggregateNames: Set[String] = Set(
+    "sum", "sum0", "sum_zero", "count", "avg", "min", "max", "any",
+    "any_value", "arg_min", "arg_max", "min_by", "max_by", "bool_and",
+    "bool_or", "covar_samp", "covar_pop", "var_samp", "var_pop", "stddev",
+    "stddev_samp", "stddev_pop", "std", "kurtosis", "skewness", "median",
+    "median_tdigest", "mode", "quantile", "quantile_cont", "quantile_disc",
+    "quantile_tdigest", "quantile_tdigest_weighted", "approx_count_distinct",
+    "uniq", "array_agg", "list", "listagg", "string_agg", "group_concat",
+    "collect_list", "collect_set", "json_agg", "json_array_agg",
+    "json_object_agg", "histogram", "histogram_numeric", "window_funnel",
+    "retention", "bitmap_agg", "bitmap_union", "bitmap_intersect",
+    "group_bitmap", "bitmap_construct_agg", "intersect_count",
+    "markov_train", "st_collect", "st_union_agg", "st_intersection_agg",
+    "st_envelope_agg", "count_if", "sum_if", "avg_if", "min_if", "max_if",
+    "first", "first_value", "last", "last_value", "percentile",
+    "percentile_approx", "count_distinct", "group_array_moving_avg",
+    "group_array_moving_sum", "grouping", "grouping_id")
+
   /** databend name -> spark builtin name (1:1 argument passthrough) */
   val aliases: Seq[(String, String)] = Seq(
     // datetime family (function_list.txt:11-32 style to_* names)
@@ -566,9 +587,43 @@ object GraftFunctions {
     case other => other
   }
 
-  private def fmtDate(args: Seq[Expression]): Expression =
-    org.apache.spark.sql.catalyst.expressions.DateFormatClass(
-      args.head, translateFmt(args(1)))
+  private def fmtDate(args: Seq[Expression]): Expression = args(1) match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+        if s != null && (s.toString.contains("%G") || s.toString.contains("%V")) =>
+      // ISO week-based fields: Spark 3+ date_format rejects the
+      // week-based pattern letters (Y, w) under the default formatter
+      // policy, so lower %G/%V to date_part expressions concatenated
+      // with the formatted remainder
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.StringType
+      val fmt = s.toString
+      val ts = args.head
+      def fn(name: String, as: Expression*) =
+        UnresolvedFunction(name, as.toSeq, isDistinct = false)
+      val out = scala.collection.mutable.ArrayBuffer[Expression]()
+      def seg(str: String): Unit = if (str.nonEmpty)
+        out += org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          ts, Literal(strftimeToJava(str)))
+      var i = 0; var start = 0
+      while (i < fmt.length) {
+        if (fmt.charAt(i) == '%' && i + 1 < fmt.length &&
+            (fmt.charAt(i + 1) == 'G' || fmt.charAt(i + 1) == 'V')) {
+          seg(fmt.substring(start, i))
+          out += (if (fmt.charAt(i + 1) == 'G')
+            Cast(fn("date_part", Literal("YEAROFWEEK"), ts), StringType)
+          else
+            fn("lpad", Cast(fn("date_part", Literal("WEEK"), ts), StringType),
+               Literal(2), Literal("0")))
+          i += 2; start = i
+        } else if (fmt.charAt(i) == '%' && i + 1 < fmt.length) i += 2
+        else i += 1
+      }
+      seg(fmt.substring(start))
+      if (out.length == 1) out.head else fn("concat", out.toSeq: _*)
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+        args.head, translateFmt(args(1)))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -30,6 +30,16 @@ object PyScalarUdf {
 
   def registered: Seq[PyFn] = registry.values.asScala.toSeq.sortBy(_.name)
 
+  /** Lookup for the batch-lowering rule ([[graft.plans.PyUdfBatchRule]]). */
+  def lookup(name: String): Option[PyFn] =
+    Option(registry.get(name)).orElse(Option(registry.get(name.toLowerCase)))
+
+  /** Rows evaluated through the per-row JSON fallback path — the batch
+    * rule's spec asserts this stays 0 when the plan was lowered to the
+    * Arrow engine.
+    */
+  val rowCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   private final class Worker(fn: PyFn) {
     private val program = {
       val srcLit = "\"\"\"" + fn.source.replace("\\", "\\\\").replace("\"", "\\\"") + "\"\"\""
@@ -98,8 +108,10 @@ object PyScalarUdf {
     }
   }
 
-  private def callFn(fn: PyFn, args: Seq[Any]): Any =
+  private def callFn(fn: PyFn, args: Seq[Any]): Any = {
+    rowCalls.incrementAndGet()
     withWorker(fn)(_.call(args.map(fromSpark)))
+  }
 
   def drop(spark: SparkSession, name: String): Boolean = {
     Option(pools.remove(name)).foreach(_.asScala.foreach(_.close()))

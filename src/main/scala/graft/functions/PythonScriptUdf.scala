@@ -59,13 +59,22 @@ object PythonScriptUdf {
       handler: String,
       source: String,
       batchSize: Int = 8192,
-      timeoutMs: Long = 600000L): DataFrame = {
+      timeoutMs: Long = 600000L,
+      argIdx: Seq[Int] = null,
+      label: String = null): DataFrame = {
+    val what = if (label == null) "python UDF" else s"python UDF '$label'"
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ outputs.fields)
-    (inSchema.fields ++ outputs.fields).foreach(f => ScriptUdf.arrowType(f.dataType))
+    outputs.fields.foreach(f => ScriptUdf.arrowType(f.dataType))
     val enc = Encoders.row(outSchema)
     val worker = workerProgram(source, handler, outputs)
-    val inFields = inSchema.fields
+    // only the handler's argument columns cross the Arrow pipe; the
+    // rest of the row stays JVM-side (paired back via the inflight
+    // queue) — pass-through columns cost nothing in Python
+    val argIndices: Array[Int] =
+      if (argIdx == null) inSchema.fields.indices.toArray else argIdx.toArray
+    val inFields = argIndices.map(inSchema.fields)
+    inFields.foreach(f => ScriptUdf.arrowType(f.dataType))
     val nIn = inFields.length
 
     df.mapPartitions { rows =>
@@ -119,8 +128,9 @@ object PythonScriptUdf {
               batch.zipWithIndex.foreach { case (row, i) =>
                 var c = 0
                 while (c < nIn) {
+                  val src = argIndices(c)
                   ScriptUdf.writeCell(root.getVector(c), i,
-                    if (row.isNullAt(c)) null else row.get(c))
+                    if (row.isNullAt(src)) null else row.get(src))
                   c += 1
                 }
               }
@@ -144,8 +154,8 @@ object PythonScriptUdf {
           val tail = errBuf.synchronized(errBuf.toString.trim)
           val timedOut = System.nanoTime() > deadline
           throw new RuntimeException(
-            (if (timedOut) s"python UDF worker exceeded ${timeoutMs}ms budget"
-             else "python UDF worker failed") +
+            (if (timedOut) s"$what worker exceeded ${timeoutMs}ms budget"
+             else s"$what worker failed") +
               (if (tail.nonEmpty) s":\n$tail" else ""),
             cause)
         }

@@ -256,6 +256,7 @@ object HnswIndex {
     */
   def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
             m: Int = 16, efConstruction: Int = 100, numBuckets: Int = 8): Unit = {
+    rmrf(indexPath)
     val spark = df.sparkSession
     import spark.implicits._
     val sourceFiles = df.inputFiles.sorted
@@ -275,19 +276,41 @@ object HnswIndex {
           graph.serialize()))
       }
     graphDs.toDF("bucket", "n", "blob")
-      .write.mode("overwrite").parquet(s"$indexPath/graph")
-    spark.createDataFrame(Seq((sourceFiles.toSeq, m, efConstruction, numBuckets)))
-      .toDF("source_files", "m", "ef_construction", "num_buckets")
-      .write.mode("overwrite").parquet(s"$indexPath/meta")
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$indexPath/graph")
+    spark.createDataFrame(Seq((sourceFiles.toSeq, m, efConstruction, numBuckets, 0L)))
+      .toDF("source_files", "m", "ef_construction", "num_buckets", "gen")
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$indexPath/meta")
   }
 
-  /** AggIndex freshness rule: exact source file set match. */
-  def isFresh(spark: SparkSession, indexPath: String, source: DataFrame): Boolean =
+  /** AggIndex freshness rule: exact source file set match (union of
+    * every generation's pin).
+    */
+  def isFresh(spark: SparkSession, indexPath: String, source: DataFrame): Boolean = {
+    val pinned = genFiles(spark, indexPath).values.flatten.toSet
+    pinned.nonEmpty && pinned == source.inputFiles.toSet
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally w.close()
+    }
+  }
+
+  /** generation -> pinned source files (empty when absent or on the
+    * pre-generational r8 layout, which rebuilds clean)
+    */
+  private def genFiles(spark: SparkSession, indexPath: String): Map[Long, Seq[String]] =
     try {
-      val pinned = spark.read.parquet(s"$indexPath/meta")
-        .head().getSeq[String](0).toVector
-      pinned == source.inputFiles.sorted.toVector
-    } catch { case _: Exception => false }
+      val meta = spark.read.parquet(s"$indexPath/meta")
+      if (!meta.columns.contains("gen")) Map.empty
+      else meta.select(col("gen").cast("long"), col("source_files")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    } catch { case _: Exception => Map.empty }
 
   /** Search every bucket graph in parallel (one task per bucket, beam
     * width ef) and merge the per-bucket top-k. Returns (id, cos).
@@ -319,64 +342,68 @@ object HnswIndex {
       .limit(k)
   }
 
-  /** Incremental maintenance (reference builds per-block HNSW graphs at
-    * write — hnsw_index/, fuse_pruner.rs:88-93): when the source grew
-    * append-only, build generation subgraphs over ONLY the new files'
-    * rows and append their blobs to `graph/`. [[search]] already
-    * deserializes every blob and merges per-graph top-k, so generation
-    * graphs need no probe change — the exact analogue of the
-    * reference's per-block graphs merged at query time. Existing blob
-    * files are never touched. Returns true when the delta path applied.
-    */
-  def refresh(df: DataFrame, idCol: String, vecCol: String, indexPath: String): Boolean = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val current = df.inputFiles.sorted.toVector
-    val (pinned, meta) =
-      try {
-        val m0 = spark.read.parquet(s"$indexPath/meta").head()
-        (m0.getSeq[String](0).toVector, m0)
-      } catch { case _: Exception => (Vector.empty[String], null) }
-    if (meta == null || pinned.isEmpty || pinned == current ||
-        !pinned.toSet.subsetOf(current.toSet)) return false
-    val m = meta.getAs[Int]("m")
-    val efC = meta.getAs[Int]("ef_construction")
-    val numBuckets = meta.getAs[Int]("num_buckets")
-    val newFiles = current.filterNot(pinned.toSet)
-    spark.read.parquet(newFiles: _*)
-      .select(col(idCol).cast("long").as("id"),
-        expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
-      .repartition(numBuckets, col("id"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { rows =>
-        var graph: Graph = null
-        rows.foreach { case (id, vec) =>
-          val arr = vec.toArray
-          if (graph == null) graph = new Graph(arr.length, m, efC)
-          graph.insert(id, normalize(arr))
-        }
-        if (graph == null) Iterator.empty
-        else Iterator((TaskContext.getPartitionId(), graph.ids.length,
-          graph.serialize()))
-      }
-      .toDF("bucket", "n", "blob")
-      .write.mode("append").parquet(s"$indexPath/graph")
-    spark.createDataFrame(Seq((current, m, efC, numBuckets)))
-      .toDF("source_files", "m", "ef_construction", "num_buckets")
-      .write.mode("overwrite").parquet(s"$indexPath/meta")
-    true
-  }
-
-  /** Build-if-stale convenience (same contract as VectorIndex.ensure).
-    * Append-only growth takes the [[refresh]] delta path; any other
-    * file-set change rebuilds.
+  /** Generation-local maintenance (reference builds per-block HNSW
+    * graphs at write — hnsw_index/, fuse_pruner.rs:88-93): each
+    * `ensure` sync diffs the source file set per generation.
+    * Generations whose files all survive KEEP their `graph/gen=`
+    * partition untouched; generations hit by a compaction/DELETE drop
+    * their partition directories only; uncovered files — appends and
+    * compaction survivors alike — build subgraphs as one new
+    * generation. [[search]] already deserializes every blob and merges
+    * per-graph top-k, so generation graphs need no probe change — the
+    * exact analogue of the reference's per-block graphs merged at
+    * query time.
     */
   def ensure(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
              m: Int = 16, efConstruction: Int = 100, numBuckets: Int = 8): String =
     synchronized {
-      if (!isFresh(df.sparkSession, indexPath, df) &&
-          !refresh(df, idCol, vecCol, indexPath))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val current = df.inputFiles.toSet
+      val gens = genFiles(spark, indexPath)
+      val (keep, drop) = gens.partition { case (_, fs) =>
+        fs.nonEmpty && fs.toSet.subsetOf(current)
+      }
+      val covered = keep.values.flatten.toSet
+      if (gens.nonEmpty && covered == current && drop.isEmpty) return indexPath
+      if (keep.isEmpty) {
         build(df, idCol, vecCol, indexPath, m, efConstruction, numBuckets)
+        return indexPath
+      }
+      drop.keys.foreach { g =>
+        rmrf(s"$indexPath/meta/gen=$g")
+        rmrf(s"$indexPath/graph/gen=$g")
+      }
+      val orphan = (current -- covered).toSeq.sorted
+      if (orphan.nonEmpty) {
+        val meta0 = spark.read.parquet(s"$indexPath/meta").head()
+        val mP = meta0.getAs[Int]("m")
+        val efC = meta0.getAs[Int]("ef_construction")
+        val nB = meta0.getAs[Int]("num_buckets")
+        val genId = gens.keys.max + 1
+        spark.read.parquet(orphan: _*)
+          .select(col(idCol).cast("long").as("id"),
+            expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
+          .repartition(nB, col("id"))
+          .as[(Long, Seq[Double])]
+          .mapPartitions { rows =>
+            var graph: Graph = null
+            rows.foreach { case (id, vec) =>
+              val arr = vec.toArray
+              if (graph == null) graph = new Graph(arr.length, mP, efC)
+              graph.insert(id, normalize(arr))
+            }
+            if (graph == null) Iterator.empty
+            else Iterator((TaskContext.getPartitionId(), graph.ids.length,
+              graph.serialize()))
+          }
+          .toDF("bucket", "n", "blob")
+          .withColumn("gen", lit(genId))
+          .write.mode("append").partitionBy("gen").parquet(s"$indexPath/graph")
+        spark.createDataFrame(Seq((orphan, mP, efC, nB, genId)))
+          .toDF("source_files", "m", "ef_construction", "num_buckets", "gen")
+          .write.mode("append").partitionBy("gen").parquet(s"$indexPath/meta")
+      }
       indexPath
     }
 }

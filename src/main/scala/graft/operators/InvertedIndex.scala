@@ -31,30 +31,44 @@ object InvertedIndex {
   val K1 = 1.2
   val B = 0.75
 
-  /** Build (or rebuild) the index: positional postings sorted by token
-    * + a stats side table with document frequencies and corpus size.
-    * Positions make phrase queries a relational join (reference:
-    * tantivy records positions for its phrase scorer). Each posting
-    * carries the document's token count (`dl`) denormalized, so BM25's
-    * length norm needs NO corpus-sized doc-length join at query time —
-    * a term lookup stays one IN-pruned scan at 100 TB (+8 bytes/row).
+  /** Build (or rebuild) the index from scratch: wipe every generation
+    * and write the full corpus as gen-0.
     */
-  def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit =
-    writeGeneration(docs, idCol, textCol, indexPath,
-      docs.inputFiles.sorted.toSeq, overwrite = true)
+  def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+    rmrf(indexPath)
+    writeGeneration(docs, idCol, textCol, indexPath, docs.inputFiles.sorted.toSeq)
+  }
 
-  /** One index GENERATION: postings + per-generation term dfs + one
-    * meta row holding the generation's exact integer totals and the
-    * source files it covers. The read side merges generations (df-sums
-    * and avgdl from summed totals), so an append-only refresh writes a
-    * new generation without touching existing files — the reference
-    * indexes per-block at write (fuse_pruner.rs:88-93) and merges
-    * per-block indexes at query time the same way.
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally w.close()
+    }
+  }
+
+  /** One index GENERATION = its own directory `gen-<n>/` holding
+    * postings + per-generation term dfs + one meta row with the
+    * generation's exact integer totals and the source files it covers.
+    * The read side merges generations by glob (df-sums and avgdl from
+    * summed totals), so maintenance is directory-local: an append
+    * writes a new generation, a compaction/DELETE drops ONLY the
+    * generations whose files changed — the reference indexes per-block
+    * at write (fuse_pruner.rs:88-93) and merges per-block indexes at
+    * query time the same way. Positions make phrase queries a
+    * relational join (tantivy records positions for its phrase
+    * scorer); each posting denormalizes the document's token count
+    * (`dl`) so BM25's length norm needs NO corpus-sized doc-length
+    * join at query time — a term lookup stays one IN-pruned scan at
+    * 100 TB (+8 bytes/row).
     */
   private def writeGeneration(docs: DataFrame, idCol: String, textCol: String,
-                              indexPath: String, files: Seq[String],
-                              overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
+                              indexPath: String, files: Seq[String]): Unit = {
+    val genId = generations(indexPath)
+      .map(_.getName.stripPrefix("gen-").toLong).foldLeft(-1L)(_ max _) + 1
+    val genPath = f"$indexPath/gen-$genId%05d"
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val postings = docs
       .select(col(idCol).as("doc_id"),
@@ -67,11 +81,11 @@ object InvertedIndex {
       postings
         .repartitionByRange(col("token"))
         .sortWithinPartitions(col("token"))
-        .write.mode(mode).parquet(s"$indexPath/postings")
+        .write.mode("overwrite").parquet(s"$genPath/postings")
       val stats = postings.groupBy(col("token"))
         .agg(countDistinct(col("doc_id")).as("df"))
       stats.repartitionByRange(col("token")).sortWithinPartitions(col("token"))
-        .write.mode(mode).parquet(s"$indexPath/stats")
+        .write.mode("overwrite").parquet(s"$genPath/stats")
       // exact integer totals so the merged avgdl is reproducible
       // bit-for-bit by an oracle (sum of tf = total tokens)
       val t = postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
@@ -82,19 +96,26 @@ object InvertedIndex {
       docs.sparkSession
         .createDataFrame(Seq((nDocs, totalDl, nDlDocs, files)))
         .toDF("n_docs", "total_dl", "n_dl_docs", "source_files")
-        .write.mode(mode).parquet(s"$indexPath/meta")
+        .write.mode("overwrite").parquet(s"$genPath/meta")
     } finally postings.unpersist()
   }
 
-  /** Union of every generation's pinned files (empty if no index).
-    * Selecting `total_dl` too makes a pre-generational meta layout read
-    * as absent, so old index dirs rebuild instead of failing search.
-    */
-  private def pinnedFiles(spark: SparkSession, indexPath: String): Set[String] =
-    try spark.read.parquet(s"$indexPath/meta")
+  /** generation directories, oldest first */
+  private def generations(indexPath: String): Seq[java.io.File] =
+    Option(new java.io.File(indexPath).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .sortBy(_.getName).toSeq
+
+  /** the file set a generation covers (empty on unreadable meta) */
+  private def genSourceFiles(spark: SparkSession, genDir: String): Set[String] =
+    try spark.read.parquet(s"$genDir/meta")
       .select(col("source_files"), col("total_dl"))
       .collect().flatMap(_.getSeq[String](0)).toSet
     catch { case _: Exception => Set.empty }
+
+  /** Union of every generation's pinned files (empty if no index). */
+  private def pinnedFiles(spark: SparkSession, indexPath: String): Set[String] =
+    generations(indexPath).flatMap(g => genSourceFiles(spark, g.getPath)).toSet
 
   /** True iff the index exists and its generations together cover
     * exactly the files the corpus currently scans (VectorIndex/
@@ -106,35 +127,38 @@ object InvertedIndex {
     pinned.nonEmpty && pinned == docs.inputFiles.toSet
   }
 
-  /** Incremental maintenance: append-only corpus growth indexes ONLY
-    * the new files as a fresh generation (postings/stats/meta appends;
-    * existing files untouched). Returns true when the delta path
-    * applied. Requires `docs` to be a plain parquet scan and doc_ids
-    * of appended files to be new (true for every gate corpus).
-    */
-  def refresh(docs: DataFrame, idCol: String, textCol: String,
-              indexPath: String): Boolean = {
-    val spark = docs.sparkSession
-    val current = docs.inputFiles.toSet
-    val pinned = pinnedFiles(spark, indexPath)
-    if (pinned.isEmpty || pinned == current || !pinned.subsetOf(current))
-      return false
-    val newFiles = (current -- pinned).toSeq.sorted
-    writeGeneration(spark.read.parquet(newFiles: _*), idCol, textCol,
-      indexPath, newFiles, overwrite = false)
-    true
-  }
-
-  /** Build-if-stale: the index is built ONCE per corpus file set and
-    * every subsequent query is probe-only — the production shape (a
-    * 100 TB corpus is indexed at ingest, not per query). Append-only
-    * growth takes the [[refresh]] delta path; any other file-set
-    * change rebuilds.
+  /** Build-if-stale, generation-local: the index is built ONCE per
+    * corpus file set and every subsequent query is probe-only — the
+    * production shape (a 100 TB corpus is indexed at ingest, not per
+    * query). Maintenance is a file-set diff against each generation:
+    * generations whose files all survive are KEPT untouched;
+    * generations touched by a compaction/DELETE are dropped (their
+    * directory only); files not covered by a kept generation — new
+    * appends and compaction survivors alike — are indexed as one new
+    * generation. Append-only growth therefore writes one delta
+    * generation, and a single-bucket compaction re-indexes only that
+    * bucket's files.
     */
   def ensure(docs: DataFrame, idCol: String, textCol: String,
              indexPath: String): String = synchronized {
-    if (!isFresh(docs.sparkSession, indexPath, docs) &&
-        !refresh(docs, idCol, textCol, indexPath))
+    val spark = docs.sparkSession
+    val current = docs.inputFiles.toSet
+    val gens = generations(indexPath)
+      .map(g => g.getPath -> genSourceFiles(spark, g.getPath))
+    if (gens.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexPath/meta")))
+      rmrf(indexPath) // pre-generational (r8) layout: rebuild clean
+    val (keep, drop) = gens.partition { case (_, fs) =>
+      fs.nonEmpty && fs.subsetOf(current)
+    }
+    val covered = keep.flatMap(_._2).toSet
+    if (covered == current && drop.isEmpty && gens.nonEmpty) return indexPath
+    drop.foreach { case (dir, _) => rmrf(dir) }
+    val orphan = (current -- covered).toSeq.sorted
+    if (orphan.nonEmpty)
+      writeGeneration(spark.read.parquet(orphan: _*), idCol, textCol,
+        indexPath, orphan)
+    else if (keep.isEmpty)
       build(docs, idCol, textCol, indexPath)
     indexPath
   }
@@ -151,14 +175,14 @@ object InvertedIndex {
     val normTerms = terms.map(_.toLowerCase).distinct
     // merge generations: integer totals sum exactly, so avgdl over the
     // merged corpus is the same double a single-generation build yields
-    val meta = spark.read.parquet(s"$indexPath/meta")
+    val meta = spark.read.parquet(s"$indexPath/gen-*/meta")
       .agg(sum(col("n_docs")), sum(col("total_dl")), sum(col("n_dl_docs"))).head()
     val nDocs = meta.getLong(0)
     val avgdl = if (meta.getLong(2) == 0L) 0.0
                 else meta.getLong(1).toDouble / meta.getLong(2)
-    val post = spark.read.parquet(s"$indexPath/postings")
+    val post = spark.read.parquet(s"$indexPath/gen-*/postings")
       .filter(col("token").isin(normTerms: _*))
-    val stats = spark.read.parquet(s"$indexPath/stats")
+    val stats = spark.read.parquet(s"$indexPath/gen-*/stats")
       .filter(col("token").isin(normTerms: _*))
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val scored = post.join(broadcast(stats), "token")
@@ -192,7 +216,7 @@ object InvertedIndex {
     val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
     val offsets = terms.zipWithIndex.toDF("token", "qoff")
-    val post = spark.read.parquet(s"$indexPath/postings")
+    val post = spark.read.parquet(s"$indexPath/gen-*/postings")
       .filter(col("token").isin(terms.distinct: _*))
     post.join(broadcast(offsets), "token")
       .select(col("doc_id"), col("qoff"), explode(col("positions")).as("pos"))

@@ -561,6 +561,23 @@ object SystemTables {
   def register(spark: SparkSession): Unit = {
     QueryHistory.install(spark)
     tables(spark).createOrReplaceTempView("system_tables")
+    // task registry views (reference system/src/{task,task_history});
+    // live rows are published by GraftSql.refreshTaskViews — seed empty
+    // relations only when no head has registered yet
+    if (!spark.catalog.tableExists("system_tasks"))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "name string, state string, warehouse string, schedule string, " +
+          "definition string, condition_text string, after string, " +
+          "suspend_task_after_num_failures bigint, error_integration string, " +
+          "comment string, session_parameters string"))
+        .createOrReplaceTempView("system_tasks")
+    if (!spark.catalog.tableExists("system_task_history"))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "name string, state string, warehouse string, schedule string, " +
+          "definition string, run_id bigint, exception_text string"))
+        .createOrReplaceTempView("system_task_history")
     columns(spark).createOrReplaceTempView("system_columns")
     functions(spark).createOrReplaceTempView("system_functions")
     databases(spark).createOrReplaceTempView("system_databases")

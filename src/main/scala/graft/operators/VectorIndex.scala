@@ -40,6 +40,7 @@ object VectorIndex {
     */
   def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
             k: Int = 16, iters: Int = 2): Unit = {
+    rmrf(indexPath)
     val spark = df.sparkSession
     val src = df.select(col(idCol).as("id"),
       expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
@@ -72,13 +73,15 @@ object VectorIndex {
           }
         }.toArray
       }
-      assigned.select(col("id"), col("cid"), col("v"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/assignments")
+      assigned.select(col("id"), col("cid"), col("v"), lit(0L).as("gen"))
+        .write.mode("overwrite").partitionBy("gen", "cid")
+        .parquet(s"$indexPath/assignments")
       spark.createDataFrame(cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "cv")
         .write.mode("overwrite").parquet(s"$indexPath/centroids")
-      spark.createDataFrame(Seq(Tuple1(sourceFiles.toSeq))).toDF("source_files")
-        .write.mode("overwrite").parquet(s"$indexPath/meta")
+      spark.createDataFrame(Seq((sourceFiles.toSeq, 0L)))
+        .toDF("source_files", "gen")
+        .write.mode("overwrite").partitionBy("gen").parquet(s"$indexPath/meta")
     } finally dbl.unpersist()
   }
 
@@ -86,12 +89,10 @@ object VectorIndex {
     * source currently scans (AggIndex's exact file-set rule — prefix or
     * subset matches are NOT fresh; see the round-2 delta-rewrite bug).
     */
-  def isFresh(spark: SparkSession, indexPath: String, source: DataFrame): Boolean =
-    try {
-      val pinned = spark.read.parquet(s"$indexPath/meta")
-        .head().getSeq[String](0).toVector
-      pinned == source.inputFiles.sorted.toVector
-    } catch { case _: Exception => false }
+  def isFresh(spark: SparkSession, indexPath: String, source: DataFrame): Boolean = {
+    val pinned = genFiles(spark, indexPath).values.flatten.toSet
+    pinned.nonEmpty && pinned == source.inputFiles.toSet
+  }
 
   /** Probe the nProbe nearest lists for the query vector; cosine top-k
     * over candidates only. The `cid IN (...)` filter prunes at the
@@ -124,54 +125,72 @@ object VectorIndex {
       .limit(k)
   }
 
-  /** Pinned source file set, or empty when the index doesn't exist. */
-  private def pinnedFiles(spark: SparkSession, indexPath: String): Vector[String] =
-    try spark.read.parquet(s"$indexPath/meta").head().getSeq[String](0).toVector
-    catch { case _: Exception => Vector.empty }
-
-  /** Incremental maintenance (reference indexes per-block at write —
-    * fuse_pruner.rs:88-93): when the source grew append-only (pinned
-    * set ⊂ current set), assign ONLY the new files' rows to the
-    * existing centroids and append them into their `cid=` partitions —
-    * no re-train, no touch of existing assignment files. Centroids stay
-    * pinned (standard IVF practice; recall drifts only if the data
-    * distribution shifts, at which point a full rebuild retrains).
-    * Returns true when the delta path applied. Requires `df` to be a
-    * plain parquet scan (true for every gate table).
-    */
-  def refresh(df: DataFrame, idCol: String, vecCol: String, indexPath: String): Boolean = {
-    val spark = df.sparkSession
-    val current = df.inputFiles.sorted.toVector
-    val pinned = pinnedFiles(spark, indexPath)
-    if (pinned.isEmpty || pinned == current || !pinned.toSet.subsetOf(current.toSet))
-      return false
-    val newFiles = current.filterNot(pinned.toSet)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-    val fresh = spark.read.parquet(newFiles: _*)
-      .select(col(idCol).as("id"),
-        expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
-    fresh.crossJoin(broadcast(cents))
-      .withColumn("d",
-        expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (s, e) -> s + e)"))
-      .groupBy(col("id"))
-      .agg(min_by(col("cid"), col("d")).as("cid"), first(col("v")).as("v"))
-      .select(col("id"), col("cid"), col("v"))
-      .write.mode("append").partitionBy("cid").parquet(s"$indexPath/assignments")
-    spark.createDataFrame(Seq(Tuple1(current))).toDF("source_files")
-      .write.mode("overwrite").parquet(s"$indexPath/meta")
-    true
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally w.close()
+    }
   }
 
-  /** Build-if-stale convenience: one index per (source table, path);
-    * returns the path. Thread-safe per JVM (bench + verify reuse).
-    * Append-only growth takes the [[refresh]] delta path; any other
-    * file-set change (delete/compact) rebuilds.
+  /** generation -> pinned source files, from the gen-partitioned meta
+    * (empty for no index OR the pre-generational r8 layout, which then
+    * rebuilds clean)
+    */
+  private def genFiles(spark: SparkSession, indexPath: String): Map[Long, Seq[String]] =
+    try {
+      val meta = spark.read.parquet(s"$indexPath/meta")
+      if (!meta.columns.contains("gen")) Map.empty
+      else meta.select(col("gen").cast("long"), col("source_files")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** Generation-local maintenance (reference indexes per-block at
+    * write — fuse_pruner.rs:88-93): each `ensure` sync is a file-set
+    * diff per generation. Generations whose files all survive are KEPT
+    * (their `gen=`/`cid=` partition directories are never rewritten);
+    * generations touched by a compaction/DELETE drop their directories
+    * only; uncovered files — appends and compaction survivors alike —
+    * assign to the PINNED centroids as one new generation (standard
+    * IVF practice: no re-train on maintenance; recall drifts only if
+    * the data distribution shifts, at which point dropping every
+    * generation triggers the full retrain path).
     */
   def ensure(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
              k: Int = 16, iters: Int = 2): String = synchronized {
-    if (!isFresh(df.sparkSession, indexPath, df) &&
-        !refresh(df, idCol, vecCol, indexPath))
-      build(df, idCol, vecCol, indexPath, k, iters)
+    val spark = df.sparkSession
+    val current = df.inputFiles.toSet
+    val gens = genFiles(spark, indexPath)
+    val (keep, drop) = gens.partition { case (_, fs) =>
+      fs.nonEmpty && fs.toSet.subsetOf(current)
+    }
+    val covered = keep.values.flatten.toSet
+    if (gens.nonEmpty && covered == current && drop.isEmpty) return indexPath
+    if (keep.isEmpty) { build(df, idCol, vecCol, indexPath, k, iters); return indexPath }
+    drop.keys.foreach { g =>
+      rmrf(s"$indexPath/meta/gen=$g")
+      rmrf(s"$indexPath/assignments/gen=$g")
+    }
+    val orphan = (current -- covered).toSeq.sorted
+    if (orphan.nonEmpty) {
+      val genId = gens.keys.max + 1
+      val cents = spark.read.parquet(s"$indexPath/centroids")
+      val fresh = spark.read.parquet(orphan: _*)
+        .select(col(idCol).as("id"),
+          expr(s"transform(`$vecCol`, e -> CAST(e AS DOUBLE))").as("v"))
+      fresh.crossJoin(broadcast(cents))
+        .withColumn("d",
+          expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (s, e) -> s + e)"))
+        .groupBy(col("id"))
+        .agg(min_by(col("cid"), col("d")).as("cid"), first(col("v")).as("v"))
+        .select(col("id"), col("cid"), col("v"), lit(genId).as("gen"))
+        .write.mode("append").partitionBy("gen", "cid")
+        .parquet(s"$indexPath/assignments")
+      spark.createDataFrame(Seq((orphan, genId))).toDF("source_files", "gen")
+        .write.mode("append").partitionBy("gen").parquet(s"$indexPath/meta")
+    }
     indexPath
   }
 }

@@ -391,14 +391,66 @@ object PaimonLake {
       // one streaming pass over the sorted runs, NO exchange anywhere
       // (the reference reads one merge task per bucket the same way).
       // At 100 TB the union has one single-task branch per bucket —
-      // the table's own read-parallelism unit. Fall back to the keyed
-      // window only when bucketing is unknown (bucket < 0) or the
-      // branch count would bloat the plan.
+      // the table's own read-parallelism unit. Past maxLocalGroups the
+      // per-group plan branches would bloat the plan, so the merge
+      // switches to ONE tagged scan: every row is labeled with its
+      // file group (a driver-side file->group map over
+      // input_file_name), repartitioned on the GROUP id (not the key —
+      // groups move whole, the exchange hashes a single int), sorted
+      // within partitions by (group, key, seq) and run-merged with the
+      // group as a leading key. The keyed window remains only for
+      // unknown bucketing (bucket < 0).
       val groups = picked.groupBy(e => (e.partition, e.bucket))
-      if (picked.forall(_.bucket >= 0) && groups.size <= 512)
+      if (picked.forall(_.bucket >= 0) && groups.size <= maxLocalGroups)
         mergedBucketLocal(spark, groups.values.toSeq.sortBy(_.head.path), st, readPaths)
+      else if (picked.forall(_.bucket >= 0))
+        mergedGroupTagged(spark, groups.values.toSeq, st, readPaths)
       else mergedByKeyWindow(readPaths(picked.map(_.path)), st)
     }
+  }
+
+  /** Per-group union-branch cap for [[mergedBucketLocal]]; beyond it
+    * the tagged single-scan path takes over. Overridable for tests.
+    */
+  private[graft] var maxLocalGroups: Int = 512
+
+  /** Group-tagged LSM merge for tables with MORE file groups than the
+    * union-of-branches plan can carry: one scan over every file, each
+    * row labeled with its (partition, bucket) group id, ONE exchange
+    * hash-partitioned on that id (never on the primary key), then the
+    * same sorted-run merge with the group id as a leading key. A
+    * thousand-bucket 100 TB table reads as a single scan + a single
+    * int-keyed shuffle whose partitions hold whole buckets.
+    */
+  private def mergedGroupTagged(spark: SparkSession, groups: Seq[Seq[PFile]],
+                                st: State,
+                                readPaths: Seq[String] => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fileToGrp: Map[String, Int] = groups.zipWithIndex.flatMap {
+      case (files, gid) => files.map(f => f.name -> gid)
+    }.toMap
+    val bcast = spark.sparkContext.broadcast(fileToGrp)
+    val grpOf = udf((p: String) => {
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      bcast.value.getOrElse(name,
+        throw new IllegalStateException(s"paimon file not in manifest map: $name"))
+    })
+    val keyNames = st.primaryKeys.map(k => s"_KEY_$k")
+    val raw = readPaths(groups.flatten.map(_.path))
+    val tagged = raw
+      .withColumn("__grp", grpOf(input_file_name()))
+      .select((col("__grp") +: raw.columns.toSeq.map(col)): _*)
+    val outEnc = org.apache.spark.sql.Encoders.row(st.schema)
+    tagged
+      .repartition(col("__grp"))
+      .sortWithinPartitions(
+        (col("__grp") +: (keyNames.map(col) :+ col("_SEQUENCE_NUMBER"))): _*)
+      .mapPartitions(rows =>
+        // group id participates as an extra leading key column: runs
+        // never span groups, so per-group semantics are preserved even
+        // when several groups share a shuffle partition
+        mergeSortedRuns(rows, keyNames.length + 1, st.schema, st.mergeEngine,
+          st.fieldAggs, st.primaryKeys.toSet))(outEnc)
   }
 
   /** Bucket-local LSM merge: one task per (partition, bucket) file
@@ -657,7 +709,8 @@ object PaimonLake {
   }
 
   private[sources] def manifestEntry(kind: Int, name: String, size: Long, rows: Long,
-      schemaId: Long, partitionBytes: Array[Byte] = Array.emptyByteArray): GenericRecord = {
+      schemaId: Long, partitionBytes: Array[Byte] = Array.emptyByteArray,
+      bucket: Int = 0): GenericRecord = {
     val file = new GenericData.Record(manifestEntrySchema.getField("_FILE").schema())
     file.put("_FILE_NAME", name)
     file.put("_FILE_SIZE", size)
@@ -671,7 +724,7 @@ object PaimonLake {
     e.put("_VERSION", 2)
     e.put("_KIND", kind)
     e.put("_PARTITION", java.nio.ByteBuffer.wrap(partitionBytes))
-    e.put("_BUCKET", 0)
+    e.put("_BUCKET", bucket)
     e.put("_TOTAL_BUCKETS", 1)
     e.put("_FILE", file)
     e
@@ -828,7 +881,8 @@ object PaimonLake {
     */
   def writePk(spark: SparkSession, table: String, df0: DataFrame,
               primaryKeys: Seq[String], kindCol: Option[String] = None,
-              options: Map[String, String] = Map.empty): Long = {
+              options: Map[String, String] = Map.empty,
+              numBuckets: Int = 1): Long = {
     import org.apache.spark.sql.functions._
     require(primaryKeys.nonEmpty, "writePk needs primary keys")
     val root = Paths.get(table)
@@ -879,21 +933,51 @@ object PaimonLake {
           valueDf.columns.map(col): _*)
 
     val scratch = Files.createTempDirectory(root, ".stage")
-    physical.coalesce(1).write.mode("overwrite").parquet(scratch.resolve("out").toString)
-    val parts = Files.list(scratch.resolve("out")).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val dataFiles = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"data-$uuid-$i.parquet"
-      Files.move(p, root.resolve("bucket-0").resolve(name))
-      (name, Files.size(root.resolve("bucket-0").resolve(name)))
-    }
+    // numBuckets > 1: hash-assign each key to its LSM bucket (paimon's
+    // fixed-bucket layout — every key lives in exactly one bucket, so
+    // the bucket-local merge path holds) and land one file per bucket
+    // from a single partitioned write job
+    val bucketDataFiles: Seq[(Int, String, Long)] =
+      if (numBuckets <= 1) {
+        physical.coalesce(1).write.mode("overwrite")
+          .parquet(scratch.resolve("out").toString)
+        val parts = Files.list(scratch.resolve("out")).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        parts.zipWithIndex.map { case (p, i) =>
+          val name = s"data-$uuid-$i.parquet"
+          Files.move(p, root.resolve("bucket-0").resolve(name))
+          (0, name, Files.size(root.resolve("bucket-0").resolve(name)))
+        }
+      } else {
+        physical
+          .withColumn("__bucket",
+            pmod(hash(primaryKeys.map(k => col(s"_KEY_$k")): _*), lit(numBuckets)))
+          .repartition(col("__bucket"))
+          .write.partitionBy("__bucket").mode("overwrite")
+          .parquet(scratch.resolve("out").toString)
+        (0 until numBuckets).flatMap { b =>
+          val dir = scratch.resolve("out").resolve(s"__bucket=$b")
+          if (!Files.exists(dir)) Nil
+          else {
+            Files.createDirectories(root.resolve(s"bucket-$b"))
+            Files.list(dir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+              .zipWithIndex.map { case (p, i) =>
+                val name = s"data-$uuid-$b-$i.parquet"
+                Files.move(p, root.resolve(s"bucket-$b").resolve(name))
+                (b, name, Files.size(root.resolve(s"bucket-$b").resolve(name)))
+              }
+          }
+        }
+      }
     Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     val rowCount = df0.count()
 
     val manifestName = s"manifest-$uuid-0.avro"
     writeAvro(root.resolve("manifest").resolve(manifestName), manifestEntrySchema,
-      dataFiles.map { case (n, sz) => manifestEntry(0, n, sz, rowCount, 0L) })
-    commitSnapshot(table, root, uuid, manifestName, dataFiles.length.toLong, rowCount,
-      prevId, snapId)
+      bucketDataFiles.map { case (b, n, sz) =>
+        manifestEntry(0, n, sz, rowCount, 0L, bucket = b) })
+    commitSnapshot(table, root, uuid, manifestName, bucketDataFiles.length.toLong,
+      rowCount, prevId, snapId)
   }
 }

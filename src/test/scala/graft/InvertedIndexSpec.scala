@@ -91,7 +91,7 @@ class InvertedIndexSpec extends AnyFunSuite {
     val idx = s"$dir/idx"
     InvertedIndex.ensure(docs, "doc_id", "text", idx)
     assert(InvertedIndex.isFresh(spark, idx, docs))
-    val metaFile = Files.walk(Paths.get(idx, "meta"))
+    val metaFile = Files.walk(Paths.get(idx, "gen-00000", "meta"))
       .filter(_.toString.endsWith(".parquet")).findFirst().get()
     val mtime = Files.getLastModifiedTime(metaFile)
     InvertedIndex.ensure(docs, "doc_id", "text", idx) // no rebuild

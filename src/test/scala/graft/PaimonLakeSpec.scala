@@ -360,6 +360,39 @@ class PaimonLakeSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("beyond maxLocalGroups: tagged merge, one group-id exchange, no key shuffle") {
+    import spark.implicits._
+    val dir = tmp("paimonmany")
+    val saved = PaimonLake.maxLocalGroups
+    try {
+      // 16 buckets with the branch cap forced to 4 stands in for the
+      // thousands-of-buckets 100 TB table (same code path)
+      PaimonLake.maxLocalGroups = 4
+      PaimonLake.writePk(spark, dir,
+        (0L until 200L).map(i => (i, s"v$i")).toDF("id", "name"),
+        primaryKeys = Seq("id"), numBuckets = 16)
+      PaimonLake.writePk(spark, dir,
+        (0L until 200L by 2).map(i => (i, s"V$i")).toDF("id", "name"),
+        primaryKeys = Seq("id"), numBuckets = 16)
+      val df = PaimonLake.read(spark, dir)
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(rows.size == 200)
+      assert((0L until 200L).forall(i =>
+        rows(i) == (if (i % 2 == 0) s"V$i" else s"v$i")))
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("Window"), s"keyed-window fallback resurfaced:\n$plan")
+      val keyShuffles = "hashpartitioning\\([^)]*_KEY_".r.findAllIn(plan).length
+      assert(keyShuffles == 0, s"primary-key exchange in tagged merge:\n$plan")
+      assert("hashpartitioning\\([^)]*__grp".r.findAllIn(plan).nonEmpty,
+        s"expected the group-id exchange:\n$plan")
+      // same data through the bucket-local path agrees
+      PaimonLake.maxLocalGroups = saved
+      val local = PaimonLake.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(local == rows)
+    } finally { PaimonLake.maxLocalGroups = saved; cleanup(dir) }
+  }
+
   test("paimon type strings map to Spark types") {
     import org.apache.spark.sql.types._
     assert(PaimonLake.paimonTypeToSpark("INT NOT NULL") == ((IntegerType, false)))
