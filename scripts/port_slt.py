@@ -55,11 +55,14 @@ def convert(path):
     lines = open(path).read().splitlines()
     out = []
     i = 0
+    force_rowsort = False
     while i < len(lines):
         line = lines[i]
         stripped = line.strip()
         if stripped.startswith('control '):
-            out.append('# ' + stripped + '  (rowsort is set per-query below)')
+            if 'rowsort' in stripped:
+                force_rowsort = True
+            out.append('# ' + stripped + '  (applied per-query below)')
             i += 1
             continue
         if stripped.startswith('skipif') or stripped.startswith('onlyif'):
@@ -76,7 +79,8 @@ def convert(path):
             sql_txt = []
             while i < len(lines) and lines[i].strip() != '----' and lines[i].strip() != '':
                 out.append(lines[i]); sql_txt.append(lines[i]); i += 1
-            if 'rowsort' not in out[qline_at] and not has_toplevel_order_by(' '.join(sql_txt)):
+            if 'rowsort' not in out[qline_at] and (
+                    force_rowsort or not has_toplevel_order_by(' '.join(sql_txt))):
                 out[qline_at] = out[qline_at] + ' rowsort'
             if i < len(lines) and lines[i].strip() == '----':
                 out.append('----'); i += 1

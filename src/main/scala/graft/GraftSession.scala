@@ -28,6 +28,11 @@ object GraftSession {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // managed-table fall-throughs must never land in the launch CWD
+      // (a crashed run's leftover spark-warehouse/ dir breaks the next
+      // run's CTAS with LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // always-on rewrites (extensions-config path covers external

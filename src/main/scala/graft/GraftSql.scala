@@ -44,6 +44,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   // so DESCRIBE/SHOW COLUMNS report the declared constraint from here
   // (the reference keeps it in table meta)
   private val notNullCols = mutable.LinkedHashMap[String, Set[String]]()
+  // NOT NULL and no DEFAULT: must appear in every INSERT column list
+  private val requiredCols = mutable.LinkedHashMap[String, Set[String]]()
   private val databases = mutable.LinkedHashSet[String]("default")
   private var currentDb = "default"
   private var viewSeq = 0
@@ -56,12 +58,15 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     */
   private val viewPrefix = s"graft${GraftSql.nextInstanceId()}_"
 
-  /** resolve a (possibly unqualified) name against the current database:
-    * `qt` under `USE db` finds `db.qt`; bare registrations win.
+  /** resolve a (possibly unqualified) name against the current database
+    * FIRST (the reference's rule): `t` under `USE db` is `db.t` when it
+    * exists, the bare registration otherwise — the round-8 bare-first
+    * order silently read the default db's same-named table (duckdb
+    * grouping_sets suite caught it)
     */
   private def resolveKey(n0: String): String = {
     val n = norm(n0)
-    if (tables.contains(n) || n.contains(".")) n
+    if (n.contains(".")) n
     else if (tables.contains(s"$currentDb.$n")) s"$currentDb.$n"
     else n
   }
@@ -508,6 +513,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // before any generated-subquery expansion so alias maps come from
     // user text only.
     if (!columnFirstGroupBy) sql = rewriteGroupByAliasFirst(sql)
+    // lateral column aliases, databend bind order (see the scaladoc)
+    sql = rewriteSelectAliasRefs(sql)
+    // HAVING names bind select aliases before input columns
+    sql = rewriteHavingAliasFirst(sql)
+    // ORDER BY an expression duplicating a select item -> its ordinal
+    sql = rewriteOrderByMatchingItem(sql)
     // CHANGES first (its text contains an AT clause)
     sql = ChangesRe.replaceAllIn(sql, m => {
       val t = norm(m.group(1))
@@ -555,6 +566,35 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // parameterized aggregate calls `quantile[_cont|_disc](p)(x)`
     // (databend's two-stage call form) -> flat (x, p) spellings
     sql = rewriteParamAggCall(sql)
+    // multi-argument GROUPING(a, b, ...) is the reference's bitmask
+    // form == Spark's grouping_id (grouping_sets suite vectors agree
+    // bit-for-bit)
+    sql = {
+      // expanded to a sum of single-column groupings (NOT grouping_id:
+      // Spark requires grouping_id's argument order to equal the
+      // grouping column order; the reference's bitmask takes any order)
+      var s2 = sql; var p = 0
+      val re = """(?i)\bgrouping\s*\(""".r
+      var cont = true
+      while (cont) {
+        re.findAllMatchIn(s2).find(_.start >= p) match {
+          case None => cont = false
+          case Some(m) =>
+            val open = m.end - 1
+            val close = matchParen(s2, open)
+            val args = splitTopLevel(s2.substring(open + 1, close), ',').map(_.trim)
+            if (args.length > 1) {
+              val expanded = args.zipWithIndex.map { case (a, i) =>
+                val w = 1L << (args.length - 1 - i)
+                if (w == 1L) s"grouping($a)" else s"grouping($a) * $w"
+              }.mkString("(", " + ", ")")
+              s2 = s2.substring(0, m.start) + expanded + s2.substring(close + 1)
+              p = m.start + expanded.length
+            } else p = m.start + 9
+        }
+      }
+      s2
+    }
     // json_array_agg/json_object_agg used as WINDOW functions: the
     // registered forms are to_json over an aggregate, and Spark would
     // attach OVER to the outer (non-aggregate) to_json — push the
@@ -578,6 +618,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // length-less VARCHAR casts (databend treats VARCHAR as unbounded)
     sql = sql.replaceAll("(?i)\\b(as\\s+)varchar\\b(?!\\s*\\()", "$1string")
       .replaceAll("(?i)::varchar\\b(?!\\s*\\()", "::string")
+    // MySQL-style `<int type> UNSIGNED` cast spellings in query
+    // position widen like the uintN family (SURVEY §1.2)
+    for ((from, to) <- Seq("bigint" -> "decimal(20,0)", "int" -> "bigint",
+        "integer" -> "bigint", "smallint" -> "int", "tinyint" -> "smallint")) {
+      sql = sql.replaceAll(s"(?i)::$from\\s+unsigned\\b", s"::$to")
+        .replaceAll(s"(?i)\\b(as\\s+)$from\\s+unsigned\\b", s"$$1$to")
+    }
     // databend sized-int / float cast spellings in query position
     // (src/query/ast types; unsigned widens per SURVEY §1.2)
     for ((from, to) <- CastSpellings)
@@ -591,6 +638,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = sql.replaceAll(
       "(?i)\\bdate_trunc\\s*\\(\\s*(year|quarter|month|week|day|hour|minute|second)\\s*,",
       "date_trunc('$1',")
+    // ASOF [LEFT] JOIN as SQL text (reference JoinType::Asof/LeftAsof,
+    // plans/join.rs:71-75) -> correlated LATERAL nearest-match
+    sql = rewriteAsofJoin(sql)
     // JOIN binds tighter than the comma-join in databend/MySQL
     // (`FROM a, b RIGHT JOIN c` = a x (b JOIN c)); Spark folds
     // left-associatively — wrap comma segments containing a JOIN
@@ -605,6 +655,35 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // subqueries inside JOIN ... ON conditions (databend decorrelates
     // them; Spark rejects them outright)
     sql = rewriteJoinOnSubquery(sql)
+    // MySQL `LIMIT offset, count` spelling (databend grammar
+    // ast/query.rs limit; crdb/limit.test) -> LIMIT count OFFSET offset
+    sql = sql.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b",
+      "LIMIT $2 OFFSET $1")
+    // crdb index-hint `table@index` (databend parses and ignores it —
+    // crdb/select.test xyzw@foo); quote-aware strip
+    if (sql.indexOf('@') >= 0) sql = stripIndexHints(sql)
+    // duplicate names in a USING list collapse (reference binder
+    // dedups; crdb/join.test USING(x, x)); Spark would join twice
+    sql = """(?i)\bUSING\s*\(([^()]*)\)""".r.replaceAllIn(sql, m => {
+      val cols = splitTopLevel(m.group(1), ',').map(_.trim)
+      val dedup = cols.foldLeft(Vector.empty[String])((acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c)
+      scala.util.matching.Regex.quoteReplacement(
+        s"USING (${dedup.mkString(", ")})")
+    })
+    // `x = NOT TRUE/FALSE` (databend parses NOT as a tight unary on a
+    // boolean literal; Spark's parser rejects it — monetdb boolean_not)
+    sql = sql.replaceAll("(?i)(=|<>|!=)\\s*NOT\\s+(TRUE|FALSE)\\b", "$1 (NOT $2)")
+    // bare NULL in boolean positions (databend accepts; Spark rejects
+    // VOID filters/conditions — crdb/select.test)
+    sql = sql.replaceAll("(?i)\\bWHERE\\s+NULL\\b(?!\\s*[=<>!+\\-*/|])",
+      "WHERE CAST(NULL AS BOOLEAN)")
+    sql = sql.replaceAll("(?i)\\bWHEN\\s+NULL\\s+THEN\\b",
+      "WHEN CAST(NULL AS BOOLEAN) THEN")
+    // LIMIT literals beyond Int.MaxValue (databend accepts u64; same
+    // visible result — everything is returned)
+    sql = """(?i)\bLIMIT\s+(\d{10,})""".r.replaceAllIn(sql, m =>
+      if (BigInt(m.group(1)) > Int.MaxValue) "LIMIT 2147483647" else m.matched)
     // OFFSET literals beyond Int.MaxValue (databend accepts u64; the
     // observable result is identical — everything is skipped)
     sql = BigOffsetRe.replaceAllIn(sql, m =>
@@ -620,8 +699,15 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // RIGHT SEMI/ANTI spellings (databend join types; Spark only has
     // the LEFT forms) -> flip the two factors
     sql = rewriteRightSemiAnti(sql)
+    // NATURAL SEMI/ANTI JOIN (Spark rejects natural for semi/anti) ->
+    // explicit USING over the common columns (duckdb semianti suite)
+    sql = rewriteNaturalSemiAnti(sql)
     // databend variant colon paths (x:a.b[0]) -> try_variant_get
     sql = rewriteColonPaths(sql)
+    // MySQL-style integer truthiness in filters (`WHERE c1`,
+    // `WHERE NOT c1` on an int column — databend coerces; Spark
+    // rejects a non-boolean filter): rewrite the bare-column form
+    sql = rewriteIntFilter(sql)
     // subscripts: databend arrays are 1-BASED (array.rs get; index 0
     // is NULL) and map[k] looks keys up — both are try_element_at in
     // Spark, whose native [] is 0-based on arrays. Variant columns
@@ -792,6 +878,189 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private val FromEnders = Set(
     "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION",
     "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "SETTINGS", "SELECT")
+
+  private val AsofJoinRe = """(?is)\bASOF\s+(LEFT\s+|RIGHT\s+|FULL\s+)?JOIN\b""".r
+
+  /** `l ASOF [LEFT] JOIN r [alias] ON conds` (reference
+    * JoinType::Asof/LeftAsof, plans/join.rs:71-75; duckdb asof suite)
+    * — the single inequality term picks, per left row, the NEAREST
+    * right row (predecessor for >=/>, successor for <=/<) among those
+    * satisfying the equality terms. Rewritten to a correlated LATERAL
+    * `ORDER BY <range key> LIMIT 1` subquery: Catalyst decorrelates it
+    * to a window-ranked join, the same plan family the reference's
+    * asof lowering produces. RIGHT/FULL ASOF stay library-level
+    * (operators/AsofJoin) — the text form raises the reference's
+    * unsupported error.
+    */
+  private def rewriteAsofJoin(sql0: String): String = {
+    val m0 = AsofJoinRe.findFirstMatchIn(sql0)
+    if (m0.isEmpty) return sql0
+    val sql = sql0
+    val m = m0.get
+    val kind = Option(m.group(1)).map(_.trim.toUpperCase).getOrElse("INNER")
+    require(kind == "INNER" || kind == "LEFT",
+      s"1065: ASOF $kind JOIN is not supported through SQL — use graft.operators.AsofJoin")
+    def skipWs(k0: Int): Int = {
+      var k = k0; while (k < sql.length && sql.charAt(k).isWhitespace) k += 1; k
+    }
+    // right factor: (subquery) or dotted name, optional range-style
+    // call args, optional [AS] alias, optional alias column list
+    var i = skipWs(m.end)
+    val rStart = i
+    if (sql.charAt(i) == '(') i = matchParen(sql, i) + 1
+    else {
+      while (i < sql.length && (sql.charAt(i).isLetterOrDigit ||
+             "_.$".contains(sql.charAt(i)))) i += 1
+      val k = skipWs(i)
+      if (k < sql.length && sql.charAt(k) == '(') i = matchParen(sql, k) + 1 // TVF args
+    }
+    val rFactor = sql.substring(rStart, i)
+    var j = skipWs(i)
+    var alias = ""
+    """(?is)^(?:AS\s+)?([A-Za-z_]\w*)""".r.findPrefixMatchOf(sql.substring(j))
+      .foreach { am =>
+        if (!Set("ON", "USING").contains(am.group(1).toUpperCase)) {
+          alias = am.group(1); j += am.end
+        }
+      }
+    var aliasCols = ""
+    val j2 = skipWs(j)
+    if (alias.nonEmpty && j2 < sql.length && sql.charAt(j2) == '(') {
+      val c2 = matchParen(sql, j2); aliasCols = sql.substring(j2, c2 + 1); j = c2 + 1
+    }
+    j = skipWs(j)
+    // `USING (k..., range)` (duckdb spelling the reference also runs):
+    // the last column is the range key (nearest predecessor), the rest
+    // are equalities — convert to the ON form against the left factor's
+    // alias (the word just before ASOF)
+    var usingCond: Option[String] = None
+    if (sql.regionMatches(true, j, "USING", 0, 5)) {
+      val open = skipWs(j + 5)
+      require(open < sql.length && sql.charAt(open) == '(',
+        "1065: ASOF JOIN USING needs a column list")
+      val close = matchParen(sql, open)
+      val cols = splitTopLevel(sql.substring(open + 1, close), ',').map(_.trim)
+      require(cols.nonEmpty, "1065: empty ASOF USING list")
+      var e = m.start - 1
+      while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+      var s0 = e
+      while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit || sql.charAt(s0) == '_')) s0 -= 1
+      val leftQual = sql.substring(s0 + 1, e + 1)
+      require(leftQual.nonEmpty, "1065: ASOF USING needs a named left factor")
+      val rq = if (alias.nonEmpty) alias else rFactor.split('.').last
+      val equis = cols.dropRight(1).map(c => s"$leftQual.$c = $rq.$c")
+      val range = s"$leftQual.${cols.last} >= $rq.${cols.last}"
+      usingCond = Some((equis :+ range).mkString(" AND "))
+      j = close + 1
+      j = skipWs(j)
+    }
+    val (cond, condEnd) = usingCond match {
+      case Some(c) => (c, j)
+      case None =>
+        require(sql.regionMatches(true, j, "ON", 0, 2),
+          s"1065: ASOF JOIN requires an ON condition")
+        val condStart = j + 2
+        val ce = clauseEnd(sql, condStart, FromEnders ++ Set(
+          "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "NATURAL", "ASOF"))
+        (sql.substring(condStart, ce).trim, ce)
+    }
+    // classify the AND terms: exactly one inequality (the range key)
+    val terms = splitTopLevelKeyword(cond, "AND")
+    val ineqRe = """(?s)^(.*?)(>=|<=|(?<![<>=!])>(?!=)|(?<![<>=!])<(?!=))(.*)$""".r
+    val ineqs = terms.flatMap(t => ineqRe.findFirstMatchIn(t).map(t -> _))
+    require(ineqs.length == 1,
+      s"1065: ASOF JOIN needs exactly one inequality condition, got ${ineqs.length}")
+    val (ineqTerm, im) = ineqs.head
+    val rName = if (alias.nonEmpty) alias
+                else rFactor.split('.').last.takeWhile(c => c.isLetterOrDigit || c == '_')
+    def refsRight(e: String): Boolean =
+      ("(?i)\\b" + java.util.regex.Pattern.quote(rName) + "\\s*\\.").r
+        .findFirstIn(e).isDefined
+    val (lhs, op, rhs) = (im.group(1).trim, im.group(2), im.group(3).trim)
+    val (rightExpr, effOp) =
+      if (refsRight(rhs) && !refsRight(lhs)) (rhs, op)
+      else if (refsRight(lhs) && !refsRight(rhs))
+        (lhs, op match { case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case "<" => ">" })
+      else throw new IllegalArgumentException(
+        s"1065: cannot orient ASOF inequality `$ineqTerm` against `$rName`")
+    // nearest match via a correlated max_by/min_by aggregate — NOT a
+    // correlated ORDER BY ... LIMIT 1: Spark's decorrelation of a
+    // lateral limit drops equality-correlated columns from the window
+    // partition when the outer key is a computed expression (observed:
+    // duckdb asof_join_miss "missing right side bin" returns a third
+    // of the rows), while the scalar-aggregate path decorrelates
+    // correctly
+    val pick = if (effOp == ">=" || effOp == ">") "max_by" else "min_by"
+    val innerAlias = if (alias.nonEmpty) s"$alias$aliasCols" else rName
+    val lateral =
+      s"(SELECT __best.* FROM (SELECT $pick(struct($rName.*), $rightExpr) AS __best " +
+        s"FROM $rFactor $innerAlias WHERE $cond) WHERE __best IS NOT NULL) " +
+        (if (alias.nonEmpty) alias else rName)
+    val joined =
+      if (kind == "LEFT") s" LEFT JOIN LATERAL $lateral ON TRUE "
+      else s" JOIN LATERAL $lateral ON TRUE "
+    rewriteAsofJoin(sql.substring(0, m.start) + joined + sql.substring(condEnd))
+  }
+
+  /** split on a top-level keyword (paren/quote aware) */
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val parts = mutable.Buffer[String]()
+    var start = 0
+    var idx = indexOfKeyword(s, kw)
+    while (idx >= 0) {
+      parts += s.substring(start, idx)
+      start = idx + kw.length
+      idx = indexOfKeyword(s, kw, start)
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
+  private val NaturalSemiAntiRe =
+    """(?is)\b([A-Za-z_]\w*)\s+NATURAL\s+(?:LEFT\s+)?(SEMI|ANTI)\s+JOIN\s*""".r
+
+  /** `a NATURAL [LEFT] SEMI|ANTI JOIN b` -> `a LEFT SEMI|ANTI JOIN b
+    * USING (<common columns>)` (Spark's NATURAL doesn't cover
+    * semi/anti; the reference binds them like any natural join). The
+    * right factor may be a named table or a parenthesized subquery
+    * with an alias.
+    */
+  private def rewriteNaturalSemiAnti(sql: String): String = {
+    val m0 = NaturalSemiAntiRe.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val (l, kind) = (m.group(1), m.group(2).toUpperCase)
+    try {
+      val lc = schemaOf(l).fieldNames.map(_.toLowerCase)
+      var i = m.end
+      val (rText, rCols) =
+        if (sql.charAt(i) == '(') {
+          val close = matchParen(sql, i)
+          val sub = sql.substring(i + 1, close)
+          var j = close + 1
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          val am = """(?is)^(?:AS\s+)?([A-Za-z_]\w*)""".r
+            .findPrefixMatchOf(sql.substring(j))
+            .getOrElse(throw new IllegalArgumentException("no alias"))
+          val alias = am.group(1)
+          i = j + am.end
+          (s"(${sub}) $alias",
+            spark.sql(rewriteReads(sub)).columns.map(_.toLowerCase).toSet)
+        } else {
+          val s0 = i
+          while (i < sql.length && (sql.charAt(i).isLetterOrDigit ||
+                 "_.$".contains(sql.charAt(i)))) i += 1
+          val name = sql.substring(s0, i)
+          (name, schemaOf(name).fieldNames.map(_.toLowerCase).toSet)
+        }
+      val common = lc.filter(rCols)
+      if (common.isEmpty) return sql
+      rewriteNaturalSemiAnti(
+        sql.substring(0, m.start) +
+          s" $l LEFT $kind JOIN $rText USING (${common.mkString(", ")}) " +
+          sql.substring(i))
+    } catch { case _: Exception => sql }
+  }
 
   private def rewriteCommaJoinPrecedence(sql0: String): String = {
     var sql = sql0; var pos = 0
@@ -1122,6 +1391,328 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   /** substitute select-list alias expressions for bare GROUP BY items
     * that name an alias (databend's default binding order)
     */
+  /** quote-aware whole-word replace (never inside '…'/"…"/`…`, never
+    * qualified `x.word`, never a call `word(`)
+    */
+  private def replaceWordOutsideQuotes(text: String, word: String,
+                                       repl: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var q: Char = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (q != 0) { sb += c; if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; sb += c; i += 1 }
+      else if ((Character.isLetter(c) || c == '_')) {
+        val start = i
+        while (i < text.length && (Character.isLetterOrDigit(text.charAt(i)) ||
+               text.charAt(i) == '_' || text.charAt(i) == '$')) i += 1
+        val w = text.substring(start, i)
+        val prev = if (start == 0) ' ' else text.charAt(start - 1)
+        var j = i
+        while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+        val isCallOrQual = (j < text.length && text.charAt(j) == '(') ||
+          prev == '.' || prev == ':' ||
+          (j < text.length && text.charAt(j) == '.')
+        if (w.equalsIgnoreCase(word) && !isCallOrQual) sb.append(repl)
+        else sb.append(w)
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** word replace like [[replaceWordOutsideQuotes]], but references
+    * inside an aggregate call's argument list are left alone (there,
+    * names bind the input column)
+    */
+  private def substituteOutsideAggArgs(text: String, word: String,
+                                       repl: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var q: Char = 0
+    var aggDepth = 0
+    var stack = List.empty[Boolean] // per '(': was it an agg call?
+    var prevWord = ""
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (q != 0) { sb += c; if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; sb += c; prevWord = ""; i += 1 }
+      else if (Character.isLetter(c) || c == '_') {
+        val start = i
+        while (i < text.length && (Character.isLetterOrDigit(text.charAt(i)) ||
+               text.charAt(i) == '_' || text.charAt(i) == '$')) i += 1
+        val w = text.substring(start, i)
+        val prev = if (start == 0) ' ' else text.charAt(start - 1)
+        var j = i
+        while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+        val isCallOrQual = (j < text.length && text.charAt(j) == '(') ||
+          prev == '.' || prev == ':' || (j < text.length && text.charAt(j) == '.')
+        if (w.equalsIgnoreCase(word) && !isCallOrQual && aggDepth == 0)
+          sb.append(repl)
+        else sb.append(w)
+        prevWord = w.toUpperCase
+      } else {
+        if (c == '(') {
+          val isAgg = prevWord.nonEmpty &&
+            AggLikeRe.findPrefixMatchOf(prevWord.toLowerCase + "(").isDefined
+          stack = isAgg :: stack
+          if (isAgg) aggDepth += 1
+          prevWord = ""
+        } else if (c == ')') {
+          stack match {
+            case h :: t => if (h) aggDepth -= 1; stack = t
+            case Nil =>
+          }
+          prevWord = ""
+        } else if (!Character.isWhitespace(c) && c != ',') prevWord = ""
+        sb += c
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Lateral column aliases, databend bind order: a select-list item
+    * may reference an EARLIER item's alias (`select n % 3 as b,
+    * b::string`, `select i % 2 as k, sum(k)`). Spark's native LCA
+    * refuses aggregate arguments and breaks under grouping sets, so
+    * the reference's semantics are restored by substituting the
+    * aliased expression textually — but ONLY when the name is not a
+    * column of any mentioned table (Spark resolves base columns first,
+    * and so does the reference).
+    */
+  /** Column names of this select's FROM clause, IF every factor is
+    * fully known: registered tables, numbers()/generate_series/range
+    * TVFs (with optional alias column lists). A derived table, CTE or
+    * unknown name returns None — alias substitution then stands down
+    * (Spark's own LCA covers those shapes; substituting blind could
+    * shadow a derived column, crdb group_by `1 AS i, SUM(i)`).
+    */
+  private def fromFactorCols(sql: String, fromIdx: Int): Option[Set[String]] = {
+    if (fromIdx < 0) return None
+    val start = fromIdx + "FROM".length
+    val end = clauseEnd(sql, start, FromEnders)
+    val clause = sql.substring(start, end)
+    if (indexOfKeyword(clause, "JOIN") >= 0 ||
+        indexOfKeyword(clause, "LATERAL") >= 0) return None
+    val out = scala.collection.mutable.Set.empty[String]
+    for (seg0 <- splitTopLevel(clause, ',')) {
+      val seg = seg0.trim
+      val TvfRe = """(?is)^(numbers(?:_mt|_local)?|generate_series|range)\s*\(""".r
+      val NameRe = """(?is)^([\w.`"]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""".r
+      TvfRe.findPrefixMatchOf(seg) match {
+        case Some(m) =>
+          val close = matchParen(seg, m.end - 1)
+          val rest = seg.substring(close + 1).trim
+          val colList = """(?is)^(?:AS\s+)?\w*\s*\(([^)]*)\)\s*$""".r
+            .findFirstMatchIn(rest).map(_.group(1))
+          colList match {
+            case Some(cl) => splitTopLevel(cl, ',').foreach(c => out += c.trim.toLowerCase)
+            case None if rest.matches("(?is)^(AS\\s+)?\\w*\\s*$") =>
+              out += (m.group(1).toLowerCase match {
+                case "generate_series" => "generate_series"
+                case "range" => "id"
+                case _ => "number"
+              })
+            case _ => return None
+          }
+        case None => seg match {
+          case NameRe(name, _) =>
+            val key = resolveKey(name.replaceAll("[`\"]", ""))
+            if (!tables.contains(key)) return None
+            out ++= tables(key).read().schema.fieldNames.map(_.toLowerCase)
+          case _ => return None
+        }
+      }
+    }
+    Some(out.toSet)
+  }
+
+  private def rewriteSelectAliasRefs(sql0: String): String = {
+    var sql = sql0; var searchFrom = 0
+    while (true) {
+      val sel = indexOfKeywordAnyDepth(sql, "SELECT", searchFrom)
+      if (sel < 0) return sql
+      val selStart = sel + "SELECT".length
+      val selEnd = clauseEnd(sql, selStart, FromEnders - "SELECT" + "FROM")
+      val fromHere =
+        if (selEnd < sql.length &&
+            sql.regionMatches(true, selEnd, "FROM", 0, 4)) selEnd else -1
+      val knownCols =
+        if (sql.substring(selStart, selEnd).contains("--")) None // SQL comments: don't rebuild the list
+        else fromFactorCols(sql, fromHere)
+      if (knownCols.isEmpty) { searchFrom = selEnd }
+      else {
+      val cols = knownCols.get
+      val ExplicitAs = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?$""".r
+      val Implicit = """(?is)^(.*\S)\s+`?(\w+)`?$""".r
+      val items = splitTopLevel(sql.substring(selStart, selEnd), ',')
+      var aliasMap = Vector.empty[(String, String)]
+      var changed = false
+      val out = items.map { it =>
+        // split off this item's own alias tail first: the alias token
+        // itself must never be substituted (`(a) AS foo` with an
+        // earlier alias foo)
+        val (head0, aliasTail) = it.trim match {
+          case ExplicitAs(e, n) => (e, " AS " + n)
+          case _ => (it, "")
+        }
+        var head = head0
+        for ((n, e) <- aliasMap
+             if !cols.contains(n) &&
+               ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+                 .findFirstIn(head).isDefined) {
+          val t2 = replaceWordOutsideQuotes(head, n, "(" + e + ")")
+          if (t2 != head) { head = t2; changed = true }
+        }
+        val t = head + aliasTail
+        t.trim.replaceAll("(?is)^(DISTINCT|ALL)\\s+", "") match {
+          case ExplicitAs(e, n) if !n.matches("\\d+") =>
+            aliasMap :+= (n.toLowerCase -> e.trim)
+          case Implicit(e, n)
+              // in a select list a trailing bare word IS a column alias
+              // (table aliases never appear here); exclude only
+              // operator-tailed heads (`a + 8` must not alias "8") and
+              // DISTINCT/ALL markers
+              if !n.matches("\\d+") &&
+                !e.trim.matches("(?is).*[-+*/%<>=|&^]") &&
+                !e.trim.matches("(?i)(DISTINCT|ALL)") &&
+                !e.trim.toUpperCase.endsWith(" DISTINCT") &&
+                !FactorKws.contains(n.toUpperCase) =>
+            aliasMap :+= (n.toLowerCase -> e.trim)
+          case _ =>
+        }
+        t
+      }
+      if (changed) {
+        val rebuilt = " " + out.mkString(", ") + " "
+        sql = sql.substring(0, selStart) + rebuilt + sql.substring(selEnd)
+        searchFrom = selStart + rebuilt.length
+      } else searchFrom = selEnd
+      }
+    }
+    sql
+  }
+
+  /** ORDER BY an expression that (textually) duplicates a select item
+    * refers to that item by ORDINAL: after aggregation Spark can only
+    * sort on output columns, so `ORDER BY grouping(a)+grouping(b)` or
+    * `ORDER BY c + 1` over `GROUP BY CUBE (c + 1)` fails to resolve
+    * the base columns — the reference binds them to the output
+    * (grouping_sets suite). Simple identifiers/ordinals are untouched.
+    */
+  private def rewriteOrderByMatchingItem(sql0: String): String = {
+    def norm(e: String): String =
+      e.toLowerCase.replaceAll("\\s+", " ").trim
+    var sql = sql0; var pos = 0
+    while (true) {
+      val ob = indexOfKeywordAnyDepth(sql, "ORDER", pos)
+      if (ob < 0) return sql
+      val bm = """(?is)^ORDER\s+BY\s+""".r.findPrefixMatchOf(sql.substring(ob))
+      if (bm.isEmpty) { pos = ob + 5 }
+      else {
+        val listStart = ob + bm.get.end
+        val listEnd = clauseEnd(sql, listStart,
+          Set("LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT", "SETTINGS",
+              "WINDOW", "FOR"))
+        val sel = {
+          val depths = parenDepths(sql)
+          var last = -1; var p = indexOfKeywordAnyDepth(sql, "SELECT", 0)
+          while (p >= 0 && p < ob) {
+            if (depths(p) == depths(ob)) last = p
+            p = indexOfKeywordAnyDepth(sql, "SELECT", p + 6)
+          }
+          last
+        }
+        if (sel < 0) { pos = listEnd }
+        else {
+          val selStart = sel + "SELECT".length
+          val selEnd = clauseEnd(sql, selStart, FromEnders - "SELECT" + "FROM")
+          val itemExprs = splitTopLevel(sql.substring(selStart, selEnd), ',')
+            .map(_.trim.replaceAll("(?is)^DISTINCT\\s+", ""))
+            .map(_.replaceAll("(?is)\\s+AS\\s+`?\\w+`?$", ""))
+            .map(norm)
+          val items = splitTopLevel(sql.substring(listStart, listEnd), ',')
+          var changed = false
+          val rebuilt = items.map { it =>
+            val sufM = """(?is)\s+(ASC|DESC)?\s*(NULLS\s+(FIRST|LAST))?\s*$""".r
+              .findFirstMatchIn(it)
+            val suffix = sufM.map(_.matched).getOrElse("")
+            val head = if (suffix.isEmpty) it else it.substring(0, it.length - suffix.length)
+            val h = norm(head)
+            val idx = itemExprs.indexOf(h)
+            if (idx >= 0 && !h.matches("[\\w.`]+") && !h.matches("\\d+")) {
+              changed = true; s"${idx + 1}$suffix"
+            } else it
+          }.mkString(", ")
+          if (changed)
+            sql = sql.substring(0, listStart) + " " + rebuilt + " " + sql.substring(listEnd)
+          pos = listStart + rebuilt.length
+        }
+      }
+    }
+    sql
+  }
+
+  private val AggLikeRe =
+    ("""(?i)\b(grouping|grouping_id|sum|count|avg|min|max|min_by|max_by""" +
+     """|stddev\w*|var\w*|first|last|any_value|array_agg|collect_\w+""" +
+     """|listagg|string_agg|group_concat|median|mode|percentile\w*""" +
+     """|approx_\w+|bool_and|bool_or)\s*\(""").r
+
+  /** HAVING alias prebinding (reference binder: HAVING names bind to
+    * select-list aliases before input columns — grouping_sets suite
+    * `having k is not null` filters on `if(grouping(k)=1,0,k) AS k`,
+    * not the base column). Spark resolves base columns first, so
+    * substitute the aliased expression textually.
+    */
+  private def rewriteHavingAliasFirst(sql0: String): String = {
+    var sql = sql0; var pos = 0
+    while (true) {
+      val h = indexOfKeywordAnyDepth(sql, "HAVING", pos)
+      if (h < 0) return sql
+      val listStart = h + "HAVING".length
+      val listEnd = clauseEnd(sql, listStart,
+        Set("ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+            "WINDOW", "QUALIFY", "SETTINGS"))
+      val sel = {
+        val depths = parenDepths(sql)
+        var last = -1; var p = indexOfKeywordAnyDepth(sql, "SELECT", 0)
+        while (p >= 0 && p < h) {
+          if (depths(p) == depths(h)) last = p
+          p = indexOfKeywordAnyDepth(sql, "SELECT", p + 6)
+        }
+        last
+      }
+      if (sel < 0) { pos = listEnd }
+      else {
+        val selStart = sel + "SELECT".length
+        val selEnd = clauseEnd(sql, selStart, FromEnders - "SELECT" + "FROM")
+        val ExplicitAs = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?$""".r
+        val aliasMap = splitTopLevel(sql.substring(selStart, selEnd), ',')
+          .flatMap(it => it.trim match {
+            case ExplicitAs(e, n) if !n.matches("\\d+") =>
+              Some(n.toLowerCase -> e.trim)
+            case _ => None
+          }).toMap
+        var clause = sql.substring(listStart, listEnd)
+        var changed = false
+        for ((n, e) <- aliasMap
+             if ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+               .findFirstIn(clause).isDefined) {
+          // inside an AGGREGATE call's arguments, plain names bind the
+          // input column (having.test `HAVING sum(cost)` sums the
+          // COLUMN even though cost aliases sum(cost)); only
+          // references OUTSIDE aggregate args prebind to the alias
+          val c2 = substituteOutsideAggArgs(clause, n, "(" + e + ")")
+          if (c2 != clause) { clause = c2; changed = true }
+        }
+        if (changed)
+          sql = sql.substring(0, listStart) + clause + sql.substring(listEnd)
+        pos = listStart + clause.length
+      }
+    }
+    sql
+  }
+
   private def rewriteGroupByAliasFirst(sql0: String): String = {
     var sql = sql0; var pos = 0
     while (true) {
@@ -1153,26 +1744,62 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val Implicit = """(?is)^(.*\S)\s+`?(\w+)`?$""".r
           val aliasMap = splitTopLevel(sql.substring(selStart, selEnd), ',')
             .flatMap { it =>
-              it.trim match {
-                case ExplicitAs(e, n) => Some(n.toLowerCase -> e.trim)
+              it.trim.replaceAll("(?is)^(DISTINCT|ALL)\\s+", "") match {
+                case ExplicitAs(e, n) if !n.matches("\\d+") =>
+                  Some(n.toLowerCase -> e.trim)
                 case Implicit(e, n)
-                    // implicit alias: the head must be an expression,
-                    // not just another identifier (`t x` table alias)
-                    if !e.trim.matches("(?i)[\\w.`]+") =>
+                    // implicit alias: in a select list a trailing bare
+                    // word aliases the head (incl. `number a`); exclude
+                    // only numeric tails of operator expressions
+                    if !n.matches("\\d+") &&
+                      !e.trim.matches("(?is).*[-+*/%<>=|&^]") &&
+                      !e.trim.matches("(?i)(DISTINCT|ALL)") =>
                   Some(n.toLowerCase -> e.trim)
                 case _ => None
               }
             }.toMap
+            // a GROUP BY name never binds to an alias whose expression
+            // aggregates (`if(grouping(k)=1,0,k) AS k ... GROUP BY k`
+            // groups the COLUMN k — the reference falls back the same
+            // way, since grouping by an aggregate is circular)
+            .filterNot { case (_, e) => AggLikeRe.findFirstIn(e).isDefined }
           if (aliasMap.isEmpty) { pos = listEnd }
           else {
             val items = splitTopLevel(sql.substring(listStart, listEnd), ',')
             var changed = false
+            val GroupingForm = """(?is)^(GROUPING\s+SETS|ROLLUP|CUBE)\s*\(""".r
+            def subBare(t: String): Option[String] =
+              if (t.matches("(?i)\\w+") && aliasMap.contains(t.toLowerCase) &&
+                  !t.matches("\\d+")) Some("(" + aliasMap(t.toLowerCase) + ")")
+              else None
             val rebuilt = items.map { it =>
               val t = it.trim
-              if (t.matches("(?i)\\w+") && aliasMap.contains(t.toLowerCase) &&
-                  !t.matches("\\d+")) {
-                changed = true; "(" + aliasMap(t.toLowerCase) + ")"
-              } else it
+              subBare(t) match {
+                case Some(r) => changed = true; r
+                case None => GroupingForm.findPrefixMatchOf(t) match {
+                  case Some(gm) =>
+                    // substitute aliases inside rollup/cube/grouping
+                    // sets argument lists (incl. nested tuples)
+                    val open = gm.end - 1
+                    val close = matchParen(t, open)
+                    val inner = splitTopLevel(t.substring(open + 1, close), ',')
+                      .map { e0 =>
+                        val e = e0.trim
+                        subBare(e).orElse {
+                          if (e.startsWith("(") && e.endsWith(")"))
+                            Some("(" + splitTopLevel(e.substring(1, e.length - 1), ',')
+                              .map(x => subBare(x.trim).getOrElse(x.trim))
+                              .mkString(", ") + ")")
+                          else None
+                        } match {
+                          case Some(r) => changed = true; r
+                          case None => e
+                        }
+                      }.mkString(", ")
+                    t.substring(0, open + 1) + inner + t.substring(close)
+                  case None => it
+                }
+              }
             }.mkString(", ")
             if (changed)
               sql = sql.substring(0, listStart) + rebuilt + sql.substring(listEnd)
@@ -1611,6 +2238,40 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }.flatMap { case (_, t) =>
       t.read().schema.fields.map(f => f.name.toLowerCase -> f.dataType)
     }.toMap
+
+  /** `WHERE <int column>` / `WHERE [NOT] <int column>`: databend
+    * (MySQL dialect) treats a numeric filter as `<> 0`; Spark rejects
+    * non-boolean filters. Only the bare-[NOT-]column clause form is
+    * rewritten, using the mentioned tables' schemas.
+    */
+  private def rewriteIntFilter(sql0: String): String = {
+    if (indexOfKeywordAnyDepth(sql0, "WHERE", 0) < 0) return sql0
+    lazy val colTypes = mentionedColumnTypes(sql0)
+    val intTypes: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(ByteType, ShortType, IntegerType, LongType)
+    }
+    val BareRe = """(?s)^\s*(\(\s*)?(NOT\s+)?([A-Za-z_]\w*(?:\.\w+)?)\s*(\)\s*)?$""".r
+    var sql = sql0; var pos = 0
+    while (true) {
+      val w = indexOfKeywordAnyDepth(sql, "WHERE", pos)
+      if (w < 0) return sql
+      val start = w + "WHERE".length
+      val end = clauseEnd(sql, start, FromEnders ++ Set("HAVING"))
+      val clause = sql.substring(start, end)
+      BareRe.findFirstMatchIn(clause) match {
+        case Some(m) if m.group(3) != null &&
+            colTypes.get(m.group(3).toLowerCase.split('.').last)
+              .exists(intTypes.contains) =>
+          val not = if (m.group(2) != null) "NOT " else ""
+          val repl = s" $not(${m.group(3)} <> 0) "
+          sql = sql.substring(0, start) + repl + sql.substring(end)
+          pos = start + repl.length
+        case _ => pos = end
+      }
+    }
+    sql
+  }
 
   /** rewrite `X[e]` subscripts (identifier / call / chained bases) to
     * try_element_at (1-based arrays with NULL at 0, map lookups);
@@ -2062,37 +2723,210 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * access is left alone while `t.col` qualification still follows the
     * rename consistently (every bare `t` word maps to the same view).
     */
+  /** keywords that put the scanner in "a table factor may follow
+    * directly" position
+    */
+  private val TableIntroducers = Set(
+    "FROM", "JOIN", "INTO", "UPDATE", "TABLE", "USING")
+
+  /** clause keywords that END a FROM list (comma after them is not a
+    * table-factor separator)
+    */
+  private val FromEnderKws = Set(
+    "SELECT", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "UNION", "EXCEPT", "INTERSECT", "SET", "VALUES", "WINDOW", "QUALIFY",
+    "ON", "WHEN", "RETURNING", "SETTINGS")
+
+  /** the subset that ends the FROM list for good at its depth — ON/WHEN
+    * only interrupt it (`... JOIN t2 ON c, t3` resumes factors after
+    * the comma)
+    */
+  private val HardFromEnders = FromEnderKws - "ON" - "WHEN"
+
+  /** join/factor keywords that are never table aliases */
+  private val FactorKws = Set(
+    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS", "NATURAL",
+    "SEMI", "ANTI", "ASOF", "LATERAL", "USING", "ON", "AS", "PIVOT",
+    "UNPIVOT", "AT", "CHANGES", "SAMPLE", "TABLESAMPLE", "ONLY", "GLOBAL")
+
+  /** Rewrite references to this instance's tables/streams onto their
+    * namespaced temp views — but ONLY where the word is actually a
+    * table reference: a table-factor position (directly after
+    * FROM/JOIN/INTO/UPDATE/TABLE/USING, after a comma inside a FROM
+    * list, or opening a parenthesized join factor) or a qualifier
+    * (`t.col`) that is not shadowed by a table ALIAS defined in the
+    * statement. A COLUMN that happens to share a table's name (crdb
+    * natural_join: table `l` with column `l`) and an alias-qualified
+    * `a.b` where `a` is also a table (crdb join: `onecolumn AS a(b)`)
+    * are both left alone — the round-8 context-free scanner renamed
+    * them and broke resolution.
+    */
   private def prefixRefs(sql: String, streamRefs: Set[String],
                          skip: Set[String] = Set.empty): String = {
     if (tables.isEmpty && streamRefs.isEmpty) return sql
+    // pass 1 collects table aliases, pass 2 rewrites
+    val aliases = scala.collection.mutable.Set.empty[String]
     val sb = new StringBuilder(sql.length + 32)
-    var i = 0; var q: Char = 0; var prevNonSpace: Char = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (q != 0) { sb += c; if (c == q) q = 0; i += 1 }
-      else if (c == '\'' || c == '"' || c == '`') { q = c; sb += c; prevNonSpace = c; i += 1 }
-      else if (Character.isLetter(c) || c == '_') {
-        val start = i
-        while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
-               sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
-        val w = sql.substring(start, i)
-        val lw = w.toLowerCase
-        if (prevNonSpace != '.' && prevNonSpace != ':' && !skip(lw) &&
-            (tables.contains(resolveKey(lw)) || streamRefs.contains(lw)))
-          sb.append(if (streamRefs.contains(lw)) viewName(lw)
-                    else viewName(resolveKey(lw)))
-        else sb.append(w)
-        prevNonSpace = w.last
-      } else {
-        sb += c
-        if (!Character.isWhitespace(c)) prevNonSpace = c
-        i += 1
+    for (pass <- 1 to 2) {
+      var i = 0; var q: Char = 0; var prevNonSpace: Char = 0
+      var prevWord = ""            // last identifier/keyword seen (upper)
+      var inFrom = false           // current depth is inside a FROM list
+      var fromSeen = false         // FROM seen at this depth, not hard-ended
+      var afterCloseParen = false  // directly after `)` (through AS)
+      var stack = List.empty[(Boolean, Boolean)]
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (q != 0) { if (pass == 2) sb += c; if (c == q) q = 0; i += 1 }
+        else if (c == '`' && sql.indexOf('`', i + 1) > i) {
+          // backtick-quoted identifier: same table/alias logic, quoted
+          // emit when untouched (`"E"."intCol"` after identQuotes)
+          val close = sql.indexOf('`', i + 1)
+          val w = sql.substring(i + 1, close)
+          val lw = w.toLowerCase
+          val uw = w.toUpperCase
+          i = close + 1
+          if (pass == 1) {
+            if (inFrom && !FactorKws.contains(uw) && !FromEnderKws.contains(uw) &&
+                uw != "FROM" &&
+                (prevWord == "AS" || prevNonSpace == ')'))
+              aliases += lw
+          } else {
+            var j = i
+            while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+            val qualifier = j < sql.length && sql.charAt(j) == '.' &&
+              !aliases.contains(lw)
+            val directlyAfterKw = prevWord.nonEmpty &&
+              TableIntroducers.contains(prevWord)
+            val afterFromComma = prevNonSpace == ',' && inFrom
+            val afterFactorParen = prevNonSpace == '(' && inFrom
+            // derived-table alias shadowing a table: rename the alias
+            // DEFINITION (uses rename via the qualifier rule, since
+            // pass 1 excluded it from `aliases`)
+            val shadowAliasDef = afterCloseParen && inFrom &&
+              !aliases.contains(lw)
+            val tablePos = qualifier || directlyAfterKw || afterFromComma ||
+              afterFactorParen || shadowAliasDef
+            if (prevNonSpace != '.' && prevNonSpace != ':' && !skip(lw) && tablePos &&
+                (tables.contains(resolveKey(lw)) || streamRefs.contains(lw)))
+              sb.append(if (streamRefs.contains(lw)) viewName(lw)
+                        else viewName(resolveKey(lw)))
+            else sb.append('`').append(w).append('`')
+          }
+          prevNonSpace = '`'
+          prevWord = uw
+          if (prevWord != "AS") afterCloseParen = false
+          if (prevWord == "FROM") { inFrom = true; fromSeen = true }
+          else if (FromEnderKws.contains(prevWord)) {
+            inFrom = false
+            if (HardFromEnders.contains(prevWord)) fromSeen = false
+          }
+          else if (prevWord == "JOIN" && fromSeen) inFrom = true
+        }
+        else if (c == '\'' || c == '"' || c == '`') {
+          q = c; if (pass == 2) sb += c; prevNonSpace = c; prevWord = ""; i += 1
+        }
+        else if (Character.isLetter(c) || c == '_') {
+          val start = i
+          while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
+                 sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
+          val w = sql.substring(start, i)
+          val lw = w.toLowerCase
+          val uw = w.toUpperCase
+          if (pass == 1) {
+            // a table alias: `AS x`, or a bare word following a factor
+            // (identifier or closing paren) inside a FROM list
+            // a DERIVED-table alias (after `)`) that shadows a
+            // registered table is NOT an alias here — pass 2 renames
+            // its definition and every qualifier use uniformly onto
+            // the view name (alias-shadowing a relation trips a Spark
+            // decorrelation INTERNAL_ERROR under correlated EXISTS)
+            val shadows = tables.contains(resolveKey(lw))
+            if (inFrom && !FactorKws.contains(uw) && !FromEnderKws.contains(uw) &&
+                uw != "FROM" &&
+                (prevWord == "AS" ||
+                 ((prevNonSpace == ')' || prevNonSpace.isLetterOrDigit ||
+                   prevNonSpace == '_' || prevNonSpace == '`') &&
+                  prevNonSpace != ',' && prevWord != "" &&
+                  !TableIntroducers.contains(prevWord) &&
+                  !FactorKws.contains(prevWord))) &&
+                !(afterCloseParen && shadows))
+              aliases += lw
+            if (prevNonSpace == ')' && !FactorKws.contains(uw) &&
+                !FromEnderKws.contains(uw) && uw != "FROM" && inFrom &&
+                !shadows)
+              aliases += lw
+          } else {
+            // is the next significant char a '.', i.e. qualifier use?
+            var j = i
+            while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+            val qualifier = j < sql.length && sql.charAt(j) == '.' &&
+              !aliases.contains(lw)
+            val directlyAfterKw = prevWord.nonEmpty &&
+              TableIntroducers.contains(prevWord) &&
+              (prevNonSpace == 0 || prevNonSpace.isLetter || prevNonSpace == '_')
+            val afterFromComma = prevNonSpace == ',' && inFrom
+            // `FROM (a JOIN b ...)`: first word of a parenthesized join
+            // factor is a table reference too
+            val afterFactorParen = prevNonSpace == '(' && inFrom
+            // derived-table alias shadowing a table: rename the alias
+            // DEFINITION (uses rename via the qualifier rule, since
+            // pass 1 excluded it from `aliases`)
+            val shadowAliasDef = afterCloseParen && inFrom &&
+              !aliases.contains(lw)
+            val tablePos = qualifier || directlyAfterKw || afterFromComma ||
+              afterFactorParen || shadowAliasDef
+            if (prevNonSpace != '.' && prevNonSpace != ':' && !skip(lw) && tablePos &&
+                (tables.contains(resolveKey(lw)) || streamRefs.contains(lw)))
+              sb.append(if (streamRefs.contains(lw)) viewName(lw)
+                        else viewName(resolveKey(lw)))
+            else sb.append(w)
+          }
+          prevNonSpace = w.last
+          prevWord = uw
+          if (prevWord != "AS") afterCloseParen = false
+          if (prevWord == "FROM") { inFrom = true; fromSeen = true }
+          else if (FromEnderKws.contains(prevWord)) {
+            inFrom = false
+            if (HardFromEnders.contains(prevWord)) fromSeen = false
+          }
+          else if (prevWord == "JOIN" && fromSeen) inFrom = true
+        } else {
+          if (c == '(') {
+            // a '(' directly after FROM/JOIN (or a FROM-list comma)
+            // opens a parenthesized table factor — stay in from-list
+            // context; any other '(' (function call, IN-list, USING
+            // column list, subexpression) does not
+            val factorParen = prevWord == "FROM" || prevWord == "JOIN" ||
+              (inFrom && prevNonSpace == ',')
+            stack = (inFrom, fromSeen) :: stack
+            inFrom = factorParen
+            fromSeen = factorParen
+            prevWord = ""
+            afterCloseParen = false
+          }
+          else if (c == ')') {
+            val top = stack.headOption.getOrElse((false, false))
+            inFrom = top._1; fromSeen = top._2
+            stack = if (stack.isEmpty) stack else stack.tail
+            prevWord = ""
+            afterCloseParen = true
+          }
+          else if (c == ',' && fromSeen && !inFrom)
+            inFrom = true // `JOIN t ON cond, next_factor` resumes factors
+          if (pass == 2) sb += c
+          if (!Character.isWhitespace(c)) {
+            prevNonSpace = c
+            if (c != ',') prevWord = ""
+            if (c != '(' && c != ')') afterCloseParen = false
+          }
+          i += 1
+        }
       }
     }
     sb.toString
   }
 
-  private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*(\d+)\s*\)""".r
+  private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*([\d\s*+\-/]+)\s*\)""".r
   /** generate_series as a table factor anywhere in a FROM clause —
     * leading, comma-separated, JOINed, or LATERAL — becomes an
     * explode(sequence(...)) subquery. Scoped to FROM clauses so the
@@ -2100,8 +2934,21 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * untouched.
     */
   private def rewriteGenSeriesTvf(sql0: String): String = {
-    def expand(args: String) =
+    def expand(args0: String) = {
+      // timestamp series with an integer step: databend counts
+      // MICROSECONDS (range.rs); Spark's sequence needs an interval
+      val parts = splitTopLevel(args0, ',').map(_.trim)
+      val args =
+        if (parts.length == 3 &&
+            parts.take(2).exists(a => """(?i)timestamp""".r.findFirstIn(a).isDefined) &&
+            """(?i)interval|make_""".r.findFirstIn(parts(2)).isEmpty)
+          // 1.0* floats the chain so an int-literal product (12 * 3600
+          // * 1000000 micros) can't overflow under ANSI
+          (parts.take(2) :+ s"make_dt_interval(0, 0, 0, (1.0 * ${parts(2)}) / 1e6)")
+            .mkString(", ")
+        else args0
       s"(SELECT explode(sequence($args)) AS generate_series)"
+    }
     var sql = sql0; var pos = 0
     while (true) {
       val f = indexOfKeywordAnyDepth(sql, "FROM", pos)
@@ -2279,6 +3126,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val schema = StructType.fromDDL(stripConstraints(ddl))
       validateDeclaredSchema(schema)
       notNullCols(n) = declaredNotNull(ddl)
+      requiredCols(n) = declaredNotNull(ddl, withDefault = false)
       val df0 = spark.sql(rewriteReads(select))
       require(df0.columns.length == schema.length,
         s"query produces ${df0.columns.length} columns, declared ${schema.length}")
@@ -2288,8 +3136,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       if (tables.contains(n)) { df = df.localCheckpoint(true); tables.remove(n); rmrf(tablePath(n)) }
       register(n, GraftTable.create(spark, tablePath(n), df))
       status("table" -> n, "op" -> "create-as")
-    case CreateTableAsRe(orReplace, name, select) =>
+    case CreateTableAsRe(orReplace, ifNotExists, name, select) =>
       val n = qualifyNew(name)
+      if (ifNotExists != null && tables.contains(n))
+        return status("table" -> n, "op" -> "create-as-noop")
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       // evaluate the SELECT before dropping the old generation: OR
       // REPLACE may read the table being replaced (and rewriteReads
@@ -2317,6 +3167,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val schema = StructType.fromDDL(stripConstraints(ddl))
       validateDeclaredSchema(schema)
       notNullCols(n) = declaredNotNull(ddl)
+      requiredCols(n) = declaredNotNull(ddl, withDefault = false)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
@@ -2333,6 +3184,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val schema = StructType.fromDDL(stripConstraints(ddl))
       validateDeclaredSchema(schema)
       notNullCols(n) = declaredNotNull(ddl)
+      requiredCols(n) = declaredNotNull(ddl, withDefault = false)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), empty))
@@ -2522,6 +3374,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         case Some(cols) =>
           require(cols.length == df0.columns.length,
             s"INSERT column list has ${cols.length} names, query produces ${df0.columns.length}")
+          // reference semantics (1006): a declared NOT NULL column with
+          // no default cannot be omitted — it would silently null-fill
+          val omittedNotNull = requiredCols.getOrElse(n, Set.empty)
+            .filterNot(c => cols.exists(_.equalsIgnoreCase(c)))
+            .filter(c => tgtCols.exists(_.equalsIgnoreCase(c)))
+          require(omittedNotNull.isEmpty,
+            s"1006: INSERT omits NOT NULL column(s) without default: ${omittedNotNull.mkString(",")}")
           val renamed = df0.toDF(cols: _*)
           // missing target columns fill with NULL of the right type
           val out = tgtCols.map { c =>
@@ -2534,6 +3393,15 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             s"INSERT query produces ${df0.columns.length} columns, table has ${tgtCols.length}")
           val renamed = df0.toDF(tgtCols: _*)
           renamed.select(tgtCols.map(c => alignCast(renamed, c, tgtSchema(c).dataType)): _*)
+      }
+      // reference semantics (1006): NULL values cannot land in a
+      // declared NOT NULL column
+      val nnCheck = notNullCols.getOrElse(n, Set.empty)
+        .filter(c => tgtCols.exists(_.equalsIgnoreCase(c)))
+      if (nnCheck.nonEmpty) {
+        val anyNull = nnCheck.map(c => col(s"`$c`").isNull).reduce(_ || _)
+        require(df.filter(anyNull).isEmpty,
+          s"1006: NULL value in NOT NULL column(s) of $n")
       }
       val overwrite = (verb != null && verb.equalsIgnoreCase("OVERWRITE")) ||
         s.trim.toUpperCase.startsWith("REPLACE")
@@ -2720,6 +3588,26 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       "matched_clauses" -> matched.size, "not_matched_clauses" -> notMatched.size)
   }
 
+  /** strip crdb-style `@index` hints after identifiers, outside string
+    * literals (the reference's parser consumes and ignores them)
+    */
+  private def stripIndexHints(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { sb += c; if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; sb += c; i += 1 }
+      else if (c == '@' && i > 0 &&
+               (sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_') &&
+               i + 1 < sql.length && (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_')) {
+        i += 1
+        while (i < sql.length && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** drop `<table>.` qualifiers from a DML predicate: the filter runs
     * against the table's own DataFrame, where the raw name no longer
     * resolves as a qualifier (delete_cte/update_cte suites). Quote-aware:
@@ -2743,7 +3631,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             var j = i + name.length
             val ws = { var k = j; while (k < cond.length && cond.charAt(k).isWhitespace) k += 1; k }
             if (ws < cond.length && cond.charAt(ws) == '.') i = ws + 1
-            else { sb.append(cond, i, j); i = j }
+            else { sb.append(cond.substring(i, j)); i = j }
           } else { sb.append(c); i += 1 }
       }
     }
@@ -3404,16 +4292,20 @@ object GraftSql {
     import scala.jdk.CollectionConverters._
     val p = Paths.get(dir)
     if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.Fs.walk(p).iterator.toSeq.reverse.foreach(Files.delete)
   }
 
   private def wordRe(w: String) = ("(?i)\\b" + java.util.regex.Pattern.quote(w) + "\\b").r
 
   // DDL constraints Spark's fromDDL doesn't know: strip NOT NULL / DEFAULT
-  /** column names declared NOT NULL in a CREATE TABLE column list */
-  private def declaredNotNull(ddl: String): Set[String] =
+  /** column names declared NOT NULL in a CREATE TABLE column list;
+    * `withDefault = false` excludes columns carrying a DEFAULT (those
+    * may be omitted on INSERT)
+    */
+  private def declaredNotNull(ddl: String, withDefault: Boolean = true): Set[String] =
     splitTopLevel(ddl, ',').flatMap { c =>
-      if ("""(?is).*\bNOT\s+NULL\b.*""".r.matches(c))
+      if ("""(?is).*\bNOT\s+NULL\b.*""".r.matches(c) &&
+          (withDefault || !"""(?is).*\bDEFAULT\b.*""".r.matches(c)))
         """^\s*[`"]?(\w+)[`"]?""".r.findFirstMatchIn(c).map(_.group(1).toLowerCase)
       else None
     }.toSet
@@ -3491,7 +4383,7 @@ object GraftSql {
     """(?:`[^`]+`|"[^"]+"|\w+)(?:\s*\.\s*(?:`[^`]+`|"[^"]+"|\w+))?"""
 
   private val CreateTableAsRe =
-    ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(""" + NamePat + """)\s+AS\s+(.*)""").r
+    ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s+AS\s+(.*)""").r
   private val CreateTableDdlAsRe =
     ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s*\((.*)\)\s+AS\s+(SELECT.*|WITH.*|VALUES.*)""").r
   private val CreateTableLikeRe =

@@ -318,6 +318,21 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Add(
         UnresolvedFunction("weekday", args, isDistinct = false),
         Literal(1))),
+    // 2-arg date_add/date_sub take any integer width in the reference
+    // (UInt64 days); Spark's builtins insist on INT — cast through
+    "date_add" -> (args =>
+      if (args.length != 2) UnresolvedFunction("timestampadd", args, isDistinct = false)
+      else org.apache.spark.sql.catalyst.expressions.DateAdd(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))),
+    "date_sub" -> (args =>
+      if (args.length != 2)
+        UnresolvedFunction("timestampadd",
+          Seq(args.head, org.apache.spark.sql.catalyst.expressions.UnaryMinus(args(1)), args(2)),
+          isDistinct = false)
+      else org.apache.spark.sql.catalyst.expressions.DateSub(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))),
     "to_start_of_month" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("month")) ++ args, isDistinct = false)),
     "to_start_of_year" -> (args =>

@@ -252,7 +252,7 @@ object SystemTables {
     val rows = graft.sources.GraftTable.openedPaths.flatMap { p =>
       val dir = Paths.get(p)
       if (!Files.isDirectory(dir)) Nil
-      else Files.list(dir).iterator().asScala
+      else graft.Fs.list(dir).iterator
         .filter(_.getFileName.toString.startsWith("_graft_stream_"))
         .map { f =>
           val name = f.getFileName.toString
@@ -377,13 +377,13 @@ object SystemTables {
     val root = Paths.get(localDir)
     val rows =
       if (!Files.isDirectory(root)) Seq.empty
-      else Files.list(root).iterator().asScala
+      else graft.Fs.list(root).iterator
         .filter { d =>
           val n = d.getFileName.toString
           n.startsWith("blockmgr-") || n.startsWith("spark-")
         }
         .flatMap { d =>
-          Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_))
+          graft.Fs.walk(d).iterator.filter(Files.isRegularFile(_))
             .map(f => (f.toString, try Files.size(f) catch { case _: Exception => 0L }))
         }
         .take(10000).toSeq

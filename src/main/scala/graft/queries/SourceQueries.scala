@@ -215,7 +215,7 @@ object SourceQueries extends QueryModule {
         import scala.jdk.CollectionConverters._
         val p = Paths.get(path)
         if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          graft.Fs.walk(p).iterator.toSeq.reverse.foreach(Files.delete)
       }
     },
     Some("""WITH data AS (
@@ -267,7 +267,7 @@ object SourceQueries extends QueryModule {
         import scala.jdk.CollectionConverters._
         val p = Paths.get(path)
         if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          graft.Fs.walk(p).iterator.toSeq.reverse.foreach(Files.delete)
       }
     },
     // the orc-roundtrip slice/aggregate minus the positionally-deleted
@@ -314,7 +314,7 @@ object SourceQueries extends QueryModule {
         import scala.jdk.CollectionConverters._
         val p = Paths.get(path)
         if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          graft.Fs.walk(p).iterator.toSeq.reverse.foreach(Files.delete)
       }
     },
     roundtrip("orc").oracle) // identical slice + aggregate, same oracle

@@ -203,7 +203,7 @@ object DeltaLake {
   private def commitVersions(table: String): Seq[Long] = {
     val d = logDir(table)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
+    else graft.Fs.list(d).iterator
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
       .map(_.stripSuffix(".json").toLong)
@@ -550,7 +550,7 @@ object DeltaLake {
     val dest = Paths.get(table, subdir)
     if (partitionColumns.isEmpty) df.write.parquet(dest.toString)
     else df.write.partitionBy(partitionColumns: _*).parquet(dest.toString)
-    val files = Files.walk(dest).iterator().asScala
+    val files = graft.Fs.walk(dest).iterator
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.toString)
     files.map { p =>
@@ -642,11 +642,11 @@ object DeltaLake {
       st.files.map(f => CpRow(Some(CpAdd(f.path, f.partitionValues, dataChange = false)), None, None))
     val tmp = Paths.get(table, "_delta_log", "_cp_tmp").toString
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator().asScala
+    val part = graft.Fs.list(Paths.get(tmp)).iterator
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.move(part, logDir(table).resolve(f"${st.version}%020d.checkpoint.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    graft.Fs.walk(Paths.get(tmp)).iterator.toSeq.reverse.foreach(Files.delete)
     val lc = mapper.createObjectNode()
     lc.put("version", st.version)
     lc.put("size", rows.size.toLong)

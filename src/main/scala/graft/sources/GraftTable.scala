@@ -36,7 +36,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 
   def versions: Seq[Long] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala
+    else graft.Fs.list(logDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong).toSeq.sorted
 
@@ -129,14 +129,14 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.parquet(stage.toString)
-    val parts = Files.list(stage).iterator().asScala
+    val parts = graft.Fs.list(stage).iterator
       .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
     val named = parts.map { f =>
       val name = s"part-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
       Files.move(f, Paths.get(path, name))
       name
     }
-    Files.list(stage).iterator().asScala.foreach(Files.delete)
+    graft.Fs.list(stage).iterator.foreach(Files.delete)
     Files.delete(stage)
     named
   }
@@ -617,7 +617,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def stats(): Option[GraftTable.TableStats] = {
     val dir = Paths.get(path, "_graft_stats")
     if (!Files.isDirectory(dir)) return None
-    val latest = Files.list(dir).iterator().asScala
+    val latest = graft.Fs.list(dir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong).filter(_ <= currentVersion)
       .maxOption
@@ -652,7 +652,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val all = versions
     val keep = all.takeRight(keepVersions)
     val referenced = keep.flatMap(v => snapshot(v).files).toSet
-    val live = Files.list(Paths.get(path)).iterator().asScala
+    val live = graft.Fs.list(Paths.get(path)).iterator
       .filter(Files.isRegularFile(_))
       .map(_.getFileName.toString)
       .filter(f => f.endsWith(".parquet") && !referenced.contains(f)).toSeq
@@ -672,7 +672,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def copyInto(stageDir: String, format: String = "parquet",
                options: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
     val prev = if (currentVersion >= 0) snapshot(currentVersion) else Snapshot.empty
-    val stageFiles = Files.list(Paths.get(stageDir)).iterator().asScala
+    val stageFiles = graft.Fs.list(Paths.get(stageDir)).iterator
       .filter(Files.isRegularFile(_))
       .map(_.getFileName.toString)
       .filter(f => !f.startsWith(".") && !f.startsWith("_")).toSeq.sorted

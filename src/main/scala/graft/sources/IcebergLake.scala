@@ -135,7 +135,7 @@ object IcebergLake {
       val v = new String(Files.readAllBytes(hint), "UTF-8").trim
       metadataDir(table).resolve(s"v$v.metadata.json")
     } else {
-      val cands = Files.list(metadataDir(table)).iterator().asScala
+      val cands = graft.Fs.list(metadataDir(table)).iterator
         .filter(_.getFileName.toString.endsWith(".metadata.json")).toSeq
       require(cands.nonEmpty, s"no iceberg metadata at $table")
       cands.maxBy(_.getFileName.toString)
@@ -383,7 +383,7 @@ object IcebergLake {
     val delDir = Paths.get(table, "data", s"deletes-$snapId")
     deletes.select(col("file_path").cast("string"), col("pos").cast("long"))
       .coalesce(1).write.parquet(delDir.toString)
-    val delFiles = Files.walk(delDir).iterator().asScala
+    val delFiles = graft.Fs.walk(delDir).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
 
     val entries = delFiles.map { p =>
@@ -463,7 +463,7 @@ object IcebergLake {
     val delDir = Paths.get(table, "data", s"eq-deletes-$snapId")
     deletes.select(eqCols.map(col): _*)
       .coalesce(1).write.parquet(delDir.toString)
-    val delFiles = Files.walk(delDir).iterator().asScala
+    val delFiles = graft.Fs.walk(delDir).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
 
     val entries = delFiles.map { p =>
@@ -554,7 +554,7 @@ object IcebergLake {
     // data files
     val dataDir = Paths.get(table, "data", s"snap-$snapId")
     df.write.parquet(dataDir.toString)
-    val dataFiles = Files.walk(dataDir).iterator().asScala
+    val dataFiles = graft.Fs.walk(dataDir).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
 
     // new manifest for this snapshot's files

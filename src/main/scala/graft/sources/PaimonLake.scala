@@ -230,7 +230,7 @@ object PaimonLake {
     val hint = Paths.get(table, "snapshot", "LATEST")
     if (Files.exists(hint)) new String(Files.readAllBytes(hint), "UTF-8").trim.toLong
     else {
-      val snaps = Files.list(Paths.get(table, "snapshot")).iterator().asScala
+      val snaps = graft.Fs.list(Paths.get(table, "snapshot")).iterator
         .map(_.getFileName.toString).filter(_.startsWith("snapshot-")).toSeq
       require(snaps.nonEmpty, s"no paimon snapshots at $table")
       snaps.map(_.stripPrefix("snapshot-").toLong).max
@@ -805,7 +805,7 @@ object PaimonLake {
       Files.createDirectories(dir)
       val out = scratch.resolve(s"out-$fileNo")
       slice.coalesce(1).write.mode("overwrite").parquet(out.toString)
-      val parts = Files.list(out).iterator().asScala
+      val parts = graft.Fs.list(out).iterator
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       val pbytes =
         if (keys.isEmpty) Array.emptyByteArray
@@ -817,7 +817,7 @@ object PaimonLake {
         (name, Files.size(dir.resolve(name)), slice.count(), pbytes)
       }
     }
-    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    graft.Fs.walk(scratch).iterator.toSeq.reverse.foreach(Files.delete)
     val rowCount = df.count()
 
     // delta manifest with the ADDs
@@ -941,7 +941,7 @@ object PaimonLake {
       if (numBuckets <= 1) {
         physical.coalesce(1).write.mode("overwrite")
           .parquet(scratch.resolve("out").toString)
-        val parts = Files.list(scratch.resolve("out")).iterator().asScala
+        val parts = graft.Fs.list(scratch.resolve("out")).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         parts.zipWithIndex.map { case (p, i) =>
           val name = s"data-$uuid-$i.parquet"
@@ -960,7 +960,7 @@ object PaimonLake {
           if (!Files.exists(dir)) Nil
           else {
             Files.createDirectories(root.resolve(s"bucket-$b"))
-            Files.list(dir).iterator().asScala
+            graft.Fs.list(dir).iterator
               .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
               .zipWithIndex.map { case (p, i) =>
                 val name = s"data-$uuid-$b-$i.parquet"
@@ -970,7 +970,7 @@ object PaimonLake {
           }
         }
       }
-    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    graft.Fs.walk(scratch).iterator.toSeq.reverse.foreach(Files.delete)
     val rowCount = df0.count()
 
     val manifestName = s"manifest-$uuid-0.avro"

@@ -20,6 +20,9 @@ import org.apache.spark.sql.{Row, SparkSession}
   */
 object Slt {
 
+  private val TsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+
   sealed trait Case { def sql: String; def line: Int }
   final case class Statement(sql: String, line: Int, expectError: Boolean) extends Case
   final case class Query(sql: String, line: Int, expected: Seq[String], rowsort: Boolean)
@@ -81,6 +84,14 @@ object Slt {
     // below 1e-6, which no engine's text output does
     case b: java.math.BigDecimal => b.toPlainString
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    // micro-precision timestamp text, the reference's rendering
+    case t: java.sql.Timestamp =>
+      t.toLocalDateTime.format(TsFmt)
+    case t: java.time.LocalDateTime => t.format(TsFmt)
+    case t: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC).format(TsFmt)
+    // tuples print parenthesized (databend's tuple rendering)
+    case r: Row => r.toSeq.map(formatCell).mkString("(", ",", ")")
     case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, v) => s"${formatCell(k)}:${formatCell(v)}" }
