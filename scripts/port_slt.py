@@ -44,7 +44,10 @@ def fmt_double(t):
         d = Decimal(t)
     except Exception:
         return t
-    q = d.quantize(Decimal('0.000001'), rounding=ROUND_HALF_UP)
+    try:
+        q = d.quantize(Decimal('0.000001'), rounding=ROUND_HALF_UP)
+    except Exception:  # digits exceed context precision (huge literals)
+        return t
     s = format(q.normalize(), 'f')
     if s == '-0':
         s = '0'
@@ -87,6 +90,34 @@ def convert(path):
                 while i < len(lines) and lines[i].strip() != '':
                     row = lines[i].strip()
                     toks = row.split()
+                    if len(toks) > ncols:
+                        # re-join timestamp values split on the date/time
+                        # boundary ('2022-01-01' '02:00:11.000000')
+                        merged, j = [], 0
+                        while j < len(toks):
+                            if (j + 1 < len(toks)
+                                    and re.fullmatch(r'\d{4}-\d{2}-\d{2}', toks[j])
+                                    and re.fullmatch(r'\d{2}:\d{2}:\d{2}(\.\d+)?', toks[j + 1])):
+                                merged.append(toks[j] + ' ' + toks[j + 1]); j += 2
+                            else:
+                                merged.append(toks[j]); j += 1
+                        toks = merged
+                    if len(toks) > ncols:
+                        # re-join values split inside parens:
+                        # 'DECIMAL(15, 3)', 'TUPLE(1 INT32, 2 INT32)'
+                        merged, buf, depth = [], [], 0
+                        for t in toks:
+                            buf.append(t)
+                            depth += t.count('(') - t.count(')')
+                            if depth <= 0:
+                                merged.append(' '.join(buf)); buf, depth = [], 0
+                        if buf:
+                            merged.append(' '.join(buf))
+                        toks = merged
+                    if ncols == 1 and len(toks) > 1:
+                        # single column whose value contains spaces
+                        # (timestamps, sentences): the whole row is the cell
+                        toks = [row]
                     if len(toks) == ncols:
                         cells = []
                         for t, ty in zip(toks, types):
