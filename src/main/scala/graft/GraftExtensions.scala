@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // round-5 expression tier: numeric obfuscator
     for ((name, builder) <- graft.functions.Obfuscator.rewrites)
       inject(e, name, builder)
+    // reference datetime coercion semantics (int<->date/timestamp
+    // casts, date-date INT days, ts-ts BIGINT micros)
+    e.injectResolutionRule(session => new graft.functions.DatetimeCoercionRule(session))
+    for ((name, builder) <- graft.functions.DatetimeSemantics.rewrites)
+      inject(e, name, builder)
     // aggregating-index rewrite (no-op until AggIndex.register is called)
     e.injectOptimizerRule(session => new graft.plans.AggIndexRule(session))
     // virtual-column rewrite: get_json_object over declared paths ->

@@ -19,6 +19,12 @@ object GraftSession {
   def apply(cpus: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
+      // reference datetime coercion semantics (int<->date/timestamp
+      // casts, date-date INT days, ts-ts BIGINT micros) must run at
+      // resolution time — no post-hoc injection point exists for
+      // resolution rules, so wire them at build time
+      .withExtensions(e => e.injectResolutionRule(
+        s => new graft.functions.DatetimeCoercionRule(s)))
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

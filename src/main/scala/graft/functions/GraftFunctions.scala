@@ -877,6 +877,9 @@ object GraftFunctions {
     TimestampTz.register(spark)
     // round-6 h3 index-math tier (19 names; geo_h3.rs)
     H3.register(spark)
+    // round-9 reference datetime semantics: databend-spelled typeof
+    // (the coercion rule itself is wired by GraftSession at build time)
+    DatetimeSemantics.register(spark)
     // jq subset SRF (reference srfs/variant.rs:439 via jaq): rows of
     // canonical JSON per produced value
     spark.udf.register("jq_impl",
