@@ -113,8 +113,34 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
 
   // ---- entry ----------------------------------------------------------
 
+  /** databend's lexer keeps unknown escape sequences in string
+    * literals intact ('\d' stays backslash-d — regex vectors rely on
+    * it); Spark's parser silently drops the backslash. Double the
+    * backslash for escapes Spark doesn't know so its unescape restores
+    * the reference bytes. Known escapes (\n \t \r \b \f \0 \\ \' \"
+    * \xNN \uNNNN) pass through.
+    */
+  private def preserveUnknownEscapes(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr) {
+        if (c == '\'') inStr = true
+        sb.append(c); i += 1
+      } else if (c == '\'') { inStr = false; sb.append(c); i += 1 }
+      else if (c == '\\' && i + 1 < sql.length) {
+        val n = sql.charAt(i + 1)
+        if ("ntrbf0\\'\"xuU%_".indexOf(n) >= 0) { sb.append(c).append(n); i += 2 }
+        else { sb.append('\\').append('\\').append(n); i += 2 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def execute(sql: String): DataFrame = {
     var s = sql.trim.stripSuffix(";").trim
+    s = preserveUnknownEscapes(s)
     // trailing IGNORE_RESULT (databend statement suffix: run, discard
     // rows — tests/sqllogictests suites use it on large results)
     s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
@@ -552,6 +578,14 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         .replaceAll("(?i)\\bsystem\\s*\\.\\s*task_history\\b", "system_task_history")
         .replaceAll("(?i)\\bsystem\\s*\\.\\s*tasks\\b", "system_tasks")
     }
+    // any other system.<name> relation reference -> the registered
+    // system_<name> view (operators/SystemTables registers all 43,
+    // lazily on first touch)
+    if ("""(?i)\bsystem\s*\.\s*[a-z_0-9]""".r.findFirstIn(sql).isDefined) {
+      ensureSystemTables()
+      sql = sql.replaceAll(
+        "(?i)\\b(from|join)(\\s+)system\\s*\\.\\s*([a-z_0-9]+)", "$1$2system_$3")
+    }
     // numbers(N)/numbers_mt(N) table functions (reference numbers TVF):
     // an unsigned 0..N-1 sequence named `number`
     sql = NumbersRe.replaceAllIn(sql, m =>
@@ -638,6 +672,14 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = sql.replaceAll(
       "(?i)\\bdate_trunc\\s*\\(\\s*(year|quarter|month|week|day|hour|minute|second)\\s*,",
       "date_trunc('$1',")
+    // TRUNC(x, unit) with a bare unit keyword (same grammar; the unit
+    // is the LAST argument, so quote it in place)
+    sql = rewriteTruncBareUnit(sql)
+    // CURRENT_TIME: Spark 4.1 parses it as its native TIME type before
+    // the registry is consulted; the reference renders VARCHAR
+    // (types.rs has no TIME) — reroute to the graft builder
+    sql = sql.replaceAll("(?i)\\bcurrent_time\\s*\\(", "graft_current_time(")
+      .replaceAll("(?i)\\bcurrent_time\\b", "graft_current_time()")
     // ASOF [LEFT] JOIN as SQL text (reference JoinType::Asof/LeftAsof,
     // plans/join.rs:71-75) -> correlated LATERAL nearest-match
     sql = rewriteAsofJoin(sql)
@@ -1367,7 +1409,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     "int32" -> "int", "uint16" -> "int", "int64" -> "bigint",
     "uint32" -> "bigint", "uint64" -> "decimal(20,0)",
     "float32" -> "float", "float64" -> "double",
-    "text" -> "string", "json" -> "variant")
+    "text" -> "string", "json" -> "variant",
+    "datetime" -> "timestamp")
 
   /** quote-aware paren depth at every character position */
   private def parenDepths(sql: String): Array[Int] = {
@@ -1822,6 +1865,47 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * a plain filter in databend (MySQL extension; query/having.test).
     * Spark would bind it as an empty-grouping aggregate and fail.
     */
+  private var systemTablesRegistered = false
+  private def ensureSystemTables(): Unit = if (!systemTablesRegistered) {
+    graft.operators.SystemTables.register(spark)
+    systemTablesRegistered = true
+  }
+
+  private val TruncUnits = Set("year", "yyyy", "yy", "quarter", "q",
+    "month", "mon", "mm", "week", "iw", "isoweek", "day", "dd", "dy",
+    "hour", "hh24", "hh", "minute", "mi", "second", "ss")
+
+  /** TRUNC(x, unit) with a bare-identifier unit (databend/Oracle
+    * grammar, ast trunc parsing): quote the trailing unit word so it
+    * reaches the function builder as a literal instead of an
+    * unresolvable column
+    */
+  private def rewriteTruncBareUnit(sql: String): String = {
+    val m = """(?i)\btrunc\s*\(""".r.findFirstMatchIn(sql)
+    if (m.isEmpty) return sql
+    val open = m.get.end - 1
+    val close = matchParen(sql, open)
+    if (close < 0) return sql
+    val inner = sql.substring(open + 1, close)
+    val lastComma = {
+      val depths = parenDepths(inner)
+      (inner.length - 1 to 0 by -1).find(i => inner(i) == ',' && depths(i) == 0)
+    }
+    val rewrittenInner = lastComma match {
+      case Some(i) =>
+        val unit = inner.substring(i + 1).trim
+        if (unit.matches("(?i)[a-z0-9_]+") && TruncUnits(unit.toLowerCase))
+          inner.substring(0, i + 1) + s" '$unit'"
+        else inner
+      case None => inner
+    }
+    sql.substring(0, open + 1) + rewriteTruncBareUnit2(rewrittenInner) +
+      ")" + rewriteTruncBareUnit(sql.substring(close + 1))
+  }
+  // nested trunc calls inside the first call's argument list
+  private def rewriteTruncBareUnit2(inner: String): String =
+    rewriteTruncBareUnit(inner)
+
   private def rewriteBareHaving(sql: String): String = {
     val h = indexOfKeyword(sql, "HAVING")
     if (h < 0 || indexOfKeyword(sql, "GROUP") >= 0) return sql

@@ -42,18 +42,30 @@ class DatetimeCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** reference auto_detect_datetime.rs:68 int64_to_timestamp */
+  /** reference auto_detect_datetime.rs:68 int64_to_timestamp (micros
+    * clamp to the 0001..9999 range per types/timestamp.rs
+    * clamp_timestamp)
+    */
   private def magnitudeTimestamp(n0: Expression): Expression = {
     val n = asLong(n0)
     val secBound = Literal(31536000000L)
     val msBound = Literal(31536000000000L)
     def within(b: Literal) =
       And(GreaterThan(n, UnaryMinus(b)), LessThan(n, b))
+    val clamped = Greatest(Seq(Least(Seq(n, Literal(253402300799999999L))),
+      Literal(-62135596800000000L)))
     CaseWhen(
       Seq(within(secBound) -> SecondsToTimestamp(n),
           within(msBound) -> MillisToTimestamp(n)),
-      Some(MicrosToTimestamp(n)))
+      Some(MicrosToTimestamp(clamped)))
   }
+
+  /** reference types/date.rs clamp_date: days clamp to
+    * 0001-01-01..9999-12-31
+    */
+  private def clampedDays(e: Expression): Expression =
+    Cast(Greatest(Seq(Least(Seq(asLong(e), Literal(2932896L))),
+      Literal(-719162L))), IntegerType)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp { case p =>
@@ -62,7 +74,7 @@ class DatetimeCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // argument type — the function builder can't see types
         case ToDateMarker(c, tryMode) if c.resolved => c.dataType match {
           case ByteType | ShortType | IntegerType | LongType =>
-            DateFromUnixDate(if (c.dataType == IntegerType) c else Cast(c, IntegerType))
+            DateFromUnixDate(clampedDays(c))
           case StringType => DatabendStringToDate(c, failOnError = !tryMode)
           case _ => Cast(c, DateType)
         }
@@ -73,8 +85,7 @@ class DatetimeCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         // int -> DATE: days since epoch
         case c @ Cast(child, DateType, _, _) if isIntegral(child) =>
-          DateFromUnixDate(if (child.dataType == IntegerType) child
-                           else Cast(child, IntegerType))
+          DateFromUnixDate(clampedDays(child))
         // int -> TIMESTAMP: magnitude-based unit detection
         case c @ Cast(child, TimestampType, _, _) if isIntegral(child) =>
           magnitudeTimestamp(child)
@@ -101,6 +112,18 @@ class DatetimeCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a @ Add(l, r, _) if a.childrenResolved &&
             r.dataType == TimestampType && isIntegral(l) =>
           MicrosToTimestamp(Add(asLong(l), UnixMicros(r)))
+        // date_trunc(day-or-coarser, <string>) renders as DATE in the
+        // reference (the string binds to the date overload); over
+        // typed timestamp columns the TIMESTAMP result stands
+        case TruncTimestamp(fl @ Literal(fmt, StringType), c, _)
+            if fmt != null && c.resolved && (c match {
+              case Cast(s, TimestampType, _, _) => s.dataType == StringType
+              case _ => false
+            }) && Set("day", "dd", "week", "month", "mon", "mm",
+                      "quarter", "year", "yyyy", "yy")(fmt.toString.toLowerCase) =>
+          val inner = c.asInstanceOf[Cast].child
+          if (Set("day", "dd")(fmt.toString.toLowerCase)) Cast(inner, DateType)
+          else TruncDate(Cast(inner, DateType), fl)
         // date_add/date_sub with a BIGINT delta (reference: Int64)
         case DateAdd(d, delta) if delta.resolved && delta.dataType == LongType =>
           DateAdd(d, Cast(delta, IntegerType))
@@ -282,9 +305,59 @@ object DatetimeSemantics {
   private def parseToTs2(a: Seq[Expression]): Expression =
     new ParseToTimestamp(a.head, a(1))
 
+  /** Oracle/databend TRUNC(x, unit): unit spellings from the
+    * reference's datetime.rs trunc tier (IW = ISO week, HH24 = hour,
+    * MI = minute...); day-or-coarser units yield DATE, finer yield
+    * TIMESTAMP. A bare-identifier unit (`trunc(x, week)`) is databend
+    * grammar — accept it as the unit name.
+    */
+  private def truncBuilder(a: Seq[Expression]): Expression = {
+    val unitStr = a(1) match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts) =>
+        Some(parts.last)
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    unitStr.map(_.toLowerCase) match {
+      case Some(u @ ("year" | "yyyy" | "yy" | "quarter" | "q" | "month" |
+                     "mon" | "mm" | "week" | "iw" | "isoweek")) =>
+        val fmt = u match {
+          case "q" => "quarter"
+          case "iw" | "isoweek" => "week"
+          case other => other
+        }
+        TruncDate(Cast(a.head, DateType), Literal(fmt))
+      case Some("day" | "dd" | "dy") => Cast(a.head, DateType)
+      case Some(u) =>
+        val fmt = u match {
+          case "hh24" | "hh" => "hour"
+          case "mi" => "minute"
+          case "ss" => "second"
+          case other => other
+        }
+        TruncTimestamp(Literal(fmt), Cast(a.head, TimestampType))
+      case None => TruncDate(Cast(a.head, DateType), a(1))
+    }
+  }
+
+  /** CURRENT_TIME([p]) — the reference renders a VARCHAR time-of-day
+    * (types.rs has no TIME type; ast maps it to a string render)
+    */
+  private def currentTimeBuilder(a: Seq[Expression]): Expression = {
+    val digits = a.headOption.collect {
+      case Literal(v, _) if v != null => v.toString.toInt
+    }.getOrElse(6)
+    val pattern = if (digits <= 0) "HH:mm:ss" else "HH:mm:ss." + ("S" * digits)
+    DateFormatClass(CurrentTimestamp(), Literal(pattern))
+  }
+
   /** expression-tier registrations for this module */
   val rewrites: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "typeof" -> (a => TypeOfDatabend(a.head)),
+    "trunc" -> (a => if (a.length == 2) truncBuilder(a)
+                     else TruncDate(Cast(a.head, DateType), Literal("mm"))),
+    "current_time" -> currentTimeBuilder,
+    "graft_current_time" -> currentTimeBuilder,
     // 1-arg to_date/to_timestamp carry the reference's numeric and
     // permissive-string semantics; 2-arg keeps Spark's format parse
     "to_date" -> (a =>
