@@ -40,6 +40,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private val streams = mutable.LinkedHashMap[String, GraftStream]()
   private val stages  = mutable.LinkedHashMap[String, String]()
   private val clusterKeys = mutable.LinkedHashMap[String, Seq[String]]()
+  // ALTER TABLE SET OPTIONS(...) key-values (reference table meta
+  // options: change_tracking, approx_distinct_columns, ...). Change
+  // tracking is snapshot-log-based here and always available, so the
+  // flag is recorded for SHOW/meta parity rather than gating CDC.
+  private val tableOptions = mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, String]]()
   // declared NOT NULL columns per table — parquet storage is nullable,
   // so DESCRIBE/SHOW COLUMNS report the declared constraint from here
   // (the reference keeps it in table meta)
@@ -138,9 +143,38 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sb.toString
   }
 
+  /** strip slash-star block comments, quote-aware (databend treats
+    * optimizer-hint comments as plain comments too)
+    */
+  private def stripBlockComments(sql: String): String = {
+    if (!sql.contains("/*")) return sql
+    val sb = new StringBuilder(sql.length)
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; sb.append(c); i += 1 }
+      else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        if (end < 0) { sb.append(sql.substring(i)); i = sql.length }
+        else { sb.append(' '); i = end + 2 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def execute(sql: String): DataFrame = {
     var s = sql.trim.stripSuffix(";").trim
+    s = stripBlockComments(s).trim.stripSuffix(";").trim
     s = preserveUnknownEscapes(s)
+    // $name / getvariable('name') -> stored literals (except inside a
+    // SET VARIABLE statement itself, whose RHS must evaluate fresh)
+    if (!s.regionMatches(true, 0, "SET VARIABLE", 0, 12))
+      s = substituteVariables(s)
+    // show_variables() TVF form of SHOW VARIABLES
+    if (s.toLowerCase.contains("show_variables"))
+      s = """(?i)\bshow_variables\s*\(\s*\)""".r
+        .replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(freshView(variablesDf())))
     // trailing IGNORE_RESULT (databend statement suffix: run, discard
     // rows — tests/sqllogictests suites use it on large results)
     s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
@@ -212,16 +246,27 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("MERGE")) merge(s)
     else if (is("COPY")) copy(s)
     else if (is("ALTER TABLE")) alterTable(s)
+    else if (is("ALTER DATABASE") &&
+             """(?is)REFRESH\s+CACHE\s*$""".r.findFirstIn(s).isDefined)
+      status("op" -> "refresh-cache")
     else if (is("OPTIMIZE")) optimize(s)
     else if (is("VACUUM")) vacuum(s)
     else if (is("ANALYZE")) analyzeTable(s)
+    else if (is("SET VARIABLE")) setVariable(s.substring("SET VARIABLE".length))
+    else if (is("UNSET VARIABLE")) {
+      s.substring("UNSET VARIABLE".length).split(",").map(_.trim.toLowerCase)
+        .filter(_.nonEmpty).foreach(variables.remove)
+      status("op" -> "unset-variable")
+    }
+    else if (is("SHOW VARIABLES"))
+      showVariables(s.substring("SHOW VARIABLES".length))
     else if (is("UNSET ")) // databend UNSET <setting> = Spark RESET
       spark.sql("RESET " + s.substring(6).trim.stripSuffix(";"))
     else if (is("USE ")) {
       currentDb = norm(s.substring(4).trim)
       status("database" -> currentDb, "op" -> "use")
     }
-    else if (is("SHOW STREAMS")) showStreams()
+    else if (is("SHOW STREAMS")) showStreams(s.substring("SHOW STREAMS".length))
     else if (is("SHOW TABLES")) showTables()
     else if (is("SHOW STAGES")) showStages()
     else if (is("SHOW CREATE TABLE"))
@@ -352,6 +397,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * a DML consumes them: stream_table.rs).
     */
   private var lastStreamRefs: Seq[String] = Seq.empty
+
+  /** reading a STREAM inside a DML consumes it — advance every cursor
+    * the statement's source referenced (reference stream
+    * with_consume transactional semantics)
+    */
+  private def consumeReferencedStreams(): Unit =
+    lastStreamRefs.foreach(n0 => streams(n0).consume(_ => ()))
 
   private def query(s: String): DataFrame = {
     var cur = rewriteReads(s)
@@ -578,6 +630,18 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         .replaceAll("(?i)\\bsystem\\s*\\.\\s*task_history\\b", "system_task_history")
         .replaceAll("(?i)\\bsystem\\s*\\.\\s*tasks\\b", "system_tasks")
     }
+    // system.tables scoped to THIS instance's registry (the global
+    // system_tables view would leak the namespaced temp-view names)
+    if ("""(?i)\bsystem\s*\.\s*tables\b""".r.findFirstIn(sql).isDefined) {
+      import spark.implicits._
+      val df = tables.keys.toSeq.map { k =>
+        val (db, n) = if (k.contains(".")) (k.split("\\.")(0), k.split("\\.")(1))
+                      else ("default", k)
+        (db, n, "BASE TABLE", false, "")
+      }.toDF("database", "name", "table_type", "is_temporary", "comment")
+      sql = sql.replaceAll("(?i)\\bsystem\\s*\\.\\s*tables\\b",
+        java.util.regex.Matcher.quoteReplacement(freshView(df)))
+    }
     // any other system.<name> relation reference -> the registered
     // system_<name> view (operators/SystemTables registers all 43,
     // lazily on first touch)
@@ -586,10 +650,17 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       sql = sql.replaceAll(
         "(?i)\\b(from|join)(\\s+)system\\s*\\.\\s*([a-z_0-9]+)", "$1$2system_$3")
     }
+    // stream metadata columns change$action/change$is_update/
+    // change$row_id: bare $-identifiers (databend lexer) need backticks
+    // for Spark's parser
+    sql = sql.replaceAll("(?i)(?<!`)\\bchange\\$(\\w+)", "`change\\$$1`")
     // numbers(N)/numbers_mt(N) table functions (reference numbers TVF):
     // an unsigned 0..N-1 sequence named `number`
     sql = NumbersRe.replaceAllIn(sql, m =>
       s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // fuse introspection TVFs (reference table_functions/fuse_*):
+    // materialize the metadata DataFrame and splice a view reference
+    if (FuseTvfRe.findFirstIn(sql).isDefined) sql = rewriteFuseTvfs(sql)
     // DATE_ADD(unit, n, d) / DATE_SUB(unit, n, d) — databend's
     // unit-keyword-first spelling (datetime.rs) -> the registered
     // add_/subtract_<unit>s pair (date-preserving for date inputs)
@@ -3011,6 +3082,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*([\d\s*+\-/]+)\s*\)""".r
+  private val FuseTvfRe =
+    """(?i)\b(fuse_snapshot|fuse_block|fuse_segment|fuse_column|fuse_statistic|clustering_information)\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
   /** generate_series as a table factor anywhere in a FROM clause —
     * leading, comma-separated, JOINed, or LATERAL — becomes an
     * explode(sequence(...)) subquery. Scoped to FROM clauses so the
@@ -3188,16 +3261,22 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     """(?is)^(.*\))\s*((?:\w+\s*=\s*(?:'[^']*'|[\w.]+)\s*)+)$""".r
 
   private def createTableDispatch(s: String): DataFrame = s match {
-    case CreateTableLikeRe(orReplace, ifNotExists, name, src) =>
+    case CreateTableLikeRe(orReplace, ifNotExists, name, src, engine) =>
       val n = qualifyNew(name)
       if (tables.contains(n) && ifNotExists != null)
         return status("table" -> n, "op" -> "exists")
       require(orReplace != null || !tables.contains(n), s"table $n exists")
-      if (tables.contains(n)) rmrf(tablePath(n))
+      if (tables.contains(n)) { tables.remove(n); rmrf(tablePath(n)) }
       val schema = table(resolveKey(src)).read().schema
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      register(n, GraftTable.create(spark, tablePath(n), empty))
+      // LIKE ... ENGINE=RANDOM: seed the copy with generated rows (the
+      // reference's RANDOM engine produces rows on every read; a fixed
+      // deterministic fill keeps the COW-parquet model)
+      val seedDf =
+        if (engine != null && engine.equalsIgnoreCase("random"))
+          graft.sources.RandomTable.generate(spark, schema, 1000L)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      register(n, GraftTable.create(spark, tablePath(n), seedDf))
       status("table" -> n, "op" -> "create-like")
     case CreateTableDdlAsRe(orReplace, ifNotExists, name, ddl, select) =>
       // typed CTAS (reference create_table.rs: explicit schema + AS
@@ -3355,10 +3434,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       if (dup > 0) throw new IllegalArgumentException(
         s"REPLACE INTO: duplicated on-conflict keys (${keyCols.mkString(",")}) in source")
       val src = df.alias("__src")
-      val on = keyCols.map(k => s"$n.$k = __src.$k").mkString(" AND ")
-      t.mergeInto(src, n, "__src", on,
+      // target alias must be dot-free (a db-qualified key would parse
+      // as db.table.column in the ON text)
+      val on = keyCols.map(k => s"__tgt.$k = __src.$k").mkString(" AND ")
+      t.mergeInto(src, "__tgt", "__src", on,
         matched = Seq(GraftTable.MatchedClause(None, Some(Map.empty))),
         notMatched = Seq(GraftTable.NotMatchedClause(None, None)))
+      consumeReferencedStreams()
       refreshView(n)
       status("table" -> n, "op" -> "replace-into", "keys" -> keyCols.mkString(","))
     case _ => throw new IllegalArgumentException(s"cannot parse REPLACE INTO: $s")
@@ -3591,7 +3673,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val m = MergeHeadRe.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse MERGE: $s"))
     val n = resolveKey(m.group(1))
-    val targetAlias = Option(m.group(2)).map(norm).getOrElse(n)
+    // default alias: the unqualified spelling (a db-qualified key would
+    // read as db.table.column in clause expressions)
+    val targetAlias = Option(m.group(2)).map(norm).getOrElse(n.split('.').last)
     val t = table(n)
     var rest = s.substring(m.end).trim
 
@@ -3652,24 +3736,42 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         if (after == "*") matched += GraftTable.MatchedClause(cond, Some(Map.empty))
         else {
           val setTxt = after.replaceAll("(?is)^SET\\s+", "")
-          val set = splitTopLevel(setTxt, ',').map { a =>
+          val setPairs = splitTopLevel(setTxt, ',').map { a =>
             val eq = indexOfTopLevel(a, '=')
             // target-side SET columns may be alias-qualified (t.c = ...)
             // — the reference's grammar allows it; match on the column
             val rawKey = norm(a.take(eq))
             val key = rawKey.split('.').last
             key -> a.drop(eq + 1).trim
-          }.toMap
-          matched += GraftTable.MatchedClause(cond, Some(set))
+          }
+          // reference error 1006: the same column twice in one SET
+          val dupCols = setPairs.groupBy(_._1).filter(_._2.size > 1).keys
+          if (dupCols.nonEmpty) throw new IllegalArgumentException(
+            s"1006: duplicate SET column ${dupCols.mkString(",")} in MERGE UPDATE")
+          matched += GraftTable.MatchedClause(cond, Some(setPairs.toMap))
         }
       } else throw new IllegalArgumentException(s"unknown MERGE action: $action")
     }
 
-    t.mergeInto(srcDf, targetAlias, sourceAlias, onCond,
+    val res = t.mergeInto(srcDf, targetAlias, sourceAlias, onCond,
       matched.toSeq, notMatched.toSeq)
+    consumeReferencedStreams()
     refreshView(n)
-    status("table" -> n, "op" -> "merge",
-      "matched_clauses" -> matched.size, "not_matched_clauses" -> notMatched.size)
+    // the reference's MERGE result: one count column per clause KIND
+    // present, ordered insert / update / delete
+    // (interpreter_merge_into.rs merge_into_mutations)
+    val cols = Seq(
+      (notMatched.nonEmpty, "number of rows inserted", res.inserted),
+      (matched.exists(_.set.isDefined), "number of rows updated", res.updated),
+      (matched.exists(_.set.isEmpty), "number of rows deleted", res.deleted)
+    ).collect { case (true, name, v) => name -> v }
+    import spark.implicits._
+    cols.map(_._2) match {
+      case Seq(a) => Seq(a).toDF(cols.map(_._1): _*)
+      case Seq(a, b) => Seq((a, b)).toDF(cols.map(_._1): _*)
+      case Seq(a, b, c) => Seq((a, b, c)).toDF(cols.map(_._1): _*)
+      case _ => status("table" -> n, "op" -> "merge")
+    }
   }
 
   /** strip crdb-style `@index` hints after identifiers, outside string
@@ -3798,13 +3900,17 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   // ---- STREAM ---------------------------------------------------------
 
   private def createStream(s: String): DataFrame = s match {
-    case CreateStreamRe(ifNotExists, name, tbl, appendOnly) =>
+    case CreateStreamRe(ifNotExists, name, tbl, atStream, appendOnly) =>
       val n = resolveKey(name)
       if (streams.contains(n) && ifNotExists != null)
         return status("stream" -> n, "op" -> "exists")
       val mode = if (appendOnly != null && appendOnly.equalsIgnoreCase("true"))
         GraftStream.AppendOnly else GraftStream.Standard
-      streams(n) = GraftStream.create(table(tbl), n, mode)
+      val st = GraftStream.create(table(tbl), n, mode)
+      // AT (STREAM => other): start from the other stream's cursor so
+      // both see the same pending window (reference stream.rs AT)
+      if (atStream != null) st.setOffset(stream(norm(atStream)).offset)
+      streams(n) = st
       status("stream" -> n, "on" -> norm(tbl), "op" -> "create")
   }
 
@@ -4273,12 +4379,31 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  private def showStreams(): DataFrame = {
+  /** SHOW STREAMS [LIKE '...'] — (name, table_on, mode) with the
+    * reference's db.table qualification and append_only/standard mode
+    * spellings (show.rs stream listing)
+    */
+  private def showStreams(tail: String): DataFrame = {
     val rows = streams.toSeq.map { case (n, st) =>
-      (n, Paths.get(st.table.path).getFileName.toString, st.mode.toString, st.offset)
+      val tblKey = tables.find(_._2 eq st.table).map(_._1)
+        .getOrElse(Paths.get(st.table.path).getFileName.toString)
+      val qualified = if (tblKey.contains(".")) tblKey else s"$currentDb.$tblKey"
+      val mode = st.mode match {
+        case GraftStream.AppendOnly => "append_only"
+        case _ => "standard"
+      }
+      (n, qualified, mode)
     }
     import spark.implicits._
-    rows.toDF("name", "table", "mode", "offset")
+    val df = rows.toDF("name", "table_on", "mode")
+    val v = freshView(df)
+    val cond = tail.trim match {
+      case "" => ""
+      case l if l.toUpperCase.startsWith("LIKE") => " WHERE name " + l
+      case w if w.toUpperCase.startsWith("WHERE") => " " + w
+      case other => " WHERE " + other
+    }
+    spark.sql(s"SELECT * FROM $v$cond ORDER BY name")
   }
 
   private def showTables(): DataFrame = {
@@ -4292,7 +4417,158 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     stages.toSeq.toDF("name", "url")
   }
 
+  // ---- session variables (reference ast/statements/set.rs
+  // SET VARIABLE, scalars getvariable(), SHOW VARIABLES) --------------
+
+  /** name -> (spark value, databend-spelled type). Values substitute
+    * into later statements as literals ($name / getvariable('name')).
+    */
+  private val variables = mutable.LinkedHashMap[String, (Any, String)]()
+
+  /** databend types literals by VALUE (a 3 is UInt8); mirror that for
+    * the SHOW VARIABLES type column
+    */
+  private def dbdTypeOf(v: Any): String = v match {
+    case null => "NULL"
+    case _: Boolean | _: java.lang.Boolean => "Boolean"
+    case _: String => "String"
+    case _: java.lang.Double => "Float64"
+    case _: java.lang.Float => "Float32"
+    case d: java.math.BigDecimal => s"Decimal(${d.precision}, ${d.scale})"
+    case _: java.sql.Timestamp => "Timestamp"
+    case _: java.sql.Date => "Date"
+    case n: Number =>
+      val l = n.longValue
+      if (l >= 0) {
+        if (l <= 255) "UInt8" else if (l <= 65535) "UInt16"
+        else if (l <= 4294967295L) "UInt32" else "UInt64"
+      } else {
+        if (l >= -128) "Int8" else if (l >= -32768) "Int16"
+        else if (l >= Int.MinValue) "Int32" else "Int64"
+      }
+    case _ => "String"
+  }
+
+  private def literalSql(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case other => other.toString
+  }
+
+  /** SET VARIABLE a = expr | SET VARIABLE (a, b) = (SELECT ...) */
+  private def setVariable(rest0: String): DataFrame = {
+    val rest = rest0.trim
+    val eq = {
+      val depths = parenDepths(rest)
+      rest.indices.find(i => rest(i) == '=' && depths(i) == 0)
+        .getOrElse(throw new IllegalArgumentException(s"SET VARIABLE needs '=': $rest"))
+    }
+    val lhs = rest.substring(0, eq).trim
+    val rhs = rest.substring(eq + 1).trim
+    val names =
+      if (lhs.startsWith("(")) lhs.stripPrefix("(").stripSuffix(")")
+        .split(",").map(_.trim.toLowerCase).toSeq
+      else Seq(lhs.toLowerCase)
+    val inner = if (rhs.startsWith("(")) rhs.substring(1, matchParen(rhs, 0)) else rhs
+    val df =
+      if ("""(?is)^\s*(select|with|values)\b""".r.findFirstIn(inner).isDefined)
+        query(inner)
+      else query("SELECT " + inner)
+    require(df.schema.length == names.length,
+      s"Expect ${names.length} column in set query result, but got ${df.schema.length} columns")
+    val row = df.limit(2).collect().headOption
+    names.zipWithIndex.foreach { case (n, i) =>
+      val v = row.map(_.get(i)).orNull
+      variables(n) = (v, dbdTypeOf(v))
+    }
+    status("op" -> "set-variable", "names" -> names.mkString(","))
+  }
+
+  private def variablesDf(): DataFrame = {
+    import spark.implicits._
+    variables.toSeq.map { case (n, (v, t)) =>
+      val shown = v match {
+        case s: String => "'" + s + "'"
+        case null => "NULL"
+        case other => other.toString
+      }
+      (n, shown, t)
+    }.toDF("name", "value", "type")
+  }
+
+  private def showVariables(tail: String): DataFrame = {
+    val v = freshView(variablesDf())
+    val cond = tail.trim match {
+      case "" => ""
+      case w if w.toUpperCase.startsWith("WHERE") => " " + w
+      case l if l.toUpperCase.startsWith("LIKE") => " WHERE name " + l
+      case other => " WHERE " + other
+    }
+    spark.sql(s"SELECT name, value, type FROM $v$cond")
+  }
+
+  /** replace $name and getvariable('name') with the stored literal;
+    * quote-aware, `$$` (script blocks) untouched
+    */
+  private def substituteVariables(sql: String): String = {
+    var s = sql
+    if (s.toLowerCase.contains("getvariable")) {
+      s = """(?i)\bgetvariable\s*\(\s*'([^']*)'\s*\)""".r.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          variables.get(m.group(1).toLowerCase).map(v => literalSql(v._1)).getOrElse("NULL")))
+    }
+    if (!s.contains("$") || variables.isEmpty) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; sb.append(c); i += 1 }
+      else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '$' && i + 1 < s.length &&
+               (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        val name = s.substring(i + 1, j).toLowerCase
+        variables.get(name) match {
+          case Some((v, _)) => sb.append(literalSql(v)); i = j
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // ---- maintenance ----------------------------------------------------
+
+  /** `fuse_snapshot('db','t')` & friends in FROM position -> a fresh
+    * temp view over the metadata DataFrame (reference
+    * service/table_functions/fuse_*; our 1-file-per-segment model makes
+    * segment and block counts coincide).
+    */
+  private def rewriteFuseTvfs(sql: String): String =
+    FuseTvfRe.replaceAllIn(sql, m => {
+      val fn = m.group(1).toLowerCase
+      val db = m.group(2); val tn = m.group(3)
+      val key = resolveKey(if (db.isEmpty || db == "default") tn else s"$db.$tn")
+      val t = table(key)
+      val df = fn match {
+        case "fuse_snapshot" => graft.operators.TableFunctions.fuseSnapshot(spark, t)
+        case "fuse_block" =>
+          graft.operators.TableFunctions.blocks(spark, t)
+            .withColumnRenamed("file_name", "block_location")
+            .withColumnRenamed("size_bytes", "file_size")
+        case "fuse_segment" => graft.operators.TableFunctions.fuseSegment(spark, t)
+        case "fuse_column" => graft.operators.TableFunctions.fuseColumn(spark, t)
+        case "fuse_statistic" => graft.operators.TableFunctions.fuseStatistic(spark, t)
+        case "clustering_information" =>
+          val keys = clusterKeys.getOrElse(key,
+            throw new IllegalArgumentException(s"no CLUSTER BY declared for $key"))
+          graft.operators.TableFunctions.clusteringInformation(spark, t, keys.head)
+      }
+      java.util.regex.Matcher.quoteReplacement(freshView(df))
+    })
 
   private def alterTable(s: String): DataFrame = s match {
     case AlterClusterRe(name, keys) =>
@@ -4320,21 +4596,68 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       table(n).dropColumn(norm(colName))
       refreshView(n)
       status("table" -> n, "op" -> "drop-column", "column" -> norm(colName))
+    case AlterRenameTableRe(ifExists, from, to) =>
+      val n = resolveKey(from)
+      val target = qualifyNew(to)
+      if (!tables.contains(n)) {
+        if (ifExists != null) status("table" -> n, "op" -> "rename-skipped")
+        else throw new IllegalArgumentException(s"1025: unknown table $n")
+      } else {
+        require(!tables.contains(target), s"1005: table $target already exists")
+        val t = tables.remove(n).get
+        tables(target) = t
+        clusterKeys.remove(n).foreach(clusterKeys(target) = _)
+        notNullCols.remove(n).foreach(notNullCols(target) = _)
+        requiredCols.remove(n).foreach(requiredCols(target) = _)
+        tableOptions.remove(n).foreach(tableOptions(target) = _)
+        spark.catalog.dropTempView(viewName(n))
+        refreshView(target)
+        status("table" -> target, "op" -> "rename-table", "from" -> n)
+      }
     case AlterRenameColRe(name, from, to) =>
       val n = resolveKey(name)
       table(n).renameColumn(norm(from), norm(to))
       refreshView(n)
       status("table" -> n, "op" -> "rename-column")
+    case AlterSetOptionsRe(name, opts) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      val m = tableOptions.getOrElseUpdate(n, mutable.LinkedHashMap())
+      splitTopLevel(opts, ',').foreach { kv =>
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        m(k.toLowerCase) = v.stripPrefix("'").stripSuffix("'")
+      }
+      status("table" -> n, "op" -> "set-options")
+    case AlterUnsetOptionsRe(name, opts) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      val m = tableOptions.getOrElseUpdate(n, mutable.LinkedHashMap())
+      opts.split(",").map(_.trim.stripPrefix("'").stripSuffix("'").toLowerCase)
+        .filter(_.nonEmpty).foreach(m.remove)
+      status("table" -> n, "op" -> "unset-options")
+    case RefreshCacheRe(name) =>
+      // reference ALTER TABLE ... REFRESH CACHE: table-meta cache
+      // invalidation; reads here always see the latest snapshot
+      refreshView(resolveKey(name))
+      status("table" -> resolveKey(name), "op" -> "refresh-cache")
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER TABLE: $s")
   }
 
+  /** OPTIMIZE TABLE t COMPACT [SEGMENT] [LIMIT n] / PURGE / ALL
+    * (reference ast/statements/optimize.rs). The 1-file-per-segment
+    * model makes SEGMENT-only compaction the same small-file rewrite;
+    * LIMIT bounds how many snapshots' worth of small files merge per
+    * call in the reference — here one compact() already folds all
+    * current small files, so LIMIT is accepted and recorded only.
+    */
   private def optimize(s: String): DataFrame = s match {
-    case OptimizeRe(name, action) =>
+    case OptimizeRe(name, action, limit) =>
       val n = resolveKey(name)
+      val lim = Option(limit).map(_.toInt)
       action.toUpperCase match {
-        case "COMPACT" => table(n).compact(); refreshView(n)
+        case "COMPACT" => table(n).compact(limit = lim); refreshView(n)
         case "PURGE"   => table(n).vacuum()
-        case other     => throw new IllegalArgumentException(s"OPTIMIZE $other unsupported")
+        case "ALL"     => table(n).compact(limit = lim); table(n).vacuum(); refreshView(n)
       }
       status("table" -> n, "op" -> s"optimize-${action.toLowerCase}")
     case _ => throw new IllegalArgumentException(s"cannot parse OPTIMIZE: $s")
@@ -4405,7 +4728,14 @@ object GraftSql {
         .replaceAll("(?i)\\s+NULL$", "")
         .replaceAll("(?i)\\bbool$", "boolean")
         .replaceAll("(?i)\\bdatetime$", "timestamp")
+        // sized datetime/timestamp spellings (databend DATETIME(6));
+        // parquet timestamps are fixed micro precision here
+        .replaceAll("(?i)\\b(datetime|timestamp)\\s*\\(\\s*\\d+\\s*\\)", "timestamp")
         .replaceAll("(?i)\\bjson$", "variant")
+        // BITMAP columns: roaring-serialized bytes (functions/BitmapAggs)
+        .replaceAll("(?i)\\bbitmap$", "binary")
+        .replaceAll("(?i)\\bfloat64$", "double")
+        .replaceAll("(?i)\\bfloat32$", "float")
         // databend type spellings Spark's DDL parser lacks: length-less
         // varchar, and the sized int family (unsigned types widen so
         // the whole unsigned range fits — Types.scala's widening rule)
@@ -4435,6 +4765,7 @@ object GraftSql {
         .replaceAll("(?i)\\bbool\\b", "boolean")
         .replaceAll("(?i)\\bjson\\b", "variant")
         .replaceAll("(?i)\\bdatetime\\b", "timestamp")
+        .replaceAll("(?i)\\bbitmap\\b", "binary")
         .replaceAll("(?i)\\buint64\\b", "decimal(20,0)")
         .replaceAll("(?i)\\b(int64|uint32)\\b", "bigint")
         .replaceAll("(?i)\\b(int32|uint16)\\b", "int")
@@ -4471,7 +4802,7 @@ object GraftSql {
   private val CreateTableDdlAsRe =
     ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s*\((.*)\)\s+AS\s+(SELECT.*|WITH.*|VALUES.*)""").r
   private val CreateTableLikeRe =
-    ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s+LIKE\s+(""" + NamePat + """)\s*""").r
+    ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s+LIKE\s+(""" + NamePat + """)(?:\s+ENGINE\s*=\s*(\w+))?\s*""").r
   private val CreateTableDdlRe =
     ("""(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + NamePat + """)\s*\((.*)\)\s*""").r
   private val CreateTableDdlClusterRe =
@@ -4506,19 +4837,31 @@ object GraftSql {
   private val DropFnRe =
     """(?is)\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateStreamRe =
-    """(?is)\s*CREATE\s+STREAM\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+ON\s+TABLE\s+(\w+)(?:\s+APPEND_ONLY\s*=\s*(\w+))?\s*""".r
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(`[^`]+`|[\w.]+)\s+ON\s+TABLE\s+(`[^`]+`|[\w.]+)""" +
+     """(?:\s+AT\s*\(\s*STREAM\s*=>\s*(`[^`]+`|[\w.]+)\s*\))?""" +
+     """(?:\s+APPEND_ONLY\s*=\s*(\w+))?(?:\s+COMMENT\s*=\s*'[^']*')?\s*""").r
+  /** table name in ALTER/OPTIMIZE heads: word, `quoted`, or db.name */
+  private val TblPat = """((?:[\w]+|`[^`]+`|"[^"]+")(?:\s*\.\s*(?:[\w]+|`[^`]+`|"[^"]+"))?)"""
   private val AlterClusterRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s*\((.*)\)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+CLUSTER\s+BY\s*\((.*)\)\s*""").r
   private val AlterReclusterRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RECLUSTER(?:\s+FINAL)?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+RECLUSTER(?:\s+FINAL)?\s*""").r
   private val AlterAddColRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w]+)\s+([\w()<>, ]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+(?:FIRST|AFTER\s+[`"\w]+))?\s*""").r
   private val AlterDropColRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?([`"\w]+)\s*""").r
   private val AlterRenameColRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+RENAME\s+(?:COLUMN\s+)?((?!TO\b)[`"\w]+)\s+TO\s+([`"\w]+)\s*""").r
+  private val AlterRenameTableRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?""" + TblPat + """\s+RENAME\s+(?:TO|AS)\s+""" + TblPat + """\s*""").r
+  private val AlterSetOptionsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+SET\s+OPTIONS\s*\((.*)\)\s*""").r
+  private val AlterUnsetOptionsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+UNSET\s+OPTIONS\s*\(([^)]*)\)\s*""").r
+  private val RefreshCacheRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+REFRESH\s+CACHE\s*""").r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+TABLE\s+(\w+)\s+(\w+)\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+TABLE\s+""" + TblPat + """\s+(COMPACT|PURGE|ALL)(?:\s+SEGMENT)?(?:\s+LIMIT\s+(\d+))?\s*""").r
   private val WhenBranchRe =
     """(?is)\s*WHEN\s+(.*?)\s+THEN\s+INTO\s+(\w+)\s*(.*)""".r
   private val ElseBranchRe = """(?is)\s*ELSE\s+INTO\s+(\w+)\s*(.*)""".r

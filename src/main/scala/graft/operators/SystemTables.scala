@@ -18,8 +18,9 @@ object SystemTables {
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listTables().collect().toSeq.map { t =>
-      (Option(t.database).getOrElse(""), t.name, t.tableType, t.isTemporary)
-    }.toDF("database", "name", "table_type", "is_temporary")
+      (Option(t.database).getOrElse(""), t.name, t.tableType, t.isTemporary,
+        Option(t.description).getOrElse(""))
+    }.toDF("database", "name", "table_type", "is_temporary", "comment")
   }
 
   /** One row per column of every visible table:

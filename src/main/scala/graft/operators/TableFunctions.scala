@@ -64,6 +64,102 @@ object TableFunctions {
     }.toDF("version", "operation", "file_count", "committed_at")
   }
 
+  /** parquet footer (rowCount, byteSize, per-column chunks) for a
+    * table file, driver-side metadata read only
+    */
+  private def footer(spark: SparkSession, table: GraftTable, f: String)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"${table.path}/$f")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter finally reader.close()
+  }
+
+  private def fileRows(spark: SparkSession, table: GraftTable, f: String): Long = {
+    import scala.jdk.CollectionConverters._
+    footer(spark, table, f).getBlocks.asScala.map(_.getRowCount).sum
+  }
+
+  /** FUSE_SNAPSHOT with the reference's column names
+    * (fuse_snapshot.rs): latest snapshot first; the 1-file-per-segment
+    * storage model makes segment_count == block_count == file count.
+    * Row counts come from parquet footers (driver-side metadata only,
+    * cached per file across the version chain).
+    */
+  def fuseSnapshot(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    val rowCache = scala.collection.mutable.HashMap[String, Long]()
+    val sizeCache = scala.collection.mutable.HashMap[String, Long]()
+    table.versions.sorted.reverse.map { v =>
+      val s = table.snapshot(v)
+      val rows = s.files.map(f =>
+        rowCache.getOrElseUpdate(f, fileRows(spark, table, f))).sum
+      val bytes = s.files.map(f => sizeCache.getOrElseUpdate(f,
+        java.nio.file.Files.size(java.nio.file.Paths.get(table.path, f)))).sum
+      (v.toString, s"${table.path}/_graft_log/$v.json", 1,
+        if (v > 0) (v - 1).toString else null,
+        s.files.length.toLong, s.files.length.toLong, rows, bytes,
+        new java.sql.Timestamp(s.timestampMs), s.operation)
+    }.toDF("snapshot_id", "snapshot_location", "format_version",
+      "previous_snapshot_id", "segment_count", "block_count", "row_count",
+      "bytes_compressed", "timestamp", "operation")
+  }
+
+  /** FUSE_SEGMENT (fuse_segment.rs): one row per segment of the
+    * current snapshot — 1:1 with data files here.
+    */
+  def fuseSegment(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    val v = table.currentVersion
+    val s = table.snapshot(v)
+    s.files.map { f =>
+      (v.toString, f, 1, 1L,
+        fileRows(spark, table, f),
+        java.nio.file.Files.size(java.nio.file.Paths.get(table.path, f)))
+    }.toDF("snapshot_id", "segment_location", "format_version",
+      "block_count", "row_count", "bytes_compressed")
+  }
+
+  /** FUSE_COLUMN (fuse_column.rs): per-block per-column chunk stats
+    * from parquet footers.
+    */
+  def fuseColumn(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val v = table.currentVersion
+    val s = table.snapshot(v)
+    val schema = table.read().schema
+    s.files.flatMap { f =>
+      val ft = footer(spark, table, f)
+      val rows = ft.getBlocks.asScala.map(_.getRowCount).sum
+      val size = java.nio.file.Files.size(java.nio.file.Paths.get(table.path, f))
+      ft.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala.map { c =>
+          val name = c.getPath.toDotString
+          val sparkType = schema.fields.find(_.name == name)
+            .map(_.dataType.simpleString).getOrElse(c.getPrimitiveType.toString)
+          (v.toString, f, size, rows, name, sparkType,
+            c.getStartingPos, c.getTotalSize, c.getValueCount)
+        }
+      }
+    }.toDF("snapshot_id", "block_location", "file_size", "row_count",
+      "column_name", "column_type", "block_offset", "bytes_compressed",
+      "column_row_count")
+  }
+
+  /** FUSE_STATISTIC (fuse_statistic.rs): ANALYZE-computed per-column
+    * NDV; empty until ANALYZE TABLE runs (same as the reference).
+    */
+  def fuseStatistic(spark: SparkSession, table: GraftTable): DataFrame = {
+    import spark.implicits._
+    table.stats().toSeq.flatMap { st =>
+      st.cols.toSeq.map { case (name, c) =>
+        (name, c.ndv, c.nullCount, c.min, c.max)
+      }
+    }.toDF("column_name", "distinct_count", "null_count", "min", "max")
+  }
+
   /** fuse_block analog: one row per data file of the current snapshot,
     * from parquet footers only — no data scan (reference
     * storages/fuse/src/table_functions/fuse_block.rs).

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import java.nio.file.{Files, Paths}
 
 /** Named CDC cursor over a [[GraftTable]] — the reference's STREAM
@@ -31,7 +31,7 @@ final class GraftStream private (
     "\"offset\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
   }
 
-  private def setOffset(v: Long): Unit =
+  private[graft] def setOffset(v: Long): Unit =
     Files.writeString(cursorFile, s"""{"offset": $v}""")
 
   /** reference: `stream_has_data` in CREATE TASK ... WHEN */
@@ -41,7 +41,12 @@ final class GraftStream private (
   def read(): DataFrame = readUpTo(table.currentVersion)
 
   private def readUpTo(v: Long): DataFrame = {
+    // change$is_update: the reference pairs UPDATE halves via row
+    // lineage ids; the snapshot-diff feed has no lineage, so plain
+    // INSERT/DELETE is reported (false) — UPDATEs appear as their two
+    // halves un-paired (divergence documented in COVERAGE.md)
     val df = table.changes(offset, v)
+      .withColumn("change$is_update", lit(false))
     mode match {
       case Standard   => df
       case AppendOnly => df.filter(col("change$action") === "INSERT")

@@ -363,7 +363,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def mergeInto(source: DataFrame, targetAlias: String, sourceAlias: String,
                 onCond: String,
                 matched: Seq[GraftTable.MatchedClause],
-                notMatched: Seq[GraftTable.NotMatchedClause]): Long = {
+                notMatched: Seq[GraftTable.NotMatchedClause]): GraftTable.MergeResult = {
     val prev = snapshot(currentVersion)
     val tgtAll = readFiles(prev.files)
     val userCols = tgtAll.columns.filterNot(_.startsWith("__virt_")).toSeq
@@ -386,6 +386,8 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 
     // rewrite touched files: matched rows take the first applicable
     // clause (update columns / delete), untouched rows pass through
+    var updatedCount = 0L
+    var deletedCount = 0L
     val kept: Option[DataFrame] = if (touched.isEmpty) None else {
       val rawT = readFiles(touched)
       val tgtT = rawT.drop(
@@ -418,6 +420,13 @@ final class GraftTable(val spark: SparkSession, val path: String) {
           case (acc, _) => acc
         }.otherwise(base).as(c)
       }
+      // clause-hit tallies for the reference's affected-counts result —
+      // one aggregation over the (touched-files-only) joined frame
+      val tallies = withIdx.groupBy(col("__ci")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      deletedCount = deleteIdx.map(i => tallies.getOrElse(i, 0L)).sum
+      updatedCount = tallies.filterNot { case (i, _) =>
+        i < 0 || deleteIdx.contains(i) }.values.sum
       val survivors =
         if (deleteIdx.isEmpty) withIdx
         else withIdx.filter(!col("__ci").isin(deleteIdx.map(Integer.valueOf): _*))
@@ -449,14 +458,18 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       Some(withIdx.select(outCols: _*))
     }
 
+    val insertedCount = inserted.map(_.count()).getOrElse(0L)
     val newRows = (kept, inserted) match {
       case (Some(k), Some(i)) => Some(k.unionByName(i))
       case (k, i)             => k.orElse(i)
     }
-    if (newRows.isEmpty && touched.isEmpty)
-      return commit(prev.files, prev.ledger, "MERGE-NOOP")
+    if (newRows.isEmpty && touched.isEmpty) {
+      val v = commit(prev.files, prev.ledger, "MERGE-NOOP")
+      return GraftTable.MergeResult(v, 0L, 0L, 0L)
+    }
     val newParts = newRows.map(writeParts).getOrElse(Seq.empty)
-    commit(prev.files.diff(touched) ++ newParts, prev.ledger, "MERGE")
+    val v = commit(prev.files.diff(touched) ++ newParts, prev.ledger, "MERGE")
+    GraftTable.MergeResult(v, insertedCount, updatedCount, deletedCount)
   }
 
   private def touchedFiles(prev: Snapshot, cond: Column): Seq[String] = {
@@ -479,7 +492,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val to = snapshot(toVersion)
     if (from.files.forall(to.files.contains)) {
       val added = to.files.diff(from.files)
-      dropVirtual(readFiles(added)).withColumn("change$action", lit("INSERT"))
+      val base =
+        if (added.nonEmpty) dropVirtual(readFiles(added))
+        else { // schema-preserving empty feed
+          val full = dropVirtual(read())
+          full.sparkSession.createDataFrame(
+            full.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            full.schema)
+        }
+      base.withColumn("change$action", lit("INSERT"))
     } else {
       val oldDf = dropVirtual(readFiles(from.files))
       val newDf = dropVirtual(readFiles(to.files))
@@ -636,10 +657,32 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * current file set into ~`targetFiles` larger files. History is
     * preserved — compaction is just another snapshot.
     */
-  def compact(targetFiles: Int = 4): Long = {
+  /** COMPACT: rewrite small files into `targetFiles` outputs. With
+    * `limit`, only the first `limit` files (snapshot order) merge into
+    * one output and later files carry over untouched — the reference's
+    * `OPTIMIZE TABLE .. COMPACT LIMIT n` bounded pass
+    * (fuse/operations/compact.rs segment-limit semantics).
+    */
+  def compact(targetFiles: Int = 0, limit: Option[Int] = None): Long = {
     val prev = snapshot(currentVersion)
-    val compacted = readFiles(prev.files).coalesce(targetFiles)
-    commit(writeParts(compacted), prev.ledger, s"COMPACT-$targetFiles")
+    limit match {
+      case Some(n) if n < prev.files.length =>
+        val (head, tail) = prev.files.splitAt(n)
+        val merged = writeParts(readFiles(head).coalesce(1))
+        commit(merged ++ tail, prev.ledger, s"COMPACT-LIMIT-$n")
+      case _ =>
+        // size the output count from the live bytes (128 MB target) so
+        // a 100 TB table never funnels through one writer task
+        val target =
+          if (targetFiles > 0) targetFiles
+          else {
+            val bytes = prev.files.map(f =>
+              Files.size(Paths.get(path, f))).sum
+            math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+          }
+        val compacted = readFiles(prev.files).coalesce(target)
+        commit(writeParts(compacted), prev.ledger, s"COMPACT-$target")
+    }
   }
 
   /** VACUUM (reference: VACUUM TABLE — drop data files no snapshot in
@@ -699,6 +742,12 @@ object GraftTable {
     */
   final case class NotMatchedClause(cond: Option[String],
                                     values: Option[(Seq[String], Seq[String])])
+
+  /** MERGE outcome: committed version + the reference's affected-row
+    * counts (interpreter_merge_into.rs result columns).
+    */
+  final case class MergeResult(version: Long, inserted: Long,
+                               updated: Long, deleted: Long)
 
   /** deterministic materialized-column name for (json column, path);
     * the short hash disambiguates paths that sanitize identically
