@@ -125,8 +125,9 @@ def convert(path):
                                 t = 'false' if t == '0' else 'true'
                             if ty == 'R' and re.fullmatch(r'-?\d+\.\d+', t):
                                 t = fmt_double(t)
-                            if t == '(empty)':
-                                t = ''
+                            # keep '(empty)' as-is: the runner
+                            # normalizes it to '' at compare time, and a
+                            # bare empty line would end the block
                             cells.append(t)
                         out.append('\t'.join(cells))
                     else:

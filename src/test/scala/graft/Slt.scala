@@ -129,8 +129,13 @@ object Slt {
         }
       case Query(sql, line, expected, rowsort) =>
         try {
-          var got = exec(sql).collect().map(formatRow).toSeq
-          var exp = expected
+          // "(empty)" is the reference runner's rendering of the empty
+          // string (a bare empty line would terminate the expected
+          // block) — normalize both sides so either spelling matches
+          def normEmpty(row: String): String =
+            row.split("\t", -1).map(c => if (c == "(empty)") "" else c).mkString("\t")
+          var got = exec(sql).collect().map(formatRow).map(normEmpty).toSeq
+          var exp = expected.map(normEmpty)
           if (rowsort) { got = got.sorted; exp = exp.sorted }
           if (got == exp) Nil
           else Seq(s"$name:$line mismatch\n  expected: ${exp.mkString(" | ")}\n  got:      ${got.mkString(" | ")}")
