@@ -25,10 +25,16 @@ object GraftSession {
       // resolution rules, so wire them at build time
       .withExtensions(e => e.injectResolutionRule(
         s => new graft.functions.DatetimeCoercionRule(s)))
+      // numeric<->boolean coercion, variant get()/subscripts/ORDER BY
+      .withExtensions(e => e.injectResolutionRule(
+        s => new graft.functions.GraftCoercionRule(s)))
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // ${...} in SQL text is regexp replacement / script syntax here,
+      // never Spark's config substitution
+      .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.cbo.enabled", "true")

@@ -163,9 +163,209 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sb.toString
   }
 
+  /** databend operator spellings with no Spark equivalent, rewritten
+    * at the text level (quote-aware where it matters):
+    *   `a // b`        integer division  -> `a div b`
+    *   `x SOUNDS LIKE y`                 -> `soundex(x) = soundex(y)`
+    *   `cast(e, T)`    2-arg cast        -> `cast(e as T)`
+    *   `v -> k` / `v ->> k` (k literal)  -> variant get / get-as-text
+    *   `v #> '{a,b}'` / `#>>`           -> variant path get
+    *   `database()`/`currentdatabase()` -> the instance's current db
+    *   `expr.1`        tuple access      -> `expr._1` (struct field)
+    */
+  private def dialectOps(sql0: String): String = {
+    var s = sql0
+    if (s.contains("//"))
+      s = mapOutsideQuotes(s, _.replaceAll("//", " div "))
+    if (s.toLowerCase.contains("sounds"))
+      s = s.replaceAll("(?is)\\b(\\w+|'[^']*')\\s+SOUNDS\\s+LIKE\\s+(\\w+|'[^']*')",
+        "soundex($1) = soundex($2)")
+    if (s.toLowerCase.contains("cast"))
+      s = rewriteTwoArgCast(s)
+    if (s.contains("->") || s.contains("#>"))
+      s = rewriteArrowOps(s)
+    if (s.toLowerCase.contains("database") || s.toLowerCase.contains("schema"))
+      s = s.replaceAll("(?i)\\b(currentdatabase|current_database|database|schema)\\s*\\(\\s*\\)",
+        s"'$currentDb'")
+    // tuple field access expr.1 -> expr._1 (digit right after the dot,
+    // non-digit before it so decimal literals stay; iterate for chains)
+    if ("""[\w`\)\]]\.\d""".r.findFirstIn(s).isDefined)
+      s = mapOutsideQuotes(s, seg => {
+        var t = seg
+        var prev = ""
+        while (prev != t) {
+          prev = t
+          t = t.replaceAll("""([A-Za-z_]\w*|[\)\]])\.(\d+)\b(?!\s*\()""", "$1._$2")
+        }
+        t
+      })
+    s
+  }
+
+  /** apply `f` to the segments of `s` outside single-quoted /
+    * backquoted literals
+    */
+  private def mapOutsideQuotes(s: String, f: String => String): String = {
+    val sb = new StringBuilder(s.length)
+    val seg = new StringBuilder
+    var i = 0; var q: Char = 0
+    def flush(): Unit = { sb.append(f(seg.toString)); seg.clear() }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { sb += c; if (c == q) q = 0 }
+      else if (c == '\'' || c == '`') { flush(); q = c; sb += c }
+      else seg += c
+      i += 1
+    }
+    flush()
+    sb.toString
+  }
+
+  /** `cast(expr, TYPE)` (databend 2-arg spelling, expr.rs) ->
+    * `cast(expr as TYPE)`; TRY_CAST likewise
+    */
+  private def rewriteTwoArgCast(s: String): String = {
+    val re = """(?i)\b(try_)?cast\s*\(""".r
+    var out = s
+    var changed = true
+    while (changed) {
+      changed = false
+      for (m <- re.findAllMatchIn(out).toSeq.reverse if !changed) {
+        val open = m.end - 1
+        val close = matchParen(out, open)
+        if (close > open) {
+          val inner = out.substring(open + 1, close)
+          // only the 2-arg comma form (no AS at top level)
+          if (indexOfKeyword(inner, "AS") < 0) {
+            val comma = indexOfTopLevel(inner, ',')
+            if (comma > 0) {
+              val tpe = inner.substring(comma + 1).trim
+              if ("""^[A-Za-z_][\w ]*(\([\w\s(),]*\))?$""".r
+                    .findFirstIn(tpe).isDefined) {
+                out = out.substring(0, open + 1) + inner.take(comma).trim +
+                  " as " + tpe + out.substring(close)
+                changed = true
+              }
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** `->`/`->>` (one-step variant navigation, literal keys) and
+    * `#>`/`#>>` (path-array navigation) -> the VariantGetDyn /
+    * VariantGetPath expressions (functions/VariantGetFns.scala).
+    * A `->` whose RHS is not a literal is left alone (lambda syntax).
+    */
+  private def rewriteArrowOps(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 200) {
+      changed = false; guard += 1
+      var i = 0; var q: Char = 0
+      while (i < s.length - 1 && !changed) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0; i += 1 }
+        else if (c == '\'' || c == '`') { q = c; i += 1 }
+        else if ((c == '-' || c == '#') && s.charAt(i + 1) == '>') {
+          val text = i + 2 < s.length && s.charAt(i + 2) == '>'
+          val opEnd = if (text) i + 3 else i + 2
+          // RHS: literal number / string / NULL only
+          val rhsM = """\s*('[^']*'|-?\d+|(?i:NULL)\b)""".r
+            .findPrefixMatchOf(s.substring(opEnd))
+          // LHS: walk back over a primary expression
+          val lhsStart = arrowLhsStart(s, i)
+          if (rhsM.isDefined && lhsStart >= 0 && lhsStart < i) {
+            val lhs = s.substring(lhsStart, i).trim
+            val rhs = rhsM.get.group(1)
+            val fn =
+              if (c == '#') if (text) "variant_path_text" else "variant_path"
+              else if (text) "variant_get_text" else "variant_get_dyn"
+            s = s.substring(0, lhsStart) + s"$fn($lhs, $rhs)" +
+              s.substring(opEnd + rhsM.get.end)
+            changed = true
+          } else i = opEnd
+        } else i += 1
+      }
+    }
+    s
+  }
+
+  /** start index of the primary expression ending just before `op`
+    * (identifier chain, quoted ident, or call/paren/subscript group)
+    */
+  private def arrowLhsStart(s: String, op: Int): Int = {
+    var j = op - 1
+    while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return -1
+    var start = -1
+    var done = false
+    while (!done && j >= 0) {
+      s.charAt(j) match {
+        case ')' | ']' =>
+          var depth = 0
+          var k = j
+          var inQ = false
+          while (k >= 0 && (depth != 0 || k == j)) {
+            val ch = s.charAt(k)
+            if (inQ) { if (ch == '\'') inQ = false }
+            else ch match {
+              case ')' | ']' => depth += 1
+              case '(' | '[' => depth -= 1
+              case '\'' => inQ = true
+              case _ =>
+            }
+            k -= 1
+          }
+          start = k + 1; j = k
+        case ch if ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '$' =>
+          var k = j
+          while (k >= 0 && (s.charAt(k).isLetterOrDigit ||
+            "._$".contains(s.charAt(k)))) k -= 1
+          start = k + 1; j = k
+        case '`' =>
+          var k = j - 1
+          while (k >= 0 && s.charAt(k) != '`') k -= 1
+          start = k; j = k - 1
+        case '\'' =>
+          var k = j - 1
+          while (k >= 0 && s.charAt(k) != '\'') k -= 1
+          start = k; j = k - 1
+        case _ => done = true
+      }
+      // absorb a `::type` cast prefix ('...'::json->k) and preceding
+      // identifier/call chains (f(x)->, t.v->)
+      if (!done && j >= 1 && s.charAt(j) == ':' && s.charAt(j - 1) == ':')
+        j -= 2
+      else if (!done && j >= 0 && !(s.charAt(j).isLetterOrDigit ||
+            "._$`')]".contains(s.charAt(j)))) done = true
+    }
+    start
+  }
+
+  /** strip `-- ...` line comments, quote-aware (databend lexer) */
+  private def stripLineComments(sql: String): String = {
+    if (!sql.contains("--")) return sql
+    sql.linesIterator.map { line =>
+      var i = 0; var inStr = false; var cut = -1
+      while (i < line.length && cut < 0) {
+        val c = line.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '-' && i + 1 < line.length && line.charAt(i + 1) == '-') cut = i
+        i += 1
+      }
+      if (cut >= 0) line.substring(0, cut) else line
+    }.mkString("\n")
+  }
+
   def execute(sql: String): DataFrame = {
     var s = sql.trim.stripSuffix(";").trim
     s = stripBlockComments(s).trim.stripSuffix(";").trim
+    s = stripLineComments(s).trim.stripSuffix(";").trim
     s = preserveUnknownEscapes(s)
     // $name / getvariable('name') -> stored literals (except inside a
     // SET VARIABLE statement itself, whose RHS must evaluate fresh)
@@ -178,6 +378,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // trailing IGNORE_RESULT (databend statement suffix: run, discard
     // rows — tests/sqllogictests suites use it on large results)
     s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
+    // dialect-level operator spellings (skip CREATE FUNCTION so script
+    // bodies pass through untouched)
+    if (!"""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\b""".r
+          .findPrefixMatchOf(s).isDefined)
+      s = dialectOps(s)
     // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
     // (ast/statements/statement.rs StatementWithSettings). Most knobs
     // are engine-internal (spill/topn/shuffle modes) with no Spark
@@ -640,6 +845,17 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         (db, n, "BASE TABLE", false, "")
       }.toDF("database", "name", "table_type", "is_temporary", "comment")
       sql = sql.replaceAll("(?i)\\bsystem\\s*\\.\\s*tables\\b",
+        java.util.regex.Matcher.quoteReplacement(freshView(df)))
+    }
+    // system.databases likewise: this instance's CREATE DATABASE
+    // registry plus the reference's built-in schemas
+    if ("""(?i)\bsystem\s*\.\s*databases\b""".r.findFirstIn(sql).isDefined) {
+      import spark.implicits._
+      val names = (databases.toSeq ++ Seq("system", "information_schema"))
+        .distinct.sorted
+      val df = names.map(n => (n, "default"))
+        .toDF("name", "catalog")
+      sql = sql.replaceAll("(?i)\\bsystem\\s*\\.\\s*databases\\b",
         java.util.regex.Matcher.quoteReplacement(freshView(df)))
     }
     // any other system.<name> relation reference -> the registered
@@ -2473,6 +2689,25 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           } else {
             while (s0 >= 0 && baseChar(sb.charAt(s0))) s0 -= 1
           }
+          // absorb a `::type` cast base ('...'::json[k]): the cast's
+          // operand is part of the subscripted primary
+          while (s0 >= 1 && sb.charAt(s0) == ':' && sb.charAt(s0 - 1) == ':') {
+            s0 -= 2
+            if (s0 >= 0 && sb.charAt(s0) == '\'') {
+              s0 -= 1
+              while (s0 >= 0 && sb.charAt(s0) != '\'') s0 -= 1
+              s0 -= 1
+            } else if (s0 >= 0 && sb.charAt(s0) == ')') {
+              var d = 0
+              while (s0 >= 0 && { val cc = sb.charAt(s0)
+                if (cc == ')') d += 1 else if (cc == '(') d -= 1
+                d != 0 }) s0 -= 1
+              s0 -= 1
+              while (s0 >= 0 && baseChar(sb.charAt(s0))) s0 -= 1
+            } else {
+              while (s0 >= 0 && baseChar(sb.charAt(s0))) s0 -= 1
+            }
+          }
           val base = sb.substring(s0 + 1, e + 1)
           val leaf = base.toLowerCase.split('.').last.replace("`", "")
           val isVariant =
@@ -2488,7 +2723,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             // map lookup: keys pass through verbatim (0/negative int
             // keys are legitimate map keys)
             sb.append(s"try_element_at($base, $subExpr)")
-          else if (subExpr.trim.matches("-?\\d+"))
+          else if (isArrayCol && subExpr.trim.matches("-?\\d+"))
             sb.append(
               // 1-based array subscript: index < 1 yields NULL (the
               // reference's UInt64 index neither hits 0 nor goes
@@ -2502,7 +2737,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             sb.append(s"try_element_at($base, CASE WHEN ($subExpr) < 1 " +
               s"THEN CAST(NULL AS INT) ELSE ($subExpr) END)")
           else
-            sb.append(s"try_element_at($base, $subExpr)")
+            // unknown base type (call results, aliases): `get` is the
+            // type-dispatched marker — VARIANT navigates 0-based,
+            // arrays keep the 1-based NULL-below-1 guard
+            // (GraftCoercionRule.GetMarker)
+            sb.append(s"get($base, $subExpr)")
           i = close + 1
         }
       } else { sb += c; i += 1 }
@@ -4781,8 +5020,43 @@ object GraftSql {
     var changed = true
     while (changed) {
       val n = c
+        .replaceAll("(?i)\\bnullable\\s*\\(\\s*([^()]*?)\\s*\\)", "$1")
         .replaceAll("(?i)\\barray\\s*\\(\\s*([^()]*?)\\s*\\)", "array<$1>")
         .replaceAll("(?i)\\bmap\\s*\\(\\s*([^(),]*?)\\s*,\\s*([^()]*?)\\s*\\)", "map<$1,$2>")
+        // vector(N): fixed-dim embedding column -> float array
+        .replaceAll("(?i)\\bvector\\s*\\(\\s*\\d+\\s*\\)", "array<float>")
+        // tuple(int, int) / tuple(a int, b string) -> struct DDL;
+        // unnamed fields take the reference's 1-based spellings
+        .pipe(t => """(?i)\btuple\s*\(([^()]*)\)""".r.replaceAllIn(t, m => {
+          // angle-aware comma split (inner tuples are already
+          // struct<...> by the innermost-first loop)
+          val fields = mutable.Buffer[String]()
+          var depth = 0; val cur = new StringBuilder
+          m.group(1).foreach {
+            case '<' => depth += 1; cur += '<'
+            case '>' => depth -= 1; cur += '>'
+            case ',' if depth == 0 => fields += cur.toString; cur.clear()
+            case ch => cur += ch
+          }
+          if (cur.nonEmpty) fields += cur.toString
+          val typeWords = Set("int", "integer", "bigint", "smallint",
+            "tinyint", "uint8", "uint16", "uint32", "uint64", "int8",
+            "int16", "int32", "int64", "float", "double", "varchar",
+            "string", "char", "text", "date", "datetime", "timestamp",
+            "boolean", "bool", "decimal", "variant", "json", "binary",
+            "array", "map", "struct", "nullable", "vector", "bitmap",
+            "float32", "float64", "numeric", "real")
+          val rendered = fields.map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
+            case (f, i) =>
+              val sp = f.indexWhere(_.isWhitespace)
+              val named = sp > 0 && (f.indexOf('<') < 0 || f.indexOf('<') > sp) &&
+                !typeWords(f.take(sp).toLowerCase)
+              if (named) s"${f.take(sp)}: ${f.drop(sp).trim}"
+              else s"_${i + 1}: $f"
+          }
+          java.util.regex.Matcher.quoteReplacement(
+            s"struct<${rendered.mkString(", ")}>")
+        }))
       changed = n != c
       c = n
     }

@@ -94,7 +94,6 @@ object GraftFunctions {
     // json / variant — parse_json is NOT aliased: Spark 4's native
     // parse_json already returns VARIANT, matching the reference's
     // parse_json -> Variant (scalars/variant.rs)
-    "json_extract_path_text" -> "get_json_object",
     "json_to_string" -> "to_json",
     // arithmetic spellings (function_list.txt:2,56-59,104)
     "add" -> "try_add",
@@ -221,8 +220,18 @@ object GraftFunctions {
     // index 0 yields NULL) — Spark's builtin get is 0-based
     "array_get" -> (args => fn("try_element_at", args.head,
       fn("nullif", args(1), Literal(0)))),
-    "get" -> (args => fn("try_element_at", args.head,
-      fn("nullif", args(1), Literal(0)))),
+    // get(): type-dispatched by GraftCoercionRule — VARIANT navigates
+    // 0-based/case-sensitive (VariantGetDyn), arrays stay 1-based
+    "get" -> (args => GetMarker(args.head, args(1))),
+    "get_string" -> (args => VariantGetDyn(args.head, args(1), asText = true)),
+    "get_ignore_case" -> (args =>
+      VariantGetDyn(args.head, args(1), asText = false, ignoreCase = true)),
+    "variant_get_dyn" -> (args => VariantGetDyn(args.head, args(1), asText = false)),
+    "variant_get_text" -> (args => VariantGetDyn(args.head, args(1), asText = true)),
+    "variant_path" -> (args =>
+      VariantGetPath(args.head, args(1), asText = false, dotted = false)),
+    "variant_path_text" -> (args =>
+      VariantGetPath(args.head, args(1), asText = true, dotted = false)),
     // quantile_cont: exact continuous-interpolation percentile
     // (1-arg form = median, reference aggregate_quantile_cont.rs)
     "quantile_cont" -> (args => fn("percentile", castD(args.head),

@@ -74,5 +74,5 @@ case class JsonFlatten(child: Expression, recursive: Boolean)
 }
 
 object JsonFlatten {
-  private[functions] val mapper = new ObjectMapper()
+  private[graft] val mapper = new ObjectMapper()
 }

@@ -58,7 +58,6 @@ object MoreAliases {
     "map_cat" -> "map_concat",
     "map_size" -> "size",
     "unicode" -> "ascii",
-    "ord" -> "ascii",
     "to_last_of_month" -> "last_day",
     "date_add_months" -> "add_months",
     "epoch" -> "unix_timestamp",
@@ -169,7 +168,34 @@ object MoreAliases {
       "isinf" -> (a => Or(
         EqualTo(cast(a.head, DoubleType), Literal(Double.PositiveInfinity)),
         EqualTo(cast(a.head, DoubleType), Literal(Double.NegativeInfinity)))),
-      "oct" -> (a => f("conv", cast(a.head, LongType), Literal(10), Literal(8))),
+      // two's-complement octal (MySQL OCT; conv() saturates at
+      // Long.MinValue) — string.rs oct
+      "oct" -> (a => f("oct_impl", cast(a.head, LongType))),
+      // 2-arg trims: databend order is (str, trimSet); Spark's SQL
+      // spelling is (trimSet, str) — build the expression directly
+      "ltrim" -> (a =>
+        if (a.length == 1) StringTrimLeft(a.head)
+        else StringTrimLeft(a.head, a(1))),
+      "rtrim" -> (a =>
+        if (a.length == 1) StringTrimRight(a.head)
+        else StringTrimRight(a.head, a(1))),
+      // CHAR(n1, n2, ...): concatenation of code points (MySQL CHAR)
+      "char" -> (a =>
+        if (a.length == 1) Chr(cast(a.head, LongType))
+        else Concat(a.map(x => Chr(cast(x, LongType))))),
+      // LOCATE('', s [, pos]) = pos when pos lands inside s (MySQL);
+      // Spark's locate returns 0 there
+      "locate" -> (a => {
+        val sub = a.head
+        val str = a(1)
+        val pos = if (a.length > 2) cast(a(2), IntegerType) else Literal(1)
+        CaseWhen(Seq(
+          (EqualTo(f("length", sub), Literal(0)),
+            CaseWhen(Seq((LessThanOrEqual(pos, Add(f("length", str), Literal(1))), pos)),
+              Some(Literal(0))))),
+          Some(StringLocate(sub, str, pos)))
+      }),
+      "base64_decode_string" -> (a => cast(f("unbase64", a.head), StringType)),
       "strcmp" -> (a => CaseWhen(Seq(
         (Or(IsNull(a.head), IsNull(a(1))), cast(Literal(null), IntegerType)),
         (LessThan(a.head, a(1)), Literal(-1)),
@@ -353,12 +379,11 @@ object MoreAliases {
       "json_exists_all_keys" -> (a =>
         EqualTo(Size(ArrayExcept(CreateArray(a.tail),
           f("json_object_keys", cast(a.head, StringType)))), Literal(0))),
-      "get_path" -> (a => a(1) match {
-        case Literal(s, _) if s != null =>
-          f("get_json_object", cast(a.head, StringType), Literal("$." + s.toString))
-        case other => throw new IllegalArgumentException(
-          s"get_path requires a literal path, got $other")
-      }),
+      // dotted/bracketed path navigation (variant.rs get_by_keypath);
+      // VariantGetPath keeps VARIANT output and non-literal paths work
+      "get_path" -> (a => VariantGetPath(a.head, a(1), asText = false, dotted = true)),
+      "json_extract_path_text" -> (a =>
+        VariantGetPath(a.head, a(1), asText = true, dotted = true)),
       "map_insert" -> (a => f("map_concat", a.head, f("map", a(1), a(2)))),
 
       // array edits/sorts (reference array.rs)
@@ -464,6 +489,82 @@ object MoreAliases {
     for ((name, builder) <- rewrites) {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // ord: MySQL multibyte semantics (string.rs ord) — the leading
+    // character's UTF-8 bytes read as a big-endian number
+    spark.udf.register("ord", udf((s: String) =>
+      if (s == null) None
+      else if (s.isEmpty) Some(0L)
+      else {
+        val first = s.codePointAt(0)
+        val bytes = new String(Character.toChars(first)).getBytes("UTF-8")
+        Some(bytes.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)))
+      }))
+    // two's-complement octal (conv() clips at Long.MinValue)
+    spark.udf.register("oct_impl", udf((n: java.lang.Long) =>
+      if (n == null) None else Some(java.lang.Long.toOctalString(n))))
+    // MySQL-shaped regexp family with full argument lists
+    // (string.rs regexp_*; see functions/RegexpMysql.scala)
+    spark.udf.register("regexp_like_impl",
+      udf((s: String, p: String, mt: String) => Option(RegexpMysql.like(s, p, mt))))
+    spark.udf.register("regexp_instr_impl",
+      udf((s: String, p: String, pos: Int, occ: Int, ret: Int, mt: String) =>
+        Option(RegexpMysql.instr(s, p, pos, occ, ret, mt))))
+    spark.udf.register("regexp_substr_impl",
+      udf((s: String, p: String, pos: Int, occ: Int, mt: String) =>
+        Option(RegexpMysql.substr(s, p, pos, occ, mt))))
+    spark.udf.register("regexp_replace_impl",
+      udf((s: String, p: String, r: String, pos: Int, occ: Int, mt: String) =>
+        Option(RegexpMysql.replace(s, p, r, pos, occ, mt))))
+    def pad(a: Seq[Expression], n: Int, defaults: Seq[Expression]): Seq[Expression] =
+      a ++ defaults.drop(a.length - (n - defaults.length))
+    reg.createOrReplaceTempFunction("regexp_like",
+      a => UnresolvedFunction("regexp_like_impl",
+        pad(a, 3, Seq(Literal(""))), isDistinct = false), "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_instr",
+      a => UnresolvedFunction("regexp_instr_impl",
+        pad(a, 6, Seq(Literal(1), Literal(1), Literal(0), Literal(""))),
+        isDistinct = false), "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_substr",
+      a => UnresolvedFunction("regexp_substr_impl",
+        pad(a, 5, Seq(Literal(1), Literal(1), Literal(""))),
+        isDistinct = false), "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_replace",
+      a => UnresolvedFunction("regexp_replace_impl",
+        pad(a, 6, Seq(Literal(1), Literal(0), Literal(""))),
+        isDistinct = false), "scala_udf")
+    // instr(str, substr [, pos [, occurrence]]) — reverse-arg locate
+    // with the reference's extended pos/occurrence args
+    spark.udf.register("instr_impl",
+      udf((s: String, sub: String, pos: Int, occ: Int) => {
+        if (s == null || sub == null) None
+        else if (sub.isEmpty) Some(if (math.abs(pos) <= s.length + 1) math.abs(pos).toLong else 0L)
+        else if (pos >= 0) {
+          var at = pos - 1
+          var n = 0
+          var res = 0L
+          while (n < occ && at <= s.length) {
+            val i = s.indexOf(sub, at)
+            if (i < 0) { n = occ; res = 0L; at = s.length + 1 }
+            else { n += 1; res = i + 1L; at = i + 1 }
+          }
+          Some(res)
+        } else {
+          // negative pos: search BACKWARD from the end (Oracle INSTR)
+          var at = s.length + pos
+          var n = 0
+          var res = 0L
+          while (n < occ && at >= 0) {
+            val i = s.lastIndexOf(sub, at)
+            if (i < 0) { n = occ; res = 0L; at = -1 }
+            else { n += 1; res = i + 1L; at = i - 1 }
+          }
+          Some(res)
+        }
+      }))
+    reg.createOrReplaceTempFunction("instr",
+      a => if (a.length <= 2) StringInstr(a.head, a(1))
+      else UnresolvedFunction("instr_impl",
+        pad(a, 4, Seq(Literal(1), Literal(1))), isDistinct = false), "scala_udf")
     // vector distances (reference scalars/vector.rs:60-172; arrays of
     // float/double; the benched ANN paths use the codegen'd zip_with
     // forms — these names are the scalar-call surface)

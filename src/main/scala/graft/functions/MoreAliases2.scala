@@ -54,7 +54,7 @@ object MoreAliases2 {
       "object_pick", "json_object_insert", "object_insert",
       "json_strip_nulls", "strip_null_value", "json_pretty",
       "json_contains_in_right", "json_contains_in_left",
-      "get_ignore_case", "delete_by_keypath", "xxhash32",
+      "delete_by_keypath", "xxhash32",
       "as_timestamp_tz", "is_timestamp_tz",
       "to_uuid", "siphash", "siphash64", "city64withseed", "blake3",
       "json_path_query", "json_path_query_array", "json_path_query_first",
@@ -278,7 +278,8 @@ object MoreAliases2 {
       f("json_contains_in_right_impl", jstr(a.head), jstr(a(1)))),
     "json_contains_in_left" -> (a =>
       f("json_contains_in_right_impl", jstr(a(1)), jstr(a.head))),
-    "get_ignore_case" -> (a => f("get_ignore_case_impl", jstr(a.head), a(1))),
+    // get_ignore_case lives in GraftFunctions (VariantGetDyn: exact
+    // match wins before the case-insensitive scan, VARIANT output)
     "delete_by_keypath" -> (a => f("delete_by_keypath_impl", jstr(a.head), a(1))),
     "xxhash32" -> (a => f("xxhash32_impl", jstr(a.head))),
     "to_uuid" -> (a => f("to_uuid_impl", jstr(a.head))),

@@ -1,0 +1,134 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Unevaluable}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.variant.VariantExpressionEvalUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{UTF8String, VariantVal}
+import scala.jdk.CollectionConverters._
+
+/** One-step VARIANT navigation with a runtime key — the reference's
+  * `get(variant, index_or_key)` / `->` and `get_string` / `->>`
+  * (src/query/functions/src/scalars/variant.rs). Spark's own
+  * variant_get needs a FOLDABLE path, hence this expression.
+  *
+  *   - integer key: 0-based array element (NULL on non-array /
+  *     out-of-range)
+  *   - string key: object field, case-sensitive (`ignoreCase` gives
+  *     the reference's get_ignore_case: exact match wins, otherwise
+  *     the first case-insensitive hit in key order)
+  *   - `asText`: unquote the result to STRING; a JSON null becomes a
+  *     SQL NULL (the reference's get_string)
+  *
+  * Navigation goes through the same Jackson tree the VariantFlatten
+  * generator uses; a VARIANT input renders to canonical JSON first, so
+  * nested values round-trip exactly.
+  */
+case class VariantGetDyn(left: Expression, right: Expression,
+                         asText: Boolean, ignoreCase: Boolean = false)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = if (asText) StringType else VariantType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(j: Any, k: Any): Any = {
+    val root = VariantGetFns.readTree(j)
+    if (root == null) return null
+    val node: JsonNode = k match {
+      case s: UTF8String =>
+        val key = s.toString
+        if (!root.isObject) null
+        else if (root.has(key)) root.get(key)
+        else if (ignoreCase)
+          root.fields().asScala.find(_.getKey.equalsIgnoreCase(key))
+            .map(_.getValue).orNull
+        else null
+      case n: Number => if (root.isArray) root.get(n.intValue) else null
+      case _ => null
+    }
+    VariantGetFns.out(node, asText)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantGetDyn =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Path navigation into VARIANT:
+  *   - `#>` / `#>>`: the jsonb path-array form `'{seg, seg, ...}'`
+  *     (each segment an object key or a 0-based array index)
+  *   - get_path / `v:a.b[0]`-style dotted paths when `dotted` is set
+  *     (segments split on `.`, `[n]`, and `["quoted"]`)
+  */
+case class VariantGetPath(left: Expression, right: Expression,
+                          asText: Boolean, dotted: Boolean)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = if (asText) StringType else VariantType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(j: Any, p: Any): Any = {
+    var node = VariantGetFns.readTree(j)
+    if (node == null) return null
+    val raw = p.toString
+    val segs: Seq[String] =
+      if (dotted) {
+        """\[\s*"([^"]*)"\s*\]|\[\s*'([^']*)'\s*\]|\[(\d+)\]|([^.\[\]]+)""".r
+          .findAllMatchIn(raw).map { m =>
+            Seq(m.group(1), m.group(2), m.group(3), m.group(4))
+              .find(_ != null).get
+          }.toSeq
+      } else raw.stripPrefix("{").stripSuffix("}").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    for (seg <- segs) {
+      if (node == null) return null
+      node =
+        if (node.isArray && seg.matches("-?\\d+")) node.get(seg.toInt)
+        else if (node.isObject) node.get(seg)
+        else null
+    }
+    VariantGetFns.out(node, asText)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantGetPath =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `get(x, k)` before the input type is known: the GraftCoercionRule
+  * resolves it to VariantGetDyn (VARIANT/STRING input) or 1-based
+  * try_element_at (ARRAY/MAP input — the reference's array get is
+  * 1-based).
+  */
+case class GetMarker(left: Expression, right: Expression)
+    extends BinaryExpression with Unevaluable {
+  override def dataType: DataType = VariantType
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GetMarker =
+    copy(left = newLeft, right = newRight)
+}
+
+object VariantGetFns {
+  private[functions] def readTree(v: Any): JsonNode = {
+    val json = v match {
+      case vv: VariantVal => vv.toString
+      case s => s.toString
+    }
+    try JsonFlatten.mapper.readTree(json)
+    catch { case _: Exception => null }
+  }
+
+  private[functions] def out(node: JsonNode, asText: Boolean): Any = {
+    if (node == null) return null
+    if (asText) {
+      if (node.isNull) null
+      else if (node.isTextual) UTF8String.fromString(node.asText)
+      else UTF8String.fromString(node.toString)
+    } else {
+      VariantExpressionEvalUtils.parseJson(
+        UTF8String.fromString(node.toString), false, true)
+    }
+  }
+}

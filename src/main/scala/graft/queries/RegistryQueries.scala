@@ -277,7 +277,7 @@ object RegistryQueries extends QueryModule {
           |  as_integer(parse_json(CAST(o_orderkey AS STRING))) AS ai,
           |  as_string(parse_json('"hi"')) AS astr,
           |  json_exists_key(parse_json('{"a":1,"b":2}'), 'a') AS jek,
-          |  get_path(parse_json('{"a":{"b":2}}'), 'a.b') AS gp,
+          |  CAST(get_path(parse_json('{"a":{"b":2}}'), 'a.b') AS STRING) AS gp,
           |  l2_distance(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l2,
           |  l1_distance(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l1,
           |  inner_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ip,
@@ -363,7 +363,7 @@ object RegistryQueries extends QueryModule {
           |  json_contains_in_right('{"a":1,"b":2}', '{"a":1}') AS jcr,
           |  json_contains_in_left('{"a":1}', '{"a":1,"b":2}') AS jcl,
           |  json_path_exists('{"a":[1,2]}', '$.a[1]') AS jpe,
-          |  get_ignore_case('{"Aa":5}', 'aA') AS gic,
+          |  CAST(get_ignore_case('{"Aa":5}', 'aA') AS STRING) AS gic,
           |  CAST(vector_dims(array(1.0, 2.0, 3.0)) AS INT) AS vd,
           |  round(vector_norm(array(3.0, 4.0)), 6) AS vn,
           |  point_in_polygon((o_orderkey % 20) / 10.0 + 0.05, 0.5,

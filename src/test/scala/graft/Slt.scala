@@ -76,8 +76,31 @@ object Slt {
     out.result()
   }
 
+  /** databend's jsonb renders object keys SORTED; Spark's VariantVal
+    * keeps insertion order — recursively sort for comparison
+    */
+  private def sortedJson(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = n match {
+    case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+      import scala.jdk.CollectionConverters._
+      val out = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+      o.properties().asScala.toSeq.sortBy(_.getKey)
+        .foreach(e => out.set[com.fasterxml.jackson.databind.JsonNode](
+          e.getKey, sortedJson(e.getValue)))
+      out
+    case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+      import scala.jdk.CollectionConverters._
+      val out = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.arrayNode()
+      a.elements().asScala.foreach(e => out.add(sortedJson(e)))
+      out
+    case other => other
+  }
+
   def formatCell(v: Any): String = v match {
     case null => "NULL"
+    case vv: org.apache.spark.unsafe.types.VariantVal =>
+      try sortedJson(graft.functions.JsonFlatten.mapper.readTree(vv.toString)).toString
+      catch { case _: Exception => vv.toString }
     case d: java.lang.Double => formatDouble(d)
     case f: java.lang.Float => formatDouble(f.doubleValue())
     // plain form: BigDecimal.toString switches to scientific notation
