@@ -928,6 +928,32 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // unnest(arr) as a FROM-clause table factor: the scalar registry's
     // unnest->explode alias doesn't cover TVF position
     sql = sql.replaceAll("(?i)\\b(FROM|JOIN)(\\s+)unnest\\s*\\(", "$1$2explode(")
+    // parenthesized form `FROM (unnest(expr))` -> derived-table explode
+    sql = {
+      var s2 = sql
+      var changed = true
+      while (changed) {
+        changed = false
+        """(?i)\(\s*unnest\s*\(""".r.findAllMatchIn(s2).toSeq.reverseIterator
+          .foreach { m =>
+            if (!changed) {
+              val outer = m.start
+              val inner = m.end - 1
+              val innerClose = matchParen(s2, inner)
+              val outerClose = matchParen(s2, outer)
+              if (innerClose > 0 && outerClose > innerClose &&
+                  s2.substring(innerClose + 1, outerClose).trim.isEmpty) {
+                val arg = s2.substring(inner + 1, innerClose)
+                s2 = s2.substring(0, outer) +
+                  s"(SELECT explode($arg) AS unnest)" +
+                  s2.substring(outerClose + 1)
+                changed = true
+              }
+            }
+          }
+      }
+      s2
+    }
     // databend [..] array literals -> array(..) (subscripts untouched)
     sql = arrayLiterals(sql)
     // databend {k:v, ...} map literals -> map(k, v, ...)
@@ -1906,7 +1932,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
                 !e.trim.matches("(?is).*[-+*/%<>=|&^]") &&
                 !e.trim.matches("(?i)(DISTINCT|ALL)") &&
                 !e.trim.toUpperCase.endsWith(" DISTINCT") &&
-                !FactorKws.contains(n.toUpperCase) =>
+                !FactorKws.contains(n.toUpperCase) &&
+                !ImplicitAliasStop.contains(n.toUpperCase) =>
             aliasMap :+= (n.toLowerCase -> e.trim)
           case _ =>
         }
@@ -3138,6 +3165,19 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private val HardFromEnders = FromEnderKws - "ON" - "WHEN"
 
   /** join/factor keywords that are never table aliases */
+  /** trailing words that END an expression rather than alias it:
+    * `CASE ... END`, `x IS NOT NULL`, `INTERVAL 1 DAY` — treating
+    * these as implicit aliases would substitute the keyword away in
+    * later select items (round-10 fix: CASE in a multi-item list lost
+    * its END to the first item's expression)
+    */
+  private val ImplicitAliasStop = Set(
+    "END", "NULL", "TRUE", "FALSE", "UNKNOWN",
+    "DAY", "DAYS", "MONTH", "MONTHS", "YEAR", "YEARS", "HOUR", "HOURS",
+    "MINUTE", "MINUTES", "SECOND", "SECONDS", "WEEK", "WEEKS",
+    "QUARTER", "QUARTERS", "MICROSECOND", "MICROSECONDS",
+    "MILLISECOND", "MILLISECONDS")
+
   private val FactorKws = Set(
     "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS", "NATURAL",
     "SEMI", "ANTI", "ASOF", "LATERAL", "USING", "ON", "AS", "PIVOT",

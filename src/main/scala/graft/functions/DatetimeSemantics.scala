@@ -117,7 +117,10 @@ class DatetimeCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // typed timestamp columns the TIMESTAMP result stands
         case TruncTimestamp(fl @ Literal(fmt, StringType), c, _)
             if fmt != null && c.resolved && (c match {
-              case Cast(s, TimestampType, _, _) => s.dataType == StringType
+              // string input binds to the date overload; DATE input
+              // keeps its DATE rendering on day-or-coarser units
+              case Cast(s, TimestampType, _, _) =>
+                s.dataType == StringType || s.dataType == DateType
               case _ => false
             }) && Set("day", "dd", "week", "month", "mon", "mm",
                       "quarter", "year", "yyyy", "yy")(fmt.toString.toLowerCase) =>

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -22,6 +22,24 @@ import org.apache.spark.sql.types._
   *    type-then-value; JSON text agrees on the homogeneous columns
   *    the suites exercise).
   */
+object GraftCoercionRule {
+  /** functions whose unit/weekday argument may be a bare keyword */
+  private[functions] val unitArgFns = Set(
+    "date_diff", "date_between", "date_trunc", "trunc", "time_slice",
+    "previous_day", "next_day", "last_day", "to_start_of_week",
+    "date_part", "datepart")
+
+  private[functions] val unitWords = Set(
+    "year", "years", "isoyear", "quarter", "quarters", "month", "months",
+    "week", "weeks", "yearweek", "isoweek", "iw", "day", "days", "dow",
+    "doy", "isodow", "hour", "hours", "minute", "minutes", "second",
+    "seconds", "millisecond", "milliseconds", "microsecond",
+    "microseconds", "millennium", "millenniums", "millennia", "century",
+    "centuries", "decade", "decades", "epoch",
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+    "sunday", "mon", "tue", "wed", "thu", "fri", "sat", "sun")
+}
+
 class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def isNum(e: Expression): Boolean = e.resolved && (e.dataType match {
@@ -54,6 +72,25 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     p1.resolveOperatorsUp {
       case q => q.transformExpressionsUp {
+        // bare-keyword unit/weekday args (databend grammar:
+        // `date_trunc(week, x)`, `previous_day(d, monday)`) arrive as
+        // UnresolvedAttribute and would block function resolution
+        // (ResolveFunctions needs childrenResolved) — literalize them
+        // so the registered builders see strings
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              GraftCoercionRule.unitArgFns.contains(u.nameParts.head.toLowerCase) &&
+              u.arguments.exists {
+                case UnresolvedAttribute(Seq(p)) =>
+                  GraftCoercionRule.unitWords.contains(p.toLowerCase)
+                case _ => false
+              } =>
+          u.copy(arguments = u.arguments.map {
+            case UnresolvedAttribute(Seq(p))
+                if GraftCoercionRule.unitWords.contains(p.toLowerCase) =>
+              Literal(p.toLowerCase)
+            case other => other
+          })
         case GetMarker(l, r) if l.resolved && r.resolved =>
           l.dataType match {
             case _: ArrayType =>

@@ -889,6 +889,7 @@ object GraftFunctions {
     // round-9 reference datetime semantics: databend-spelled typeof
     // (the coercion rule itself is wired by GraftSession at build time)
     DatetimeSemantics.register(spark)
+    DatetimeMore.register(spark)
     // jq subset SRF (reference srfs/variant.rs:439 via jaq): rows of
     // canonical JSON per produced value
     spark.udf.register("jq_impl",

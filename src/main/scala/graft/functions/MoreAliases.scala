@@ -278,6 +278,8 @@ object MoreAliases {
       "diff_microseconds" -> byMicros(1L) _,
       "diff_milliseconds" -> byMicros(1000L) _,
       "diff_millenniums" -> byYearsDiv(1000) _,
+      "diff_centuries" -> byYearsDiv(100) _,
+      "diff_decades" -> byYearsDiv(10) _,
       "between_hours" -> bySeconds(3600L) _,
       "between_minutes" -> bySeconds(60L) _,
       "between_seconds" -> bySeconds(1L) _,

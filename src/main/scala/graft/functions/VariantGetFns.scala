@@ -71,7 +71,13 @@ case class VariantGetPath(left: Expression, right: Expression,
   override def nullSafeEval(j: Any, p: Any): Any = {
     var node = VariantGetFns.readTree(j)
     if (node == null) return null
-    val raw = p.toString
+    // tolerate a JSONPath-style `$`/`$.` prefix (get_json_object
+    // spelling); a literal "$" key remains addressable as ["$"]
+    val raw0 = p.toString
+    val raw =
+      if (dotted && raw0.startsWith("$"))
+        raw0.stripPrefix("$").stripPrefix(".")
+      else raw0
     val segs: Seq[String] =
       if (dotted) {
         """\[\s*"([^"]*)"\s*\]|\[\s*'([^']*)'\s*\]|\[(\d+)\]|([^.\[\]]+)""".r

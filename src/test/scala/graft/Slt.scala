@@ -147,7 +147,9 @@ object Slt {
         catch { case e: Throwable => Some(e) }
         (r, expectError) match {
           case (None, true) => Seq(s"$name:$line expected error, statement succeeded")
-          case (Some(e), false) => Seq(s"$name:$line statement failed: ${e.getMessage}")
+          case (Some(e), false) =>
+            val msg = Option(e.getMessage).getOrElse(e.toString)
+            Seq(s"$name:$line statement failed: $msg")
           case _ => Nil
         }
       case Query(sql, line, expected, rowsort) =>
