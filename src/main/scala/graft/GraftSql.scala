@@ -395,12 +395,55 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val knobs = s.substring(open + 1, close)
       val colFirst = """(?i)enable_group_by_column_first\s*=\s*1""".r
         .findFirstIn(knobs).isDefined
-      if (colFirst) {
-        columnFirstGroupBy = true
-        try return execute(s.substring(close + 1))
-        finally columnFirstGroupBy = false
+      // per-statement timezone: semantics use the session zone for
+      // the statement's plans; the RESULT's timestamp columns are
+      // shifted to render identically under the harness's UTC render
+      // (the reference renders per-session-tz server-side)
+      val tzKnob = """(?i)timezone\s*=\s*'([^']*)'""".r
+        .findFirstMatchIn(knobs).map(_.group(1))
+      // datetime parser-mode settings change PLAN semantics
+      // (DatetimeCoercionRule reads them at analysis time): apply for
+      // the statement, restore after
+      val dtKnobs = Seq("enable_strict_datetime_parser",
+        "enable_auto_detect_datetime_format").flatMap { k =>
+        ("(?i)" + k + """\s*=\s*(\d+)""").r.findFirstMatchIn(knobs)
+          .map(m => k -> m.group(1))
+      } ++ tzKnob.map("spark.sql.session.timeZone" -> _)
+      val saved = dtKnobs.map { case (k, _) =>
+        k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
       }
-      return execute(s.substring(close + 1))
+      dtKnobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      if (dtKnobs.nonEmpty) graft.functions.TimestampTz.register(spark)
+      try {
+        def run(): DataFrame = {
+          val inner = execute(s.substring(close + 1))
+          tzKnob match {
+            case Some(tz) if tz.toUpperCase != "UTC" =>
+              // harness renders in UTC; shift timestamp columns so the
+              // text matches the reference's session-tz rendering
+              inner.schema.fields.foldLeft(inner) { (df, f) =>
+                if (f.dataType == org.apache.spark.sql.types.TimestampType)
+                  df.withColumn(f.name,
+                    org.apache.spark.sql.functions.from_utc_timestamp(
+                      col(s"`${f.name}`"), tz))
+                else df
+              }
+            case _ => inner
+          }
+        }
+        if (colFirst) {
+          columnFirstGroupBy = true
+          try return run()
+          finally columnFirstGroupBy = false
+        }
+        return run()
+      } finally {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => try spark.conf.unset(k) catch { case _: Exception => () }
+        }
+        if (dtKnobs.nonEmpty) graft.functions.TimestampTz.register(spark)
+      }
     }
     val up = s.toUpperCase
     def is(kw: String) = up.startsWith(kw)
@@ -465,6 +508,25 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }
     else if (is("SHOW VARIABLES"))
       showVariables(s.substring("SHOW VARIABLES".length))
+    else if (is("SET ") && """(?is)^SET\s+(GLOBAL\s+|SESSION\s+)?timezone\s*=\s*'([^']*)'\s*$""".r
+               .findPrefixMatchOf(s).isDefined) {
+      // databend `SET timezone = 'Asia/Shanghai'` IS the session zone
+      // (Spark's key spark.sql.session.timeZone); keep the databend
+      // key too so SHOW SETTINGS round-trips
+      val tz = """(?is)^SET\s+(?:GLOBAL\s+|SESSION\s+)?timezone\s*=\s*'([^']*)'\s*$""".r
+        .findPrefixMatchOf(s).get.group(1)
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      spark.conf.set("timezone", tz)
+      // TimestampTz captures the session zone at registration
+      graft.functions.TimestampTz.register(spark)
+      status("op" -> "set", "setting" -> "timezone", "value" -> tz)
+    }
+    else if (is("UNSET ") &&
+             s.substring(6).trim.stripSuffix(";").equalsIgnoreCase("timezone")) {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      try spark.conf.unset("timezone") catch { case _: Exception => () }
+      status("op" -> "unset", "setting" -> "timezone")
+    }
     else if (is("UNSET ")) // databend UNSET <setting> = Spark RESET
       spark.sql("RESET " + s.substring(6).trim.stripSuffix(";"))
     else if (is("USE ")) {
@@ -881,9 +943,24 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // unit-keyword-first spelling (datetime.rs) -> the registered
     // add_/subtract_<unit>s pair (date-preserving for date inputs)
     sql = rewriteUnitDateAdd(sql)
-    // EXTRACT(EPOCH FROM x) — Spark's extract has no epoch field
+    // EXTRACT(EPOCH FROM x) — Spark's extract has no epoch field;
+    // the reference's epoch keeps fractional seconds
     sql = sql.replaceAll("(?i)\\bextract\\s*\\(\\s*epoch\\s+from\\b",
-      "unix_seconds(")
+      "graft_epoch(")
+    // DATEDIFF/DATE_DIFF(unit, a, b): Spark's parser binds these to
+    // TimestampDiff (full-elapsed) before the registry sees them;
+    // databend counts unit-boundary crossings
+    sql = sql.replaceAll(
+      "(?i)\\b(?:datediff|date_diff)\\s*\\(\\s*'?(year|isoyear|quarter|month|week|yearweek|day|dow|doy|isodow|hour|minute|second|epoch|millisecond|microsecond|millennium|century|decade)'?\\s*,",
+      "graft_date_diff('$1',")
+    // other extract fields Spark lacks -> the registered functions
+    // (reference ast IntervalKind tier)
+    for ((field, fn) <- Seq("yearweek" -> "yearweek",
+        "millennium" -> "millennium", "century" -> "century",
+        "decade" -> "decade", "isodow" -> "to_day_of_week",
+        "isoyear" -> "to_iso_year", "dow" -> "graft_dow"))
+      sql = sql.replaceAll(s"(?i)\\bextract\\s*\\(\\s*$field\\s+from\\b",
+        fn + "(")
     // parameterized aggregate calls `quantile[_cont|_disc](p)(x)`
     // (databend's two-stage call form) -> flat (x, p) spellings
     sql = rewriteParamAggCall(sql)
@@ -971,6 +1048,25 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         "integer" -> "bigint", "smallint" -> "int", "tinyint" -> "smallint")) {
       sql = sql.replaceAll(s"(?i)::$from\\s+unsigned\\b", s"::$to")
         .replaceAll(s"(?i)\\b(as\\s+)$from\\s+unsigned\\b", s"$$1$to")
+    }
+    // `expr::TIMESTAMP_TZ` — no native Spark type; route through the
+    // to_timestamp_tz parser (variant operands unquote via ::string)
+    if (sql.toLowerCase.contains("::timestamp_tz")) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val m = """(?i)::\s*timestamp_tz\b""".r.findFirstMatchIn(sql)
+        m.foreach { mm =>
+          val lhsStart = arrowLhsStart(sql, mm.start)
+          if (lhsStart >= 0 && lhsStart < mm.start) {
+            val lhs = sql.substring(lhsStart, mm.start).trim
+            sql = sql.substring(0, lhsStart) +
+              s"""to_timestamp_tz(trim(both '"' from cast($lhs as string)))""" +
+              sql.substring(mm.end)
+            changed = true
+          }
+        }
+      }
     }
     // databend sized-int / float cast spellings in query position
     // (src/query/ast types; unsigned widens per SURVEY §1.2)
@@ -1098,7 +1194,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     ("(?i)" + "\\b" + """(\w+)\s*(?:\(\s*[\w`",\s]*\))?\s+AS\s*\(""").r
 
   private val UnitDateAddRe =
-    """(?i)\b(date_add|date_sub|dateadd|datesub)\s*\(\s*(year|quarter|month|week|day|hour|minute|second)\s*,""".r
+    """(?i)\b(date_add|date_sub|dateadd|datesub)\s*\(\s*'?(year|quarter|month|week|day|hour|minute|second)'?\s*,""".r
 
   private def rewriteUnitDateAdd(sql: String): String = {
     val m0 = UnitDateAddRe.findFirstMatchIn(sql)
@@ -1109,11 +1205,16 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val args = splitTopLevel(sql.substring(open + 1, close), ',').map(_.trim)
     if (args.length != 3) // 2-arg date_add (a column named like a unit)
       return sql.substring(0, m.end) + rewriteUnitDateAdd(sql.substring(m.end))
-    val fn =
-      if (m.group(1).toLowerCase.contains("sub")) "subtract" else "add"
+    val sub = m.group(1).toLowerCase.contains("sub")
+    val fn = if (sub) "subtract" else "add"
     val unit = m.group(2).toLowerCase
+    // DATEADD(month, ...) does NOT end-of-month-snap (only the
+    // add_months/subtract_months spellings do — datetime.rs flags)
+    val target =
+      if (unit == "month") { if (sub) "date_subtract_months" else "date_add_months" }
+      else s"${fn}_${unit}s"
     sql.substring(0, m.start) +
-      s"${fn}_${unit}s(${rewriteUnitDateAdd(args(2))}, ${rewriteUnitDateAdd(args(1))})" +
+      s"$target(${rewriteUnitDateAdd(args(2))}, ${rewriteUnitDateAdd(args(1))})" +
       rewriteUnitDateAdd(sql.substring(close + 1))
   }
 

@@ -123,7 +123,20 @@ object DatetimeMore {
       val target = diffFn.getOrElse(u, badUnit("date_diff", a.head))
       f(target, a(2), a(1))
     }),
+    // DATEDIFF(unit, start, end) shares date_diff's boundary-counting
+    // semantics (Spark's 3-arg datediff would be full-elapsed); the
+    // 2-arg form stays Spark's day count
+    "datediff" -> (a =>
+      if (a.length == 3) {
+        val u = unitName(a.head).map(canon).getOrElse(badUnit("datediff", a.head))
+        val target = diffFn.getOrElse(u, badUnit("datediff", a.head))
+        f(target, a(2), a(1))
+      } else DateDiff(a.head, a(1))),
     "date_between" -> (a => {
+      val u = unitName(a.head).map(canon).getOrElse(badUnit("date_between", a.head))
+      DateBetween(u, cast(a(1), TimestampType), cast(a(2), TimestampType))
+    }),
+    "datebetween" -> (a => {
       val u = unitName(a.head).map(canon).getOrElse(badUnit("date_between", a.head))
       DateBetween(u, cast(a(1), TimestampType), cast(a(2), TimestampType))
     }),
@@ -193,7 +206,38 @@ object DatetimeMore {
       ElementAt(a.head, Literal(1)), lambda(a(1)),
       LambdaFunction.identity)),
     "map_transform_keys" -> (a => TransformKeys(a.head, lambda(a(1)))),
-    "map_transform_values" -> (a => TransformValues(a.head, lambda(a(1))))
+    "map_transform_values" -> (a => TransformValues(a.head, lambda(a(1)))),
+    // DATEDIFF/DATE_DIFF with a unit keyword: Spark's parser lowers
+    // these to TimestampDiff (full-elapsed) before the registry is
+    // consulted — GraftSql reroutes the text onto this spelling
+    "graft_date_diff" -> (a => {
+      val u = unitName(a.head).map(canon).getOrElse(badUnit("date_diff", a.head))
+      val target = diffFn.getOrElse(u, badUnit("date_diff", a.head))
+      f(target, a(2), a(1))
+    }),
+    // to_unix_timestamp: reference accepts its permissive string tier
+    // (offsets, partial components); Spark's builtin pattern-parses
+    "to_unix_timestamp" -> (a =>
+      if (a.length == 1)
+        f("unix_seconds", ToTimestampMarker(a.head, tryMode = false))
+      else f("unix_timestamp", a: _*)),
+    // EXTRACT(EPOCH FROM x) and epoch(x): fractional seconds
+    // (micros / 1e6 — the reference's epoch keeps sub-second parts)
+    "graft_epoch" -> (a => Divide(
+      Cast(f("unix_micros", Cast(a.head, TimestampType)), DoubleType),
+      Literal(1000000.0))),
+    "epoch" -> (a => Divide(
+      Cast(f("unix_micros", Cast(a.head, TimestampType)), DoubleType),
+      Literal(1000000.0))),
+    // EXTRACT(DOW FROM x): Sunday=0..Saturday=6 (date_helper.rs
+    // DayOfWeek; Spark's dayofweek is Sunday=1)
+    "graft_dow" -> (a => Subtract(DayOfWeek(Cast(a.head, DateType)), Literal(1))),
+    // months_between: DAY-granular fraction over 31-day months,
+    // timestamps truncate to dates first (date_helper.rs
+    // months_between/months_between_ts — Spark's builtin also weighs
+    // the time-of-day, which the reference ignores)
+    "months_between" -> (a =>
+      MonthsBetweenDb(Cast(a.head, DateType), Cast(a(1), DateType)))
   )
 
   def register(spark: SparkSession): Unit = {
@@ -201,6 +245,59 @@ object DatetimeMore {
     for ((name, builder) <- rewrites)
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+}
+
+/** Unresolved placeholder for the add_/subtract_<unit> family: the
+  * result type follows the INPUT type (date in -> date out for
+  * day-or-coarser units; sub-day units always produce timestamps),
+  * which the function builder can't see — [[DatetimeCoercionRule]]
+  * expands it once the child resolves.
+  *
+  * Reference semantics carried here (date_helper.rs):
+  *  - eval_months_base: month-family adds SNAP an end-of-month input
+  *    day to the end of the result month (2020-02-29 - 13 months =
+  *    2019-01-31), otherwise clamp day to the result month's length;
+  *  - results clamp to the DATE domain 0001-01-01..9999-12-31, and
+  *    timestamp arithmetic SATURATES at the jiff Timestamp bounds the
+  *    reference's own vectors encode (9999-12-30T22:00:00Z upper —
+  *    jiff reserves a day of timezone slack below the civil max;
+  *    add_days('9999-12-30 21:59:59', 1) = '9999-12-30 22:00:00').
+  */
+case class DtAddMarker(x: Expression, delta: Expression, unit: String,
+    snap: Boolean = false)
+    extends BinaryExpression with Unevaluable {
+  override def left: Expression = x
+  override def right: Expression = delta
+  override def dataType: DataType = TimestampType
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DtAddMarker =
+    copy(x = newLeft, delta = newRight)
+}
+
+/** databend months_between (date_helper.rs:763-793): whole-month diff
+  * plus (day_a - day_b)/31, zero when days match or both dates are
+  * month ends; time-of-day never participates.
+  */
+case class MonthsBetweenDb(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val da = java.time.LocalDate.ofEpochDay(a.asInstanceOf[Int].toLong)
+    val db = java.time.LocalDate.ofEpochDay(b.asInstanceOf[Int].toLong)
+    val whole = (da.getYear - db.getYear) * 12L + (da.getMonthValue - db.getMonthValue)
+    val sameDay = da.getDayOfMonth == db.getDayOfMonth
+    val bothEom = da.getDayOfMonth == da.lengthOfMonth &&
+      db.getDayOfMonth == db.lengthOfMonth
+    val frac =
+      if (sameDay || bothEom) 0.0
+      else (da.getDayOfMonth - db.getDayOfMonth) / 31.0
+    whole.toDouble + frac
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MonthsBetweenDb =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Exact full-elapsed-units interval count (reference

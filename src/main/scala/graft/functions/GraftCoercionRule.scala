@@ -25,9 +25,9 @@ import org.apache.spark.sql.types._
 object GraftCoercionRule {
   /** functions whose unit/weekday argument may be a bare keyword */
   private[functions] val unitArgFns = Set(
-    "date_diff", "date_between", "date_trunc", "trunc", "time_slice",
-    "previous_day", "next_day", "last_day", "to_start_of_week",
-    "date_part", "datepart")
+    "date_diff", "datediff", "date_between", "datebetween", "date_trunc", "trunc",
+    "time_slice", "previous_day", "next_day", "last_day",
+    "to_start_of_week", "date_part", "datepart")
 
   private[functions] val unitWords = Set(
     "year", "years", "isoyear", "quarter", "quarters", "month", "months",

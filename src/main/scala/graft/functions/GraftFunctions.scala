@@ -134,11 +134,8 @@ object GraftFunctions {
     "json_object_keys" -> "json_object_keys",
     "json_array_length" -> "json_array_length",
     "json_array_distinct" -> "array_distinct",
-    // date/timestamp constructors (function_list.txt:25,98)
-    "date_from_parts" -> "make_date",
-    "datefromparts" -> "make_date",
-    "timestamp_from_parts" -> "make_timestamp",
-    "timestampfromparts" -> "make_timestamp",
+    // date/timestamp constructors now live in TimestampTz (reference
+    // normalize_date_parts overflow-rolling semantics)
     "date" -> "to_date",
     // encoding spellings (function_list.txt:9-10,33-34,107-113)
     "to_hex" -> "hex",
@@ -342,29 +339,40 @@ object GraftFunctions {
       else org.apache.spark.sql.catalyst.expressions.DateSub(args.head,
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.IntegerType))),
+    // to_start_of_{year,quarter,month,week,monday}: DATE result
+    // (reference date_helper.rs rounders return Date; sub-day units
+    // keep the Timestamp result)
     "to_start_of_month" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("month")) ++ args, isDistinct = false)),
+      org.apache.spark.sql.catalyst.expressions.TruncDate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DateType), Literal("month"))),
     "to_start_of_year" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("year")) ++ args, isDistinct = false)),
-    "to_start_of_week" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("week")) ++ args, isDistinct = false)),
+      org.apache.spark.sql.catalyst.expressions.TruncDate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DateType), Literal("year"))),
     "to_start_of_day" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("day")) ++ args, isDistinct = false)),
     "to_string" -> (args =>
-      if (args.length >= 2) fmtDate(args)
+      if (args.length >= 2) fmtOrNumeric(args)
       else org.apache.spark.sql.catalyst.expressions.Cast(args.head,
         org.apache.spark.sql.types.StringType)),
     // the reference formats with strftime specifiers (datetime.rs
     // prepare_format_string; to_string/date_format/strftime aliases);
     // translate literal %-patterns to Java DateTimeFormatter
     "date_format" -> (args => fmtDate(args)),
-    // str_to_date is the reference's to_date alias (datetime.rs:386)
-    "str_to_date" -> (args =>
-      new org.apache.spark.sql.catalyst.expressions.ParseToDate(
-        args.head, translateFmt(args(1)))),
+    // str_to_date is the reference's to_date alias (datetime.rs:386):
+    // literal formats go through the chrono-style Strptime (the
+    // DatetimeCoercionRule fills in the session zone)
+    "str_to_date" -> (args => args(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null =>
+        Strptime(args.head, pgToStrftime(s.toString), forDate = true, zoneId = null)
+      case _ =>
+        new org.apache.spark.sql.catalyst.expressions.ParseToDate(
+          args.head, translateFmt(args(1)))
+    }),
     // to_string spellings (function_list.txt:100-106)
     "to_char" -> (args =>
-      if (args.length >= 2) fmtDate(args)
+      if (args.length >= 2) fmtOrNumeric(args)
       else org.apache.spark.sql.catalyst.expressions.Cast(args.head,
         org.apache.spark.sql.types.StringType)),
     "to_text" -> (args =>
@@ -445,7 +453,9 @@ object GraftFunctions {
     })),
     // more to_start_of_* units (reference scalars/timestamp family)
     "to_start_of_quarter" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("quarter")) ++ args, isDistinct = false)),
+      org.apache.spark.sql.catalyst.expressions.TruncDate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DateType), Literal("quarter"))),
     "to_start_of_hour" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("hour")) ++ args, isDistinct = false)),
     "to_start_of_minute" -> (args =>
@@ -453,21 +463,31 @@ object GraftFunctions {
     "to_start_of_second" -> (args =>
       UnresolvedFunction("date_trunc", Seq(Literal("second")) ++ args, isDistinct = false)),
     "to_monday" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("week")) ++ args, isDistinct = false)),
+      org.apache.spark.sql.catalyst.expressions.TruncDate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DateType), Literal("week"))),
     "to_start_of_iso_week" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("week")) ++ args, isDistinct = false)),
-    // ClickHouse-style yyyymm shorthands (reference scalars/timestamp)
+      org.apache.spark.sql.catalyst.expressions.TruncDate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DateType), Literal("week"))),
+    // ClickHouse-style yyyymm shorthands (reference scalars/timestamp).
+    // Built on DateFormatClass DIRECTLY: the registry's date_format
+    // applies the Oracle-style PG-token pass, which would read the
+    // Java patterns here differently (mm = month there, HH literal)
     "to_yyyymm" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Cast(
-        UnresolvedFunction("date_format", args :+ Literal("yyyyMM"), isDistinct = false),
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          args.head, Literal("yyyyMM")),
         org.apache.spark.sql.types.IntegerType)),
     "to_yyyymmdd" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Cast(
-        UnresolvedFunction("date_format", args :+ Literal("yyyyMMdd"), isDistinct = false),
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          args.head, Literal("yyyyMMdd")),
         org.apache.spark.sql.types.IntegerType)),
     "to_yyyymmddhhmmss" -> (args =>
       org.apache.spark.sql.catalyst.expressions.Cast(
-        UnresolvedFunction("date_format", args :+ Literal("yyyyMMddHHmmss"), isDistinct = false),
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          args.head, Literal("yyyyMMddHHmmss")),
         org.apache.spark.sql.types.LongType)),
     // variadic object/array constructors -> JSON text (variant analog)
     "json_object" -> (args =>
@@ -578,7 +598,57 @@ object GraftFunctions {
     * expects Java patterns). Literal letters are quoted so they stay
     * literal; unknown specifiers pass through quoted.
     */
-  private[graft] def strftimeToJava(fmt: String): String = {
+  /** PostgreSQL/Oracle-style format tokens -> strftime (reference
+    * date_helper.rs pg_format_to_strftime; date_format_style defaults
+    * to Oracle so this pass ALWAYS runs before the %-translator).
+    * Case-insensitive PG tokens, longest-first; %-tokens pass through
+    * verbatim; MON only matches at word boundaries (so a literal
+    * "month" after MM stays text — the reference's own vector).
+    */
+  private val PgStrftime: Seq[(String, String)] = Seq(
+    "YYYY" -> "%Y", "YY" -> "%y", "MMMM" -> "%B", "MON" -> "%b",
+    "MM" -> "%m", "DD" -> "%d", "DY" -> "%a",
+    "HH24" -> "%H", "HH12" -> "%I", "AM" -> "%p", "PM" -> "%p",
+    "MI" -> "%M", "SS" -> "%S", "FF" -> "%f",
+    "UUUU" -> "%G", "TZHTZM" -> "%z", "TZH:TZM" -> "%z", "TZH" -> "%:::z"
+  ).sortBy(-_._1.length)
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  private[graft] def pgToStrftime(fmt: String): String = {
+    val sb = new StringBuilder(fmt.length + 16)
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        // case-sensitive strftime token passes through
+        sb.append(fmt.charAt(i)).append(fmt.charAt(i + 1)); i += 2
+      } else {
+        val rest = fmt.substring(i)
+        PgStrftime.find { case (k, _) =>
+          rest.length >= k.length &&
+            rest.substring(0, k.length).equalsIgnoreCase(k) && {
+              !k.equalsIgnoreCase("MON") || {
+                val prevOk = i == 0 || !isWordChar(fmt.charAt(i - 1))
+                val nextOk = i + k.length >= fmt.length ||
+                  !isWordChar(fmt.charAt(i + k.length))
+                prevOk && nextOk
+              }
+            }
+        } match {
+          case Some((k, v)) => sb.append(v); i += k.length
+          case None => sb.append(fmt.charAt(i)); i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private[graft] def strftimeToJava(fmt0: String): String = {
+    // reference replace_time_format: %c = "%x %X", %x = %F, %X = %T;
+    // %:::z = offset hour (Java "x"), via sentinel so the literal
+    // quoting below can't touch it
+    val fmt = fmt0.replace("%c", "%x %X").replace("%x", "%F")
+      .replace("%X", "%T").replace("%:::z", "")
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
       'H' -> "HH", 'k' -> "H", 'I' -> "hh", 'l' -> "h", 'M' -> "mm",
@@ -588,32 +658,62 @@ object GraftFunctions {
       'R' -> "HH:mm", 'G' -> "YYYY", 'V' -> "ww", 'z' -> "xx", 'Z' -> "zz",
       '%' -> "%")
     val sb = new StringBuilder
+    val lit = new StringBuilder // pending literal run (letters/quotes)
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      // ONE quoted run: per-char quoting would put '' between
+      // adjacent letters, which Java patterns read as a literal
+      // apostrophe
+      sb.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
+        flushLit()
         val n = fmt.charAt(i + 1)
+        // the reference rejects specifiers outside its strftime set
+        // (date_format '%i' is error 1006)
+        if (!map.contains(n) && n.isLetter)
+          throw new IllegalArgumentException(
+            s"1006: unsupported format specifier %$n")
         sb.append(map.getOrElse(n, "'" + n + "'")); i += 2
-      } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
-      else if (c == '\'') { sb.append("''"); i += 1 }
-      else { sb.append(c); i += 1 }
+      } else if (c.isLetter || c == '\'') { lit.append(c); i += 1 }
+      else { flushLit(); sb.append(c); i += 1 }
     }
-    sb.toString
+    flushLit()
+    sb.toString.replace("", "x")
   }
 
   /** translate a literal strftime pattern argument; non-% literals and
     * non-literal expressions pass through untouched
     */
   private def translateFmt(e: Expression): Expression = e match {
-    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
-        if s != null && s.toString.contains("%") =>
-      Literal(strftimeToJava(s.toString))
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null =>
+      val pg = pgToStrftime(s.toString)
+      if (pg.contains("%")) Literal(strftimeToJava(pg)) else e
     case other => other
   }
 
-  private def fmtDate(args: Seq[Expression]): Expression = args(1) match {
+  /** to_char/to_string with a format: a PostgreSQL numeric mask
+    * (digit slots only) formats numbers; anything else is the
+    * datetime tier — decidable from the literal alone
+    */
+  private def fmtOrNumeric(args: Seq[Expression]): Expression = args(1) match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
-        if s != null && (s.toString.contains("%G") || s.toString.contains("%V")) =>
+        if s != null && PgNumericFormat.isNumericMask(s.toString) =>
+      PgNumericFormat(args.head, s.toString)
+    case _ => fmtDate(args)
+  }
+
+  private def fmtDate(args: Seq[Expression]): Expression = args(1) match {
+    case Literal(s0: org.apache.spark.unsafe.types.UTF8String, t0)
+        if s0 != null && {
+          val pg = pgToStrftime(s0.toString)
+          pg.contains("%G") || pg.contains("%V")
+        } =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+        pgToStrftime(s0.toString))
       // ISO week-based fields: Spark 3+ date_format rejects the
       // week-based pattern letters (Y, w) under the default formatter
       // policy, so lower %G/%V to date_part expressions concatenated

@@ -59,8 +59,6 @@ object MoreAliases {
     "map_size" -> "size",
     "unicode" -> "ascii",
     "to_last_of_month" -> "last_day",
-    "date_add_months" -> "add_months",
-    "epoch" -> "unix_timestamp",
     "bit_not" -> "bitwise_not",
     "bit_shift_left" -> "shiftleft",
     "bit_shift_right" -> "shiftright",
@@ -79,17 +77,14 @@ object MoreAliases {
   /** names needing argument/shape rewriting (bind-time, codegen'd) */
   val rewrites: Map[String, Seq[Expression] => Expression] = {
 
-    // ---- datetime add/subtract by unit (reference datetime.rs
-    // add_/subtract_ families; Timestamp-typed result like TimestampAdd)
-    def tsAdd(unit: String, neg: Boolean)(args: Seq[Expression]): Expression = {
-      val qty = if (neg) UnaryMinus(args(1)) else args(1)
-      TimestampAdd(unit, qty, args.head)
+    // delta scaled to the DtAddMarker's base unit, as BIGINT; the
+    // delta pre-clamps to ±1e15 so the scale multiply can't overflow
+    // under ANSI (the marker saturates at the domain bounds anyway)
+    def mulL(e: Expression, mult: Long): Expression = {
+      val b = Literal(1000000000000000L)
+      val clamped = f("greatest", f("least", cast(e, LongType), b), UnaryMinus(b))
+      if (mult == 1L) clamped else Multiply(clamped, Literal(mult))
     }
-    // date-preserving day/week adds (reference returns Date for Date)
-    def dAdd(mult: Int)(args: Seq[Expression]): Expression =
-      f("date_add", args.head, cast(Multiply(args(1), Literal(mult)), IntegerType))
-    def dSub(mult: Int)(args: Seq[Expression]): Expression =
-      f("date_sub", args.head, cast(Multiply(args(1), Literal(mult)), IntegerType))
 
     // ---- diff/between by unit: truncate each operand, then subtract
     // (reference date_helper.rs EvalTimesImpl) -------------------------
@@ -248,23 +243,31 @@ object MoreAliases {
             GreaterThan(a(1), f("length", a.head))), a.head)),
         Some(f("overlay", a.head, a(3), a(1), a(2))))),
 
-      // datetime add/subtract families
-      "add_days" -> dAdd(1) _,
-      "add_weeks" -> dAdd(7) _,
-      "subtract_days" -> dSub(1) _,
-      "subtract_weeks" -> dSub(7) _,
-      "add_hours" -> tsAdd("HOUR", neg = false) _,
-      "add_minutes" -> tsAdd("MINUTE", neg = false) _,
-      "add_seconds" -> tsAdd("SECOND", neg = false) _,
-      "subtract_hours" -> tsAdd("HOUR", neg = true) _,
-      "subtract_minutes" -> tsAdd("MINUTE", neg = true) _,
-      "subtract_seconds" -> tsAdd("SECOND", neg = true) _,
-      "add_years" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(12)), IntegerType))),
-      "add_quarters" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(3)), IntegerType))),
-      "subtract_years" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(-12)), IntegerType))),
-      "subtract_quarters" -> (a => f("add_months", a.head, cast(Multiply(a(1), Literal(-3)), IntegerType))),
-      "subtract_months" -> (a => f("add_months", a.head, cast(UnaryMinus(a(1)), IntegerType))),
-      "date_subtract_months" -> (a => f("add_months", a.head, cast(UnaryMinus(a(1)), IntegerType))),
+      // datetime add/subtract families — type-preserving markers with
+      // the reference's end-of-month snap + saturating clamp (see
+      // DtAddMarker scaladoc; expansion in DatetimeCoercionRule)
+      "add_days" -> (a => DtAddMarker(a.head, mulL(a(1), 1), "day")),
+      "add_weeks" -> (a => DtAddMarker(a.head, mulL(a(1), 7), "day")),
+      "subtract_days" -> (a => DtAddMarker(a.head, mulL(a(1), -1), "day")),
+      "subtract_weeks" -> (a => DtAddMarker(a.head, mulL(a(1), -7), "day")),
+      "add_hours" -> (a => DtAddMarker(a.head, mulL(a(1), 3600), "second")),
+      "add_minutes" -> (a => DtAddMarker(a.head, mulL(a(1), 60), "second")),
+      "add_seconds" -> (a => DtAddMarker(a.head, mulL(a(1), 1), "second")),
+      "subtract_hours" -> (a => DtAddMarker(a.head, mulL(a(1), -3600), "second")),
+      "subtract_minutes" -> (a => DtAddMarker(a.head, mulL(a(1), -60), "second")),
+      "subtract_seconds" -> (a => DtAddMarker(a.head, mulL(a(1), -1), "second")),
+      // end-of-month snap applies to add_months/subtract_months ONLY
+      // (datetime.rs register_add_functions: the boolean flag is true
+      // just for those two; years/quarters/date_add_months clamp the
+      // day without snapping)
+      "add_years" -> (a => DtAddMarker(a.head, mulL(a(1), 12), "month")),
+      "add_quarters" -> (a => DtAddMarker(a.head, mulL(a(1), 3), "month")),
+      "add_months" -> (a => DtAddMarker(a.head, mulL(a(1), 1), "month", snap = true)),
+      "date_add_months" -> (a => DtAddMarker(a.head, mulL(a(1), 1), "month")),
+      "subtract_years" -> (a => DtAddMarker(a.head, mulL(a(1), -12), "month")),
+      "subtract_quarters" -> (a => DtAddMarker(a.head, mulL(a(1), -3), "month")),
+      "subtract_months" -> (a => DtAddMarker(a.head, mulL(a(1), -1), "month", snap = true)),
+      "date_subtract_months" -> (a => DtAddMarker(a.head, mulL(a(1), -1), "month")),
 
       // diff/between unit families (between_* share diff_* semantics;
       // the reference aliases between_dows/doys/isodows -> between_days)
@@ -306,6 +309,10 @@ object MoreAliases {
       "to_iso_year" -> (a => cast(f("date_part", Literal("YEAROFWEEK"), a.head), IntegerType)),
       "millennium" -> (a => cast(f("ceil",
         Divide(cast(f("year", a.head), DoubleType), Literal(1000.0))), IntegerType)),
+      "century" -> (a => cast(f("ceil",
+        Divide(cast(f("year", a.head), DoubleType), Literal(100.0))), IntegerType)),
+      "decade" -> (a => cast(f("floor",
+        Divide(cast(f("year", a.head), DoubleType), Literal(10.0))), IntegerType)),
       "to_last_of_year" -> (a => f("make_date", f("year", a.head), Literal(12), Literal(31))),
       "to_last_of_quarter" -> (a =>
         f("last_day", f("add_months", f("date_trunc", Literal("quarter"), a.head), Literal(2)))),
@@ -397,8 +404,10 @@ object MoreAliases {
       "array_sort_asc_null_last" -> (a => f("array_sort", a.head)),
       "array_sort_desc_null_first" -> (a => f("reverse", f("array_sort", a.head))),
       "array_sort_desc_null_last" -> (a => f("reverse", f("sort_array", a.head, Literal(true)))),
+      // DateFormatClass directly: registry date_format runs the
+      // Oracle PG-token pass, which mangles this Java pattern
       "to_yyyymmddhh" -> (a => cast(
-        f("date_format", a.head, Literal("yyyyMMddHH")), LongType)),
+        DateFormatClass(a.head, Literal("yyyyMMddHH")), LongType)),
       "to_nullable" -> (a => a.head),
       "as_array" -> variantGet("array<variant>") _,
       "check_json" -> (a => CaseWhen(Seq(

@@ -43,7 +43,8 @@ object TimestampTz {
   }
 
   /** (utc micros, offset minutes); throws on malformed input */
-  private[graft] def parse(s0: String, sessionZone: ZoneId): TzTs = {
+  private[graft] def parse(s0: String, sessionZone: ZoneId,
+      modes: (Boolean, Boolean) = (true, false)): TzTs = {
     val s = s0.trim
     s match {
       case WithOffset(y, mo, d, h, mi, sec, frac, off) =>
@@ -63,9 +64,20 @@ object TimestampTz {
             zdt.getOffset.getTotalSeconds / 60)
         }
       case DateOnly(y, mo, d) =>
-        parse(s"$y-$mo-$d 00:00:00", sessionZone)
-      case other => throw new IllegalArgumentException(
-        s"cannot parse to type `TIMESTAMP_TZ`: '$other'")
+        parse(s"$y-$mo-$d 00:00:00", sessionZone, modes)
+      case other =>
+        // auto-detect formats (reference auto_detect_datetime.rs; the
+        // to_timestamp_tz tier honors the same settings). `modes` is
+        // the (strict, auto) pair captured when the calling udf was
+        // registered — eval happens after a SETTINGS(...) scope is
+        // restored, so a live read would see the wrong values.
+        (if (modes._2 || !modes._1)
+           DatetimeSemantics.parseAutoOffset(other, sessionZone)
+         else None) match {
+          case Some((us, offMin)) => TzTs(us, offMin)
+          case None => throw new IllegalArgumentException(
+            s"cannot parse to type `TIMESTAMP_TZ`: '$other'")
+        }
     }
   }
 
@@ -83,6 +95,21 @@ object TimestampTz {
     val sign = if (t.offset_minutes < 0) "-" else "+"
     val am = math.abs(t.offset_minutes)
     f"$base$fracPart$sign${am / 60}%02d:${am % 60}%02d"
+  }
+
+  /** the reference's result-set rendering of a TIMESTAMP_TZ value:
+    * micro-precision civil time at the stored offset, then a space
+    * and the colon-free offset (`2024-11-03 05:30:00.000000 -0500`) —
+    * distinct from timestamp_tz_to_string's compact form
+    */
+  private[graft] def display(us: Long, offsetMinutes: Int): String = {
+    val off = ZoneOffset.ofTotalSeconds(offsetMinutes * 60)
+    val odt = Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000).atOffset(off)
+    val micro = odt.getNano / 1000
+    val sign = if (offsetMinutes < 0) "-" else "+"
+    val am = math.abs(offsetMinutes)
+    f"${odt.format(BaseFmt)}.$micro%06d $sign${am / 60}%02d${am % 60}%02d"
   }
 
   private def localDate(t: TzTs): java.time.LocalDate =
@@ -125,18 +152,50 @@ object TimestampTz {
           s"timestamp_tz_from_parts expects 6-8 args, got $n")
       }
     }
-    Map("timestamp_tz_from_parts" -> fromParts, "timestamptzfromparts" -> fromParts)
+    val dateFromParts: Seq[Expression] => Expression = a =>
+      f("date_from_parts_impl", a.take(3).map(Cast(_, LongType)): _*)
+    val tsFromParts: Seq[Expression] => Expression = a => {
+      val sixty = a.take(6).map(Cast(_, LongType))
+      val ns = if (a.length >= 7) Cast(a(6), LongType) else Literal(0L)
+      f("timestamp_from_parts_impl", (sixty :+ ns): _*)
+    }
+    Map("timestamp_tz_from_parts" -> fromParts, "timestamptzfromparts" -> fromParts,
+      "date_from_parts" -> dateFromParts, "datefromparts" -> dateFromParts,
+      "timestamp_from_parts" -> tsFromParts, "timestampfromparts" -> tsFromParts)
+  }
+
+  /** reference normalize_date_parts + duration_from_time_parts
+    * (datetime.rs): the month rolls through years, the day is an
+    * OFFSET from the 1st (0 and negatives roll back), time components
+    * are one signed duration (hour 25 / second -3600 / ns 2e9 all
+    * roll); the normalized civil result must land in year 1..9999
+    */
+  private[graft] def normalizedLdt(y: Long, mo: Long, d: Long, h: Long,
+      mi: Long, sec: Long, ns: Long): LocalDateTime = {
+    val totalMonths = y * 12 + (mo - 1)
+    val ny = Math.floorDiv(totalMonths, 12)
+    val nm = Math.floorMod(totalMonths, 12) + 1
+    require(ny >= -9999 && ny <= 99999, s"year out of bounds: $ny")
+    val base = java.time.LocalDate.of(ny.toInt, nm.toInt, 1).plusDays(d - 1)
+    val ldt = base.atStartOfDay
+      .plusHours(h).plusMinutes(mi).plusSeconds(sec).plusNanos(ns)
+    require(ldt.getYear >= 1 && ldt.getYear <= 9999,
+      s"1006: date/timestamp parts out of range")
+    ldt
   }
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
     val zone = ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    val modes = (
+      spark.conf.get("enable_strict_datetime_parser", "1").trim != "0",
+      spark.conf.get("enable_auto_detect_datetime_format", "0").trim == "1")
 
     r.register("to_timestamp_tz", udf((s: String) =>
-      if (s == null) null else parse(s, zone)))
+      if (s == null) null else parse(s, zone, modes)))
     r.register("try_to_timestamp_tz", udf((s: String) =>
       if (s == null) null
-      else try parse(s, zone) catch { case _: Exception => null }))
+      else try parse(s, zone, modes) catch { case _: Exception => null }))
     r.register("timestamp_to_timestamp_tz", udf((ts: java.sql.Timestamp) =>
       if (ts == null) null
       else {
@@ -146,21 +205,27 @@ object TimestampTz {
       }))
     r.register("timestamp_tz_from_parts_impl",
       udf((y: Long, mo: Long, d: Long, h: Long, mi: Long, sec: Long, ns: Long, tz: String) => {
-        val ldt = LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, sec.toInt)
-          .plusNanos(ns)
+        val ldt = normalizedLdt(y, mo, d, h, mi, sec, ns)
         val z = if (tz == null) zone else ZoneId.of(tz)
         val zdt = ldt.atZone(z)
         val inst = zdt.toInstant
         TzTs(inst.getEpochSecond * 1000000L + inst.getNano / 1000,
           zdt.getOffset.getTotalSeconds / 60)
       }))
+    r.register("date_from_parts_impl",
+      udf((y: Long, mo: Long, d: Long) =>
+        normalizedLdt(y, mo, d, 0, 0, 0, 0).toLocalDate))
+    r.register("timestamp_from_parts_impl",
+      udf((y: Long, mo: Long, d: Long, h: Long, mi: Long, sec: Long, ns: Long) => {
+        val inst = normalizedLdt(y, mo, d, h, mi, sec, ns).atZone(zone).toInstant
+        java.sql.Timestamp.from(inst)
+      }))
     // runtime ns-vs-tz dispatch for a 7th arg whose type was unknown
     // at rewrite time: numeric text = nanoseconds, otherwise timezone
     r.register("timestamp_tz_from_parts_dispatch7",
       udf((y: Long, mo: Long, d: Long, h: Long, mi: Long, sec: Long, seventh: String) => {
         val ns = if (seventh == null) Some(0L) else seventh.trim.toLongOption
-        val ldt = LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, sec.toInt)
-          .plusNanos(ns.getOrElse(0L))
+        val ldt = normalizedLdt(y, mo, d, h, mi, sec, ns.getOrElse(0L))
         val z = if (ns.isDefined) zone else ZoneId.of(seventh)
         val zdt = ldt.atZone(z)
         val inst = zdt.toInstant

@@ -39,7 +39,7 @@ object RegistryQueries extends QueryModule {
       |  CAST(year(o_orderdate) AS INT) AS y,
       |  CAST(day(o_orderdate) AS INT) AS dom,
       |  CAST(quarter(o_orderdate) AS INT) AS q,
-      |  date_trunc('month', o_orderdate) AS som,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
       |  upper(o_orderpriority) AS up,
       |  lower(o_orderstatus) AS lo,
       |  substring(o_orderpriority, 3, 4) AS mid_,
@@ -209,7 +209,7 @@ object RegistryQueries extends QueryModule {
       |  pow(2.0, 3.0) AS p8,
       |  CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
       |  CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS ymd,
-      |  date_trunc('week', o_orderdate) AS monday,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS monday,
       |  CAST(isodow(o_orderdate) AS INT) AS dow,
       |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
       |  split_part(o_orderpriority, '-', 1) AS prio_num,

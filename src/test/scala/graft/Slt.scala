@@ -96,7 +96,9 @@ object Slt {
     case other => other
   }
 
-  def formatCell(v: Any): String = v match {
+  def formatCell(v: Any): String = formatCell(v, java.time.ZoneOffset.UTC)
+
+  def formatCell(v: Any, zone: java.time.ZoneId): String = v match {
     case null => "NULL"
     case vv: org.apache.spark.unsafe.types.VariantVal =>
       try sortedJson(graft.functions.JsonFlatten.mapper.readTree(vv.toString)).toString
@@ -107,17 +109,34 @@ object Slt {
     // below 1e-6, which no engine's text output does
     case b: java.math.BigDecimal => b.toPlainString
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
-    // micro-precision timestamp text, the reference's rendering
+    // micro-precision timestamp text, the reference's rendering —
+    // instants render in the session timezone (UTC unless the suite
+    // SET a different one). fromJavaTimestamp/fromJavaDate undo the
+    // proleptic-Gregorian -> Julian rebase Spark applies when
+    // materializing java.sql values (pre-1582 dates arrive shifted
+    // otherwise: 0001-01-01 renders 0000-12-30)
     case t: java.sql.Timestamp =>
-      t.toLocalDateTime.format(TsFmt)
+      val us = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      java.time.LocalDateTime.ofInstant(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(us),
+        zone).format(TsFmt)
+    case d: java.sql.Date =>
+      java.time.LocalDate.ofEpochDay(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+        .format(java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd"))
     case t: java.time.LocalDateTime => t.format(TsFmt)
     case t: java.time.Instant =>
-      java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC).format(TsFmt)
+      java.time.LocalDateTime.ofInstant(t, zone).format(TsFmt)
+    // TIMESTAMP_TZ struct (graft.functions.TimestampTz.TzTs shape):
+    // the reference's `2024-11-03 05:30:00.000000 -0500` rendering
+    case r: Row if r.schema != null &&
+        r.schema.fieldNames.sameElements(Array("us", "offset_minutes")) =>
+      graft.functions.TimestampTz.display(r.getLong(0), r.getInt(1))
     // tuples print parenthesized (databend's tuple rendering)
-    case r: Row => r.toSeq.map(formatCell).mkString("(", ",", ")")
-    case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ",", "]")
+    case r: Row => r.toSeq.map(formatCell(_, zone)).mkString("(", ",", ")")
+    case s: scala.collection.Seq[_] => s.map(formatCell(_, zone)).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
-      m.map { case (k, v) => s"${formatCell(k)}:${formatCell(v)}" }
+      m.map { case (k, v) => s"${formatCell(k, zone)}:${formatCell(v, zone)}" }
         .mkString("{", ",", "}")
     case other => other.toString
   }
@@ -130,6 +149,9 @@ object Slt {
   }
 
   def formatRow(r: Row): String = r.toSeq.map(formatCell).mkString("\t")
+
+  def formatRow(r: Row, zone: java.time.ZoneId): String =
+    r.toSeq.map(formatCell(_, zone)).mkString("\t")
 
   /** Run one file's cases; returns failure messages (empty = pass). */
   def run(spark: SparkSession, name: String, text: String): Seq[String] =
@@ -159,7 +181,10 @@ object Slt {
           // block) — normalize both sides so either spelling matches
           def normEmpty(row: String): String =
             row.split("\t", -1).map(c => if (c == "(empty)") "" else c).mkString("\t")
-          var got = exec(sql).collect().map(formatRow).map(normEmpty).toSeq
+          val df = exec(sql)
+          val zone = java.time.ZoneId.of(
+            df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"))
+          var got = df.collect().map(formatRow(_, zone)).map(normEmpty).toSeq
           var exp = expected.map(normEmpty)
           if (rowsort) { got = got.sorted; exp = exp.sorted }
           if (got == exp) Nil
