@@ -25,6 +25,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(_cell)
+        # parquet date32 arrives as object(datetime.date) while duckdb
+        # DATE arrives as datetime64 -- the driver compares these equal,
+        # so coerce date-objects up to datetime64 before sorting/compare
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and all(type(v).__name__ == "date" for v in nn):
+                df[c] = pd.to_datetime(df[c])
     df = df.sort_values(by=list(df.columns), ignore_index=True,
                         key=lambda s: s.map(lambda v: str(v)) if s.dtype == object else s)
     return df
@@ -65,17 +72,21 @@ def main():
         if len(got) != len(exp):
             print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
             n_fail += 1; continue
+        g, e = norm(got), norm(exp)
         # the driver's hash is dtype-KIND-sensitive (int vs float, bool vs
         # object) even when values compare equal; width (int32 vs int64)
         # and datetime unit (ns vs us) are tolerated -- flag kind drift
-        dt_bad = [f"{c}: spark={got[c].dtype} duck={exp[c].dtype}"
-                  for c in sorted(got.columns)
-                  if got[c].dtype.kind != exp[c].dtype.kind
-                  and {got[c].dtype.kind, exp[c].dtype.kind} != {"i", "u"}]
+        # (after norm(), which resolves date32-object vs datetime64)
+        dt_bad = [f"{c}: spark={g[c].dtype} duck={e[c].dtype}"
+                  for c in sorted(g.columns)
+                  if g[c].dtype.kind != e[c].dtype.kind
+                  and {g[c].dtype.kind, e[c].dtype.kind} != {"i", "u"}
+                  # an all-NULL column has no kind on either side
+                  # (duckdb renders it float64-NaN, parquet object-None)
+                  and not (g[c].isna().all() and e[c].isna().all())]
         if dt_bad:
             print(f"FAIL {name}: dtype mismatch [{'; '.join(dt_bad)}]")
             n_fail += 1; continue
-        g, e = norm(got), norm(exp)
         bad = None
         for c in g.columns:
             gv, ev = g[c].tolist(), e[c].tolist()

@@ -55,6 +55,84 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private var currentDb = "default"
   private var viewSeq = 0
 
+  // ---- security policies (reference ee/05_ee_ddl: CREATE MASKING /
+  // ROW ACCESS POLICY, data_mask/row_access handlers) -----------------
+  /** one shared namespace for both policy kinds (the reference rejects
+    * a masking policy named like an existing row access policy, 2321/4)
+    */
+  private val secPolicies = mutable.LinkedHashMap[String, SecPolicy]()
+  /** tableKey -> (policyName, ON columns, in USING order) — at most one
+    * row access policy per table (reference: second ADD errors 1132)
+    */
+  private val rowPolicyAttach = mutable.LinkedHashMap[String, (String, Seq[String])]()
+  /** tableKey -> maskedColumn -> (policyName, arg columns AFTER the
+    * value column — empty for the 1-arg no-USING form)
+    */
+  private val maskAttach =
+    mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, (String, Seq[String])]]()
+  // ---- computed columns (reference ee computed_column suites:
+  // `col type AS (expr) STORED|VIRTUAL`) -------------------------------
+  /** per table, in declared order: (name, type, NORMALIZED spark-SQL
+    * expr, stored?). STORED columns exist physically and recompute on
+    * every write; VIRTUAL columns evaluate at read.
+    */
+  private val computedCols = mutable.LinkedHashMap[String,
+    Seq[(String, org.apache.spark.sql.types.DataType, String, Boolean)]]()
+  /** declared column order including VIRTUAL computed columns */
+  private val declaredOrder = mutable.LinkedHashMap[String, Seq[String]]()
+  /** DEFAULT expression text per column (INSERT fills omitted
+    * columns with these — reference fills declared defaults, not NULL)
+    */
+  private val colDefaults = mutable.LinkedHashMap[String, Map[String, String]]()
+
+  // ---- table indexes (reference query/index suites: INVERTED /
+  // NGRAM / VECTOR / SPATIAL index DDL + AGGREGATING INDEX) ------------
+  private case class IndexDef(name: String, family: String,
+      cols: Seq[String], opts: mutable.LinkedHashMap[String, String],
+      sync: Boolean)
+  private val tableIndexes = mutable.LinkedHashMap[String, mutable.Buffer[IndexDef]]()
+  /** aggregating indexes: name -> (tableKey, index SELECT, sync) */
+  private val aggIndexes = mutable.LinkedHashMap[String, (String, String, Boolean)]()
+
+  private val roles = mutable.LinkedHashSet[String]("account_admin", "public")
+  private var currentRole: String = "account_admin"
+  /** active secondary roles: None = ALL granted roles, Some(list) =
+    * that list (SET SECONDARY ROLES NONE == Some(empty))
+    */
+  private var secondaryRoles: Option[Seq[String]] = None
+
+  private def isRoleInSession(r: String): Boolean = {
+    val n = r.toLowerCase
+    n == currentRole || (secondaryRoles match {
+      case None       => roles.exists(_.equalsIgnoreCase(n))
+      case Some(list) => list.exists(_.equalsIgnoreCase(n))
+    })
+  }
+
+  /** resolve the session-role builtins to literals: current_role()
+    * and IS_ROLE_IN_SESSION('r') bind at statement time
+    */
+  private def substituteRoleFns(sql: String): String = {
+    var out = sql
+    if ("""(?i)\bcurrent_role\s*\(""".r.findFirstIn(out).isDefined)
+      out = out.replaceAll("(?i)\\bcurrent_role\\s*\\(\\s*\\)",
+        "'" + currentRole.replace("'", "''") + "'")
+    if ("""(?i)\bis_role_in_session\s*\(""".r.findFirstIn(out).isDefined)
+      out = """(?i)\bis_role_in_session\s*\(\s*'([^']*)'\s*\)""".r
+        .replaceAllIn(out, m => if (isRoleInSession(m.group(1))) "TRUE" else "FALSE")
+    out
+  }
+  /** DROP TABLE retains the table directory (moved aside) and its
+    * policy attachments so UNDROP TABLE can restore both — reference
+    * fuse drop/undrop retention. A new CREATE at the same name starts
+    * clean (attachments live in the stash, not on the name).
+    */
+  private case class DroppedTable(t: GraftTable,
+      rowPolicy: Option[(String, Seq[String])],
+      masks: Seq[(String, (String, Seq[String]))])
+  private val droppedTables = mutable.LinkedHashMap[String, DroppedTable]()
+  private var droppedSeq = 0
+
   /** Spark temp views are session-global, but a GraftSql instance is a
     * private catalog over its own warehouse dir (the reference scopes
     * tables per-database in its meta service). Namespacing every view
@@ -102,7 +180,753 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     viewPrefix + key.replaceAll("[^A-Za-z0-9_]", "_")
 
   private def refreshView(name: String): Unit =
-    tables(name).read().createOrReplaceTempView(viewName(name))
+    policyRead(name).createOrReplaceTempView(viewName(name))
+
+  /** the table's rows as queries see them: row-access-policy filter
+    * plus masking-policy column rewrites, both evaluated over RAW
+    * column values (filter-then-select keeps mask expressions reading
+    * pre-mask inputs, matching the reference's one-pass bind)
+    */
+  private[graft] def policyRead(name: String): DataFrame = {
+    var df = tables(name).read()
+    // VIRTUAL computed columns evaluate at read, at their declared
+    // positions (exprs were normalized to plain Spark SQL at DDL time,
+    // so spark.sql here cannot re-enter the rewrite pipeline)
+    val virt = computedCols.getOrElse(name, Seq.empty).filterNot(_._4)
+    if (virt.nonEmpty) {
+      val v = freshView(df)
+      val order = declaredOrder.getOrElse(name, df.columns.toSeq)
+      val proj = order.map { c =>
+        virt.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((nm, _, ex, _)) => s"$ex AS `$nm`"
+          case None => s"`$c`"
+        }
+      }
+      df = spark.sql(s"SELECT ${proj.mkString(", ")} FROM $v")
+    }
+    rowPolicyPredicate(name).foreach(p => df = df.filter(expr(p)))
+    val masks = maskAttach.getOrElse(name, mutable.LinkedHashMap.empty)
+    if (masks.nonEmpty)
+      df = df.select(df.columns.toSeq.map { c =>
+        masks.get(c.toLowerCase) match {
+          case Some((pn, argCols)) =>
+            expr(policyBodySql(secPolicies(pn), c +: argCols, None)).as(c)
+          case None => col(s"`$c`")
+        }
+      }: _*)
+    df
+  }
+
+  /** SQL text of the table's row-access predicate, column refs
+    * optionally qualified with `qual` (for MERGE ON conditions)
+    */
+  private def rowPolicyPredicate(name: String,
+      qual: Option[String] = None): Option[String] =
+    rowPolicyAttach.get(name).map { case (pn, cols) =>
+      policyBodySql(secPolicies(pn), cols, qual)
+    }
+
+  // ---- computed-column helpers ---------------------------------------
+
+  /** identifiers referenced by an expression text (function-call names
+    * and string-literal contents excluded) — used for the reference's
+    * 1065/1117 computed-column dependency checks
+    */
+  private def exprIdents(text: String): Set[String] = {
+    val out = mutable.LinkedHashSet[String]()
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == '\'') { val j = text.indexOf('\'', i + 1); i = if (j < 0) text.length else j + 1 }
+      else if (ch.isLetter || ch == '_') {
+        var j = i
+        while (j < text.length && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+        var k = j
+        while (k < text.length && text.charAt(k).isWhitespace) k += 1
+        if (!(k < text.length && text.charAt(k) == '('))
+          out += text.substring(i, j).toLowerCase
+        i = j
+      } else i += 1
+    }
+    out.toSet
+  }
+
+  /** one column spec's computed/default metadata:
+    * (physicalSpec or None-for-virtual, name, Option(dataType, rawExpr,
+    * stored), Option(defaultExpr))
+    */
+  private case class ColSpec(name: String, physical: Option[String],
+      computed: Option[(String, String, Boolean)], // (typeDdl, expr, stored)
+      default: Option[String])
+
+  /** split a CREATE TABLE column list into per-column metadata,
+    * peeling `[GENERATED ALWAYS] AS (expr) STORED|VIRTUAL` and
+    * `DEFAULT expr` clauses (reference ast/statements/table.rs
+    * ColumnDefinition)
+    */
+  private def parseColSpecs(ddl: String): Seq[ColSpec] =
+    splitTopLevel(ddl, ',').map { c0 =>
+      val c = c0.trim
+      val nm = """^\s*([`"\w]+)""".r.findFirstMatchIn(c).map(m => norm(m.group(1)))
+        .getOrElse(throw new IllegalArgumentException(s"bad column spec: $c"))
+      val asM = """(?is)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(""".r.findFirstMatchIn(c)
+      asM match {
+        case Some(am) =>
+          val open = am.end - 1
+          val close = matchParen(c, open)
+          val ex = c.substring(open + 1, close)
+          val tail = c.substring(close + 1).trim
+          val stored = tail.toUpperCase.startsWith("STORED")
+          require(stored || tail.toUpperCase.startsWith("VIRTUAL"),
+            s"computed column $nm needs STORED or VIRTUAL: $c")
+          val typeDdl = c.substring(0, am.start)
+            .replaceFirst("^\\s*[`\"\\w]+\\s+", "").trim
+          val phys = if (stored) Some(s"$nm ${typeDdl}") else None
+          ColSpec(nm, phys, Some((typeDdl, ex, stored)), None)
+        case None =>
+          val dM = """(?is)\bDEFAULT\s+(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
+            .findFirstMatchIn(c)
+          ColSpec(nm, Some(c), None, dM.map(_.group(1).trim))
+      }
+    }
+
+  /** run a computed-column expression once through the full
+    * databend->spark rewrite pipeline against the table's physical
+    * view, and keep the resulting plain-Spark text (so read-time
+    * evaluation cannot re-enter the pipeline)
+    */
+  private def normalizeComputedExpr(n: String, ex: String,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    val probe = rewriteReads(s"SELECT CAST(($ex) AS ${dt.sql}) AS __c FROM ${viewName(n)}")
+    """(?is)^\s*SELECT\s+(.*)\s+AS\s+__c\s+FROM\s+\S+\s*$""".r
+      .findFirstMatchIn(probe).map(_.group(1))
+      .getOrElse(s"CAST(($ex) AS ${dt.sql})")
+  }
+
+  /** register computed/default metadata for a freshly created table
+    * (the table's physical view must already exist); validates that
+    * computed expressions reference no other computed column (1065)
+    */
+  private def registerColumnMeta(n: String, specs: Seq[ColSpec]): Unit = {
+    computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n)
+    val compNames = specs.filter(_.computed.isDefined).map(_.name.toLowerCase).toSet
+    val comp = specs.flatMap { sp =>
+      sp.computed.map { case (typeDdl, ex, stored) =>
+        val refs = exprIdents(ex)
+        val bad = refs.intersect(compNames - sp.name.toLowerCase)
+        require(bad.isEmpty,
+          s"1065: computed column ${sp.name} references computed column(s) ${bad.mkString(",")}")
+        val dt = StructType.fromDDL(stripConstraints(s"x ${typeDdl}")).head.dataType
+        (sp.name, dt, normalizeComputedExpr(n, ex, dt), stored)
+      }
+    }
+    if (comp.nonEmpty) {
+      computedCols(n) = comp
+      declaredOrder(n) = specs.map(_.name)
+    }
+    val dflts = specs.collect { case ColSpec(nm, _, None, Some(d)) => nm.toLowerCase -> d }
+    if (dflts.nonEmpty) colDefaults(n) = dflts.toMap
+  }
+
+  // ---- stored procedures (SQL surface over operators/SqlScript) ------
+
+  /** declared arg/return type text per procedure key (DESC rendering
+    * uses the reference's internal type spellings)
+    */
+  private val procMeta =
+    mutable.LinkedHashMap[String, (Seq[String], Seq[String], String, String)]()
+
+  private def dbInternalType(t0: String): String = {
+    val t = t0.trim
+    val low = t.toLowerCase
+    low match {
+      case "int" | "integer" | "int32" => "Int32"
+      case "bigint" | "int64" => "Int64"
+      case "smallint" | "int16" => "Int16"
+      case "tinyint" | "int8" => "Int8"
+      case "uint8" => "UInt8"
+      case "uint16" => "UInt16"
+      case "uint32" => "UInt32"
+      case "uint64" => "UInt64"
+      case "string" | "varchar" | "text" => "String"
+      case "boolean" | "bool" => "Boolean"
+      case "float" | "float32" => "Float32"
+      case "double" | "float64" => "Float64"
+      case "date" => "Date"
+      case "timestamp" | "datetime" => "Timestamp"
+      case _ if low.startsWith("decimal") =>
+        """(?i)decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(t)
+          .map(m => s"Decimal(${m.group(1)}, ${m.group(2)})").getOrElse(t)
+      case _ => t
+    }
+  }
+
+  private val CreateProcRe =
+    ("""(?is)^CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w$]+)\s*\(([^)]*)\)\s*""" +
+     """(?:RETURNS\s+(.+?))?\s*LANGUAGE\s+SQL\s*(?:COMMENT\s*=\s*'[^']*')?\s*AS\s*(.*)$""").r
+
+  private def createProcedureStmt(s: String): DataFrame = s match {
+    case CreateProcRe(orReplace, ifNotExists, name0, argList, returns, body) =>
+      require(orReplace == null || ifNotExists == null,
+        "1005: CREATE OR REPLACE ... IF NOT EXISTS is not allowed")
+      val name = name0.toLowerCase
+      val args = splitTopLevel(argList, ',').map(_.trim).filter(_.nonEmpty)
+      val argNames = args.map(_.split("\\s+")(0).toLowerCase)
+      val argTypes = args.map(a => dbInternalType(a.split("\\s+", 2).lift(1).getOrElse("")))
+      if (graft.operators.SqlScript.hasProcedure(name, argNames.length)) {
+        if (ifNotExists != null) return status("procedure" -> name, "op" -> "exists")
+        require(orReplace != null,
+          s"2801: procedure $name(${argTypes.mkString(",")}) already exists")
+      }
+      graft.operators.SqlScript.createProcedure(name, argNames, body.trim)
+      procMeta(s"$name/${argNames.length}") = (argNames, argTypes,
+        Option(returns).map(_.trim).getOrElse(""), body.trim)
+      status("procedure" -> name, "op" -> "create-procedure")
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE PROCEDURE: $s")
+  }
+
+  private def dropProcedureStmt(s: String): DataFrame = {
+    val m = """(?is)^DROP\s+PROCEDURE\s+(?:(IF\s+EXISTS)\s+)?([\w$]+)\s*(?:\(([^)]*)\))?\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DROP PROCEDURE: $s"))
+    val name = m.group(2).toLowerCase
+    val arity = Option(m.group(3))
+      .map(a => splitTopLevel(a, ',').map(_.trim).count(_.nonEmpty))
+    arity match {
+      case Some(k) =>
+        val known = graft.operators.SqlScript.hasProcedure(name, k)
+        require(known || m.group(1) != null,
+          s"3130: unknown procedure $name with $k argument(s)")
+        graft.operators.SqlScript.dropProcedure(name, k)
+        procMeta.remove(s"$name/$k")
+      case None =>
+        graft.operators.SqlScript.dropProcedure(name)
+        procMeta.keys.filter(_.startsWith(name + "/")).toSeq.foreach(procMeta.remove)
+    }
+    status("procedure" -> name, "op" -> "drop-procedure")
+  }
+
+  private def callProcedure(s: String): DataFrame = {
+    val m = """(?is)^CALL\s+(?:PROCEDURE\s+)?(?:IDENTIFIER\s*\(\s*'([^']*)'\s*\)|([\w$]+))\s*\((.*)\)\s*;?\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse CALL: $s"))
+    val name = Option(m.group(1)).getOrElse(m.group(2)).toLowerCase
+    val argVals = splitTopLevel(m.group(3), ',').map(_.trim).filter(_.nonEmpty)
+      .map(a => spark.sql(s"SELECT ${substituteVariables(a)}").head.get(0))
+    graft.operators.SqlScript.call(spark, name, argVals, execute)
+  }
+
+  private def descProcedure(s: String): DataFrame = {
+    val m = """(?is)^DESC(?:RIBE)?\s+PROCEDURE\s+([\w$]+)\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DESC PROCEDURE: $s"))
+    val name = m.group(1).toLowerCase
+    val arity = Option(m.group(2))
+      .map(a => splitTopLevel(a, ',').map(_.trim).count(_.nonEmpty)).getOrElse(0)
+    val (argNames, _, returns, body) = procMeta.getOrElse(s"$name/$arity",
+      throw new IllegalArgumentException(s"3130: unknown procedure $name"))
+    val flatBody = body.stripPrefix("$$").stripSuffix("$$").trim
+      .replaceAll("\\s+", " ")
+    import spark.implicits._
+    Seq(
+      ("signature", s"(${argNames.mkString(", ")})"),
+      ("returns", s"(${dbInternalType(returns.replaceAll("(?i)\\s+NOT\\s+NULL", "").trim)})"),
+      ("language", "SQL"),
+      ("body", flatBody))
+      .toDF("property", "value")
+  }
+
+  // ---- full-text match()/query()/score() -----------------------------
+
+  /** rewrite `... FROM t WHERE [pre AND] match(target, 'q'[, 'opts'])
+    * ...` (and the `query('field:syntax')` form) into a scored
+    * subquery: corpus stats (N, avgdl, per-term dfs) are computed with
+    * distributed aggregations at bind time — the synced-index probe
+    * shape; operators/InvertedIndex is the persisted scale path — and
+    * each row scores through one scalar UDF. score() references the
+    * computed column.
+    */
+  private def rewriteFullText(sql: String): String = {
+    import graft.functions.FullText
+    if (!sql.trim.toUpperCase.startsWith("SELECT")) return sql
+    val mRe = """(?i)\b(match|query)\s*\(""".r
+    val m = mRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val kind = m.group(1).toLowerCase
+    val tM = """(?is)\bFROM\s+([\w.]+)""".r.findFirstMatchIn(sql).getOrElse(return sql)
+    val tbl = resolveKey(tM.group(1))
+    if (!tables.contains(tbl)) return sql
+    val invDefs = tableIndexes.getOrElse(tbl, mutable.Buffer.empty)
+      .filter(_.family == "INVERTED")
+    if (invDefs.isEmpty) {
+      if (kind == "query") return sql // not a full-text call
+      throw new IllegalArgumentException(s"1903: match() needs an INVERTED INDEX on $tbl")
+    }
+    val idx = invDefs.head
+    val filters = idx.opts.get("filters")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val open = m.end - 1
+    val close = matchParen(sql, open)
+    val args = splitTopLevel(sql.substring(open + 1, close), ',').map(_.trim)
+    def unq(s: String) = s.stripPrefix("'").stripSuffix("'")
+
+    // fields + boosts
+    val fields: Seq[(String, Double)] =
+      if (kind == "query") idx.cols.map(_ -> 1.0)
+      else {
+        val t = args(0)
+        if (t.startsWith("'")) unq(t).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
+          val p = f.split("\\^")
+          (norm(p(0)), if (p.length > 1) p(1).toDouble else 1.0)
+        }
+        else Seq(norm(t) -> 1.0)
+      }
+    // options ('fuzziness=N;operator=AND;lenient=true')
+    val optStr = (kind, args.length) match {
+      case ("match", 3) => unq(args(2))
+      case ("query", 2) => unq(args(1))
+      case _ => ""
+    }
+    val optMap = optStr.split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k.toLowerCase -> v }.toMap
+    val lenient = optMap.get("lenient").exists(_.equalsIgnoreCase("true"))
+    val fuzzy = optMap.get("fuzziness").map(_.toInt).getOrElse(0)
+    val opAnd = optMap.get("operator").exists(_.equalsIgnoreCase("AND"))
+
+    val clauses: Seq[FullText.Q] =
+      try {
+        if (kind == "match") {
+          val q = unq(args(1))
+          if (q.exists(c => c == '(' || c == ')'))
+            throw FullText.ParseError("parens are query() syntax, not match() terms")
+          q.trim.split("\\s+").toSeq.filter(_.nonEmpty).map(FullText.Term(None, _))
+        } else FullText.parseQuery(unq(args(0)))
+      } catch {
+        case e: FullText.ParseError => if (lenient) Seq.empty else throw e
+      }
+    // index_record='basic' drops positions: phrase (and boosted-group)
+    // queries refuse like the reference (1105)
+    if (idx.opts.get("index_record").exists(_.equalsIgnoreCase("basic"))) {
+      def hasPhrase(q: FullText.Q): Boolean = q match {
+        case _: FullText.Phrase => true
+        case FullText.And(l, r) => hasPhrase(l) || hasPhrase(r)
+        case FullText.Or(l, r) => hasPhrase(l) || hasPhrase(r)
+        case FullText.Must(x) => hasPhrase(x)
+        case FullText.MustNot(x) => hasPhrase(x)
+        case FullText.Group(qs, _) => qs.exists(hasPhrase)
+        case _ => false
+      }
+      require(!clauses.exists(hasPhrase) &&
+              !(kind == "query" && unq(args(0)).contains("^")),
+        "1105: index_record='basic' stores no positions; phrase queries need index_record='position'")
+    }
+    // multi-char CJK runs match as adjacent unigram phrases (jieba
+    // segmentation approximation — FullText.cjkPhrases scaladoc)
+    val clausesFinal =
+      if (fuzzy > 0) clauses else clauses.map(graft.functions.FullText.cjkPhrases)
+
+    // needed terms (analyzed) for df lookups
+    def termTexts(q: FullText.Q): Seq[String] = q match {
+      case FullText.Term(_, t, _) => Seq(t)
+      case FullText.Phrase(_, ts) => ts
+      case FullText.And(l, r) => termTexts(l) ++ termTexts(r)
+      case FullText.Or(l, r) => termTexts(l) ++ termTexts(r)
+      case FullText.Must(x) => termTexts(x)
+      case FullText.MustNot(x) => termTexts(x)
+      case FullText.Group(qs, _) => qs.flatMap(termTexts)
+    }
+    val rawTerms = clausesFinal.flatMap(termTexts)
+    val neededTerms = rawTerms.flatMap(t => FullText.analyze(t, filters)).distinct
+
+    // per-field stats: distributed aggregations over the live view
+    // (variant/json columns index PATH-TAGGED tokens, tantivy-style)
+    val tblSchema = tables(tbl).read().schema
+    def fieldIsJson(cn: String): Boolean =
+      tblSchema.fields.find(_.name.equalsIgnoreCase(cn))
+        .exists(_.dataType == org.apache.spark.sql.types.VariantType)
+    val termPart = udf((t: String) => FullText.tagOf(t)._2)
+    val stats = fields.map { case (cn, boost) =>
+      val isJson = fieldIsJson(cn)
+      val tokUdf =
+        if (isJson) udf((s: String) => FullText.analyzeJson(if (s == null) "" else s, filters))
+        else udf((s: String) => FullText.analyze(if (s == null) "" else s, filters))
+      val base = spark.table(viewName(tbl))
+        .select(tokUdf(col(s"`$cn`").cast("string")).as("__t"))
+      val agg = base.agg(count(lit(1)), avg(size(col("__t")))).collect()(0)
+      val n = agg.getLong(0)
+      val avgdl = Option(agg.get(1)).map(_.toString.toDouble).getOrElse(0.0)
+      val dfs: Map[String, Long] =
+        if (neededTerms.isEmpty) Map.empty
+        else base.select(explode(array_distinct(col("__t"))).as("__term"))
+          .filter(termPart(col("__term")).isin(neededTerms: _*))
+          .groupBy("__term").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      FullText.FieldStats(cn, boost, n, avgdl, dfs, filters, isJson)
+    }
+    val spec = FullText.Spec(clausesFinal, stats, opAnd, fuzzy)
+    val jsonFlags = fields.map(f => fieldIsJson(f._1))
+    val fn = s"${viewPrefix}ft_score"
+    spark.udf.register(fn, udf((arr: Seq[String]) => {
+      if (spec.clauses.isEmpty) None
+      else {
+        val fieldToks = arr.zip(jsonFlags).map { case (s, j) =>
+          if (j) FullText.analyzeJson(if (s == null) "" else s, filters)
+          else FullText.analyze(if (s == null) "" else s, filters)
+        }
+        FullText.scoreDoc(fieldToks, spec).map(_.toFloat)
+      }
+    }))
+
+    // surgery back-to-front: the match call sits after FROM
+    val callRepl = "__ft_score IS NOT NULL"
+    var out = sql.substring(0, m.start) + callRepl + sql.substring(close + 1)
+    val innerCols = fields.map(f => s"CAST(`${f._1}` AS STRING)").mkString(", ")
+    val inner = s"(SELECT *, $fn(array($innerCols)) AS __ft_score FROM ${tM.group(1)}) __ft"
+    out = out.substring(0, tM.start) + "FROM " + inner + out.substring(tM.end)
+    out.replaceAll("(?i)\\bscore\\s*\\(\\s*\\)", "__ft_score")
+  }
+
+  // ---- standalone index DDL ------------------------------------------
+
+  /** CREATE [ASYNC|SYNC] (INVERTED|NGRAM|VECTOR|SPATIAL) INDEX name
+    * ON t(cols) [k = v ...] (reference query/index suites)
+    */
+  private def createTableIndex(s: String): DataFrame = {
+    val m = CreateIndexRe.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse CREATE INDEX: $s"))
+    val n = resolveKey(m.group(4))
+    require(tables.contains(n), s"1025: unknown table $n")
+    val d = IndexDef(norm(m.group(3)), m.group(2).toUpperCase,
+      splitTopLevel(m.group(5), ',').map(norm), {
+        val o = mutable.LinkedHashMap[String, String]()
+        """(?i)(\w+)\s*=\s*('[^']*'|\S+)""".r.findAllMatchIn(m.group(6)).foreach { km =>
+          o(km.group(1).toLowerCase) = km.group(2).stripPrefix("'").stripSuffix("'")
+        }
+        o
+      }, m.group(1) == null || !m.group(1).trim.equalsIgnoreCase("ASYNC"))
+    // OR REPLACE / IF NOT EXISTS forms
+    val buf0 = tableIndexes.getOrElse(n, mutable.Buffer.empty)
+    if ("""(?is)^CREATE\s+OR\s+REPLACE\b""".r.findPrefixMatchOf(s).isDefined)
+      buf0.find(_.name == d.name).foreach(buf0 -= _)
+    else if ("""(?is)\bIF\s+NOT\s+EXISTS\b""".r.findFirstIn(s).isDefined &&
+             buf0.exists(_.name == d.name))
+      return status("index" -> d.name, "op" -> "exists")
+    addTableIndex(n, d)
+    status("index" -> d.name, "op" -> "create-index", "family" -> d.family)
+  }
+
+  private def dropTableIndex(s: String): DataFrame = {
+    val m = DropIndexRe.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DROP INDEX: $s"))
+    val family = m.group(1).toUpperCase
+    val ifExists = m.group(2) != null
+    val name = norm(m.group(3))
+    val n = resolveKey(m.group(4))
+    val buf = tableIndexes.getOrElse(n, mutable.Buffer.empty)
+    buf.find(_.name == name) match {
+      case None => require(ifExists, s"2601: no index $name on $n")
+      case Some(d) =>
+        require(d.family == family,
+          s"2601: index $name on $n is a ${d.family} index, not $family")
+        // the vector index backing a vector cluster key cannot drop
+        // (reference vector_index_base)
+        if (family == "VECTOR")
+          clusterKeys.get(n).foreach { keys =>
+            val hit = keys.exists(k => d.cols.exists(_.equalsIgnoreCase(k)))
+            require(!hit,
+              s"1601: index $name backs the vector cluster key; drop the cluster key first")
+          }
+        buf -= d
+    }
+    status("index" -> name, "op" -> "drop-index")
+  }
+
+  // ---- aggregating indexes -------------------------------------------
+
+  /** the reference's strict shape check (1601): one table, optional
+    * WHERE, optional flat GROUP BY + aggregates — no CTE/subquery/
+    * join/order/limit/having/window/filter/non-determinism
+    */
+  private def validateAggIndexSelect(sel0: String): String = {
+    val sel = sel0.trim
+    def bad(what: String) = throw new IllegalArgumentException(
+      s"1601: unsupported aggregating index query ($what)")
+    if (!sel.toUpperCase.startsWith("SELECT")) bad("must be a plain SELECT")
+    if ("""(?is)\(\s*select\b""".r.findFirstIn(sel).isDefined) bad("subquery")
+    for (kw <- Seq("JOIN", "ORDER", "LIMIT", "HAVING", "WINDOW", "OVER",
+        "FILTER", "GROUPING", "UNION", "EXCEPT", "INTERSECT"))
+      if (indexOfKeyword(sel, kw) >= 0) bad(kw.toLowerCase)
+    if ("""(?i)\b(now|rand|random|uuid|today|current_timestamp|current_date)\s*\(""".r
+          .findFirstIn(sel).isDefined) bad("non-deterministic function")
+    val fromIdx = indexOfKeyword(sel, "FROM")
+    if (fromIdx < 0) bad("needs FROM")
+    val tail = sel.substring(fromIdx + 4).trim
+    val tm = """^([\w.]+)\s*(.*)$""".r.findFirstMatchIn(tail)
+      .getOrElse(bad("single table"))
+    val rest = tm.group(2).trim.toUpperCase
+    if (rest.nonEmpty && !rest.startsWith("WHERE") && !rest.startsWith("GROUP"))
+      bad("only WHERE / GROUP BY allowed")
+    val hasAgg =
+      """(?i)\b(sum|count|min|max|avg|approx_count_distinct|uniq|stddev\w*|var\w*)\s*\(""".r
+        .findFirstIn(sel).isDefined
+    val hasWhere = indexOfKeyword(sel, "WHERE") >= 0
+    if (!hasAgg && !hasWhere) bad("a bare projection indexes nothing")
+    tm.group(1)
+  }
+
+  private def createAggIndex(s: String): DataFrame = {
+    val m = CreateAggIdxRe.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse CREATE AGGREGATING INDEX: $s"))
+    val orReplace = m.group(1) != null
+    val sync = m.group(2) != null && m.group(2).trim.equalsIgnoreCase("SYNC")
+    val ifNotExists = m.group(3) != null
+    require(!(orReplace && ifNotExists),
+      "1005: CREATE OR REPLACE ... IF NOT EXISTS is not allowed")
+    val name = norm(m.group(4))
+    val sel = m.group(5).trim
+    if (aggIndexes.contains(name)) {
+      if (ifNotExists) return status("index" -> name, "op" -> "exists")
+      require(orReplace, s"2601: aggregating index $name already exists")
+    }
+    val tbl = resolveKey(validateAggIndexSelect(sel))
+    require(tables.contains(tbl), s"1025: unknown table $tbl")
+    aggIndexes(name) = (tbl, sel, sync)
+    status("index" -> name, "op" -> "create-agg-index")
+  }
+
+  private def dropAggIndex(s: String): DataFrame = {
+    val m = """(?is)^DROP\s+AGGREGATING\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?("[^"]+"|[`\w.]+)\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DROP AGGREGATING INDEX: $s"))
+    val name = norm(m.group(2))
+    val known = aggIndexes.remove(name)
+    require(known.isDefined || m.group(1) != null,
+      s"2601: unknown aggregating index $name")
+    known.foreach { case (tbl, _, _) =>
+      tables.get(tbl).foreach(t => graft.plans.AggIndex.deregister(t.path))
+    }
+    status("index" -> name, "op" -> "drop-agg-index")
+  }
+
+  /** REFRESH AGGREGATING INDEX name [LIMIT n]: when the index query is
+    * the flat `aggs GROUP BY keys` shape with no WHERE, materialize a
+    * convention-named summary and pin it to the CURRENT snapshot's
+    * file set via AggIndex.registerFiles — stale versions never match,
+    * so answers stay correct without sync maintenance. Other shapes
+    * refresh as a no-op (the gate is answer correctness, not rewrite
+    * coverage).
+    */
+  private def refreshAggIndexStmt(s: String): DataFrame = {
+    val m = """(?is)^REFRESH\s+AGGREGATING\s+INDEX\s+("[^"]+"|[`\w.]+)(?:\s+LIMIT\s+\d+)?\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse REFRESH AGGREGATING INDEX: $s"))
+    val name = norm(m.group(1))
+    val (tbl, sel, _) = aggIndexes.getOrElse(name,
+      throw new IllegalArgumentException(s"2601: unknown aggregating index $name"))
+    val sm = """(?is)^SELECT\s+(.*?)\s+FROM\s+[\w.]+\s+GROUP\s+BY\s+(.*)$""".r
+      .findFirstMatchIn(sel)
+    sm.foreach { mm =>
+      val keys = splitTopLevel(mm.group(2), ',').map(_.trim)
+      val items = splitTopLevel(mm.group(1), ',').map(_.trim)
+      val simpleKeys = keys.forall(_.matches("(?i)[\\w]+"))
+      val AggItem = """(?i)(sum|min|max)\s*\(\s*(\w+)\s*\)(?:\s+as\s+\w+)?""".r
+      val CntItem = """(?i)count\s*\(\s*\*?\s*\)(?:\s+as\s+\w+)?""".r
+      val conv = items.map {
+        case AggItem(fn, c) => Some(s"${fn.toLowerCase}(`$c`) AS ${fn.toLowerCase}_$c")
+        case CntItem()      => Some("count(*) AS cnt")
+        case it if keys.exists(_.equalsIgnoreCase(it)) => Some(s"`$it`")
+        case _ => None
+      }
+      if (simpleKeys && conv.forall(_.isDefined)) {
+        val t = tables(tbl)
+        val sumDir = Paths.get(warehouse, ".aggidx", name).toString
+        val v = freshView(t.read())
+        spark.sql(s"SELECT ${(keys.map(k => s"`$k`") ++ conv.flatten.filterNot(c =>
+            keys.exists(k => c == s"`$k`"))).distinct.mkString(", ")} FROM $v GROUP BY ${keys.map(k => s"`$k`").mkString(", ")}")
+          .write.mode("overwrite").parquet(sumDir)
+        val files = t.snapshot(t.currentVersion).files.map(f => s"${t.path}/$f")
+        graft.plans.AggIndex.registerFiles(t.path, keys, sumDir, files)
+      }
+    }
+    status("index" -> name, "op" -> "refresh-agg-index")
+  }
+
+  // ---- table-index helpers -------------------------------------------
+
+  /** `[SYNC|ASYNC] FAMILY INDEX name (cols) [k = v ...]` from a
+    * CREATE TABLE spec or the tail of a standalone CREATE ... INDEX
+    */
+  private def parseIndexSpec(m: scala.util.matching.Regex.Match): IndexDef = {
+    val sync = m.group(1) == null || !m.group(1).trim.equalsIgnoreCase("ASYNC")
+    val family = m.group(2).toUpperCase
+    val name = norm(m.group(3))
+    val cols = splitTopLevel(m.group(4), ',').map(norm)
+    val opts = mutable.LinkedHashMap[String, String]()
+    """(?i)(\w+)\s*=\s*('[^']*'|\S+)""".r.findAllMatchIn(m.group(5)).foreach { km =>
+      opts(km.group(1).toLowerCase) = km.group(2).stripPrefix("'").stripSuffix("'")
+    }
+    IndexDef(name, family, cols, opts, sync)
+  }
+
+  /** family/option validation against the physical schema (reference
+    * per-family index checkers)
+    */
+  private def validateIndexDef(schema: StructType, d: IndexDef): Unit = {
+    import org.apache.spark.sql.types._
+    d.cols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"1065: unknown column $c for ${d.family} index ${d.name}"))
+      d.family match {
+        case "INVERTED" =>
+          require(f.dataType.isInstanceOf[StringType] || f.dataType == VariantType,
+            s"1601: INVERTED index needs a string or variant column, $c is ${f.dataType.sql}")
+        case "NGRAM" =>
+          require(f.dataType.isInstanceOf[StringType],
+            s"1601: NGRAM index needs a string column, $c is ${f.dataType.sql}")
+        case "VECTOR" =>
+          require(f.dataType == ArrayType(FloatType, true) ||
+                  f.dataType == ArrayType(FloatType, false),
+            s"1601: VECTOR index needs a vector column, $c is ${f.dataType.sql}")
+        case "SPATIAL" =>
+          require(f.dataType == BinaryType,
+            s"1601: SPATIAL index needs a geometry column, $c is ${f.dataType.sql}")
+        case other =>
+          throw new IllegalArgumentException(s"unknown index family $other")
+      }
+    }
+    d.family match {
+      case "NGRAM" =>
+        d.opts.get("gram_size").foreach(v => require(v.toLong > 0,
+          s"1601: gram_size must be positive"))
+        d.opts.get("bloom_size").foreach(v => require(
+          v.toLong >= 512 && v.toLong <= 10485760,
+          s"1601: bloom_size must be in [512, 10485760]"))
+      case "VECTOR" =>
+        val dist = d.opts.getOrElse("distance",
+          throw new IllegalArgumentException(
+            s"1601: VECTOR index ${d.name} requires the distance option"))
+        dist.split(",").map(_.trim).foreach(x =>
+          require(Set("cosine", "l1", "l2")(x.toLowerCase),
+            s"1601: unknown vector distance $x"))
+        d.opts.get("m").foreach(v => require(v.toLong > 0,
+          "1601: m must be positive"))
+        d.opts.get("ef_construct").foreach(v => require(v.toLong > 0,
+          "1601: ef_construct must be positive"))
+      case _ =>
+    }
+  }
+
+  private def addTableIndex(n: String, d: IndexDef): Unit = {
+    validateIndexDef(tables(n).read().schema, d)
+    val buf = tableIndexes.getOrElseUpdate(n, mutable.Buffer.empty)
+    require(!buf.exists(_.name == d.name),
+      s"1601: index ${d.name} already exists on $n")
+    buf += d
+  }
+
+  /** shared CREATE TABLE (name (ddl)) path: peels table-level index
+    * specs and computed/default column clauses, creates the physical
+    * table, registers all metadata, and applies an inline CLUSTER BY
+    */
+  private def createPlainTable(n: String, ddl: String,
+      cluster: Option[String]): Unit = {
+    val (idxSpecs, colParts) = splitTopLevel(ddl, ',')
+      .partition(c => TableIndexSpecRe.findFirstMatchIn(c.trim).isDefined)
+    val specs = parseColSpecs(colParts.mkString(", "))
+    // physical DDL: computed VIRTUAL columns are read-time only;
+    // computed STORED columns keep their declared slot
+    val physDdl = specs.flatMap(_.physical).mkString(", ")
+    val schema = StructType.fromDDL(stripConstraints(physDdl))
+    validateDeclaredSchema(schema)
+    notNullCols(n) = declaredNotNull(physDdl)
+    requiredCols(n) = declaredNotNull(physDdl, withDefault = false)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    register(n, GraftTable.create(spark, tablePath(n), empty))
+    try {
+    registerColumnMeta(n, specs)
+    tableIndexes.remove(n)
+    idxSpecs.foreach { sp =>
+      val m = TableIndexSpecRe.findFirstMatchIn(sp.trim).get
+      addTableIndex(n, parseIndexSpec(m))
+    }
+    // inline CLUSTER BY (reference create_table.rs) = the declared
+    // recluster key set, same as ALTER TABLE ... CLUSTER BY
+    cluster.foreach { k =>
+      val keys = splitTopLevel(k, ',').map(norm)
+      // a vector-typed cluster key needs a single-distance vector
+      // index on that column (reference vector_index_base)
+      keys.foreach { key =>
+        val isVector = schema.fields.exists(f => f.name.equalsIgnoreCase(key) &&
+          f.dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, true))
+        if (isVector) {
+          val vidx = tableIndexes.getOrElse(n, mutable.Buffer.empty)
+            .filter(d => d.family == "VECTOR" && d.cols.exists(_.equalsIgnoreCase(key)))
+          require(vidx.nonEmpty,
+            s"Vector cluster key `$key` requires a vector index with distance option")
+          val distances = vidx.flatMap(_.opts.get("distance"))
+            .flatMap(_.split(",")).map(_.trim).distinct
+          require(distances.length == 1,
+            s"Vector cluster key `$key` has multiple vector index distance types")
+        }
+      }
+      clusterKeys(n) = keys
+    }
+    } catch { case e: Throwable =>
+      // reject the CREATE wholesale: no half-made table survives a
+      // failed index/cluster validation (the reference validates
+      // before creating)
+      tables.remove(n).foreach { t =>
+        spark.catalog.dropTempView(viewName(n)); rmrf(t.path) }
+      computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n)
+      tableIndexes.remove(n)
+      throw e
+    }
+    refreshView(n)
+  }
+
+  /** bloom_index_columns must name physical bloom-indexable columns
+    * (reference 1301: no variant/json, no VIRTUAL computed columns)
+    */
+  private def validateBloomColumns(n: String, listStr: String): Unit = {
+    import org.apache.spark.sql.types._
+    val fields = tables(n).read().schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    listStr.split(",").map(c => norm(c.trim)).filter(_.nonEmpty).foreach { c =>
+      val dt = fields.getOrElse(c.toLowerCase,
+        throw new IllegalArgumentException(
+          s"1301: bloom index column $c is not a physical column"))
+      val ok = dt match {
+        case _: StringType | _: DecimalType => true
+        case IntegerType | LongType | ShortType | ByteType | FloatType |
+             DoubleType | BooleanType | DateType | TimestampType | BinaryType => true
+        case _ => false
+      }
+      require(ok, s"1301: bloom index does not support column $c of type ${dt.sql}")
+    }
+  }
+
+  /** recompute every STORED computed column over the current rows (a
+    * COW overwrite; used after UPDATE/MERGE/MODIFY which may change
+    * inputs — the write paths that only ADD rows compute in-frame)
+    */
+  private def recomputeStored(n: String): Unit = {
+    val comp = computedCols.getOrElse(n, Seq.empty).filter(_._4)
+    if (comp.isEmpty) return
+    val t = tables(n)
+    val cur = t.read()
+    if (cur.isEmpty) return
+    val v = freshView(cur)
+    val proj = cur.columns.toSeq.map { c =>
+      comp.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((nm, _, ex, _)) => s"$ex AS `$nm`"
+        case None => s"`$c`"
+      }
+    }
+    t.overwrite(spark.sql(s"SELECT ${proj.mkString(", ")} FROM $v").localCheckpoint(true))
+    refreshView(n)
+  }
 
   private def freshView(df: DataFrame): String = {
     viewSeq += 1
@@ -368,8 +1192,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     s = stripLineComments(s).trim.stripSuffix(";").trim
     s = preserveUnknownEscapes(s)
     // $name / getvariable('name') -> stored literals (except inside a
-    // SET VARIABLE statement itself, whose RHS must evaluate fresh)
-    if (!s.regionMatches(true, 0, "SET VARIABLE", 0, 12))
+    // SET VARIABLE statement itself, whose RHS must evaluate fresh,
+    // and CREATE POLICY bodies, which re-bind GETVARIABLE at every
+    // statement — reference row_policy_result_cache)
+    if (!s.regionMatches(true, 0, "SET VARIABLE", 0, 12) &&
+        !"""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(MASKING|ROW\s+ACCESS)\s+POLICY\b""".r
+          .findPrefixMatchOf(s).isDefined)
       s = substituteVariables(s)
     // show_variables() TVF form of SHOW VARIABLES
     if (s.toLowerCase.contains("show_variables"))
@@ -378,9 +1206,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // trailing IGNORE_RESULT (databend statement suffix: run, discard
     // rows — tests/sqllogictests suites use it on large results)
     s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
-    // dialect-level operator spellings (skip CREATE FUNCTION so script
-    // bodies pass through untouched)
-    if (!"""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\b""".r
+    // dialect-level operator spellings (skip CREATE FUNCTION / CREATE
+    // POLICY so script and policy bodies — which use `->` as the body
+    // arrow — pass through untouched)
+    if (!"""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(FUNCTION\b|(MASKING|ROW\s+ACCESS)\s+POLICY\b)""".r
           .findPrefixMatchOf(s).isDefined)
       s = dialectOps(s)
     // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
@@ -482,6 +1311,37 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(DATABASE|SCHEMA)\\b.*"))
       createDatabase(s)
     else if (is("DROP DATABASE") || is("DROP SCHEMA")) dropDatabase(s)
+    else if (up.matches("(?s)^CREATE\\s+(OR\\s+REPLACE\\s+)?(MASKING|ROW\\s+ACCESS)\\s+POLICY\\b.*"))
+      createPolicy(s)
+    else if (up.matches("(?s)^DROP\\s+(MASKING|ROW\\s+ACCESS)\\s+POLICY\\b.*"))
+      dropPolicy(s)
+    else if (is("SET SECONDARY ROLES")) {
+      val arg = s.substring("SET SECONDARY ROLES".length).trim
+      secondaryRoles =
+        if (arg.equalsIgnoreCase("ALL")) None
+        else if (arg.equalsIgnoreCase("NONE")) Some(Seq.empty)
+        else Some(arg.split(",").map(a => norm(a.trim)).toSeq)
+      status("op" -> "set-secondary-roles", "roles" -> arg)
+    }
+    else if (is("CREATE ROLE") || is("DROP ROLE") || is("SET ROLE")) roleDdl(s)
+    else if (is("UNDROP TABLE")) undropTable(s)
+    else if (up.matches("(?s)^CREATE\\s+(OR\\s+REPLACE\\s+)?PROCEDURE\\b.*"))
+      createProcedureStmt(s)
+    else if (is("DROP PROCEDURE")) dropProcedureStmt(s)
+    else if (is("CALL ")) callProcedure(s)
+    else if ((is("DESC ") || is("DESCRIBE ")) &&
+             """(?is)^DESC(RIBE)?\s+PROCEDURE\b""".r.findPrefixMatchOf(s).isDefined)
+      descProcedure(s)
+    else if (up.matches("(?s)^CREATE\\s+(OR\\s+REPLACE\\s+)?(ASYNC\\s+|SYNC\\s+)?AGGREGATING\\s+INDEX\\b.*"))
+      createAggIndex(s)
+    else if (up.matches("(?s)^DROP\\s+AGGREGATING\\s+INDEX\\b.*")) dropAggIndex(s)
+    else if (up.matches("(?s)^REFRESH\\s+AGGREGATING\\s+INDEX\\b.*")) refreshAggIndexStmt(s)
+    else if (up.matches("(?s)^CREATE\\s+(OR\\s+REPLACE\\s+)?(SYNC\\s+|ASYNC\\s+)?(INVERTED|NGRAM|VECTOR|SPATIAL)\\s+INDEX\\b.*"))
+      createTableIndex(s)
+    else if (up.matches("(?s)^DROP\\s+(INVERTED|NGRAM|VECTOR|SPATIAL)\\s+INDEX\\b.*"))
+      dropTableIndex(s)
+    else if (up.matches("(?s)^REFRESH\\s+(INVERTED|NGRAM|VECTOR|SPATIAL)\\s+INDEX\\b.*"))
+      status("op" -> "refresh-index")
     else if (is("CREATE")) createTable(s)
     else if (is("DROP STREAM")) dropStream(s)
     else if (is("DROP TABLE")) dropTable(s)
@@ -521,6 +1381,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       graft.functions.TimestampTz.register(spark)
       status("op" -> "set", "setting" -> "timezone", "value" -> tz)
     }
+    else if (is("SET ") &&
+             """(?is)^SET\s+(GLOBAL|SESSION)\s+\w+\s*=.*""".r
+               .findPrefixMatchOf(s).isDefined)
+      // databend SET GLOBAL/SESSION <setting> = v — scope-qualified
+      // settings (Spark's SET has no scope keyword)
+      spark.sql("SET " + s.replaceAll("(?is)^SET\\s+(GLOBAL|SESSION)\\s+", ""))
     else if (is("UNSET ") &&
              s.substring(6).trim.stripSuffix(";").equalsIgnoreCase("timezone")) {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -538,10 +1404,18 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("SHOW STAGES")) showStages()
     else if (is("SHOW CREATE TABLE"))
       showCreateTable(s.substring("SHOW CREATE TABLE".length).trim)
+    else if ((is("DESC ") || is("DESCRIBE ")) &&
+             """(?is)^DESC(RIBE)?\s+(MASKING|ROW\s+ACCESS)\s+POLICY\b""".r
+               .findPrefixMatchOf(s).isDefined) descPolicy(s)
     else if (is("SHOW ") || is("DESC ") || is("DESCRIBE ")) showDescribe(s)
-    else if (is("BEGIN") || is("EXECUTE IMMEDIATE") || s.startsWith("$$"))
-      graft.operators.SqlScript.executeImmediate(spark,
-        s.replaceAll("(?i)^EXECUTE\\s+IMMEDIATE\\s*", ""))
+    else if (is("BEGIN") || is("EXECUTE IMMEDIATE") || s.startsWith("$$")) {
+      var body = s.replaceAll("(?i)^EXECUTE\\s+IMMEDIATE\\s*", "")
+      // quoted script text: EXECUTE IMMEDIATE 'select 42' (and the
+      // $variable form, already substituted above)
+      if (body.startsWith("'") && body.endsWith("'") && body.length >= 2)
+        body = body.substring(1, body.length - 1).replace("''", "'")
+      graft.operators.SqlScript.executeImmediate(spark, body, execute)
+    }
     else query(s) // let Spark handle anything else (CREATE VIEW, SET, ...)
   }
 
@@ -673,6 +1547,14 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     lastStreamRefs.foreach(n0 => streams(n0).consume(_ => ()))
 
   private def query(s: String): DataFrame = {
+    val df = query0(s)
+    // databend's max_result_rows setting truncates oversized results
+    val cap = try spark.conf.get("max_result_rows").toLong
+              catch { case _: Exception => 0L }
+    if (cap > 0) df.limit(cap.toInt) else df
+  }
+
+  private def query0(s: String): DataFrame = {
     var cur = rewriteReads(s)
     var tries = 0
     while (tries < 5) {
@@ -866,7 +1748,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = rewriteOrderByMatchingItem(sql)
     // CHANGES first (its text contains an AT clause)
     sql = ChangesRe.replaceAllIn(sql, m => {
-      val t = norm(m.group(1))
+      val t = resolveKey(m.group(1))
       if (!tables.contains(t)) m.matched
       else {
         val tab = tables(t)
@@ -881,7 +1763,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       }
     })
     sql = AtRe.replaceAllIn(sql, m => {
-      val t = norm(m.group(1))
+      val t = resolveKey(m.group(1))
       if (!tables.contains(t)) m.matched
       else {
         val tab = tables(t)
@@ -920,6 +1802,39 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       sql = sql.replaceAll("(?i)\\bsystem\\s*\\.\\s*databases\\b",
         java.util.regex.Matcher.quoteReplacement(freshView(df)))
     }
+    // system.indexes scoped to THIS instance's index registries
+    // (reference storages/system/indexes_table.rs shape)
+    if ("""(?i)\bsystem\s*\.\s*indexes\b""".r.findFirstIn(sql).isDefined) {
+      import spark.implicits._
+      def dbOf(t: String): (String, String) =
+        if (t.contains(".")) (t.split("\\.")(0), t.split("\\.")(1)) else ("default", t)
+      val rows = (for ((t, defs) <- tableIndexes.toSeq; d <- defs.toSeq) yield {
+        val (db, tn) = dbOf(t)
+        val optsTxt = d.opts.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k='$v'" }.mkString(" ")
+        (d.name, d.family, db, "", s"$tn(${d.cols.mkString(", ")})$optsTxt")
+      }) ++ aggIndexes.toSeq.map { case (nm, (t, sel, _)) =>
+        val (db, tn) = dbOf(t)
+        (nm, "AGGREGATING", db, sel, sel)
+      }
+      val df = rows.toDF("name", "type", "database", "original", "definition")
+      sql = sql.replaceAll("(?i)\\bsystem\\s*\\.\\s*indexes\\b",
+        java.util.regex.Matcher.quoteReplacement(freshView(df)))
+    }
+    // system.procedures scoped to THIS instance's registry (reference
+    // procedures_table shape: `p1(Int32) RETURN (Int32)` arguments)
+    if ("""(?i)\bsystem\s*\.\s*procedures\b""".r.findFirstIn(sql).isDefined &&
+        procMeta.nonEmpty) {
+      import spark.implicits._
+      val rows = procMeta.toSeq.map { case (k, (_, argTypes, ret, _)) =>
+        val nm = k.split('/')(0)
+        val r = dbInternalType(ret.replaceAll("(?i)\\s+NOT\\s+NULL", "").trim)
+        (nm, s"$nm(${argTypes.mkString(",")}) RETURN ($r)")
+      }
+      val df = rows.toDF("name", "arguments")
+      sql = sql.replaceAll("(?i)\\bsystem\\s*\\.\\s*procedures\\b",
+        java.util.regex.Matcher.quoteReplacement(freshView(df)))
+    }
     // any other system.<name> relation reference -> the registered
     // system_<name> view (operators/SystemTables registers all 43,
     // lazily on first touch)
@@ -928,6 +1843,18 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       sql = sql.replaceAll(
         "(?i)\\b(from|join)(\\s+)system\\s*\\.\\s*([a-z_0-9]+)", "$1$2system_$3")
     }
+    // full-text search: match()/query()/score() over inverted-indexed
+    // columns (reference query/index/04_inverted_index)
+    if ("""(?i)\b(match|query)\s*\(""".r.findFirstIn(sql).isDefined)
+      sql = rewriteFullText(sql)
+    // databend's hidden internal columns (_row_id/_block_name/
+    // _segment_name, fuse internal_columns): spliced as generated
+    // expressions — the block name IS the scanned file here
+    if ("""(?i)\b_(row_id|block_name|segment_name)\b""".r.findFirstIn(sql).isDefined)
+      sql = substituteIdentsOutsideStrings(sql, Map(
+        "_row_id" -> "monotonically_increasing_id()",
+        "_block_name" -> "input_file_name()",
+        "_segment_name" -> "input_file_name()"))
     // stream metadata columns change$action/change$is_update/
     // change$row_id: bare $-identifiers (databend lexer) need backticks
     // for Spark's parser
@@ -939,6 +1866,14 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // fuse introspection TVFs (reference table_functions/fuse_*):
     // materialize the metadata DataFrame and splice a view reference
     if (FuseTvfRe.findFirstIn(sql).isDefined) sql = rewriteFuseTvfs(sql)
+    // current_role() / is_role_in_session('r') -> session-role
+    // literals (policies resolve them at view refresh; ad-hoc
+    // SELECTs here)
+    sql = substituteRoleFns(sql)
+    // policy_references(...) TVF (reference table_functions)
+    sql = """(?i)\bpolicy_references\s*\(([^)]*)\)""".r.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        freshView(policyReferencesDf(m.group(1)))))
     // DATE_ADD(unit, n, d) / DATE_SUB(unit, n, d) — databend's
     // unit-keyword-first spelling (datetime.rs) -> the registered
     // add_/subtract_<unit>s pair (date-preserving for date inputs)
@@ -1073,6 +2008,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     for ((from, to) <- CastSpellings)
       sql = sql.replaceAll(s"(?i)::$from\\b", s"::$to")
         .replaceAll(s"(?i)\\b(as\\s+)$from\\b", s"$$1$to")
+    // ::vector(N) — fixed-dim f32 embedding cast (vector_index suite)
+    sql = sql.replaceAll("(?i)::\\s*vector\\s*\\(\\s*\\d+\\s*\\)", "::array<float>")
     // HAVING without GROUP BY filters like WHERE when it references no
     // aggregate (databend/MySQL extension; query/having.test:1)
     sql = rewriteBareHaving(sql)
@@ -1824,6 +2761,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     "uint32" -> "bigint", "uint64" -> "decimal(20,0)",
     "float32" -> "float", "float64" -> "double",
     "text" -> "string", "json" -> "variant",
+    "bool" -> "boolean",
     "datetime" -> "timestamp")
 
   /** quote-aware paren depth at every character position */
@@ -3463,7 +4401,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
 
   private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*([\d\s*+\-/]+)\s*\)""".r
   private val FuseTvfRe =
-    """(?i)\b(fuse_snapshot|fuse_block|fuse_segment|fuse_column|fuse_statistic|clustering_information)\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+    """(?i)\b(fuse_snapshot|fuse_block|fuse_segment|fuse_column|fuse_statistic|clustering_information|clustering_statistics)\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
   /** generate_series as a table factor anywhere in a FROM clause —
     * leading, comma-separated, JOINed, or LATERAL — becomes an
     * explode(sequence(...)) subquery. Scoped to FROM clauses so the
@@ -3594,7 +4532,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           s"SELECT unix_millis(CAST(${value.trim} AS TIMESTAMP))").head.getLong(0)
         t.versionAsOf(ms)
       case "OFFSET" => // seconds relative to now (negative = past)
-        t.versionAsOf(System.currentTimeMillis() + v.toLong * 1000L)
+        val off = try v.toLong catch { case _: Exception =>
+          // arithmetic offsets (`-30 * 60`) evaluate as SQL
+          spark.sql(s"SELECT CAST(($v) AS BIGINT)").head.getLong(0)
+        }
+        t.versionAsOf(System.currentTimeMillis() + off * 1000L)
       case "STREAM" => stream(v).offset
       case other => throw new IllegalArgumentException(s"AT ($other => ...) unsupported")
     }
@@ -3610,10 +4552,31 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // change_tracking=true, compression='zstd', ... —
     // ast/statements/table.rs table_options); they tune block layout
     // in the reference and have no bearing on COW-parquet semantics
+    // `) Engine = Fuse CLUSTER BY(...)`: lift the CLUSTER BY clause
+    // over the engine/options tail so the cluster-head regex matches
+    val s1 = """(?is)^(.*\))((?:\s+\w+\s*=\s*(?:'[^']*'|[\w.]+))*)\s+(CLUSTER\s+BY\s*\(.*\))\s*$""".r
+      .replaceFirstIn(s0, "$1 $3")
     val s =
-      if (CreateTableAsRe.findFirstIn(s0).isDefined) s0
-      else TrailingOptsRe.replaceAllIn(s0, "$1")
-    createTableDispatch(s)
+      if (CreateTableAsRe.findFirstIn(s1).isDefined) s1
+      else TrailingOptsRe.replaceAllIn(s1, "$1")
+    val res = createTableDispatch(s)
+    // bloom_index_columns table option: validate against the created
+    // physical schema (reference 1301 rejects variant + virtual cols)
+    if (CreateTableAsRe.findFirstIn(s0).isEmpty)
+      for (bm <- """(?i)bloom_index_columns\s*=\s*'([^']*)'""".r.findFirstMatchIn(s0);
+           nm <- """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)""".r
+             .findFirstMatchIn(s0)) {
+        val n = qualifyNew(nm.group(1))
+        if (tables.contains(n))
+          try validateBloomColumns(n, bm.group(1))
+          catch { case e: Throwable =>
+            tables.remove(n).foreach { t =>
+              spark.catalog.dropTempView(viewName(n)); rmrf(t.path) }
+            computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n)
+            throw e
+          }
+      }
+    res
   }
 
   /** the reference rejects non-scalar map KEY types (1006,
@@ -3657,6 +4620,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       register(n, GraftTable.create(spark, tablePath(n), seedDf))
+      registerColumnMeta(n, Seq.empty)
       status("table" -> n, "op" -> "create-like")
     case CreateTableDdlAsRe(orReplace, ifNotExists, name, ddl, select) =>
       // typed CTAS (reference create_table.rs: explicit schema + AS
@@ -3678,6 +4642,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
       if (tables.contains(n)) { df = df.localCheckpoint(true); tables.remove(n); rmrf(tablePath(n)) }
       register(n, GraftTable.create(spark, tablePath(n), df))
+      registerColumnMeta(n, Seq.empty)
       status("table" -> n, "op" -> "create-as")
     case CreateTableAsRe(orReplace, ifNotExists, name, select) =>
       val n = qualifyNew(name)
@@ -3700,6 +4665,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val df = if (tables.contains(n)) df0.localCheckpoint(true) else df0
       if (tables.contains(n)) { tables.remove(n); rmrf(tablePath(n)) }
       register(n, GraftTable.create(spark, tablePath(n), df))
+      registerColumnMeta(n, Seq.empty)
       status("table" -> n, "op" -> "create-as")
     case CreateTableDdlClusterRe(orReplace, ifNotExists, name, ddl, cluster) =>
       val n = qualifyNew(name)
@@ -3707,16 +4673,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         return status("table" -> n, "op" -> "exists")
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       if (tables.contains(n)) rmrf(tablePath(n))
-      val schema = StructType.fromDDL(stripConstraints(ddl))
-      validateDeclaredSchema(schema)
-      notNullCols(n) = declaredNotNull(ddl)
-      requiredCols(n) = declaredNotNull(ddl, withDefault = false)
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      register(n, GraftTable.create(spark, tablePath(n), empty))
-      // inline CLUSTER BY (reference create_table.rs) = the declared
-      // recluster key set, same as ALTER TABLE ... CLUSTER BY
-      Option(cluster).foreach(k => clusterKeys(n) = splitTopLevel(k, ',').map(norm))
+      createPlainTable(n, ddl, Option(cluster))
       status("table" -> n, "op" -> "create")
     case CreateTableDdlRe(orReplace, ifNotExists, name, ddl) =>
       val n = qualifyNew(name)
@@ -3724,13 +4681,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         return status("table" -> n, "op" -> "exists")
       require(orReplace != null || !tables.contains(n), s"table $n exists")
       if (tables.contains(n)) rmrf(tablePath(n))
-      val schema = StructType.fromDDL(stripConstraints(ddl))
-      validateDeclaredSchema(schema)
-      notNullCols(n) = declaredNotNull(ddl)
-      requiredCols(n) = declaredNotNull(ddl, withDefault = false)
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      register(n, GraftTable.create(spark, tablePath(n), empty))
+      createPlainTable(n, ddl, None)
       status("table" -> n, "op" -> "create")
     case CreateViewRecRe(name, body) =>
       // a view over WITH RECURSIVE: evaluate through the fixpoint and
@@ -3775,13 +4726,40 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private def dropTable(s: String): DataFrame = {
-    // databend allows a trailing ALL (purge history too; COW tables
-    // drop their whole directory anyway)
+    // trailing ALL purges history too; a plain DROP moves the table
+    // directory aside so UNDROP TABLE can restore it (reference fuse
+    // drop retention). Retention is bounded: beyond 8 retained drops
+    // the oldest is purged for real.
+    val purge = """(?is)\s+ALL\s*$""".r.findFirstIn(s).isDefined
+    val ifExists = """(?is)^DROP\s+TABLE\s+IF\s+EXISTS\b""".r.findPrefixMatchOf(s).isDefined
     val name = resolveKey(s.replaceAll("(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?", "")
       .replaceAll("(?is)\\s+ALL\\s*$", "").trim)
+    if (!ifExists && !tables.contains(name)) {
+      // reference: DROP TABLE over a view is 1302, over nothing 1025
+      if (spark.catalog.tableExists(name.split('.').last))
+        throw new IllegalArgumentException(
+          s"1302: $name is a view; use DROP VIEW")
+      throw new IllegalArgumentException(s"1025: unknown table $name")
+    }
     tables.remove(name).foreach { t =>
       spark.catalog.dropTempView(viewName(name))
-      rmrf(t.path)
+      computedCols.remove(name); declaredOrder.remove(name); colDefaults.remove(name)
+      if (purge) rmrf(t.path)
+      else {
+        droppedSeq += 1
+        val dst = Paths.get(warehouse, ".dropped", s"${name.replace('.', '_')}_$droppedSeq")
+        Files.createDirectories(dst.getParent)
+        Files.move(Paths.get(t.path), dst)
+        droppedTables.remove(name).foreach(old => rmrf(old.t.path))
+        droppedTables(name) = DroppedTable(GraftTable.open(spark, dst.toString),
+          rowPolicyAttach.remove(name),
+          maskAttach.remove(name).map(_.toSeq).getOrElse(Seq.empty))
+        while (droppedTables.size > 8) {
+          val (oldest, ot) = droppedTables.head
+          droppedTables.remove(oldest)
+          rmrf(ot.t.path)
+        }
+      }
     }
     status("table" -> name, "op" -> "drop")
   }
@@ -3911,13 +4889,23 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     case InsertRe(verb, name, colList, body) =>
       val n = resolveKey(name)
       val t = table(n)
-      val tgtSchema = t.read().schema
+      val physSchema = t.read().schema
+      val compAll = computedCols.getOrElse(n, Seq.empty)
+      val storedComp = compAll.filter(_._4)
+      val compNames = compAll.map(_._1.toLowerCase).toSet
+      // computed columns are never insertable: STORED compute below,
+      // VIRTUAL at read (reference 1006/1303)
+      val tgtSchema = StructType(physSchema.fields
+        .filterNot(f => storedComp.exists(_._1.equalsIgnoreCase(f.name))))
       val tgtCols = tgtSchema.fieldNames.toSeq
       val df0 = spark.sql(rewriteReads(
         castValuesBody(body, Option(colList), tgtSchema)))
       val explicit = Option(colList).map(splitTopLevel(_, ',').map(c => norm(c)))
-      val df = explicit match {
+      val dflts = colDefaults.getOrElse(n, Map.empty)
+      val df1 = explicit match {
         case Some(cols) =>
+          cols.foreach(c => require(!compNames(c.toLowerCase),
+            s"1006: cannot insert into computed column $c"))
           require(cols.length == df0.columns.length,
             s"INSERT column list has ${cols.length} names, query produces ${df0.columns.length}")
           // reference semantics (1006): a declared NOT NULL column with
@@ -3928,17 +4916,32 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           require(omittedNotNull.isEmpty,
             s"1006: INSERT omits NOT NULL column(s) without default: ${omittedNotNull.mkString(",")}")
           val renamed = df0.toDF(cols: _*)
-          // missing target columns fill with NULL of the right type
+          // missing target columns fill with their declared DEFAULT,
+          // NULL otherwise (reference fills defaults)
           val out = tgtCols.map { c =>
             if (cols.exists(_.equalsIgnoreCase(c))) alignCast(renamed, c, tgtSchema(c).dataType)
-            else lit(null).cast(tgtSchema(c).dataType).as(c)
+            else dflts.get(c.toLowerCase)
+              .map(d => expr(d).cast(tgtSchema(c).dataType).as(c))
+              .getOrElse(lit(null).cast(tgtSchema(c).dataType).as(c))
           }
           renamed.select(out: _*)
         case None =>
           require(df0.columns.length == tgtCols.length,
-            s"INSERT query produces ${df0.columns.length} columns, table has ${tgtCols.length}")
+            s"1303: INSERT query produces ${df0.columns.length} columns, table expects ${tgtCols.length}")
           val renamed = df0.toDF(tgtCols: _*)
           renamed.select(tgtCols.map(c => alignCast(renamed, c, tgtSchema(c).dataType)): _*)
+      }
+      // STORED computed columns evaluate over the incoming frame, at
+      // their declared slots
+      val df = if (storedComp.isEmpty) df1 else {
+        val v = freshView(df1)
+        val proj = physSchema.fields.toSeq.map { f =>
+          storedComp.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((nm, _, ex, _)) => s"$ex AS `$nm`"
+            case None => s"`${f.name}`"
+          }
+        }
+        spark.sql(s"SELECT ${proj.mkString(", ")} FROM $v")
       }
       // reference semantics (1006): NULL values cannot land in a
       // declared NOT NULL column
@@ -4004,7 +5007,58 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
 
   // ---- UPDATE / DELETE / MERGE ---------------------------------------
 
-  private def update(s: String): DataFrame = s match {
+  private def update(s: String): DataFrame = {
+    // `UPDATE t [AS a] SET ... FROM <source> WHERE cond` (the
+    // postgres-style joined update databend accepts) lowers onto the
+    // MERGE machinery: matched rows take the SET values
+    if (indexOfKeyword(s, "FROM") > 0) return updateFrom(s)
+    updatePlain(s)
+  }
+
+  private def updateFrom(s: String): DataFrame = {
+    val m = """(?is)^\s*UPDATE\s+([\w.]+)(?:\s+(?:AS\s+)?((?!SET\b)\w+))?\s+SET\s+""".r
+      .findPrefixMatchOf(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse UPDATE: $s"))
+    val n = resolveKey(m.group(1))
+    val alias = Option(m.group(2)).map(norm).getOrElse(n.split('.').last)
+    val rest = s.substring(m.end)
+    val fromIdx = indexOfKeyword(rest, "FROM")
+    require(fromIdx > 0, s"cannot parse UPDATE ... FROM: $s")
+    val setTxt = rest.take(fromIdx).trim
+    val tail = rest.substring(fromIdx + 4).trim
+    val (srcDf, srcAlias, afterSrc) =
+      if (tail.startsWith("(")) {
+        val close = matchParen(tail, 0)
+        val am = """(?is)^\s*(?:AS\s+)?(\w+)""".r
+          .findPrefixMatchOf(tail.substring(close + 1))
+        (spark.sql(rewriteReads(tail.substring(1, close))),
+          am.map(x => norm(x.group(1))).getOrElse("src"),
+          tail.substring(close + 1 + am.map(_.end).getOrElse(0)))
+      } else {
+        val id = tail.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+        val after = tail.substring(id.length)
+        val am = """(?is)^\s+(?:AS\s+)?((?!WHERE\b)\w+)""".r.findPrefixMatchOf(after)
+        (spark.sql(rewriteReads(s"SELECT * FROM $id")),
+          am.map(x => norm(x.group(1))).getOrElse(norm(id).split('.').last),
+          am.map(x => after.substring(x.end)).getOrElse(after))
+      }
+    val wIdx = indexOfKeyword(afterSrc, "WHERE")
+    require(wIdx >= 0, "UPDATE ... FROM needs a WHERE join condition")
+    val cond = afterSrc.substring(wIdx + 5).trim
+    val setPairs = splitTopLevel(setTxt, ',').map { a =>
+      val eq = indexOfTopLevel(a, '=')
+      require(eq > 0, s"bad assignment: $a")
+      norm(a.take(eq)).split('.').last -> a.drop(eq + 1).trim
+    }
+    val t = table(n)
+    val res = t.mergeInto(srcDf, alias, srcAlias, cond,
+      Seq(GraftTable.MatchedClause(None, Some(setPairs.toMap))), Nil)
+    recomputeStored(n)
+    refreshView(n)
+    status("table" -> n, "op" -> "update-from", "updated" -> res.updated)
+  }
+
+  private def updatePlain(s: String): DataFrame = s match {
     case UpdateRe(name, setPart, wherePart) =>
       val n = resolveKey(name)
       val t = table(n)
@@ -4020,15 +5074,23 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       // otherwise be silent wrong answers (last-wins / new column)
       val dups = pairs.groupBy(_._1).filter(_._2.length > 1).keys
       require(dups.isEmpty, s"UPDATE sets column(s) more than once: ${dups.mkString(",")}")
+      val compNames = computedCols.getOrElse(n, Seq.empty).map(_._1.toLowerCase).toSet
+      pairs.foreach { case (c, _) => require(!compNames(c.toLowerCase),
+        s"1006: cannot update computed column $c") }
       val have = t.read().columns.map(_.toLowerCase).toSet
       val unknown = pairs.map(_._1).filterNot(c => have(c.toLowerCase))
       require(unknown.isEmpty,
         s"table $n does not have a column with name ${unknown.mkString(",")}")
       val assigns = pairs.toMap
-      val cond = Option(wherePart)
-        .map(w => expr(rewriteReads(stripSelfQualifier(w.trim, name))))
+      val cond0 = Option(wherePart)
+        .map(w => expr(rewriteReads(
+          substituteVirtualRefs(n, stripSelfQualifier(w.trim, name)))))
         .getOrElse(lit(true))
+      // a row access policy scopes DML to policy-visible rows
+      // (reference row_policy_dml_coverage)
+      val cond = rowPolicyPredicate(n).map(p => expr(p) && cond0).getOrElse(cond0)
       t.update(cond, assigns)
+      recomputeStored(n)
       refreshView(n)
       status("table" -> n, "op" -> "update")
     case _ => throw new IllegalArgumentException(s"cannot parse UPDATE: $s")
@@ -4038,10 +5100,18 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     case DeleteRe(name, wherePart) =>
       val n = resolveKey(name)
       val t = table(n)
+      val pol = rowPolicyPredicate(n).map(expr)
       Option(wherePart) match {
         case Some(w) =>
-          t.delete(expr(rewriteReads(stripSelfQualifier(w.trim, name))))
-        case None    => t.overwrite(t.read().limit(0).repartition(1))
+          val c = expr(rewriteReads(
+            substituteVirtualRefs(n, stripSelfQualifier(w.trim, name))))
+          t.delete(pol.map(_ && c).getOrElse(c))
+        case None => pol match {
+          // DELETE without WHERE must not truncate policy-invisible
+          // rows (reference row_policy_dml_coverage)
+          case Some(p) => t.delete(p)
+          case None    => t.overwrite(t.read().limit(0).repartition(1))
+        }
       }
       refreshView(n)
       status("table" -> n, "op" -> "delete")
@@ -4133,8 +5203,22 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       } else throw new IllegalArgumentException(s"unknown MERGE action: $action")
     }
 
-    val res = t.mergeInto(srcDf, targetAlias, sourceAlias, onCond,
+    // computed columns are not merge-assignable (reference 1006); the
+    // STORED family recomputes after the merge lands
+    val mergeComp = computedCols.getOrElse(n, Seq.empty).map(_._1.toLowerCase).toSet
+    if (mergeComp.nonEmpty) {
+      matched.flatMap(_.set).flatMap(_.keys).foreach(c =>
+        require(!mergeComp(c.toLowerCase), s"1006: cannot update computed column $c"))
+      notMatched.flatMap(_.values).flatMap(_._1).foreach(c =>
+        require(!mergeComp(c.toLowerCase), s"1006: cannot insert into computed column $c"))
+    }
+    // a row access policy scopes the merge to policy-visible target
+    // rows: invisible rows can't match (reference row_policy_dml_coverage)
+    val onCondScoped = rowPolicyPredicate(n, Some(targetAlias))
+      .map(p => s"($onCond) AND $p").getOrElse(onCond)
+    val res = t.mergeInto(srcDf, targetAlias, sourceAlias, onCondScoped,
       matched.toSeq, notMatched.toSeq)
+    recomputeStored(n)
     consumeReferencedStreams()
     refreshView(n)
     // the reference's MERGE result: one count column per clause KIND
@@ -4706,8 +5790,17 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val key = resolveKey(name)
     val cluster = clusterKeys.get(key)
       .map(ks => s" CLUSTER BY (${ks.mkString(", ")})").getOrElse("")
+    // table-level index specs render after the columns, options sorted
+    // by name (reference show_create_table formatting)
+    val idxLines = tableIndexes.getOrElse(key, mutable.Buffer.empty).map { d =>
+      val opts = d.opts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k = '$v'" }.mkString(", ")
+      s"  ${if (d.sync) "SYNC" else "ASYNC"} ${d.family} INDEX ${d.name} (${d.cols.mkString(", ")})" +
+        (if (opts.nonEmpty) s" $opts" else "")
+    }
+    val body = (Seq(cols) ++ idxLines).filter(_.nonEmpty).mkString(",\n")
     val tname = norm(name).split('.').last
-    Seq((tname, s"CREATE TABLE $tname (\n$cols\n) ENGINE=FUSE$cluster"))
+    Seq((tname, s"CREATE TABLE $tname (\n$body\n) ENGINE=FUSE$cluster"))
       .toDF("table", "create_table")
   }
 
@@ -4946,11 +6039,443 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val keys = clusterKeys.getOrElse(key,
             throw new IllegalArgumentException(s"no CLUSTER BY declared for $key"))
           graft.operators.TableFunctions.clusteringInformation(spark, t, keys.head)
+        case "clustering_statistics" =>
+          val keys = clusterKeys.getOrElse(key,
+            throw new IllegalArgumentException(s"no CLUSTER BY declared for $key"))
+          graft.operators.TableFunctions.clusteringStatistics(spark, t, keys)
       }
       java.util.regex.Matcher.quoteReplacement(freshView(df))
     })
 
+  // ---- security policies ---------------------------------------------
+
+  /** substitute the policy's declared arg names with actual column
+    * references (USING order, not schema order — reference
+    * row_policy_column_order suite) and current_role() with the
+    * session role, outside string literals; an identifier immediately
+    * followed by '(' is a function name and is left alone
+    */
+  private def policyBodySql(p: SecPolicy, cols: Seq[String],
+      qual: Option[String]): String = {
+    require(cols.length == p.args.length,
+      s"1114: policy ${p.name} expects ${p.args.length} argument(s), got ${cols.length}")
+    val repl: Map[String, String] = p.args.map(_._1).zip(cols).map {
+      case (a, c) =>
+        a.toLowerCase -> (qual.map(q => s"`$q`.").getOrElse("") + s"`$c`")
+    }.toMap
+    // session-role builtins and GETVARIABLE both bind at statement
+    // time (reference row_policy_result_cache: a changed variable
+    // value must re-evaluate the policy, never serve a stale cache)
+    val body = substituteVariables(substituteRoleFns(p.body))
+    "(" + substituteIdentsOutsideStrings(body, repl) + ")"
+  }
+
+  /** replace bare identifiers per `repl` (keys lowercase), skipping
+    * string literals and function-call names
+    */
+  private def substituteIdentsOutsideStrings(body: String,
+      repl: Map[String, String]): String = {
+    val sb = new StringBuilder(body.length)
+    var i = 0
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (ch == '\'') {
+        val j = body.indexOf('\'', i + 1)
+        val end = if (j < 0) body.length else j + 1
+        sb.append(body.substring(i, end)); i = end
+      } else if (ch.isLetter || ch == '_') {
+        var j = i
+        while (j < body.length &&
+               (body.charAt(j).isLetterOrDigit || body.charAt(j) == '_')) j += 1
+        val word = body.substring(i, j)
+        var k = j
+        while (k < body.length && body.charAt(k).isWhitespace) k += 1
+        val isCall = k < body.length && body.charAt(k) == '('
+        if (!isCall && repl.contains(word.toLowerCase))
+          sb.append(repl(word.toLowerCase))
+        else sb.append(word)
+        i = j
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** VIRTUAL computed columns referenced in DML predicates/values
+    * evaluate over the physical frame — splice their expressions in
+    */
+  private def substituteVirtualRefs(n: String, text: String): String = {
+    val virt = computedCols.getOrElse(n, Seq.empty).filterNot(_._4)
+    if (virt.isEmpty) text
+    else substituteIdentsOutsideStrings(text,
+      virt.map(v => v._1.toLowerCase -> s"(${v._3})").toMap)
+  }
+
+  /** columns of `tableKey` carrying a masking policy (the USING
+    * argument columns are NOT attached — the reference lets several
+    * policies share an argument column like `role`)
+    */
+  private def maskedCols(tableKey: String): Set[String] =
+    maskAttach.getOrElse(tableKey, mutable.LinkedHashMap.empty).keySet.toSet
+
+  /** every column referenced by any attached policy (masked columns,
+    * masking USING arguments, row-access ON columns) — these refuse
+    * MODIFY/DROP COLUMN (reference 1132)
+    */
+  private def policyAttachedCols(tableKey: String): Set[String] = {
+    val masked = maskAttach.getOrElse(tableKey, mutable.LinkedHashMap.empty)
+      .flatMap { case (c, (_, args)) => c +: args.map(_.toLowerCase) }
+    val rowCols = rowPolicyAttach.get(tableKey).toSeq
+      .flatMap(_._2.map(_.toLowerCase))
+    (masked ++ rowCols).toSet
+  }
+
+  private def policyType(ddl0: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val ddl = ddl0.trim.replaceAll("(?is)\\s+(NOT\\s+)?NULL\\s*$", "").trim
+    ddl.toLowerCase match {
+      case "varchar" | "text" | "string" => StringType
+      case "int" | "integer" | "int32"   => IntegerType
+      case "bigint" | "int64"            => LongType
+      case "boolean" | "bool"            => BooleanType
+      case "float" | "float32"           => FloatType
+      case "double" | "float64"          => DoubleType
+      case other =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(other)
+    }
+  }
+
+  private def sameTypeFamily(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def fam(t: DataType): String = t match {
+      case _: StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case FloatType | DoubleType | _: DecimalType => "float"
+      case other => other.typeName
+    }
+    fam(a) == fam(b)
+  }
+
+  private val CreatePolicyRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(MASKING|ROW\s+ACCESS)\s+POLICY\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`"\w]+)\s+AS\s*\(([^)]*)\)\s*""" +
+     """RETURNS\s+([\w() ]+?)\s*->(.*?)(?:\s+COMMENT\s*=\s*'([^']*)')?\s*$""").r
+
+  private def createPolicy(s: String): DataFrame = s match {
+    case CreatePolicyRe(orReplace, kindWord, ifNotExists, name0, argList,
+        retDdl, body, comment) =>
+      require(orReplace == null || ifNotExists == null,
+        "1005: CREATE OR REPLACE ... IF NOT EXISTS is not allowed")
+      val name = norm(name0)
+      val kind =
+        if (kindWord.toUpperCase.startsWith("MASKING")) "MASKING POLICY"
+        else "ROW ACCESS POLICY"
+      secPolicies.get(name).foreach { p =>
+        if (p.kind != kind)
+          throw new IllegalArgumentException(
+            s"2321: policy $name already exists as a ${p.kind}")
+        if (orReplace == null && ifNotExists == null)
+          throw new IllegalArgumentException(s"2321: policy $name already exists")
+      }
+      if (secPolicies.contains(name) && ifNotExists != null)
+        return status("policy" -> name, "op" -> "exists")
+      val args = splitTopLevel(argList, ',').map { a =>
+        val t = a.trim
+        val sp = t.indexWhere(_.isWhitespace)
+        require(sp > 0, s"1005: policy argument needs a type: $t")
+        norm(t.take(sp)) -> policyType(t.drop(sp))
+      }
+      require(args.nonEmpty, "1005: policy needs at least one argument")
+      val ret = policyType(retDdl)
+      if (kind == "MASKING POLICY")
+        require(sameTypeFamily(ret, args.head._2),
+          s"1121: return type ${ret.sql} must match the value argument type ${args.head._2.sql}")
+      else {
+        require(ret == org.apache.spark.sql.types.BooleanType,
+          "1005: row access policy must return BOOLEAN")
+        require(!"""(?is)\(\s*select\b""".r.findFirstIn(body).isDefined,
+          "1005: subqueries are not allowed in a row access policy body")
+      }
+      secPolicies(name) = SecPolicy(name, kind, args, ret, body.trim,
+        Option(comment).getOrElse(""))
+      status("policy" -> name, "op" -> "create-policy", "kind" -> kind)
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE POLICY: $s")
+  }
+
+  private def dropPolicy(s: String): DataFrame = {
+    val m = """(?is)^\s*DROP\s+(MASKING|ROW\s+ACCESS)\s+POLICY\s+(?:(IF\s+EXISTS)\s+)?([`"\w]+)\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DROP POLICY: $s"))
+    val kind = if (m.group(1).toUpperCase.startsWith("MASKING")) "MASKING POLICY"
+               else "ROW ACCESS POLICY"
+    val ifExists = m.group(2) != null
+    val name = norm(m.group(3))
+    secPolicies.get(name) match {
+      case None =>
+        require(ifExists, s"2322: unknown $kind $name")
+      case Some(p) if p.kind != kind =>
+        require(ifExists, s"2322: $name is a ${p.kind}, not a $kind")
+      case Some(_) =>
+        // attachments on LIVE tables block the drop (1133); stale
+        // attachments on dropped tables are swept instead — the
+        // reference lets the policy go and an UNDROP then restores
+        // the table without it
+        val liveRow = rowPolicyAttach.exists { case (t, (pn, _)) =>
+          pn == name && tables.contains(t) }
+        val liveMask = maskAttach.exists { case (t, m2) =>
+          tables.contains(t) && m2.values.exists(_._1 == name) }
+        require(!liveRow && !liveMask,
+          s"1133: policy $name is attached to a table; detach it first")
+        rowPolicyAttach.filterInPlace { case (_, (pn, _)) => pn != name }
+        maskAttach.values.foreach(_.filterInPlace { case (_, (pn, _)) => pn != name })
+        secPolicies.remove(name)
+    }
+    status("policy" -> name, "op" -> "drop-policy")
+  }
+
+  private def descPolicy(s: String): DataFrame = {
+    val m = """(?is)^\s*DESC(?:RIBE)?\s+(MASKING|ROW\s+ACCESS)\s+POLICY\s+([`"\w]+)\s*$""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DESC POLICY: $s"))
+    val name = norm(m.group(2))
+    val p = secPolicies.getOrElse(name,
+      throw new IllegalArgumentException(s"2322: unknown policy $name"))
+    import spark.implicits._
+    Seq((p.name,
+      p.args.map { case (a, t) => s"$a ${t.sql}" }.mkString("(", ", ", ")"),
+      p.retType.sql, p.body, p.comment))
+      .toDF("name", "signature", "return_type", "body", "comment")
+  }
+
+  /** policy_references(POLICY_NAME => '..') /
+    * (REF_ENTITY_NAME => '..', REF_ENTITY_DOMAIN => 'TABLE') TVF —
+    * reference table_functions/policy_references; only live tables are
+    * listed
+    */
+  private def policyReferencesDf(args: String): DataFrame = {
+    val kvs = splitTopLevel(args, ',').map { a =>
+      val m = """(?is)^\s*(\w+)\s*=>\s*'([^']*)'\s*$""".r.findFirstMatchIn(a)
+        .getOrElse(throw new IllegalArgumentException(
+          s"1006: bad policy_references argument: $a"))
+      m.group(1).toUpperCase -> m.group(2)
+    }.toMap
+    val polName = kvs.get("POLICY_NAME")
+    val refName = kvs.get("REF_ENTITY_NAME")
+    val refDomain = kvs.get("REF_ENTITY_DOMAIN")
+    val ok = (polName.isDefined && refName.isEmpty && refDomain.isEmpty) ||
+      (polName.isEmpty && refName.isDefined &&
+       refDomain.exists(_.equalsIgnoreCase("TABLE")))
+    require(ok, "1006: policy_references expects POLICY_NAME alone, or " +
+      "REF_ENTITY_NAME with REF_ENTITY_DOMAIN => 'TABLE'")
+    def split(k: String): (String, String) =
+      if (k.contains(".")) (k.split("\\.")(0), k.split("\\.")(1))
+      else ("default", k)
+    val rows = mutable.Buffer[(String, String, String, String, String, String, String, String)]()
+    for ((t, (pn, cols)) <- rowPolicyAttach if tables.contains(t)) {
+      val (db, tn) = split(t)
+      rows += ((pn, "ROW ACCESS POLICY", db, tn, "TABLE", "NULL",
+        cols.mkString(", "), "ACTIVE"))
+    }
+    for ((t, m2) <- maskAttach if tables.contains(t); (c, (pn, argCols)) <- m2) {
+      val (db, tn) = split(t)
+      rows += ((pn, "MASKING POLICY", db, tn, "TABLE", c,
+        if (argCols.isEmpty) "NULL" else argCols.mkString(", "), "ACTIVE"))
+    }
+    val picked = rows.filter { r =>
+      polName.forall(_.toLowerCase == r._1) &&
+      refName.forall { rn =>
+        val (db, tn) = split(norm(rn)); db == r._3 && tn == r._4 }
+    }.sortBy(r => (r._1, r._4))
+    import spark.implicits._
+    picked.toSeq.toDF("policy_name", "policy_kind", "ref_database",
+      "ref_entity_name", "ref_entity_domain", "ref_column_name",
+      "ref_arg_columns", "status")
+  }
+
+  private def roleDdl(s: String): DataFrame = {
+    val up = s.toUpperCase
+    if (up.startsWith("CREATE ROLE")) {
+      val n = norm(s.replaceAll("(?is)^CREATE\\s+ROLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?", "")
+        .stripPrefix("'").stripSuffix("'").trim)
+      roles += n
+      status("role" -> n, "op" -> "create-role")
+    } else if (up.startsWith("DROP ROLE")) {
+      val n = norm(s.replaceAll("(?is)^DROP\\s+ROLE\\s+(IF\\s+EXISTS\\s+)?", "")
+        .stripPrefix("'").stripSuffix("'").trim)
+      roles -= n
+      status("role" -> n, "op" -> "drop-role")
+    } else { // SET ROLE
+      val n = norm(s.replaceAll("(?is)^SET\\s+ROLE\\s+", "")
+        .stripPrefix("'").stripSuffix("'").trim)
+      require(roles.exists(_.equalsIgnoreCase(n)),
+        s"2206: unknown role $n")
+      currentRole = n
+      status("role" -> n, "op" -> "set-role")
+    }
+  }
+
+  private def undropTable(s: String): DataFrame = {
+    val name = resolveKey(s.replaceAll("(?is)^UNDROP\\s+TABLE\\s+", "").trim)
+    require(!tables.contains(name), s"2308: table $name already exists")
+    val d = droppedTables.remove(name)
+      .getOrElse(throw new IllegalArgumentException(s"1025: no dropped table $name"))
+    // restore attachments whose policy still exists (a policy dropped
+    // while the table was dropped is gone for good)
+    d.rowPolicy.filter(rp => secPolicies.contains(rp._1))
+      .foreach(rowPolicyAttach(name) = _)
+    val liveMasks = d.masks.filter(m => secPolicies.contains(m._2._1))
+    if (liveMasks.nonEmpty)
+      maskAttach(name) = mutable.LinkedHashMap(liveMasks: _*)
+    register(name, d.t)
+    status("table" -> name, "op" -> "undrop")
+  }
+
   private def alterTable(s: String): DataFrame = s match {
+    case AlterAddRowPolicyRe(name, pol, cols) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      val pn = norm(pol)
+      val p = secPolicies.getOrElse(pn,
+        throw new IllegalArgumentException(s"1131: unknown row access policy $pn"))
+      require(p.kind == "ROW ACCESS POLICY", s"1131: $pn is not a row access policy")
+      val onCols = splitTopLevel(cols, ',').map(norm)
+      val schema = tables(n).read().schema
+      val fields = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      require(onCols.length == p.args.length,
+        s"1114: policy $pn expects ${p.args.length} column(s), got ${onCols.length}")
+      onCols.zip(p.args).foreach { case (c, (_, at)) =>
+        val ct = fields.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(s"1114: unknown column $c"))
+        require(sameTypeFamily(ct, at),
+          s"1114: column $c type ${ct.sql} does not match policy argument type ${at.sql}")
+      }
+      require(!rowPolicyAttach.contains(n),
+        s"1132: table $n already has a row access policy")
+      val masked = maskedCols(n)
+      onCols.foreach(c => require(!masked(c.toLowerCase),
+        s"1132: column $c is already attached to a security policy"))
+      rowPolicyAttach(n) = (pn, onCols)
+      refreshView(n)
+      status("table" -> n, "op" -> "add-row-policy", "policy" -> pn)
+    case AlterDropRowPolicyRe(name, pol) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      val pn = norm(pol)
+      require(secPolicies.get(pn).exists(_.kind == "ROW ACCESS POLICY"),
+        s"1131: unknown row access policy $pn")
+      require(rowPolicyAttach.get(n).exists(_._1 == pn),
+        s"1132: policy $pn is not attached to table $n")
+      rowPolicyAttach.remove(n)
+      refreshView(n)
+      status("table" -> n, "op" -> "drop-row-policy", "policy" -> pn)
+    case AlterDropAllRowPoliciesRe(name) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      rowPolicyAttach.remove(n)
+      refreshView(n)
+      status("table" -> n, "op" -> "drop-all-row-policies")
+    case AlterSetMaskRe(name, colName, pol, usingCols) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      val c = norm(colName)
+      val pn = norm(pol)
+      val p = secPolicies.getOrElse(pn,
+        throw new IllegalArgumentException(s"2322: unknown masking policy $pn"))
+      require(p.kind == "MASKING POLICY", s"2322: $pn is not a masking policy")
+      val schema = tables(n).read().schema
+      val fields = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      require(fields.contains(c.toLowerCase), s"1065: unknown column $c")
+      val argCols: Seq[String] = Option(usingCols) match {
+        case Some(u) =>
+          val us = splitTopLevel(u, ',').map(norm)
+          require(us.length >= 2,
+            s"2004: USING needs the masked column plus at least one argument column")
+          require(us.head.toLowerCase == c.toLowerCase,
+            s"2004: first USING column must be the masked column $c")
+          us.tail
+        case None => Seq.empty
+      }
+      require(1 + argCols.length == p.args.length,
+        s"1114: policy $pn expects ${p.args.length} column(s), got ${1 + argCols.length}")
+      (c +: argCols).zip(p.args).foreach { case (cc, (_, at)) =>
+        val ct = fields.getOrElse(cc.toLowerCase,
+          throw new IllegalArgumentException(s"1114: unknown column $cc"))
+        require(sameTypeFamily(ct, at),
+          s"1114: column $cc type ${ct.sql} does not match policy argument type ${at.sql}")
+      }
+      val attached = maskedCols(n) ++
+        rowPolicyAttach.get(n).toSeq.flatMap(_._2.map(_.toLowerCase))
+      (c +: argCols).foreach(cc => require(!attached(cc.toLowerCase),
+        s"1132: column $cc is already attached to a security policy"))
+      maskAttach.getOrElseUpdate(n, mutable.LinkedHashMap())(c.toLowerCase) = (pn, argCols)
+      refreshView(n)
+      status("table" -> n, "op" -> "set-masking-policy", "column" -> c)
+    case AlterUnsetMaskRe(name, colName) =>
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      maskAttach.get(n).foreach(_.remove(norm(colName).toLowerCase))
+      refreshView(n)
+      status("table" -> n, "op" -> "unset-masking-policy", "column" -> norm(colName))
+    case AlterAddCompColRe(name, colName, typeDdl, ex, kind) =>
+      // ADD COLUMN ... AS (expr) STORED|VIRTUAL (reference ee
+      // 05_0003): STORED backfills existing rows in one COW pass
+      val n = resolveKey(name)
+      require(tables.contains(n), s"1025: unknown table $n")
+      val c = norm(colName)
+      val stored = kind.equalsIgnoreCase("STORED")
+      val existing = computedCols.getOrElse(n, Seq.empty)
+      val badRefs = exprIdents(ex).intersect(existing.map(_._1.toLowerCase).toSet)
+      require(badRefs.isEmpty,
+        s"1065: computed column $c references computed column(s) ${badRefs.mkString(",")}")
+      val dt = StructType.fromDDL(stripConstraints(s"x ${typeDdl}")).head.dataType
+      val nex = normalizeComputedExpr(n, ex, dt)
+      val baseOrder = declaredOrder.getOrElse(n, tables(n).read().columns.toSeq)
+      if (stored) {
+        val t = table(n)
+        val v = freshView(t.read())
+        t.overwrite(spark.sql(s"SELECT *, $nex AS `$c` FROM $v").localCheckpoint(true))
+      }
+      computedCols(n) = existing :+ ((c, dt, nex, stored))
+      declaredOrder(n) = baseOrder :+ c
+      refreshView(n)
+      status("table" -> n, "op" -> "add-computed-column", "column" -> c)
+    case AlterDropStoredRe(name, colName) =>
+      // MODIFY COLUMN c DROP STORED: the stored computed column keeps
+      // its data and becomes a plain column; VIRTUAL refuses (1058)
+      val n = resolveKey(name)
+      val c = norm(colName)
+      val comp = computedCols.getOrElse(n, Seq.empty)
+      val hit = comp.find(_._1.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(s"1058: column $c is not a computed column"))
+      require(hit._4, s"1058: cannot DROP STORED on a VIRTUAL computed column")
+      computedCols(n) = comp.filterNot(_._1.equalsIgnoreCase(c))
+      if (computedCols(n).isEmpty) computedCols.remove(n)
+      refreshView(n)
+      status("table" -> n, "op" -> "drop-stored", "column" -> c)
+    case AlterModifyColTypeRe(name, colName, typeDdl, nullness) =>
+      // MODIFY COLUMN c <type> — COW cast-rewrite; a policy-attached
+      // column refuses (reference 1132: detach the policy first)
+      val n = resolveKey(name)
+      val c = norm(colName)
+      require(tables.contains(n), s"1025: unknown table $n")
+      require(!policyAttachedCols(n)(c.toLowerCase),
+        s"1132: column $c is attached to a security policy")
+      require(!computedCols.getOrElse(n, Seq.empty).exists(_._1.equalsIgnoreCase(c)),
+        s"1058: cannot modify computed column $c")
+      val t = table(n)
+      val cur = t.read()
+      require(cur.columns.exists(_.equalsIgnoreCase(c)), s"1065: unknown column $c")
+      val target = policyType(typeDdl)
+      t.overwrite(cur.select(cur.columns.toSeq.map { cc =>
+        if (cc.equalsIgnoreCase(c)) col(s"`$cc`").cast(target).as(cc)
+        else col(s"`$cc`")
+      }: _*))
+      if (nullness != null && nullness.trim.equalsIgnoreCase("NOT NULL"))
+        notNullCols(n) = notNullCols.getOrElse(n, Set.empty) + c.toLowerCase
+      else if (nullness != null)
+        notNullCols(n) = notNullCols.getOrElse(n, Set.empty) - c.toLowerCase
+      recomputeStored(n)
+      refreshView(n)
+      status("table" -> n, "op" -> "modify-column", "column" -> c)
     case AlterClusterRe(name, keys) =>
       val n = resolveKey(name)
       clusterKeys(n) = splitTopLevel(keys, ',').map(norm)
@@ -4969,13 +6494,38 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       table(n).addColumn(norm(colName),
         typeDdl.trim.replaceAll("(?i)\\s+NOT\\s+NULL", "").replaceAll("(?i)\\s+NULL$", ""),
         Option(dflt).map(_.trim))
+      declaredOrder.get(n).foreach(o => declaredOrder(n) = o :+ norm(colName))
       refreshView(n)
       status("table" -> n, "op" -> "add-column", "column" -> norm(colName))
     case AlterDropColRe(name, colName) =>
       val n = resolveKey(name)
-      table(n).dropColumn(norm(colName))
+      val c = norm(colName)
+      require(!policyAttachedCols(n)(c.toLowerCase),
+        s"1132: column $c is attached to a security policy")
+      // a column carried by a table index refuses DROP (reference 1111)
+      val idxHit = tableIndexes.getOrElse(n, mutable.Buffer.empty)
+        .filter(_.cols.exists(_.equalsIgnoreCase(c))).map(_.name)
+      require(idxHit.isEmpty,
+        s"1111: column $c is indexed by ${idxHit.mkString(",")}; drop the index first")
+      val comp = computedCols.getOrElse(n, Seq.empty)
+      comp.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, _, _, stored)) =>
+          computedCols(n) = comp.filterNot(_._1.equalsIgnoreCase(c))
+          if (computedCols(n).isEmpty) computedCols.remove(n)
+          declaredOrder.get(n).foreach(o =>
+            declaredOrder(n) = o.filterNot(_.equalsIgnoreCase(c)))
+          if (stored) table(n).dropColumn(c)
+        case None =>
+          // a column a computed column reads cannot be dropped (1117)
+          val dependents = comp.filter(cc => exprIdents(cc._3)(c.toLowerCase)).map(_._1)
+          require(dependents.isEmpty,
+            s"1117: column $c is used by computed column(s) ${dependents.mkString(",")}")
+          declaredOrder.get(n).foreach(o =>
+            declaredOrder(n) = o.filterNot(_.equalsIgnoreCase(c)))
+          table(n).dropColumn(c)
+      }
       refreshView(n)
-      status("table" -> n, "op" -> "drop-column", "column" -> norm(colName))
+      status("table" -> n, "op" -> "drop-column", "column" -> c)
     case AlterRenameTableRe(ifExists, from, to) =>
       val n = resolveKey(from)
       val target = qualifyNew(to)
@@ -4996,7 +6546,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       }
     case AlterRenameColRe(name, from, to) =>
       val n = resolveKey(name)
+      val comp = computedCols.getOrElse(n, Seq.empty)
+      val dependents = comp.filter(cc => exprIdents(cc._3)(norm(from).toLowerCase)).map(_._1)
+      require(dependents.isEmpty,
+        s"1117: column ${norm(from)} is used by computed column(s) ${dependents.mkString(",")}")
       table(n).renameColumn(norm(from), norm(to))
+      declaredOrder.get(n).foreach(o => declaredOrder(n) =
+        o.map(c => if (c.equalsIgnoreCase(norm(from))) norm(to) else c))
       refreshView(n)
       status("table" -> n, "op" -> "rename-column")
     case AlterSetOptionsRe(name, opts) =>
@@ -5005,7 +6561,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val m = tableOptions.getOrElseUpdate(n, mutable.LinkedHashMap())
       splitTopLevel(opts, ',').foreach { kv =>
         val Array(k, v) = kv.split("=", 2).map(_.trim)
-        m(k.toLowerCase) = v.stripPrefix("'").stripSuffix("'")
+        val vv = v.stripPrefix("'").stripSuffix("'")
+        if (k.equalsIgnoreCase("bloom_index_columns"))
+          validateBloomColumns(n, vv)
+        m(k.toLowerCase) = vv
       }
       status("table" -> n, "op" -> "set-options")
     case AlterUnsetOptionsRe(name, opts) =>
@@ -5031,10 +6590,15 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * current small files, so LIMIT is accepted and recorded only.
     */
   private def optimize(s: String): DataFrame = s match {
-    case OptimizeRe(name, action, limit) =>
+    case OptimizeRe(name, action, segment, limit) =>
       val n = resolveKey(name)
       val lim = Option(limit).map(_.toInt)
       action.toUpperCase match {
+        // COMPACT SEGMENT merges segment METADATA, never data blocks
+        // (reference compact_segment.rs); the 1-file-per-block model
+        // has no segment objects to merge, so blocks stay untouched —
+        // issue_19682 relies on block extents surviving it
+        case "COMPACT" if segment != null => ()
         case "COMPACT" => table(n).compact(limit = lim); refreshView(n)
         case "PURGE"   => table(n).vacuum()
         case "ALL"     => table(n).compact(limit = lim); table(n).vacuum(); refreshView(n)
@@ -5132,6 +6696,8 @@ object GraftSql {
         .replaceAll("(?i)\\b(int32|uint16)$", "int")
         .replaceAll("(?i)\\b(int16|uint8)$", "smallint")
         .replaceAll("(?i)\\bint8$", "tinyint")
+        // geometry/geography columns are WKB bytes (Types.scala rule)
+        .replaceAll("(?i)\\b(geometry|geography)$", "binary")
     }.map { c =>
       // the $-anchored spellings above only cover scalar columns;
       // composite types (array<UInt8>, map<Int64,String>) carry the
@@ -5231,7 +6797,7 @@ object GraftSql {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*""".r
   private val MergeHeadRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?((?!USING\b)\w+))?\s+USING\s+""".r
   private val AliasRe = """(?is)(?:AS\s+)?(\w+)\s""".r
   private val InsertValuesRe =
     """(?is)\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
@@ -5255,8 +6821,51 @@ object GraftSql {
     ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(`[^`]+`|[\w.]+)\s+ON\s+TABLE\s+(`[^`]+`|[\w.]+)""" +
      """(?:\s+AT\s*\(\s*STREAM\s*=>\s*(`[^`]+`|[\w.]+)\s*\))?""" +
      """(?:\s+APPEND_ONLY\s*=\s*(\w+))?(?:\s+COMMENT\s*=\s*'[^']*')?\s*""").r
+  /** a security policy: one namespace for masking + row-access kinds
+    * (reference data_mask meta; ee/05_ee_ddl suites)
+    */
+  private[graft] case class SecPolicy(name: String, kind: String,
+      args: Seq[(String, org.apache.spark.sql.types.DataType)],
+      retType: org.apache.spark.sql.types.DataType,
+      body: String, comment: String)
+
   /** table name in ALTER/OPTIMIZE heads: word, `quoted`, or db.name */
   private val TblPat = """((?:[\w]+|`[^`]+`|"[^"]+")(?:\s*\.\s*(?:[\w]+|`[^`]+`|"[^"]+"))?)"""
+  private val AlterAddRowPolicyRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+ADD\s+ROW\s+ACCESS\s+POLICY\s+([`"\w]+)\s+ON\s*\(([^)]*)\)\s*""").r
+  private val AlterDropRowPolicyRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+DROP\s+ROW\s+ACCESS\s+POLICY\s+([`"\w]+)\s*""").r
+  private val AlterDropAllRowPoliciesRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+DROP\s+ALL\s+ROW\s+ACCESS\s+POLICIES\s*""").r
+  private val AlterSetMaskRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+MODIFY\s+(?:COLUMN\s+)?([`"\w]+)\s+SET\s+MASKING\s+POLICY\s+([`"\w]+)""" +
+     """(?:\s+USING\s*\(([^)]*)\))?\s*""").r
+  private val AlterUnsetMaskRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+MODIFY\s+(?:COLUMN\s+)?([`"\w]+)\s+UNSET\s+MASKING\s+POLICY\s*""").r
+  /** table-level index spec inside a CREATE TABLE column list */
+  private val TableIndexSpecRe =
+    """(?is)^(SYNC\s+|ASYNC\s+)?(INVERTED|NGRAM|VECTOR|SPATIAL)\s+INDEX\s+([`"\w]+)\s*\(([^)]*)\)\s*(.*)$""".r
+  private val CreateIndexRe =
+    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(SYNC\s+|ASYNC\s+)?(INVERTED|NGRAM|VECTOR|SPATIAL)\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w]+)\s+ON\s+([`"\w.]+)\s*\(([^)]*)\)\s*(.*?);?\s*$""".r
+  private val DropIndexRe =
+    """(?is)^DROP\s+(INVERTED|NGRAM|VECTOR|SPATIAL)\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?([`"\w]+)\s+ON\s+([`"\w.]+)\s*$""".r
+  private val CreateAggIdxRe =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?(ASYNC\s+|SYNC\s+)?AGGREGATING\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?("[^"]+"|[`\w.]+)\s+AS\s+(.*)$""".r
+  private val AlterAddCompColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+ADD\s+COLUMN\s+([`"\w]+)\s+([\w()<>, ]+?)\s+(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s+(STORED|VIRTUAL)\s*""").r
+  private val AlterDropStoredRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+MODIFY\s+(?:COLUMN\s+)?([`"\w]+)\s+DROP\s+STORED\s*""").r
+  private val AlterModifyColTypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat +
+     """\s+MODIFY\s+(?:COLUMN\s+)?([`"\w]+)\s+((?!SET\b|UNSET\b|COMMENT\b)[\w()<>, ]+?)""" +
+     """(\s+NOT\s+NULL|\s+NULL)?(?:\s+DEFAULT\s+.+?)?\s*""").r
   private val AlterClusterRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+CLUSTER\s+BY\s*\((.*)\)\s*""").r
   private val AlterReclusterRe =
@@ -5276,7 +6885,7 @@ object GraftSql {
   private val RefreshCacheRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TblPat + """\s+REFRESH\s+CACHE\s*""").r
   private val OptimizeRe =
-    ("""(?is)\s*OPTIMIZE\s+TABLE\s+""" + TblPat + """\s+(COMPACT|PURGE|ALL)(?:\s+SEGMENT)?(?:\s+LIMIT\s+(\d+))?\s*""").r
+    ("""(?is)\s*OPTIMIZE\s+TABLE\s+""" + TblPat + """\s+(COMPACT|PURGE|ALL)(\s+SEGMENT)?(?:\s+LIMIT\s+(\d+))?\s*""").r
   private val WhenBranchRe =
     """(?is)\s*WHEN\s+(.*?)\s+THEN\s+INTO\s+(\w+)\s*(.*)""".r
   private val ElseBranchRe = """(?is)\s*ELSE\s+INTO\s+(\w+)\s*(.*)""".r

@@ -161,7 +161,26 @@ object Geometry {
   private def ptWkt(p: Pt) = s"${fmt(p.x)} ${fmt(p.y)}"
   private def ringWkt(r: Vector[Pt]) = r.map(ptWkt).mkString("(", ",", ")")
 
-  private def shapeWkt(s: Shape): String = s match {
+  /** OGC empty geometry: a NaN point or an element-less composite */
+  def isEmptyShape(s: Shape): Boolean = s match {
+    case GPoint(p) => p.x.isNaN && p.y.isNaN
+    case GLineString(v) => v.isEmpty
+    case GPolygon(r) => r.isEmpty
+    case GMultiPoint(v) => v.isEmpty
+    case GMultiLineString(v) => v.isEmpty
+    case GMultiPolygon(v) => v.isEmpty
+    case GCollection(v) => v.isEmpty
+  }
+
+  private def shapeWkt(s: Shape): String = if (isEmptyShape(s)) (s match {
+    case _: GPoint => "POINT EMPTY"
+    case _: GLineString => "LINESTRING EMPTY"
+    case _: GPolygon => "POLYGON EMPTY"
+    case _: GMultiPoint => "MULTIPOINT EMPTY"
+    case _: GMultiLineString => "MULTILINESTRING EMPTY"
+    case _: GMultiPolygon => "MULTIPOLYGON EMPTY"
+    case _: GCollection => "GEOMETRYCOLLECTION EMPTY"
+  }) else s match {
     case GPoint(p) => s"POINT(${ptWkt(p)})"
     case GMultiPoint(pts) => s"MULTIPOINT(${pts.map(ptWkt).mkString(",")})"
     case GLineString(pts) => s"LINESTRING${ringWkt(pts)}"
@@ -227,7 +246,29 @@ object Geometry {
       expect(')')
       b.result()
     }
-    def shape(): Shape = word() match {
+    /** `<TYPE> EMPTY` (OGC empty geometries): a POINT EMPTY carries
+      * NaN coordinates (the WKB convention); the other types carry
+      * empty element vectors
+      */
+    private def emptyTail(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; true } else false
+    }
+    def shape(): Shape = {
+      val w = word()
+      if (emptyTail()) return w match {
+        case "POINT" => GPoint(Pt(Double.NaN, Double.NaN))
+        case "LINESTRING" => GLineString(Vector.empty)
+        case "POLYGON" => GPolygon(Vector.empty)
+        case "MULTIPOINT" => GMultiPoint(Vector.empty)
+        case "MULTILINESTRING" => GMultiLineString(Vector.empty)
+        case "MULTIPOLYGON" => GMultiPolygon(Vector.empty)
+        case "GEOMETRYCOLLECTION" => GCollection(Vector.empty)
+        case other => throw new IllegalArgumentException(s"bad WKT type: $other")
+      }
+      shapeBody(w)
+    }
+    private def shapeBody(w: String): Shape = w match {
       case "POINT" => expect('('); val p = pt(); expect(')'); GPoint(p)
       case "LINESTRING" => GLineString(ring())
       case "POLYGON" => GPolygon(rings())

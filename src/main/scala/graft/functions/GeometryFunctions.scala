@@ -246,7 +246,17 @@ object GeometryFunctions {
     // -------------------------------------------------------- predicates
     def pred(name: String, f: (Shape, Shape) => Boolean): Unit =
       r.register(name, udf((a: Array[Byte], b: Array[Byte]) =>
-        if (a == null || b == null) None else Some(f(geom(a).shape, geom(b).shape))))
+        if (a == null || b == null) None else {
+          val (ga, gb) = (geom(a), geom(b))
+          // reference geometry.rs: binary predicates refuse mixed
+          // SRIDs (1090) rather than comparing across systems
+          require(ga.srid == 0 || gb.srid == 0 || ga.srid == gb.srid,
+            s"1090: Incompatible SRID: ${ga.srid} vs ${gb.srid}")
+          // EMPTY geometries relate to nothing (OGC: every predicate
+          // over an empty operand is false)
+          if (Geometry.isEmptyShape(ga.shape) || Geometry.isEmptyShape(gb.shape)) Some(false)
+          else Some(f(ga.shape, gb.shape))
+        }))
     pred("st_contains", contains)
     pred("st_within", within)
     pred("st_covers", covers)

@@ -29,6 +29,9 @@ object SqlScript {
   private sealed trait V
   private final case class Scalar(lit: String) extends V // SQL literal text
   private final case class Rs(df: DataFrame) extends V
+  /** an opened cursor: buffered rows + advance position */
+  private final class Cur(val df: DataFrame, val rows: Array[org.apache.spark.sql.Row],
+      val cols: Seq[String]) extends V { var pos: Int = 0 }
 
   /** render a JVM value as SQL literal text */
   private def litOf(v: Any): String = v match {
@@ -42,9 +45,14 @@ object SqlScript {
   private class Ctl(val kind: String) extends RuntimeException // break/continue
   private class Ret(val df: DataFrame) extends RuntimeException
 
-  /** Run `EXECUTE IMMEDIATE`-style text: unwraps $$..$$ and BEGIN..END. */
-  def executeImmediate(spark: SparkSession, text: String): DataFrame =
-    execute(spark, text)
+  /** Run `EXECUTE IMMEDIATE`-style text: unwraps $$..$$ and BEGIN..END.
+    * `exec` runs each STATEMENT (pass GraftSql.execute so script bodies
+    * reach the versioned table layer); expressions evaluate through it
+    * too, so view refreshes happen per statement.
+    */
+  def executeImmediate(spark: SparkSession, text: String,
+      exec: String => DataFrame = null): DataFrame =
+    execute(spark, text, exec)
 
   // ---- stored procedures (reference: CREATE PROCEDURE / CALL,
   // tests/sqllogictests/suites/base/15_procedure/15_0009_procedure_call
@@ -54,10 +62,25 @@ object SqlScript {
   private val procedures =
     new java.util.concurrent.ConcurrentHashMap[String, Procedure]()
 
-  def createProcedure(name: String, argNames: Seq[String], body: String): Unit =
-    procedures.put(name.toLowerCase, Procedure(name, argNames, body))
+  private def key(name: String, arity: Int) = s"${name.toLowerCase}/$arity"
 
-  def dropProcedure(name: String): Unit = procedures.remove(name.toLowerCase)
+  def createProcedure(name: String, argNames: Seq[String], body: String): Unit =
+    procedures.put(key(name, argNames.length), Procedure(name, argNames, body))
+
+  def hasProcedure(name: String, arity: Int): Boolean =
+    procedures.containsKey(key(name, arity))
+
+  def dropProcedure(name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    procedures.keySet.asScala.filter(_.startsWith(name.toLowerCase + "/"))
+      .toSeq.foreach(procedures.remove)
+  }
+
+  def dropProcedure(name: String, arity: Int): Unit =
+    procedures.remove(key(name, arity))
+
+  def getProcedure(name: String, arity: Int): Option[Procedure] =
+    Option(procedures.get(key(name, arity)))
 
   /** registered procedures, for system_procedures introspection */
   def listProcedures: Seq[Procedure] = {
@@ -66,20 +89,22 @@ object SqlScript {
   }
 
   /** CALL name(args...): binds positional args as a LET prelude. */
-  def call(spark: SparkSession, name: String, args: Seq[Any] = Nil): DataFrame = {
-    val p = Option(procedures.get(name.toLowerCase))
-      .getOrElse(throw new IllegalArgumentException(s"unknown procedure $name"))
-    require(args.length == p.argNames.length,
-      s"procedure $name expects ${p.argNames.length} args, got ${args.length}")
+  def call(spark: SparkSession, name: String, args: Seq[Any] = Nil,
+      exec: String => DataFrame = null): DataFrame = {
+    val p = Option(procedures.get(key(name, args.length)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"2802: unknown procedure $name with ${args.length} argument(s)"))
     val prelude = p.argNames.zip(args)
       .map { case (n, v) => s"LET $n := ${litOf(v)};" }.mkString(" ")
     val inner = p.body.trim.stripPrefix("$$").stripSuffix("$$").trim
     val stripped = "(?is)^BEGIN\\b(.*)\\bEND\\s*;?\\s*$".r
       .findFirstMatchIn(inner).map(_.group(1)).getOrElse(inner)
-    execute(spark, s"BEGIN $prelude $stripped END;")
+    execute(spark, s"BEGIN $prelude $stripped END;", exec)
   }
 
-  def execute(spark: SparkSession, text: String): DataFrame = {
+  def execute(spark: SparkSession, text: String,
+      exec0: String => DataFrame = null): DataFrame = {
+    val exec: String => DataFrame = if (exec0 == null) spark.sql else exec0
     var body = text.trim.stripPrefix("$$").stripSuffix("$$").trim
     val beginRe = "(?is)^BEGIN\\b(.*)\\bEND\\s*;?\\s*$".r
     body = beginRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(body).trim
@@ -100,19 +125,28 @@ object SqlScript {
     }
 
     def evalScalar(expr: String): String = {
-      val row = spark.sql(s"SELECT ${subst(expr)}").head()
+      val row = exec(s"SELECT ${subst(expr)}").head()
       litOf(row.get(0))
     }
 
     def evalBool(expr: String): Boolean = {
-      val r = spark.sql(s"SELECT (${subst(expr)})").head()
+      val r = exec(s"SELECT (${subst(expr)})").head()
       !r.isNullAt(0) && r.getBoolean(0)
     }
 
-    def run(stmts: Seq[Stmt]): Unit = stmts.foreach {
+    // databend's script_max_steps: bound total executed statements
+    val maxSteps = spark.conf.getOption("script_max_steps")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+    var steps = 0
+    def run(stmts: Seq[Stmt]): Unit = stmts.foreach { st0 =>
+      steps += 1
+      if (maxSteps > 0 && steps > maxSteps)
+        throw new IllegalStateException(
+          s"script execution exceeded the limit of $maxSteps steps")
+      (st0: Stmt) match {
       // variable names are case-insensitive (normalized to lowercase;
       // subst patterns match case-insensitively anyway)
-      case LetVar(n, e, true) => vars(n.toLowerCase) = Rs(spark.sql(subst(e)))
+      case LetVar(n, e, true) => vars(n.toLowerCase) = Rs(exec(subst(e)))
       case LetVar(n, e, false) => vars(n.toLowerCase) = Scalar(evalScalar(e))
       case Assign(n, e) =>
         require(vars.contains(n.toLowerCase), s"assignment to undeclared variable $n")
@@ -121,6 +155,8 @@ object SqlScript {
         val v = v0.toLowerCase
         val lo = evalScalar(a).toLong
         val hi = evalScalar(b).toLong
+        require(lo <= hi,
+          "start must be less than or equal to end when step is positive")
         var i = lo
         var break = false
         while (i <= hi && !break) {
@@ -136,7 +172,8 @@ object SqlScript {
         val v = v0.toLowerCase
         val df = vars.get(src.trim.toLowerCase) match {
           case Some(Rs(d)) => d
-          case _ => spark.sql(subst(src))
+          case Some(c: Cur) => c.df
+          case _ => exec(subst(src))
         }
         val cols = df.columns
         // Cursor loops run on the coordinator (as in the reference's
@@ -193,14 +230,43 @@ object SqlScript {
       case Return(Some(e)) =>
         val table = "(?is)^TABLE\\s*\\((.*)\\)\\s*$".r
         val df = e.trim match {
-          case table(q) => spark.sql(subst(q))
-          case expr => spark.sql(s"SELECT ${subst(expr)} AS result")
+          case table(q) => exec(subst(q))
+          case expr => exec(s"SELECT ${subst(expr)} AS result")
         }
         throw new Ret(df)
+      case LetCursor(n, src) =>
+        val df = vars.get(src.trim.toLowerCase) match {
+          case Some(rs: Rs) => rs.df
+          case Some(c: Cur) => c.df
+          case _ => exec(subst(src))
+        }
+        val cap = spark.conf.getOption("graft.script.forRowsLimit")
+          .map(_.toInt).getOrElse(10000)
+        val rows = df.take(cap + 1)
+        if (rows.length > cap)
+          throw new IllegalStateException(
+            s"cursor result set exceeds graft.script.forRowsLimit=$cap rows")
+        vars(n.toLowerCase) = new Cur(df, rows, df.columns.toSeq)
+      case OpenCur(n) =>
+        vars.get(n.toLowerCase) match {
+          case Some(c: Cur) => c.pos = 0
+          case _ => throw new IllegalArgumentException(s"unknown cursor $n")
+        }
+      case FetchCur(n, into) =>
+        vars.get(n.toLowerCase) match {
+          case Some(c: Cur) =>
+            require(c.pos < c.rows.length, s"cursor $n is exhausted")
+            vars(into.toLowerCase) = Scalar(litOf(c.rows(c.pos).get(0)))
+            c.pos += 1
+          case _ => throw new IllegalArgumentException(s"unknown cursor $n")
+        }
+      case CloseCur(n) => ()
       case Raw(sql) =>
-        // spark.sql executes DDL/DML eagerly; bare SELECTs stay lazy
-        spark.sql(subst(sql))
+        // exec (GraftSql.execute / spark.sql) runs DDL/DML eagerly;
+        // bare SELECTs stay lazy
+        exec(subst(sql))
         ()
+      }
     }
 
     try {
@@ -220,6 +286,7 @@ object SqlScript {
       case If(c, t, e) => If(f(c), t.map(_.mapSql(f)), e.map(_.mapSql(f)))
       case Return(e) => Return(e.map(f))
       case Raw(s) => Raw(f(s))
+      case LetCursor(n, s) => LetCursor(n, f(s))
       case other => other
     }
   }
@@ -232,6 +299,10 @@ object SqlScript {
   private case object Break extends Stmt
   private case object Continue extends Stmt
   private case class Return(expr: Option[String]) extends Stmt
+  private case class LetCursor(name: String, source: String) extends Stmt
+  private case class OpenCur(name: String) extends Stmt
+  private case class FetchCur(name: String, into: String) extends Stmt
+  private case class CloseCur(name: String) extends Stmt
   private case class Raw(sql: String) extends Stmt
 
   /** Make DO / THEN / ELSE statement boundaries outside quotes, so
@@ -285,6 +356,10 @@ object SqlScript {
       if (p.isEmpty) { i += 1 }
       else p match {
         case Regexes.letRs(n, q) => out += LetVar(n, q, resultset = true); i += 1
+        case Regexes.letCursor(n, src) => out += LetCursor(n, src); i += 1
+        case Regexes.openCur(n) => out += OpenCur(n); i += 1
+        case Regexes.fetchCur(n, v) => out += FetchCur(n, v); i += 1
+        case Regexes.closeCur(n) => out += CloseCur(n); i += 1
         case Regexes.let(n, e) => out += LetVar(n, e, resultset = false); i += 1
         case Regexes.forRange(v, a, b) =>
           val (body, j) = collectBlock(Regexes.endFor); out += ForRange(v, a, b, body); i = j
@@ -319,6 +394,10 @@ object SqlScript {
   private object Regexes {
     final case class E(re: scala.util.matching.Regex)
     val letRs = "(?is)^LET\\s+(\\w+)\\s+RESULTSET\\s*:=\\s*(.+)$".r
+    val letCursor = "(?is)^LET\\s+(\\w+)\\s+CURSOR\\s+FOR\\s+(.+)$".r
+    val openCur = "(?is)^OPEN\\s+(\\w+)$".r
+    val fetchCur = "(?is)^FETCH\\s+(\\w+)\\s+INTO\\s+(\\w+)$".r
+    val closeCur = "(?is)^CLOSE\\s+(\\w+)$".r
     val let = "(?is)^LET\\s+(\\w+)\\s*:=\\s*(.+)$".r
     val forRange = "(?is)^FOR\\s+(\\w+)\\s+IN\\s+(.+?)\\s+TO\\s+(.+?)\\s+DO$".r
     val forRows = "(?is)^FOR\\s+(\\w+)\\s+IN\\s+(.+?)\\s+DO$".r

@@ -69,14 +69,14 @@ object SystemTables {
   /** The table engines this build supports (reference engines_table.rs). */
   def engines(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("FUSE", "snapshot/segment storage with time travel (GraftTable)"),
-      ("MEMORY", "session temp views"),
-      ("RANDOM", "seed-deterministic generated data (RandomTable)"),
-      ("STREAM", "append-log change tracking (GraftStream)"),
-      ("VIEW", "named query"),
-      ("NULL", "discards writes, returns empty"))
-      .toDF("engine", "description")
+    // the reference's engine descriptor set (each storages/<e>/table.rs
+    // registers "<NAME> Storage Engine"); FUSE here is GraftTable,
+    // DELTA/ICEBERG/PAIMON the lake readers, RANDOM RandomTable,
+    // STREAM GraftStream, MEMORY temp views
+    Seq("DELTA", "FUSE", "ICEBERG", "MEMORY", "NULL", "PAIMON", "PROXY",
+      "RANDOM", "STREAM", "VIEW")
+      .map(e => (e, s"$e Storage Engine"))
+      .toDF("Engine", "Comment")
   }
 
   /** The reference's system.one: a single row, used as a scan seed. */

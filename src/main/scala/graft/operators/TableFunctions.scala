@@ -193,6 +193,28 @@ object TableFunctions {
     * (column pruning keeps it narrow); the overlap math is driver-side
     * over file-count-sized metadata.
     */
+  /** clustering_statistics('db','t'): per-block cluster-key extremes
+    * (reference fuse clustering_statistics TVF — min/max as the
+    * cluster-key value array, level 0 in this flat-LSM-free model)
+    */
+  def clusteringStatistics(spark: SparkSession, table: GraftTable,
+      keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+    val rows = table.read().withColumn("__f", input_file_name())
+      .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
+    def arr(r: org.apache.spark.sql.Row, pre: String): String =
+      keys.map(k => String.valueOf(r.getAs[Any](s"$pre$k")))
+        .mkString("[", ",", "]")
+    // deterministic block order (min ascending) — the reference lists
+    // segments in commit order; UUID file names carry no order here
+    rows.toSeq.map(r => (arr(r, "mn_"), arr(r, "mx_"), 0))
+      .sortBy(_._1)
+      .toDF("min", "max", "level")
+  }
+
   def clusteringInformation(spark: SparkSession, table: GraftTable, key: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -51,6 +51,11 @@ object AggIndex {
 
   def clear(): Unit = entries.clear()
 
+  /** drop the registration covering `sourcePath` (DROP AGGREGATING
+    * INDEX DDL)
+    */
+  def deregister(sourcePath: String): Unit = entries.remove(sourcePath)
+
   /** registered indexes, for system_indexes introspection */
   def list: Seq[Entry] = {
     import scala.jdk.CollectionConverters._

@@ -326,9 +326,17 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val touched = touchedFiles(prev, cond)
     if (touched.isEmpty) return commit(prev.files, prev.ledger, "UPDATE-NOOP")
     val df = readFiles(touched)
-    val updated = assignments.foldLeft(df) { case (acc, (name, expr)) =>
-      acc.withColumn(name, when(cond, expr).otherwise(col(name)))
-    }
+    // ONE atomic projection: every assignment (and the condition) must
+    // read the PRE-update row — a sequential withColumn fold re-reads
+    // the condition over already-assigned columns, so
+    // `SET a='x', c='y' WHERE a='old'` silently skipped the c
+    // assignment once a was rewritten
+    val updated = df.select(df.columns.toSeq.map { c =>
+      assignments.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, e)) => when(cond, e).otherwise(col(s"`$c`")).as(c)
+        case None         => col(s"`$c`")
+      }
+    }: _*)
     commit(prev.files.diff(touched) ++ writeParts(updated), prev.ledger, "UPDATE")
   }
 

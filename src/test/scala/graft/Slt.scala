@@ -35,7 +35,12 @@ object Slt {
     def collectSql(start: Int, stop: String => Boolean): (String, Int) = {
       var j = start
       val sb = new StringBuilder
-      while (j < lines.length && !stop(lines(j))) {
+      var inDollar = false
+      def dollars(s: String): Int = "\\$\\$".r.findAllIn(s).length
+      while (j < lines.length && (inDollar || !stop(lines(j)))) {
+        // a $$-quoted body (CREATE PROCEDURE / script UDFs) spans
+        // blank lines — keep consuming until the closing $$
+        if (dollars(lines(j)) % 2 == 1) inDollar = !inDollar
         sb.append(lines(j)).append('\n'); j += 1
       }
       (sb.toString.trim, j)
@@ -143,6 +148,19 @@ object Slt {
 
   private def formatDouble(d: Double): String = {
     if (d.isNaN || d.isInfinite) return d.toString
+    val a = math.abs(d)
+    // extreme magnitudes render in databend's scientific form
+    // (`1.0234567899999998e+81`); the 6-dp plain form would print
+    // 80-digit integers or round tiny values to 0
+    if (a != 0.0 && (a >= 1e16 || a < 1e-6)) {
+      val s = java.lang.Double.toString(d) // e.g. 1.023E81 / 1.2E-11
+      val i = s.indexOf('E')
+      if (i < 0) return s
+      val mant = s.substring(0, i)
+      val exp = s.substring(i + 1)
+      val signed = if (exp.startsWith("-")) exp else "+" + exp
+      return s"${mant}e$signed"
+    }
     val s = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
     if (s == "-0") "0" else s
@@ -187,7 +205,12 @@ object Slt {
           var got = df.collect().map(formatRow(_, zone)).map(normEmpty).toSeq
           var exp = expected.map(normEmpty)
           if (rowsort) { got = got.sorted; exp = exp.sorted }
-          if (got == exp) Nil
+          // a cell may contain literal newlines (SHOW CREATE TABLE,
+          // EXPLAIN): the expected block records them as continuation
+          // lines, so unsorted blocks compare as joined text
+          val same = if (rowsort) got == exp
+                     else got.mkString("\n") == exp.mkString("\n")
+          if (same) Nil
           else Seq(s"$name:$line mismatch\n  expected: ${exp.mkString(" | ")}\n  got:      ${got.mkString(" | ")}")
         } catch {
           case e: Throwable => Seq(s"$name:$line query failed: ${e.getMessage}")
