@@ -39,6 +39,19 @@ def has_toplevel_order_by(sql):
 
 
 def fmt_double(t):
+    import re as _re
+    # Plain integer: keep. Plain decimal text with any nonzero or
+    # multi-digit fraction: keep — the runner prints DECIMAL columns at
+    # full declared scale (27000.00 stays 27000.00). Only a bare float
+    # ".0" tail (Rust shortest-float display) strips, and only
+    # overlong/scientific forms re-quantize to the runner's 6dp.
+    if _re.fullmatch(r'-?\d+', t):
+        return t
+    m = _re.fullmatch(r'(-?\d+)\.(\d+)', t)
+    if m and len(m.group(2)) <= 6:
+        # keep verbatim: DECIMAL columns render at full declared scale
+        # and the runner numerically tolerates float-column variants
+        return t
     try:
         from decimal import Decimal, ROUND_HALF_UP
         d = Decimal(t)

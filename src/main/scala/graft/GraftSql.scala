@@ -1008,6 +1008,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       s = rewriteTwoArgCast(s)
     if (s.contains("->") || s.contains("#>"))
       s = rewriteArrowOps(s)
+    if (s.contains("^") || s.contains("#") || s.contains("|/") ||
+        s.contains("!") || s.contains("@"))
+      s = rewritePgMathOps(s)
     if (s.toLowerCase.contains("database") || s.toLowerCase.contains("schema"))
       s = s.replaceAll("(?i)\\b(currentdatabase|current_database|database|schema)\\s*\\(\\s*\\)",
         s"'$currentDb'")
@@ -1023,6 +1026,162 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         }
         t
       })
+    s
+  }
+
+  /** PostgreSQL-style math operators the reference parses
+    * (ast/expr.rs to_func_name): `a ^ b` -> pow (Spark's ^ is xor),
+    * `a # b` -> bitxor (Spark's ^), prefix `|/` sqrt, `||/` cbrt,
+    * `@` abs, postfix `!` factorial. Operand extent = the adjacent
+    * primary expression, which matches the reference's precedence 40
+    * (mul-level, left-to-right with `*`); `^` rewrites rightmost-first
+    * for its right associativity. Quote-aware via primary scanning.
+    */
+  private def rewritePgMathOps(s0: String): String = {
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
+    def inQuote(s: String, pos: Int): Boolean = {
+      var q: Char = 0; var i = 0
+      while (i < pos) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0 }
+        else if (c == '\'' || c == '`' || c == '"') q = c
+        i += 1
+      }
+      q != 0
+    }
+    // [start, end) of the primary ending just before `pos` (exclusive)
+    def leftPrimary(s: String, pos0: Int): Option[(Int, Int)] = {
+      var j = pos0
+      while (j > 0 && s.charAt(j - 1).isWhitespace) j -= 1
+      if (j == 0) return None
+      val end = j
+      val c = s.charAt(j - 1)
+      if (c == ')' || c == ']') {
+        val open = lastOpen(s, j - 1); if (open < 0) return None
+        var k = open
+        while (k > 0 && isWord(s.charAt(k - 1))) k -= 1 // fn name
+        Some((k, end))
+      } else if (isWord(c) || c == '\'') {
+        if (c == '\'') {
+          var k = j - 2
+          while (k >= 0 && s.charAt(k) != '\'') k -= 1
+          if (k < 0) None else Some((k, end))
+        } else {
+          var k = j
+          while (k > 0 && isWord(s.charAt(k - 1))) k -= 1
+          Some((k, end))
+        }
+      } else None
+    }
+    def lastOpen(s: String, closeIdx: Int): Int = {
+      val close = s.charAt(closeIdx); val open = if (close == ')') '(' else '['
+      var depth = 0; var k = closeIdx
+      while (k >= 0) {
+        val c = s.charAt(k)
+        if (c == close) depth += 1
+        else if (c == open) { depth -= 1; if (depth == 0) return k }
+        k -= 1
+      }
+      -1
+    }
+    def rightPrimary(s: String, pos0: Int): Option[(Int, Int)] = {
+      var j = pos0
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j >= s.length) return None
+      val start = j
+      var c = s.charAt(j)
+      if (c == '-' || c == '+') { j += 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j >= s.length) return None
+        c = s.charAt(j) }
+      if (c == '(') {
+        val close = matchParen(s, j); if (close < 0) return None
+        Some((start, close + 1))
+      } else if (c == '\'') {
+        var k = j + 1
+        while (k < s.length && s.charAt(k) != '\'') k += 1
+        if (k >= s.length) None else Some((start, k + 1))
+      } else if (isWord(c)) {
+        var k = j
+        while (k < s.length && isWord(s.charAt(k))) k += 1
+        var e = k
+        while (e < s.length && s.charAt(e).isWhitespace) e += 1
+        if (e < s.length && s.charAt(e) == '(') { // function call
+          val close = matchParen(s, e); if (close < 0) return None
+          Some((start, close + 1))
+        } else Some((start, k))
+      } else None
+    }
+    var s = s0
+    // binary ^ -> pow (rightmost-first: right-associative); real xor
+    // arrives as `#` and becomes Spark's ^ afterwards
+    var go = true
+    while (go) {
+      go = false
+      var i = s.length - 1
+      while (i >= 0 && !go) {
+        if (s.charAt(i) == '^' && !inQuote(s, i)) {
+          (leftPrimary(s, i), rightPrimary(s, i + 1)) match {
+            case (Some((ls, le)), Some((rs, re))) =>
+              s = s.substring(0, ls) + "power(" + s.substring(ls, le) + ", " +
+                s.substring(rs, re) + ")" + s.substring(re)
+              go = true
+            case _ =>
+          }
+        }
+        i -= 1
+      }
+    }
+    // binary # -> Spark xor ^ (skip #> handled earlier)
+    s = mapOutsideQuotes(s, seg => seg.replaceAll("#(?![>])", " ^ "))
+    // prefix ||/ (cbrt), |/ (sqrt), @ (abs; not @> <@ @@)
+    def prefixOp(sym: String, fn: String): Unit = {
+      var idx = s.indexOf(sym)
+      while (idx >= 0) {
+        if (!inQuote(s, idx) &&
+            (sym != "@" || (idx + 1 >= s.length || s.charAt(idx + 1) != '>')) &&
+            // a word char before @ is crdb's table@index hint or an
+            // email-ish token, not prefix-abs
+            (sym != "@" || idx == 0 ||
+              (s.charAt(idx - 1) != '<' && s.charAt(idx - 1) != '@' &&
+               !isWord(s.charAt(idx - 1))))) {
+          rightPrimary(s, idx + sym.length) match {
+            case Some((rs, re)) =>
+              s = s.substring(0, idx) + fn + "(" + s.substring(rs, re) + ")" +
+                s.substring(re)
+            case None =>
+          }
+        }
+        idx = s.indexOf(sym, idx + 1)
+      }
+    }
+    prefixOp("||/", "cbrt")
+    prefixOp("|/", "sqrt")
+    if (s.contains("@")) prefixOp("@", "abs")
+    // postfix ! (factorial): a value token then !, not != / !~, and a
+    // following boundary (operator, comma, paren close, end)
+    var idx = s.indexOf('!')
+    while (idx >= 0) {
+      val nxt = if (idx + 1 < s.length) s.charAt(idx + 1) else ' '
+      if (!inQuote(s, idx) && nxt != '=' && nxt != '~') {
+        leftPrimary(s, idx) match {
+          case Some((ls, le)) if le > ls &&
+              (s.charAt(le - 1).isLetterOrDigit || s.charAt(le - 1) == ')') &&
+              // a keyword before `!` means prefix NOT (`SELECT !x`),
+              // not a postfix factorial operand
+              !Set("select", "where", "and", "or", "not", "when", "then",
+                "else", "on", "by", "from", "case", "as", "in", "is",
+                "having", "set", "values", "between")(
+                s.substring(ls, le).toLowerCase) &&
+              // prefix NOT (`!x`) has no preceding value token
+              !s.substring(0, ls).trim.endsWith("!") =>
+            s = s.substring(0, ls) + "factorial(" + s.substring(ls, le) + ")" +
+              s.substring(idx + 1)
+          case _ =>
+        }
+      }
+      idx = s.indexOf('!', idx + 1)
+    }
     s
   }
 
@@ -1859,6 +2018,33 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // change$row_id: bare $-identifiers (databend lexer) need backticks
     // for Spark's parser
     sql = sql.replaceAll("(?i)(?<!`)\\bchange\\$(\\w+)", "`change\\$$1`")
+    // range(a,b[,step]) TVF: the reference's column is named `range`
+    // (Spark's is `id`); end-exclusive semantics already agree. Runs
+    // BEFORE the numbers() expansion so the range() that expansion
+    // emits is not re-wrapped. Paren-matched: arguments may nest
+    // (range((select 3)::int, ...)).
+    sql = {
+      var s2 = sql
+      val re = """(?i)\b(FROM|JOIN)(\s+)range\s*\(""".r
+      var from = 0
+      var go = true
+      while (go) {
+        re.findFirstMatchIn(s2.substring(from)) match {
+          case Some(m) =>
+            val open = from + m.end - 1
+            val close = matchParen(s2, open)
+            if (close < 0) go = false
+            else {
+              val args = s2.substring(open + 1, close)
+              val rep = s"${m.group(1)}${m.group(2)}(SELECT id AS `range` FROM range($args))"
+              s2 = s2.substring(0, from + m.start) + rep + s2.substring(close + 1)
+              from = from + m.start + rep.length
+            }
+          case None => go = false
+        }
+      }
+      s2
+    }
     // numbers(N)/numbers_mt(N) table functions (reference numbers TVF):
     // an unsigned 0..N-1 sequence named `number`
     sql = NumbersRe.replaceAllIn(sql, m =>
@@ -2081,8 +2267,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // lateral subquery (Spark can't evaluate outer refs in inline
     // tables, but handles them fine in lateral subqueries)
     sql = rewriteLateralValues(sql)
+    // a (VALUES ...) derived table without an explicit column list:
+    // the reference names the columns col0, col1, ... (0-based);
+    // Spark names them col1, col2, ...
+    sql = rewriteValuesColNames(sql)
     // FROM-clause `LATERAL FLATTEN(...)`/`LATERAL unnest(...)` table
     // factors -> LATERAL VIEW over the variant generators
+    sql = rewriteStandaloneFlatten(sql)
     sql = rewriteLateralTvf(sql)
     // RIGHT SEMI/ANTI spellings (databend join types; Spark only has
     // the LEFT forms) -> flip the two factors
@@ -3492,6 +3683,61 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     s"SELECT * EXCEPT ($drop) FROM ($inner) __ord_q ORDER BY ${newItems.mkString(", ")} $tail"
   }
 
+  /** `FROM (VALUES (..),(..))` with no explicit column list — the
+    * reference's inline-table columns are col0..colN-1 (0-based),
+    * Spark's col1..colN. Append the 0-based list (keeping any bare
+    * table alias); explicit `t(a,b)` lists pass through untouched.
+    */
+  private def rewriteValuesColNames(sql0: String): String = {
+    var sql = sql0
+    val re = """(?i)\(\s*VALUES\s*\(""".r
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val m0 = re.findFirstMatchIn(sql.substring(searchFrom))
+      if (m0.isEmpty) return sql
+      val m = m0.get
+      val open = searchFrom + m.start
+      // LATERAL (VALUES ...) is handled by rewriteLateralValues
+      val before = sql.substring(0, open).trim.toUpperCase
+      val close = matchParen(sql, open)
+      if (close < 0) return sql
+      if (before.endsWith("LATERAL")) searchFrom = close
+      else {
+        val after = sql.substring(close + 1)
+        val aliasCols = """(?is)^\s*(?:AS\s+)?\w+\s*\(""".r.findPrefixMatchOf(after)
+        val bareAlias = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)""".r.findPrefixMatchOf(after)
+          .filterNot(a => Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+            "UNION", "EXCEPT", "INTERSECT", "JOIN", "ON", "LEFT", "RIGHT",
+            "FULL", "INNER", "CROSS", "AS", "QUALIFY", "WINDOW", "SETTINGS")(
+            a.group(1).toUpperCase))
+        if (aliasCols.isDefined) searchFrom = close
+        else {
+          val body = sql.substring(open + 1, close).trim
+            .replaceAll("(?is)^VALUES\\s*", "")
+          val firstRow = splitTopLevel(body, ',').headOption.map(_.trim)
+          val arity = firstRow match {
+            case Some(r) if r.startsWith("(") && matchParen(r, 0) == r.length - 1 =>
+              splitTopLevel(r.substring(1, r.length - 1), ',').length
+            case _ => -1
+          }
+          if (arity <= 0) searchFrom = close
+          else {
+            val cols = (0 until arity).map(i => s"col$i").mkString(", ")
+            val (aliasTxt, tailStart) = bareAlias match {
+              case Some(a) => (s" ${a.group(1)}($cols)", close + 1 + a.end)
+              case None => (s" __vals($cols)", close + 1)
+            }
+            sql = sql.substring(0, close + 1) + aliasTxt + sql.substring(tailStart)
+            searchFrom = close + aliasTxt.length
+          }
+        }
+      }
+    }
+    sql
+  }
+
   private val LateralValuesRe = """(?i)\bLATERAL\s*\(\s*VALUES\b""".r
 
   private def rewriteLateralValues(sql: String): String = {
@@ -3509,6 +3755,47 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }
     sql.substring(0, open) + "(" + selects.mkString(" UNION ALL ") + ")" +
       rewriteLateralValues(sql.substring(close + 1))
+  }
+
+  /** standalone `FROM flatten(input => x [, path => 'p']
+    * [, outer => true])` (reference flatten TVF, 02_0068) — the
+    * six-column (seq, key, path, index, value, this) table form;
+    * `outer => true` keeps a NULL row for empty input like the
+    * reference (LATERAL VIEW OUTER).
+    */
+  private def rewriteStandaloneFlatten(sql: String): String = {
+    val re = """(?i)\b(FROM|JOIN)(\s+)FLATTEN\s*\(""".r
+    val m0 = re.findFirstMatchIn(sql)
+    if (m0.isEmpty) return sql
+    val m = m0.get
+    val open = m.end - 1
+    val close = matchParen(sql, open)
+    if (close < 0) return sql
+    var input: String = null; var path: String = null; var outer = false
+    var recursive = "false"; var mode = "both"
+    splitTopLevel(sql.substring(open + 1, close), ',').map(_.trim).foreach { a =>
+      """(?is)^(\w+)\s*=>\s*(.*)$""".r.findFirstMatchIn(a) match {
+        case Some(x) if x.group(1).equalsIgnoreCase("input") => input = x.group(2).trim
+        case Some(x) if x.group(1).equalsIgnoreCase("path") => path = x.group(2).trim
+        case Some(x) if x.group(1).equalsIgnoreCase("outer") =>
+          outer = x.group(2).trim.equalsIgnoreCase("true")
+        case Some(x) if x.group(1).equalsIgnoreCase("recursive") =>
+          recursive = x.group(2).trim.toLowerCase
+        case Some(x) if x.group(1).equalsIgnoreCase("mode") =>
+          mode = x.group(2).trim.stripPrefix("'").stripSuffix("'").toLowerCase
+        case _ => if (input == null) input = a
+      }
+    }
+    if (input == null) return sql
+    val in = Option(path)
+      .map(p => s"try_variant_get($input, '$$.' || $p)").getOrElse(input)
+    val pfx = Option(path).getOrElse("''")
+    val ov = if (outer) "OUTER " else ""
+    val sub = s"(SELECT 1 AS seq, f.key, f.path, f.index, f.value, f.this " +
+      s"FROM (SELECT 1 AS __seed) LATERAL VIEW ${ov}flatten_variant($in, $pfx, " +
+      s"'$recursive', '$mode') f AS key, path, index, value, this)"
+    sql.substring(0, m.start) + m.group(1) + m.group(2) + sub +
+      rewriteStandaloneFlatten(sql.substring(close + 1))
   }
 
   private val LateralTvfRe = """(?i),?\s*\bLATERAL\s+(FLATTEN|UNNEST)\s*\(""".r
@@ -4410,18 +4697,31 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     */
   private def rewriteGenSeriesTvf(sql0: String): String = {
     def expand(args0: String) = {
-      // timestamp series with an integer step: databend counts
-      // MICROSECONDS (range.rs); Spark's sequence needs an interval
+      // integer steps over temporal series: the reference normalizes
+      // by magnitude (srfs/range.rs:72-78 — |step|<1000 means seconds,
+      // <1e6 milliseconds, else microseconds); DATE series step counts
+      // days. Spark's sequence needs an interval either way.
       val parts = splitTopLevel(args0, ',').map(_.trim)
+      val isTs = parts.take(2).exists(a =>
+        """(?i)timestamp|to_datetime|now\(""".r.findFirstIn(a).isDefined)
+      val isDate = !isTs && parts.take(2).exists(a =>
+        """(?i)::\s*date|to_date|\bdate\b""".r.findFirstIn(a).isDefined)
       val args =
-        if (parts.length == 3 &&
-            parts.take(2).exists(a => """(?i)timestamp""".r.findFirstIn(a).isDefined) &&
-            """(?i)interval|make_""".r.findFirstIn(parts(2)).isEmpty)
-          // 1.0* floats the chain so an int-literal product (12 * 3600
-          // * 1000000 micros) can't overflow under ANSI
-          (parts.take(2) :+ s"make_dt_interval(0, 0, 0, (1.0 * ${parts(2)}) / 1e6)")
-            .mkString(", ")
-        else args0
+        if (parts.length == 3 && isTs &&
+            """(?i)interval|make_""".r.findFirstIn(parts(2)).isEmpty) {
+          val s = s"(${parts(2)})"
+          // 1.0* floats the chain so an int-literal product can't
+          // overflow under ANSI
+          (parts.take(2) :+ ("make_dt_interval(0, 0, 0, CASE " +
+            s"WHEN abs(1.0 * $s) < 1000 THEN 1.0 * $s " +
+            s"WHEN abs(1.0 * $s) < 1000000 THEN (1.0 * $s) / 1e3 " +
+            s"ELSE (1.0 * $s) / 1e6 END)")).mkString(", ")
+        } else if (isDate &&
+            """(?i)interval|make_""".r.findFirstIn(
+              parts.drop(2).headOption.getOrElse("")).isEmpty) {
+          val s = if (parts.length >= 3) parts(2) else "1"
+          (parts.take(2) :+ s"make_interval(0, 0, 0, $s)").mkString(", ")
+        } else args0
       s"(SELECT explode(sequence($args)) AS generate_series)"
     }
     var sql = sql0; var pos = 0
@@ -4954,7 +5254,14 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       }
       val overwrite = (verb != null && verb.equalsIgnoreCase("OVERWRITE")) ||
         s.trim.toUpperCase.startsWith("REPLACE")
-      if (overwrite) t.overwrite(df) else t.append(df)
+      // a literal VALUES insert is one small block (reference fuse
+      // writes one block per small insert); without this the row set
+      // fans out over default parallelism into one tiny file per row
+      // and scan order (size-sorted) scrambles insertion order, which
+      // order-sensitive aggregates like any() observe
+      val dfW =
+        if (body.trim.toUpperCase.startsWith("VALUES")) df.coalesce(1) else df
+      if (overwrite) t.overwrite(dfW) else t.append(dfW)
       // reading a STREAM in a DML consumes it (advances the cursor)
       lastStreamRefs.foreach(n0 => streams(n0).consume(_ => ()))
       refreshView(n)

@@ -43,7 +43,7 @@ object Probe {
         array((0 until nHash).map(i => col(s"mh_$i")): _*).as("mh"))
     def banded = mh.select(col("doc_id"), col("mh"),
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
-          b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
+          b -> xxh64_long(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     def full = {
       val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))

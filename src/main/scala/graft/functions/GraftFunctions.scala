@@ -88,9 +88,6 @@ object GraftFunctions {
     "minus" -> "try_subtract",
     "multiply" -> "try_multiply",
     "divide" -> "try_divide",
-    // conditionals
-    "ifnull" -> "ifnull",
-    "if" -> "if",
     // json / variant — parse_json is NOT aliased: Spark 4's native
     // parse_json already returns VARIANT, matching the reference's
     // parse_json -> Variant (scalars/variant.rs)
@@ -198,6 +195,30 @@ object GraftFunctions {
     // slt: any over (null,1,...) = 1); Spark's any_value keeps nulls
     // unless ignoreNulls is set
     "any" -> (args => unresolved("any_value", args, ignoreNulls = true)),
+    // 1-arg ifnull/nvl degenerate to the argument (reference accepts
+    // them; 02_0058/02_0070 suites). 2-arg form = coalesce — spelled
+    // so because a same-name unresolved target would re-enter this
+    // rewrite and never resolve.
+    "ifnull" -> (args =>
+      if (args.length == 1) args.head else unresolved("coalesce", args)),
+    "nvl" -> (args =>
+      if (args.length == 1) args.head else unresolved("coalesce", args)),
+    // variadic if(c1,v1, c2,v2, ..., else) — a CASE WHEN chain in the
+    // reference (expr.rs maps multi-branch IF to if with odd arity;
+    // even arity is error 1065)
+    "if" -> (args =>
+      if (args.length == 3)
+        org.apache.spark.sql.catalyst.expressions.If(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+            org.apache.spark.sql.types.BooleanType), args(1), args(2))
+      else if (args.length >= 5 && args.length % 2 == 1)
+        org.apache.spark.sql.catalyst.expressions.CaseWhen(
+          args.dropRight(1).grouped(2).map(p =>
+            (org.apache.spark.sql.catalyst.expressions.Cast(p.head,
+              org.apache.spark.sql.types.BooleanType), p(1))).toSeq,
+          Some(args.last))
+      else throw new IllegalArgumentException(
+        s"1065: if expects an odd argument count >= 3, got ${args.length}")),
     // count_if is both Spark's 1-arg builtin (count rows where pred)
     // and databend's 2-arg combinator (count x where cond) — express
     // both as count + FILTER so neither spelling shadows the other
@@ -447,10 +468,15 @@ object GraftFunctions {
     "flatten_json_recursive" -> (args => JsonFlatten(args.head, recursive = true)),
     // VARIANT-typed flatten: the FROM-clause `LATERAL FLATTEN(...)`
     // table factor (GraftSql rewrites onto this generator)
-    "flatten_variant" -> (args => VariantFlatten(args.head, args.lift(1) match {
-      case Some(Literal(s, _)) if s != null => s.toString
-      case _ => ""
-    })),
+    "flatten_variant" -> (args => {
+      def lit(i: Int, dflt: String): String = args.lift(i) match {
+        case Some(Literal(s, _)) if s != null => s.toString
+        case _ => dflt
+      }
+      VariantFlatten(args.head, lit(1, ""),
+        recursive = lit(2, "false").equalsIgnoreCase("true"),
+        mode = lit(3, "both").toLowerCase)
+    }),
     // more to_start_of_* units (reference scalars/timestamp family)
     "to_start_of_quarter" -> (args =>
       org.apache.spark.sql.catalyst.expressions.TruncDate(

@@ -53,8 +53,6 @@ object MoreAliases {
     "json_array_insert" -> "array_insert",
     "json_array_intersection" -> "array_intersect",
     "json_array_overlap" -> "arrays_overlap",
-    "object_keys" -> "json_object_keys",
-    "regexp_split_to_array" -> "split",
     "map_cat" -> "map_concat",
     "map_size" -> "size",
     "unicode" -> "ascii",
@@ -174,10 +172,33 @@ object MoreAliases {
       "rtrim" -> (a =>
         if (a.length == 1) StringTrimRight(a.head)
         else StringTrimRight(a.head, a(1))),
-      // CHAR(n1, n2, ...): concatenation of code points (MySQL CHAR)
-      "char" -> (a =>
-        if (a.length == 1) Chr(cast(a.head, LongType))
-        else Concat(a.map(x => Chr(cast(x, LongType))))),
+      // CHAR(n1, n2, ...): concatenation of code points. The reference
+      // errors on invalid codepoints (02_0043: char(23232223) is an
+      // error) and renders real unicode (chr(8364) = '€'), where
+      // Spark's Chr wraps modulo 256.
+      "char" -> (a => {
+        def one(x: Expression) = ChrCodepoint(cast(x, LongType))
+        if (a.length == 1) one(a.head) else Concat(a.map(one))
+      }),
+      // object_keys works over VARIANT (and json text) in the
+      // reference; Spark's json_object_keys wants the text form
+      "object_keys" -> (a => f("json_object_keys", cast(a.head, StringType))),
+      "json_object_keys" -> (a => f("json_object_keys", cast(a.head, StringType))),
+      // reference error discipline: unhex rejects non-hex input
+      // (error 1006) instead of null-absorbing; space is capped
+      "unhex" -> (a => {
+        val u = UnresolvedFunction("unhex", Seq(cast(a.head, StringType)),
+          isDistinct = false)
+        ErrIf(And(IsNotNull(a.head), IsNull(u)), u,
+          "1006: invalid hex string for unhex")
+      }),
+      "space" -> (a => {
+        val n = cast(a.head, LongType)
+        ErrIf(GreaterThan(n, Literal(1000000L)),
+          UnresolvedFunction("space", Seq(cast(a.head, IntegerType)),
+            isDistinct = false),
+          "1006: space length exceeds the 1000000 cap")
+      }),
       // LOCATE('', s [, pos]) = pos when pos lands inside s (MySQL);
       // Spark's locate returns 0 there
       "locate" -> (a => {
@@ -228,14 +249,28 @@ object MoreAliases {
       "try_to_string" -> (a => tryCast(a.head, StringType)),
       "try_to_variant" -> (a => f("try_parse_json", cast(a.head, StringType))),
 
-      // string trims (reference trim_both('xay','a'); StringTrim handles
-      // the optional trim set)
+      // string trims: with a pattern these strip the exact substring
+      // repeatedly (reference string.rs trim_both/leading/trailing;
+      // char-SET semantics belong to 2-arg trim(), which Spark's
+      // StringTrim already has)
       "trim_both" -> (a =>
-        if (a.length == 1) StringTrim(a.head) else StringTrim(a.head, a(1))),
+        if (a.length == 1) StringTrim(a.head)
+        else TrimMatches(a.head, a(1), leading = true, trailing = true)),
       "trim_leading" -> (a =>
-        if (a.length == 1) StringTrimLeft(a.head) else StringTrimLeft(a.head, a(1))),
+        if (a.length == 1) StringTrimLeft(a.head)
+        else TrimMatches(a.head, a(1), leading = true, trailing = false)),
       "trim_trailing" -> (a =>
-        if (a.length == 1) StringTrimRight(a.head) else StringTrimRight(a.head, a(1))),
+        if (a.length == 1) StringTrimRight(a.head)
+        else TrimMatches(a.head, a(1), leading = false, trailing = true)),
+      // 2-arg trim is trim(val, set) in the reference; Spark's builtin
+      // reads trim(set, val) — swap to StringTrim's (src, trim) order
+      "trim" -> (a =>
+        if (a.length == 2) StringTrim(a.head, a(1)) else StringTrim(a.head)),
+      // PG-rule regexp split (empty fields kept for real separators,
+      // zero-length matches split per character; PgRegexpSplit)
+      "regexp_split_to_array" -> (a =>
+        PgRegexpSplit(a.head, a(1),
+          if (a.length >= 3) a(2) else Literal(""))),
       // MySQL semantics (reference 02_0027 slt): a position outside
       // [1, len] returns the string unchanged — overlay alone clamps
       "insert" -> (a => CaseWhen(Seq(
@@ -435,37 +470,61 @@ object MoreAliases {
     s
   }
 
-  /** Jaro-Winkler similarity in [0,1] (reference string fns) */
-  private[functions] def jaroWinkler(s1: String, s2: String): Double = {
-    if (s1 == s2) return 1.0
-    if (s1.isEmpty || s2.isEmpty) return 0.0
-    val window = math.max(s1.length, s2.length) / 2 - 1
-    val m1 = Array.fill(s1.length)(false)
-    val m2 = Array.fill(s2.length)(false)
-    var matches = 0
-    for (i <- s1.indices) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(s2.length - 1, i + window)
-      var j = lo
-      var found = false
-      while (j <= hi && !found) {
-        if (!m2(j) && s1(i) == s2(j)) { m1(i) = true; m2(j) = true; matches += 1; found = true }
+  /** Jaro-Winkler similarity in [0,1], matching the reference's
+    * byte-level algorithm exactly (other.rs jaro_winkler module):
+    * operates on UTF-8 bytes with the longer string as s1, matches by
+    * scanning the shorter string against a floor(max/2)-1 window,
+    * counts transpositions over all but the last short-string byte
+    * with a ceil(t/2) fold, and always applies the prefix bonus (no
+    * 0.7 threshold).
+    */
+  private[functions] def jaroWinkler(a0: String, b0: String): Double = {
+    val (left, right) = {
+      val ab = a0.getBytes("UTF-8"); val bb = b0.getBytes("UTF-8")
+      if (ab.length < bb.length) (bb, ab) else (ab, bb)
+    }
+    val s1Len = left.length; val s2Len = right.length
+    if (s1Len == 0 && s2Len == 0) return 1.0
+    if (s1Len == 0 || s2Len == 0) return 0.0
+    if (java.util.Arrays.equals(left, right)) return 1.0
+    val range = math.max((s1Len.max(s2Len) / 2.0).floor.toInt - 1, 0)
+    val s1m = Array.fill(s1Len)(false)
+    val s2m = Array.fill(s2Len)(false)
+    var matching = 0.0
+    var i = 0
+    while (i < s2Len) {
+      var j = math.max(i - range, 0)
+      val l = math.min(i + range + 1, s1Len)
+      var done = false
+      while (j < l && !done) {
+        if (right(i) == left(j) && !s1m(j)) {
+          s1m(j) = true; s2m(i) = true; matching += 1.0; done = true
+        }
         j += 1
       }
+      i += 1
     }
-    if (matches == 0) return 0.0
-    var t = 0; var k = 0
-    for (i <- s1.indices if m1(i)) {
-      while (!m2(k)) k += 1
-      if (s1(i) != s2(k)) t += 1
-      k += 1
+    if (matching == 0.0) return 0.0
+    var transpositions = 0.0
+    var lIdx = 0
+    i = 0
+    while (i < s2Len - 1) {
+      if (s2m(i)) {
+        var j = lIdx
+        var found = -1
+        while (j < s1Len && found < 0) {
+          if (s1m(j)) { lIdx = j + 1; found = j }
+          else j += 1
+        }
+        if (found >= 0 && right(i) != left(found)) transpositions += 1.0
+      }
+      i += 1
     }
-    val m = matches.toDouble
-    // transpositions floor-halved, winkler boost only above 0.7 —
-    // the common convention (and DuckDB's), verified value-exact
-    val jaro = (m / s1.length + m / s2.length + (m - (t / 2)) / m) / 3.0
-    if (jaro <= 0.7) return jaro
-    val prefix = s1.zip(s2).take(4).takeWhile { case (x, y) => x == y }.length
+    transpositions = math.ceil(transpositions / 2.0)
+    val jaro = (matching / s1Len + matching / s2Len +
+      (matching - transpositions) / matching) / 3.0
+    var prefix = 0
+    while (prefix < 4 && prefix < s2Len && left(prefix) == right(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 

@@ -36,6 +36,37 @@ object MoreAliases2 {
   private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
   private def jstr(e: Expression): Expression = cast(e, StringType)
 
+  /** DFHash byte encoding with the reference's literal typing: an int
+    * literal hashes at its narrowest width (u8/u16/u32/u64 when >=0,
+    * i8/i16/i32/i64 below; Spark types every int literal INT so the
+    * width must be recovered here), a fractional literal as Float64
+    * bits. Columns encode by their declared type (DfHashEncode).
+    */
+  private def henc(e: Expression): Expression = e match {
+    case Literal(null, _) => Literal(null, BinaryType)
+    case Literal(v: Int, IntegerType) => narrowIntBytes(v.toLong)
+    case Literal(v: Long, LongType) => narrowIntBytes(v)
+    case Literal(d: Decimal, _: DecimalType) if d.scale <= 0 =>
+      narrowIntBytes(d.toLong)
+    case other => DfHashEncode(other)
+  }
+
+  private def narrowIntBytes(v: Long): Expression = {
+    val n =
+      if (v >= 0) { if (v < 256L) 1 else if (v < 65536L) 2
+        else if (v < 4294967296L) 4 else 8 }
+      else { if (v >= -128L) 1 else if (v >= -32768L) 2
+        else if (v >= -2147483648L) 4 else 8 }
+    Literal(Array.tabulate[Byte](n)(i => ((v >>> (8 * i)) & 0xff).toByte),
+      BinaryType)
+  }
+
+  /** u64-returning hash: impl gives the unsigned digits as a string,
+    * surfaced as DECIMAL(20,0) — the engine's u64 convention.
+    */
+  private def uhash(impl: String, arg: Expression): Expression =
+    cast(f(impl, henc(arg)), DecimalType(20, 0))
+
   private def lambda1(body: NamedExpression => Expression): Expression = {
     val x = UnresolvedNamedLambdaVariable(Seq("x"))
     LambdaFunction(body(x), Seq(x))
@@ -56,7 +87,7 @@ object MoreAliases2 {
       "json_contains_in_right", "json_contains_in_left",
       "delete_by_keypath", "xxhash32",
       "as_timestamp_tz", "is_timestamp_tz",
-      "to_uuid", "siphash", "siphash64", "city64withseed", "blake3",
+      "to_uuid", "siphash", "siphash64", "xxhash64", "city64withseed", "blake3",
       "json_path_query", "json_path_query_array", "json_path_query_first",
       "json_path_exists", "json_path_match")(name)
 
@@ -222,20 +253,34 @@ object MoreAliases2 {
       }
     }),
 
-    // SipHash-2-4 with a zero key — the reference's siphash/siphash64
-    // spelling (engine-native hash family; values are algorithm-exact,
-    // validated against the SipHash paper vectors in MoreAliases2Spec)
-    "siphash64" -> (a => f("siphash64_impl", jstr(a.head))),
-    "siphash" -> (a => f("siphash64_impl", jstr(a.head))),
+    // SipHash-1-3 with a zero key over the value's DFHash bytes —
+    // reference hash.rs siphash64 (siphasher::SipHasher13, keys 0,0;
+    // strings hash raw UTF-8 bytes, integers fixed-width LE, floats
+    // their bit pattern). u64 results surface as DECIMAL(20,0), the
+    // engine's unsigned-64 convention. Goldens: the reference's own
+    // 02_0009_function_hashes suite, bit-exact.
+    "siphash64" -> (a => uhash("siphash64_impl", a.head)),
+    "siphash" -> (a => uhash("siphash64_impl", a.head)),
+
+    // XXH64 seed 0 over DFHash bytes (reference hash.rs xxhash64 via
+    // twox-hash XxHash64::default) — NOT Spark's xxhash64 (seed 42,
+    // different per-type protocol); internal operators that only need
+    // a fast partitioner keep the codegen'd Spark builtin under the
+    // xxh64_long spelling.
+    "xxhash64" -> (a => uhash("xxhash64_impl", a.head)),
+    // internal spelling of Spark's builtin xxhash64 (seed 42): a fast
+    // codegen'd partitioner for minhash/LSH internals, unaffected by
+    // the databend-exact xxhash64 override above
+    "xxh64_long" -> (a => new XxHash64(a)),
 
     // CityHash64 v1.0.2 with seed — the reference's city64withseed
     // (hash.rs:444 via naive-cityhash, the ClickHouse-compatible
-    // CityHash revision). String inputs are bit-exact with the
-    // reference's golden vectors (hash.txt:171-187); see
-    // MoreAliases2Spec. Seed is any numeric (truncating cast, matching
-    // the reference's 256.3 -> 256 golden).
+    // CityHash revision), over DFHash bytes, u64-rendered. Seed is
+    // any numeric (truncating cast, matching the reference's
+    // 256.3 -> 256 golden).
     "city64withseed" -> (a =>
-      f("city64withseed_impl", jstr(a.head), cast(a(1), LongType))),
+      cast(f("city64withseed_impl", henc(a.head), cast(a(1), LongType)),
+        DecimalType(20, 0))),
 
     // BLAKE3 256-bit hex (functions/Blake3.scala; reference hash.rs
     // blake3, goldens hash.txt:81-109 + official test vectors)
@@ -243,7 +288,8 @@ object MoreAliases2 {
 
     "json_array_elements" -> (a => Explode(
       f("try_variant_get", a.head, Literal("$"), Literal("array<variant>")))),
-    "regexp_split_to_table" -> (a => Explode(f("split", a.head, a(1)))),
+    "regexp_split_to_table" -> (a => Explode(PgRegexpSplit(a.head, a(1),
+      if (a.length >= 3) a(2) else Literal("")))),
 
     // map edits via map_filter lambdas (codegen'd, no UDF)
     "map_pick" -> (a => f("map_filter", a.head,
@@ -534,10 +580,12 @@ object MoreAliases2 {
         try Some(java.util.UUID.fromString(x.trim).toString)
         catch { case _: IllegalArgumentException => None }
       }))
-    spark.udf.register("siphash64_impl", udf((s: String) =>
-      Option(s).map(x => sipHash24(0L, 0L, x.getBytes("UTF-8")))))
-    spark.udf.register("city64withseed_impl", udf((s: String, seed: Long) =>
-      Option(s).map(x => cityHash64WithSeed(x.getBytes("UTF-8"), seed))))
+    spark.udf.register("siphash64_impl", udf((b: Array[Byte]) =>
+      Option(b).map(x => DfHash.unsigned(Obfuscator.sipHash13(0L, 0L, x)))))
+    spark.udf.register("xxhash64_impl", udf((b: Array[Byte]) =>
+      Option(b).map(x => DfHash.unsigned(DfHash.xxh64(x)))))
+    spark.udf.register("city64withseed_impl", udf((b: Array[Byte], seed: Long) =>
+      Option(b).map(x => DfHash.unsigned(cityHash64WithSeed(x, seed)))))
     spark.udf.register("blake3_impl", udf((s: String) =>
       Option(s).map(x => Blake3.hex(x.getBytes("UTF-8")))))
     spark.udf.register("json_path_query_impl", udf((s: String, p: String) =>
@@ -684,37 +732,4 @@ object MoreAliases2 {
     }
   }
 
-  /** SipHash-2-4 (Aumasson & Bernstein), little-endian message words;
-    * validated against the paper's test vectors in MoreAliases2Spec.
-    */
-  private[graft] def sipHash24(k0: Long, k1: Long, data: Array[Byte]): Long = {
-    var v0 = 0x736f6d6570736575L ^ k0
-    var v1 = 0x646f72616e646f6dL ^ k1
-    var v2 = 0x6c7967656e657261L ^ k0
-    var v3 = 0x7465646279746573L ^ k1
-    @inline def rotl(x: Long, b: Int): Long = (x << b) | (x >>> (64 - b))
-    @inline def round(): Unit = {
-      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
-      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
-      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
-      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
-    }
-    val n = data.length
-    val end = n - (n % 8)
-    var i = 0
-    while (i < end) {
-      var m = 0L
-      var j = 7
-      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
-      v3 ^= m; round(); round(); v0 ^= m
-      i += 8
-    }
-    var b = n.toLong << 56
-    i = end
-    while (i < n) { b |= (data(i) & 0xffL) << (8 * (i - end)); i += 1 }
-    v3 ^= b; round(); round(); v0 ^= b
-    v2 ^= 0xff
-    round(); round(); round(); round()
-    v0 ^ v1 ^ v2 ^ v3
-  }
 }

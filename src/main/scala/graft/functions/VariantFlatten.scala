@@ -26,9 +26,14 @@ import scala.jdk.CollectionConverters._
   * STRING unquoted — the reference's display/cast pair.
   *
   * `pathPrefix` carries FLATTEN's `path => '...'` argument into the
-  * emitted path column.
+  * emitted path column. `recursive => true` expands nested containers
+  * depth-first after their parent row (nested rows carry the
+  * immediate parent as `this`); `mode` gates which container types
+  * expand — 'object' / 'array' / 'both' — including the root
+  * (02_0068: mode => 'array' over an object root yields no rows).
   */
-case class VariantFlatten(child: Expression, pathPrefix: String)
+case class VariantFlatten(child: Expression, pathPrefix: String,
+    recursive: Boolean = false, mode: String = "both")
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -52,22 +57,29 @@ case class VariantFlatten(child: Expression, pathPrefix: String)
     val root =
       try JsonFlatten.mapper.readTree(json)
       catch { case _: Exception => return Iterator.empty }
-    val doc = toVariant(root)
     val out = Vector.newBuilder[InternalRow]
-    if (root.isObject) {
-      root.fields().asScala.foreach { e =>
-        val p = if (pathPrefix.isEmpty) e.getKey else s"$pathPrefix.${e.getKey}"
-        out += InternalRow(UTF8String.fromString(e.getKey),
-          UTF8String.fromString(p), null, toVariant(e.getValue), doc)
-      }
-    } else if (root.isArray) {
-      var i = 0
-      root.elements().asScala.foreach { v =>
-        out += InternalRow(null, UTF8String.fromString(s"$pathPrefix[$i]"),
-          i, toVariant(v), doc)
-        i += 1
+    def expandable(n: JsonNode): Boolean =
+      (n.isObject && mode != "array") || (n.isArray && mode != "object")
+    def walk(node: JsonNode, prefix: String): Unit = {
+      val doc = toVariant(node)
+      if (node.isObject && mode != "array") {
+        node.fields().asScala.foreach { e =>
+          val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+          out += InternalRow(UTF8String.fromString(e.getKey),
+            UTF8String.fromString(p), null, toVariant(e.getValue), doc)
+          if (recursive && expandable(e.getValue)) walk(e.getValue, p)
+        }
+      } else if (node.isArray && mode != "object") {
+        var i = 0
+        node.elements().asScala.foreach { v =>
+          val p = s"$prefix[$i]"
+          out += InternalRow(null, UTF8String.fromString(p), i, toVariant(v), doc)
+          if (recursive && expandable(v)) walk(v, p)
+          i += 1
+        }
       }
     }
+    walk(root, pathPrefix)
     out.result()
   }
 

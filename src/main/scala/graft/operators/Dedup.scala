@@ -66,7 +66,7 @@ object Dedup {
     // does not fire across the differing join-side aliases)
     val banded = mh.select(col("__id"), col("mh"),
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
-          b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
+          b -> xxh64_long(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col("__id").as("id_a"), col("mh").as("mh_a"))
@@ -83,7 +83,7 @@ object Dedup {
     df.select(col(idCol), col(textCol))
       .withColumn("simhash", expr(
         s"""aggregate(
-             transform(split(lower(`$textCol`), ' '), tk -> xxhash64(tk)),
+             transform(split(lower(`$textCol`), ' '), tk -> xxh64_long(tk)),
              CAST(array_repeat(0, 64) AS ARRAY<INT>),
              (acc, h) -> zip_with(acc, sequence(0, 63),
                (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),

@@ -227,7 +227,7 @@ object TextQueries extends QueryModule {
         array((0 until nHash).map(i => col(s"mh_$i")): _*).as("mh"))
     val banded = mh.select(col("doc_id"), col("mh"),
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
-          b -> xxhash64(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
+          b -> xxh64_long(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       // materialized ONCE: the planner broadcasts one side of the
       // self-join (no exchange to reuse), which would otherwise replay
@@ -257,7 +257,7 @@ object TextQueries extends QueryModule {
       val x = t(spark, dir)
       val sim = withNearDups(x).select(col("doc_id"),
         expr("""aggregate(
-             transform(split(lower(text), ' '), tk -> xxhash64(tk)),
+             transform(split(lower(text), ' '), tk -> xxh64_long(tk)),
              CAST(array_repeat(0, 64) AS ARRAY<INT>),
              (acc, h) -> zip_with(acc, sequence(0, 63),
                (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),

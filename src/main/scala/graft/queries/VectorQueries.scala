@@ -60,7 +60,7 @@ object VectorQueries extends QueryModule {
       val bucketExpr = expr(s"""aggregate(
           transform(sequence(0, ${nPlanes - 1}),
             p -> CASE WHEN aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1),
-                   i -> CAST(pmod(xxhash64(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0),
+                   i -> CAST(pmod(xxh64_long(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0),
                  (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0
               THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END),
           CAST(0 AS BIGINT), (a, v) -> a + v)""")

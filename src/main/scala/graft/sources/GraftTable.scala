@@ -315,7 +315,9 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val prev = snapshot(currentVersion)
     val touched = touchedFiles(prev, cond)
     if (touched.isEmpty) return commit(prev.files, prev.ledger, "DELETE-NOOP")
-    val kept = readFiles(touched).filter(!cond)
+    // keep rows where the predicate is not TRUE: a bare !cond drops
+    // NULL-evaluating rows too (DELETE WHERE c = 1 must keep c IS NULL)
+    val kept = readFiles(touched).filter(!coalesce(cond, lit(false)))
     val newParts = if (kept.isEmpty) Seq.empty else writeParts(kept)
     commit(prev.files.diff(touched) ++ newParts, prev.ledger, "DELETE")
   }

@@ -65,25 +65,32 @@ class MoreAliases2Spec extends AnyFunSuite {
       == "550e8400-e29b-41d4-a716-446655440000")
   }
 
-  test("siphash64 core matches the SipHash-2-4 paper vectors") {
-    import graft.functions.MoreAliases2.sipHash24
-    // key 000102...0f (k0/k1 little-endian), messages 00,01,02,...
-    val k0 = 0x0706050403020100L
-    val k1 = 0x0f0e0d0c0b0a0908L
-    assert(sipHash24(k0, k1, Array.emptyByteArray) == 0x726fdb47dd0e0e31L)
-    assert(sipHash24(k0, k1, Array[Byte](0)) == 0x74f839c593dc67fdL)
-    assert(sipHash24(k0, k1, (0 until 8).map(_.toByte).toArray) == 0x93f5f5799a932462L)
-    // the SQL surface: deterministic, zero-keyed
+  test("siphash64 is zero-keyed SipHash-1-3 over DFHash bytes") {
+    // reference hash.rs siphash64 (SipHasher13, keys 0,0); the u64
+    // surfaces as DECIMAL(20,0). bucket_hash_v1 test vector: the
+    // empty payload hashes 15130871412783076140 (hash.rs tests).
+    assert(one("CAST(siphash64('abc') AS STRING)") == "13851880170939887858")
     assert(one("siphash64('abc')") == one("siphash('abc')"))
     assert(one("siphash64('abc')") != one("siphash64('abd')"))
+    // integer literals hash at the reference's narrowest literal width
+    assert(one("CAST(siphash64(1) AS STRING)") == "4952851536318644461")
+    // fractional literals hash as scale-prefixed Decimal128
+    assert(one("CAST(siphash64(1.2) AS STRING)") == "17113433499147459995")
+  }
+
+  test("xxhash64 is seed-0 XXH64 over DFHash bytes") {
+    // reference hash.rs xxhash64 (twox-hash XxHash64::default), NOT
+    // Spark's seed-42 builtin (internally kept as xxh64_long)
+    assert(one("CAST(xxhash64('1234567890') AS STRING)") == "12237639266330420150")
+    assert(one("CAST(xxhash64('1') AS STRING)") == "13237225503670494420")
   }
 
   test("city64withseed matches the reference's golden vectors") {
     // reference hash.txt:171-196 (CityHash64 v1.0.2 with seed)
-    assert(java.lang.Long.toUnsignedString(
-      one("city64withseed('Abc', 0)").asInstanceOf[Long]) == "8309941215813243361")
-    assert(java.lang.Long.toUnsignedString(
-      one("city64withseed('Abc', 256)").asInstanceOf[Long]) == "10246934130793054423")
+    assert(one("CAST(city64withseed('Abc', 0) AS STRING)")
+      == "8309941215813243361")
+    assert(one("CAST(city64withseed('Abc', 256) AS STRING)")
+      == "10246934130793054423")
     // fractional seeds truncate (reference golden: 256.3 == 256)
     assert(one("city64withseed('Abc', 256.3)") == one("city64withseed('Abc', 256)"))
     // CityHash64 of the empty string is the k2 constant

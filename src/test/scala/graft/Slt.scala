@@ -138,12 +138,25 @@ object Slt {
         r.schema.fieldNames.sameElements(Array("us", "offset_minutes")) =>
       graft.functions.TimestampTz.display(r.getLong(0), r.getInt(1))
     // tuples print parenthesized (databend's tuple rendering)
-    case r: Row => r.toSeq.map(formatCell(_, zone)).mkString("(", ",", ")")
-    case s: scala.collection.Seq[_] => s.map(formatCell(_, zone)).mkString("[", ",", "]")
+    case r: Row => r.toSeq.map(formatNested(_, zone)).mkString("(", ",", ")")
+    case s: scala.collection.Seq[_] => s.map(formatNested(_, zone)).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
-      m.map { case (k, v) => s"${formatCell(k, zone)}:${formatCell(v, zone)}" }
+      m.map { case (k, v) => s"${formatNested(k, zone)}:${formatNested(v, zone)}" }
         .mkString("{", ",", "}")
     case other => other.toString
+  }
+
+  /** Inside arrays/tuples/maps the reference renders text values
+    * JSON-quoted (`["aa","bb"]`, `(-1,"x")`, `{"k":"v"}`, nested dates
+    * `["2023-04-15"]`); numbers, booleans and NULL stay bare.
+    */
+  private def formatNested(v: Any, zone: java.time.ZoneId): String = v match {
+    case null => "NULL"
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case _: java.sql.Date | _: java.sql.Timestamp | _: java.time.LocalDateTime |
+         _: java.time.Instant | _: java.time.LocalDate =>
+      "\"" + formatCell(v, zone) + "\""
+    case other => formatCell(other, zone)
   }
 
   private def formatDouble(d: Double): String = {
@@ -208,8 +221,40 @@ object Slt {
           // a cell may contain literal newlines (SHOW CREATE TABLE,
           // EXPLAIN): the expected block records them as continuation
           // lines, so unsorted blocks compare as joined text
-          val same = if (rowsort) got == exp
-                     else got.mkString("\n") == exp.mkString("\n")
+          // DOUBLE/FLOAT/DECIMAL columns tolerate text-variant
+          // renderings of the same value ("2.0" vs "2", 18-scale vs
+          // the 6dp form): the reference's own sqllogictest validator
+          // maps MYSQL_TYPE_FLOAT/DOUBLE/DECIMAL all to FloatingPoint
+          // and normalizes both sides before comparing
+          // (client/mysql_client.rs), so declared scale is not part of
+          // its gate either. Integer-textual cells (no '.'/'e') still
+          // compare exactly — u64 hash digits keep full precision.
+          val isFloat: Array[Boolean] = df.schema.fields.map(f =>
+            f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          def fractional(s: String): Boolean =
+            s.indexOf('.') >= 0 || s.indexOf('e') >= 0 || s.indexOf('E') >= 0
+          def cellsMatch(e: String, g: String): Boolean =
+            e == g || {
+              val ec = e.split("\t", -1); val gc = g.split("\t", -1)
+              ec.length == gc.length && ec.indices.forall { i =>
+                ec(i) == gc(i) || (i < isFloat.length && isFloat(i) &&
+                  (fractional(ec(i)) || fractional(gc(i))) && {
+                  try {
+                    val a = ec(i).toDouble; val b = gc(i).toDouble
+                    a == b || math.abs(a - b) <=
+                      1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+                  } catch { case _: NumberFormatException => false }
+                })
+              }
+            }
+          val same = if (rowsort)
+                       got == exp || (got.length == exp.length &&
+                         got.indices.forall(i => cellsMatch(exp(i), got(i))))
+                     else got.mkString("\n") == exp.mkString("\n") ||
+                       (got.length == exp.length &&
+                         got.indices.forall(i => cellsMatch(exp(i), got(i))))
           if (same) Nil
           else Seq(s"$name:$line mismatch\n  expected: ${exp.mkString(" | ")}\n  got:      ${got.mkString(" | ")}")
         } catch {
