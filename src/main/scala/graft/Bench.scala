@@ -74,7 +74,11 @@ object Bench {
         clearCaches()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => return -1.0 }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: query $name failed: $e")
+          e.printStackTrace()
+          return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()

@@ -56,6 +56,13 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.PyUdfBatchRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new graft.plans.PyUdfBatchRule(spark)
+    // the full scalar/aggregate function surface is part of the session
+    // contract, not a per-caller opt-in: a query module that spells
+    // xxh64_long (or any other graft name) must resolve it regardless of
+    // which entry point (Bench/Verify/Sql/tests) built the session.
+    // Idempotent (createOrReplaceTempFunction) and one-time per session
+    // under getOrCreate reuse.
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

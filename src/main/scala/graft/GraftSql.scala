@@ -1008,6 +1008,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       s = rewriteTwoArgCast(s)
     if (s.contains("->") || s.contains("#>"))
       s = rewriteArrowOps(s)
+    if (s.contains("@") || s.contains("?") || s.contains("#-"))
+      s = rewriteJsonbPredOps(s)
     if (s.contains("^") || s.contains("#") || s.contains("|/") ||
         s.contains("!") || s.contains("@"))
       s = rewritePgMathOps(s)
@@ -1277,6 +1279,108 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     s
   }
 
+  /** `FROM json_each(x)` -> derived table (key, value); `FROM
+    * json_array_elements(x)` -> (value). Only FROM/JOIN-position calls
+    * rewrite; select-position stays the tuple-returning SRF.
+    */
+  private def rewriteJsonSrfTvfs(sql0: String): String = {
+    var sql = sql0
+    // dollar-quoted literals in expression position ($$...$$, the
+    // reference's jq-program spelling) -> standard quoted strings
+    sql = """(?s)\$\$(.*?)\$\$""".r.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "'" + m.group(1).replace("'", "''") + "'"))
+    // FROM jq(prog, json): one row per jq output (reference jq TVF)
+    val jqRe = """(?is)\b(from|join)\s+jq\s*\(""".r
+    var jm = jqRe.findFirstMatchIn(sql)
+    var jqGuard = 0
+    while (jm.isDefined && jqGuard < 50) {
+      jqGuard += 1
+      val m = jm.get
+      val open = m.end - 1
+      val close = matchParen(sql, open)
+      val args = splitTopLevel(sql.substring(open + 1, close), ',')
+      val jqArgs = args.head + ", graft_json_text(" + args.tail.mkString(",") + ")"
+      sql = sql.substring(0, m.start) +
+        s"${m.group(1)} (SELECT parse_json(jq) AS jq FROM " +
+        s"(SELECT explode(jq_impl($jqArgs)) AS jq))" +
+        sql.substring(close + 1)
+      jm = jqRe.findFirstMatchIn(sql)
+    }
+    val re = """(?is)\b(from|join)\s+(json_each|json_array_elements)\s*\(""".r
+    var m0 = re.findFirstMatchIn(sql)
+    var guard = 0
+    while (m0.isDefined && guard < 50) {
+      guard += 1
+      val m = m0.get
+      val open = m.end - 1
+      val close = matchParen(sql, open)
+      val arg = sql.substring(open + 1, close)
+      val derived = m.group(2).toLowerCase match {
+        case "json_each" =>
+          s"(SELECT explode(map_entries(from_json(CAST(($arg) AS STRING), " +
+            s"'map<string,variant>'))) AS kv__) __je_raw" // named below
+        case _ =>
+          s"(SELECT explode(from_json(CAST(($arg) AS STRING), " +
+            s"'array<variant>')) AS value)"
+      }
+      val repl = m.group(2).toLowerCase match {
+        case "json_each" =>
+          s"${m.group(1)} (SELECT kv__.key AS key, kv__.value AS value FROM $derived)"
+        case _ => s"${m.group(1)} $derived"
+      }
+      sql = sql.substring(0, m.start) + repl + sql.substring(close + 1)
+      m0 = re.findFirstMatchIn(sql)
+    }
+    sql
+  }
+
+  /** jsonb predicate operators (reference ast/expr.rs jsonb ops):
+    *   a @? 'path'  -> json_path_exists     a @@ 'pred' -> json_path_match
+    *   a @> b       -> json contains b      a <@ b      -> b contains a
+    *   a ? 'k'      -> key/element exists   a ?| [..] / a ?& [..]
+    * Quote-aware; `?` inside path strings stays untouched.
+    */
+  private def rewriteJsonbPredOps(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var changed = true
+    val ops = Seq("@?" -> "json_path_exists", "@@" -> "json_path_match",
+      "#-" -> "delete_by_keypath",
+      "@>" -> "json_contains_in_right", "<@" -> "json_contains_in_left_sw",
+      "?|" -> "json_has_any_keys_or_elems", "?&" -> "json_has_all_keys_or_elems",
+      "?" -> "json_has_key_or_elem")
+    while (changed && guard < 200) {
+      changed = false; guard += 1
+      var i = 0; var q: Char = 0
+      while (i < s.length - 1 && !changed) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0; i += 1 }
+        else if (c == '\'' || c == '`') { q = c; i += 1 }
+        else ops.find { case (op, _) => s.startsWith(op, i) } match {
+          case Some((op, fn0)) =>
+            val opEnd = i + op.length
+            val rhsM = """\s*('[^']*'|(?i:NULL)\b|\[[^\]]*\]|[A-Za-z_][\w.]*(\([^()]*\))?)""".r
+              .findPrefixMatchOf(s.substring(opEnd))
+            val lhsStart = arrowLhsStart(s, i)
+            if (rhsM.isDefined && lhsStart >= 0 && lhsStart < i &&
+                s.substring(lhsStart, i).trim.nonEmpty) {
+              val lhs = s.substring(lhsStart, i).trim
+              val rhs = rhsM.get.group(1)
+              val call =
+                if (fn0 == "json_contains_in_left_sw")
+                  s"json_contains_in_right($rhs, $lhs)"
+                else s"$fn0($lhs, $rhs)"
+              s = s.substring(0, lhsStart) + call + s.substring(opEnd + rhsM.get.end)
+              changed = true
+            } else i = opEnd
+          case None => i += 1
+        }
+      }
+    }
+    s
+  }
+
   /** start index of the primary expression ending just before `op`
     * (identifier chain, quoted ident, or call/paren/subscript group)
     */
@@ -1368,7 +1472,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // dialect-level operator spellings (skip CREATE FUNCTION / CREATE
     // POLICY so script and policy bodies — which use `->` as the body
     // arrow — pass through untouched)
-    if (!"""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(FUNCTION\b|(MASKING|ROW\s+ACCESS)\s+POLICY\b)""".r
+    // ... and COPY INTO, whose @stage references the pg prefix-abs
+    // rewrite would mangle into abs(stage)
+    if (!"""(?is)^\s*(COPY\b|CREATE\s+(OR\s+REPLACE\s+)?(FUNCTION\b|(MASKING|ROW\s+ACCESS)\s+POLICY\b))""".r
           .findPrefixMatchOf(s).isDefined)
       s = dialectOps(s)
     // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
@@ -1744,6 +1850,18 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           cur = fixed; tries += 1
         // databend lets a window spec reference a select-list alias;
         // Spark rejects the lateral alias — substitute the expression
+        // lateral alias consumed by a GENERATOR (select j config,
+        // json_each(config)): Spark's LCA resolution leaves a
+        // LateralColumnAliasReference inside Generate and dies with an
+        // INTERNAL_ERROR — substitute the aliased expression textually
+        case e: org.apache.spark.SparkException
+            if String.valueOf(e.getMessage)
+              .contains("LateralColumnAliasReference") =>
+          val name = """lateralAliasReference\((\w+)\)""".r
+            .findFirstMatchIn(String.valueOf(e.getMessage)).map(_.group(1))
+          val fixed = name.map(substituteAlias(cur, _)).getOrElse(cur)
+          if (fixed == cur) throw e
+          cur = fixed; tries += 1
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition != null &&
                e.getCondition.endsWith("LATERAL_COLUMN_ALIAS_IN_WINDOW") =>
@@ -1862,7 +1980,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             // the DEFINING occurrence: a trailing alias token of a
             // select-list item (followed only by whitespace then a
             // comma or the end of the list) — keep it
-            val defining = mm.start >= listStart && mm.end <= listEnd && {
+            // ... and at the select list's own paren depth: a name
+            // followed by ',' INSIDE a call (f(config, ...)) is a use,
+            // not a definition
+            val depths = parenDepths(sql)
+            val defining = mm.start >= listStart && mm.end <= listEnd &&
+              depths(mm.start) == depths(listStart) && {
               var j = mm.end
               while (j < listEnd && sql.charAt(j).isWhitespace) j += 1
               j >= listEnd || sql.charAt(j) == ','
@@ -2052,6 +2175,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // fuse introspection TVFs (reference table_functions/fuse_*):
     // materialize the metadata DataFrame and splice a view reference
     if (FuseTvfRe.findFirstIn(sql).isDefined) sql = rewriteFuseTvfs(sql)
+    // FROM json_each(x) / json_array_elements(x) table-factor forms
+    // (reference variant SRFs as TVFs): two columns (key, value) /
+    // one column (value)
+    sql = rewriteJsonSrfTvfs(sql)
     // current_role() / is_role_in_session('r') -> session-role
     // literals (policies resolve them at view refresh; ad-hoc
     // SELECTs here)
@@ -2924,7 +3051,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   }
 
   private val ParamAggRe =
-    """(?i)\b(quantile_cont|quantile_disc|quantile|median_tdigest)\s*\(""".r
+    // longer spellings first: plain `quantile` must not shadow the
+    // tdigest forms. intersect_count('a','b')(bm, tag) and
+    // histogram(n)(x) are the reference's other two-stage aggregates
+    // (aggregate_bitmap.rs / aggregate_histogram.rs)
+    """(?i)\b(quantile_tdigest_weighted|quantile_tdigest|quantile_cont|quantile_disc|quantile|median_tdigest|intersect_count|histogram)\s*\(""".r
 
   private def rewriteParamAggCall(sql: String): String = {
     val m0 = ParamAggRe.findFirstMatchIn(sql)
@@ -2953,6 +3084,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     "float32" -> "float", "float64" -> "double",
     "text" -> "string", "json" -> "variant",
     "bool" -> "boolean",
+    // MySQL-lineage CAST(x AS SIGNED/UNSIGNED) (reference ast
+    // type_name.rs maps them to Int64/UInt64)
+    "signed" -> "bigint", "unsigned" -> "decimal(20,0)",
     "datetime" -> "timestamp")
 
   /** quote-aware paren depth at every character position */

@@ -174,6 +174,25 @@ object BitmapAggs {
   }
   def toArray(a: Array[Byte]): Seq[Int] = deser(a).toArray.toSeq
   def toStr(a: Array[Byte]): String = deser(a).toArray.mkString(",")
+  /** to_string display for BinaryType values: a roaring payload (magic
+    * cookie 12346/12347 little-endian in the first two bytes — raw
+    * binary text starting ":0" is the giveaway the cast path got it
+    * wrong) renders as the reference's bitmap display, anything else
+    * as utf8 text. Called from ToStringDispatch via StaticInvoke.
+    */
+  def bytesToDisplay(a: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (a == null) return null
+    val isRoaring = a.length >= 4 && {
+      val cookie = (a(0) & 0xff) | ((a(1) & 0xff) << 8)
+      cookie == 12346 || cookie == 12347
+    }
+    val s =
+      if (isRoaring)
+        try toStr(a)
+        catch { case _: Exception => new String(a, java.nio.charset.StandardCharsets.UTF_8) }
+      else new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
   /** sub_bitmap(b, offset, len): `len` values starting at position `offset` */
   def subBitmap(a: Array[Byte], offset: Int, len: Int): Array[Byte] =
     buildBitmap(deser(a).toArray.toSeq.slice(offset, offset + len))

@@ -42,3 +42,53 @@ case class ChrCodepoint(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ChrCodepoint =
     copy(child = newChild)
 }
+
+/** to_string over a value whose display depends on the RESOLVED type:
+  * the engine stores BITMAP as BinaryType, and the reference renders
+  * bitmaps as "1,3,5" while every other type is its cast-to-string
+  * form. A registry builder sees unresolved children, so the dispatch
+  * happens here, post-resolution, via RuntimeReplaceable.
+  */
+case class ToStringDispatch(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        BitmapAggs.getClass,
+        org.apache.spark.sql.types.StringType,
+        "bytesToDisplay",
+        Seq(child),
+        Seq(org.apache.spark.sql.types.BinaryType))
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        child, org.apache.spark.sql.types.StringType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ToStringDispatch =
+    copy(child = newChild)
+}
+
+/** JSON text of a value for the json_* function family: VARIANT
+  * renders via to_json (json-null stays the text "null" — a plain
+  * string cast of a variant null returns SQL NULL and silently
+  * null-absorbs json_strip_nulls/json_typeof & friends); strings pass
+  * through; everything else casts.
+  */
+case class JsonTextDispatch(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.VariantType =>
+      // timezone set eagerly: the analyzer's ResolveTimeZone never
+      // revisits a RuntimeReplaceable's lazily-built replacement
+      org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        Map.empty[String, String], child,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    case org.apache.spark.sql.types.StringType => child
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        child, org.apache.spark.sql.types.StringType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonTextDispatch =
+    copy(child = newChild)
+}

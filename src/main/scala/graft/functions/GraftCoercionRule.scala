@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, MaxBy, Min, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -28,6 +29,15 @@ object GraftCoercionRule {
     "date_diff", "datediff", "date_between", "datebetween", "date_trunc", "trunc",
     "time_slice", "previous_day", "next_day", "last_day",
     "to_start_of_week", "date_part", "datepart")
+
+  /** resolved array builtins that accept a VARIANT array operand */
+  private[functions] val variantArrayClasses = Set(
+    "ArrayInsert", "ArrayDistinct", "ArrayExcept", "ArrayIntersect",
+    "ArrayRemove", "ArrayContains", "ArraysOverlap", "ArrayPosition",
+    "ArrayCompact", "Flatten", "Slice", "SortArray", "ArraySort",
+    "ArrayMax", "ArrayMin", "ArrayJoin", "ArraysZip", "ArrayUnion",
+    "ArrayAppend", "ArrayPrepend", "Size", "Reverse",
+    "Explode", "PosExplode")
 
   private[functions] val unitWords = Set(
     "year", "years", "isoyear", "quarter", "quarters", "month", "months",
@@ -60,6 +70,68 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def truthy(e: Expression): Expression =
     Not(EqualTo(e, Cast(Literal(0), e.dataType)))
 
+  /** order-preserving binary key for a VARIANT (reference jsonb
+    * type-then-value compare; see [[VariantRank]])
+    */
+  private def rankKey(e: Expression): Expression =
+    UnresolvedFunction("variant_rank_key", Seq(Cast(e, StringType)),
+      isDistinct = false)
+
+  /** BAG except/intersect for native arrays (the reference's array.rs
+    * semantics: one occurrence subtracted/kept per occurrence in the
+    * other side) — Spark's builtins deduplicate, so run the jsonb bag
+    * op and come back through from_json at the original element type.
+    */
+  private def bagArrayOp(fn: String, l: Expression, r: Expression): Expression =
+    UnresolvedFunction("from_json", Seq(
+      UnresolvedFunction(fn, Seq(
+        UnresolvedFunction("to_json", Seq(l), isDistinct = false),
+        UnresolvedFunction("to_json", Seq(r), isDistinct = false)),
+        isDistinct = false),
+      Literal(l.dataType.catalogString)), isDistinct = false)
+
+  /** the variant expression under an implicit cast, if any */
+  private def unwrapToVariant(e: Expression): Option[Expression] = e match {
+    case v if v.resolved && v.dataType == VariantType => Some(v)
+    case Cast(c, _, _, _) if c.resolved && c.dataType == VariantType => Some(c)
+    case _ => None
+  }
+
+  /** strips the parse_json/cast wrap an earlier iteration may have put
+    * around a non-variant operand of a variant binary op
+    */
+  private def unwrapVariantWrap(e: Expression): Expression = e match {
+    case u: UnresolvedFunction
+        if u.nameParts.length == 1 &&
+          u.nameParts.head.equalsIgnoreCase("parse_json") &&
+          u.arguments.length >= 1 => u.arguments.head
+    case pj: org.apache.spark.sql.catalyst.expressions.variant.ParseJson =>
+      pj.children.head
+    case Cast(c, VariantType, _, _) => c
+    case other => other
+  }
+
+  private def isVariantArray(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ArrayType(VariantType, _) => true
+      case _ => false
+    })
+
+  /** sort an array<variant> by rank key: decorate-sort-undecorate via
+    * struct whose FIRST field is the key (struct ordering is
+    * field-by-field, so sort_array orders by the key)
+    */
+  private def sortVariantArray(arr: Expression, asc: Expression): Expression = {
+    val v = UnresolvedNamedLambdaVariable(Seq("__sv"))
+    val deco = ArrayTransform(arr,
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("k"), rankKey(v), Literal("v"), v)), Seq(v)))
+    val s = UnresolvedNamedLambdaVariable(Seq("__ss"))
+    ArrayTransform(
+      UnresolvedFunction("sort_array", Seq(deco, asc), isDistinct = false),
+      LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val p1 = plan.resolveOperatorsUp {
       case f @ Filter(cond, child) if isNum(cond) =>
@@ -68,7 +140,7 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if orders.exists(o => o.child.resolved && o.child.dataType == VariantType) =>
         val fixed = orders.map { o =>
           if (o.child.resolved && o.child.dataType == VariantType)
-            o.copy(child = Cast(o.child, StringType))
+            o.copy(child = rankKey(o.child))
           else o
         }
         Sort(fixed, global, child, hint)
@@ -87,14 +159,168 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               u.arguments.length == 1 && isVariantAt(u.arguments.head) =>
           u.copy(
             nameParts = Seq(u.nameParts.head.toLowerCase + "_by"),
-            arguments = Seq(u.arguments.head,
-              Cast(u.arguments.head, StringType)))
+            arguments = Seq(u.arguments.head, rankKey(u.arguments.head)))
         case u: UnresolvedFunction
             if u.nameParts.length == 1 &&
               Set("max_by", "min_by")(u.nameParts.head.toLowerCase) &&
               u.arguments.length == 2 && isVariantAt(u.arguments(1)) =>
-          u.copy(arguments = Seq(u.arguments.head,
-            Cast(u.arguments(1), StringType)))
+          u.copy(arguments = Seq(u.arguments.head, rankKey(u.arguments(1))))
+        // ResolveFunctions can win the race within one pass — rewrite
+        // the RESOLVED ordering aggregate over VARIANT too
+        case Max(e) if e.resolved && e.dataType == VariantType =>
+          MaxBy(e, rankKey(e))
+        case Min(e) if e.resolved && e.dataType == VariantType =>
+          MinBy(e, rankKey(e))
+        // databend array_sort(arr, 'ASC'|'DESC' [, 'NULLS FIRST'...])
+        // (array.rs array_sort): direction is a STRING, Spark's is a
+        // comparator lambda — lower onto sort_array(arr, bool)
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              Set("array_sort", "sort_array")(u.nameParts.head.toLowerCase) &&
+              u.arguments.length >= 2 && (u.arguments(1) match {
+                case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+                    if s != null =>
+                  Set("asc", "desc")(s.toString.toLowerCase)
+                case _ => false
+              }) =>
+          val asc = Literal(u.arguments(1).asInstanceOf[Literal]
+            .value.toString.equalsIgnoreCase("asc"))
+          if (isVariantArray(u.arguments.head))
+            sortVariantArray(u.arguments.head, asc)
+          else UnresolvedFunction("sort_array",
+            Seq(u.arguments.head, asc), isDistinct = false)
+        // sort_array over array<variant>: Spark rejects variant
+        // ordering — decorate with the rank key
+        case SortArray(arr, asc) if isVariantArray(arr) =>
+          sortVariantArray(arr, asc)
+        // `variant || x` is jsonb concatenation in the reference, not
+        // string concat; `variant - x` is jsonb deletion. Implicit
+        // casts may already have hidden the variant operand — unwrap.
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              u.nameParts.head.equalsIgnoreCase("concat") &&
+              u.arguments.length == 2 && u.arguments.forall(_.resolved) &&
+              u.arguments.exists(a => unwrapToVariant(a).isDefined) =>
+          UnresolvedFunction("json_concat_impl",
+            u.arguments.map(a => JsonTextDispatch(unwrapToVariant(a).getOrElse(a))),
+            isDistinct = false)
+        case c: Concat
+            if c.children.length == 2 && c.children.forall(_.resolved) &&
+              c.children.exists(a => unwrapToVariant(a).isDefined) =>
+          UnresolvedFunction("json_concat_impl",
+            c.children.map(a => JsonTextDispatch(unwrapToVariant(a).getOrElse(a))),
+            isDistinct = false)
+        case s @ Subtract(l, r, _)
+            if l.resolved && r.resolved && l.dataType == VariantType =>
+          val jl = JsonTextDispatch(l)
+          val rhs = unwrapVariantWrap(r)
+          rhs.dataType match {
+            case NullType => Literal(null, StringType)
+            case StringType =>
+              UnresolvedFunction("json_minus_str_impl",
+                Seq(jl, rhs), isDistinct = false)
+            case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+              UnresolvedFunction("json_minus_int_impl",
+                Seq(jl, Cast(rhs, IntegerType)), isDistinct = false)
+            case VariantType =>
+              UnresolvedFunction("json_minus_str_impl",
+                Seq(jl, Cast(rhs, StringType)), isDistinct = false)
+            case _ => s
+          }
+        // array functions accept VARIANT arrays in the reference
+        // (array.rs auto-casts jsonb arrays). ResolveFunctions builds
+        // the concrete expression before we can see the name, so match
+        // the RESOLVED nodes: lift variant array operands to
+        // array<variant> and scalar item operands to variant.
+        // native array_except/array_intersect are MULTISET ops in the
+        // reference (array.rs: duplicates in `a` survive); Spark's
+        // builtins deduplicate — lower onto filter/exists
+        // the reference spells array_prepend(element, array); Spark's
+        // builtin wants (array, element)
+        case ArrayPrepend(l, r)
+            if l.resolved && r.resolved &&
+              !l.dataType.isInstanceOf[ArrayType] &&
+              l.dataType != VariantType &&
+              r.dataType.isInstanceOf[ArrayType] =>
+          ArrayPrepend(r, l)
+        case ArrayExcept(l, r)
+            if l.resolved && r.resolved &&
+              l.dataType != VariantType && r.dataType != VariantType =>
+          bagArrayOp("jarr_except", l, r)
+        case ArrayIntersect(l, r)
+            if l.resolved && r.resolved &&
+              l.dataType != VariantType && r.dataType != VariantType =>
+          bagArrayOp("jarr_intersect", l, r)
+        case e: Expression
+            if GraftCoercionRule.variantArrayClasses(e.getClass.getSimpleName) &&
+              e.children.nonEmpty && e.children.forall(_.resolved) &&
+              e.children.exists(_.dataType == VariantType) =>
+          def toArr(c: Expression) = UnresolvedFunction("try_variant_get",
+            Seq(c, Literal("$"), Literal("array<variant>")), isDistinct = false)
+          def jtext(c: Expression) =
+            if (c.dataType == VariantType) JsonTextDispatch(c)
+            else JsonTextDispatch(
+              UnresolvedFunction("to_variant", Seq(c), isDistinct = false))
+          def fv(name: String, args: Expression*) = UnresolvedFunction(
+            "parse_json", Seq(UnresolvedFunction(name, args.toSeq,
+              isDistinct = false)), isDistinct = false)
+          def fb(name: String, args: Expression*) =
+            UnresolvedFunction(name, args.toSeq, isDistinct = false)
+          val cs = e.children
+          e.getClass.getSimpleName match {
+            case "ArrayDistinct" => fv("jarr_distinct", jtext(cs.head))
+            case "ArrayCompact" => fv("jarr_compact", jtext(cs.head))
+            case "Flatten" => fv("jarr_flatten", jtext(cs.head))
+            case "ArrayExcept" => fv("jarr_except", jtext(cs.head), jtext(cs(1)))
+            case "ArrayIntersect" => fv("jarr_intersect", jtext(cs.head), jtext(cs(1)))
+            case "ArrayUnion" => fv("jarr_union", jtext(cs.head), jtext(cs(1)))
+            case "ArraysOverlap" => fb("jarr_overlap", jtext(cs.head), jtext(cs(1)))
+            case "ArrayContains" => fb("jarr_contains", jtext(cs.head), jtext(cs(1)))
+            case "ArrayRemove" => fv("jarr_remove", jtext(cs.head), jtext(cs(1)))
+            case "ArrayInsert" =>
+              fv("jarr_insert", jtext(cs.head), Cast(cs(1), IntegerType), jtext(cs(2)))
+            case "Slice" =>
+              fv("jarr_slice", jtext(cs.head), Cast(cs(1), IntegerType),
+                Cast(cs(2), IntegerType))
+            case "ArrayMax" => fv("jarr_max", jtext(cs.head))
+            case "ArrayMin" => fv("jarr_min", jtext(cs.head))
+            case "Size" => fb("jarr_size", jtext(cs.head))
+            case "Reverse" => fv("jarr_reverse", jtext(cs.head))
+            case "ArrayAppend" =>
+              fv("jarr_insert", jtext(cs.head),
+                Literal(Int.MaxValue), jtext(cs(1)))
+            case "ArrayPrepend" =>
+              // the reference spells array_prepend(element, array) —
+              // whichever operand is the variant is the array
+              val (arr0, item0) =
+                if (cs.head.dataType == VariantType) (cs.head, cs(1))
+                else (cs(1), cs.head)
+              fv("jarr_insert", jtext(arr0), Literal(0), jtext(item0))
+            // sort/explode keep the native path over array<variant>
+            case _ => e.withNewChildren(cs.map(c =>
+              if (c.dataType == VariantType) toArr(c) else c))
+          }
+        // heterogeneous array/map literals build VARIANT collections
+        // in the reference ([true, 1, 'x'] — jsonb values); Spark's
+        // array()/map() demand one common type, so lift elements to
+        // variant exactly when common-type resolution fails
+        case ca: CreateArray
+            if ca.children.nonEmpty && ca.children.forall(_.resolved) &&
+              !ca.children.exists(_.dataType == VariantType) &&
+              ca.checkInputDataTypes().isFailure =>
+          CreateArray(ca.children.map(c =>
+            UnresolvedFunction("to_variant", Seq(c), isDistinct = false)))
+        case cm: CreateMap
+            if cm.children.nonEmpty && cm.children.forall(_.resolved) &&
+              cm.children.length % 2 == 0 &&
+              !cm.values.exists(_.dataType == VariantType) &&
+              cm.checkInputDataTypes().isFailure =>
+          CreateMap(cm.children.grouped(2).flatMap {
+            case Seq(k, v) => Seq(
+              Cast(k, StringType),
+              UnresolvedFunction("to_variant", Seq(v), isDistinct = false))
+            case other => other
+          }.toSeq)
         // multi-column approx_count_distinct (the reference hashes the
         // tuple); Spark's 2nd parameter slot is rsd, so pack columns
         // into a struct

@@ -147,6 +147,64 @@ object GraftFunctions {
 
   private def fn(name: String, args: Expression*): Expression =
     UnresolvedFunction(name, args.toSeq, isDistinct = false)
+
+  private def objConstruct(keepNull: Boolean, tryMode: Boolean)
+      : Seq[Expression] => Expression = args => {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (args.isEmpty) fn("parse_json", Literal("{}"))
+    else if (args.length % 2 != 0) {
+      if (tryMode) fn("parse_json", Literal(null, org.apache.spark.sql.types.StringType))
+      else throw new IllegalArgumentException(
+        "1006: object_construct requires an even number of arguments")
+    } else {
+      val m = UnresolvedFunction("map", varObjArgs(args), isDistinct = false)
+      val filtered =
+        if (keepNull) m
+        else {
+          val k = UnresolvedNamedLambdaVariable(Seq("__ok"))
+          val v = UnresolvedNamedLambdaVariable(Seq("__ov"))
+          UnresolvedFunction("map_filter", Seq(m,
+            LambdaFunction(And(IsNotNull(v),
+              Not(EqualTo(UnresolvedFunction("to_json", Seq(v), isDistinct = false),
+                Literal("null")))), Seq(k, v))), isDistinct = false)
+        }
+      // VARIANT result (parse_json of the rendered text): constructors
+      // nest (object_construct('a', object_construct(...))) and feed
+      // jsonb operators, matching the reference's VARIANT return type
+      fn("parse_json", fn("to_json", filtered))
+    }
+  }
+
+  /** object-constructor args (k1, v1, k2, v2, ...): keys cast to
+    * string, values to variant, so mixed-type objects build
+    */
+  private def varObjArgs(args: Seq[Expression]): Seq[Expression] =
+    args.grouped(2).flatMap {
+      case Seq(k, v) => Seq(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          k, org.apache.spark.sql.types.StringType),
+        fn("to_variant", v))
+      case other => other
+    }.toSeq
+
+  /** quantile/quantile_disc: scalar keeps the double-returning pick
+    * UDF; the multi-level form picks sorted elements type-preserving
+    * via element_at(sort_array(collect_list(x)), floor((n-1)*q)+1).
+    */
+  private def quantileDisc(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    if (args.length <= 2)
+      fn("quantile_disc_pick", fn("collect_list", castD(args.head)), castD(args(1)))
+    else {
+      def sortedArr = fn("sort_array", fn("collect_list", args.head))
+      CreateArray(args.tail.map { q =>
+        val n = Cast(fn("size", sortedArr), DoubleType)
+        val idx = Cast(Floor(Multiply(Subtract(n, Literal(1.0)), castD(q))), IntegerType)
+        ElementAt(sortedArr, Add(idx, Literal(1)))
+      })
+    }
+  }
   private def castD(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.DoubleType)
@@ -252,22 +310,37 @@ object GraftFunctions {
       VariantGetPath(args.head, args(1), asText = true, dotted = false)),
     // quantile_cont: exact continuous-interpolation percentile
     // (1-arg form = median, reference aggregate_quantile_cont.rs)
-    "quantile_cont" -> (args => fn("percentile", castD(args.head),
-      if (args.length > 1) args(1) else Literal(0.5))),
+    // multi-quantile forms (reference aggregate_quantile_*.rs: N
+    // levels -> Array result) lower onto Spark's array-percentile /
+    // per-level picks; identical aggregate subtrees are computed once
+    // (PhysicalAggregation dedups equal AggregateExpressions)
+    "quantile_cont" -> (args =>
+      if (args.length > 2)
+        fn("percentile", castD(args.head),
+          org.apache.spark.sql.catalyst.expressions.CreateArray(args.tail.map(castD)))
+      else fn("percentile", castD(args.head),
+        if (args.length > 1) args(1) else Literal(0.5))),
     // quantile / quantile_disc: sorted element at floor((n-1)*q)
     // (reference aggregate_quantile_disc.rs:185). Collect-based — the
-    // scale path for hot groups is operators/Quantiles.
-    "quantile" -> (args =>
-      fn("quantile_disc_pick", fn("collect_list", castD(args.head)), castD(args(1)))),
-    "quantile_disc" -> (args =>
-      fn("quantile_disc_pick", fn("collect_list", castD(args.head)), castD(args(1)))),
+    // scale path for hot groups is operators/Quantiles. The multi form
+    // picks elements type-preserving (int input renders int levels,
+    // decimal keeps scale — the reference's own mix.test vectors).
+    "quantile" -> (args => quantileDisc(args)),
+    "quantile_disc" -> (args => quantileDisc(args)),
     // t-digest spellings over the registered sketch UDAFs
     "median_tdigest" -> (args =>
       fn("tdigest_quantile", fn("tdigest_agg", castD(args.head)), Literal(0.5))),
     "quantile_tdigest" -> (args =>
-      fn("tdigest_quantile", fn("tdigest_agg", castD(args.head)), castD(args(1)))),
+      if (args.length > 2)
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args.tail.map(q =>
+          fn("tdigest_quantile", fn("tdigest_agg", castD(args.head)), castD(q))))
+      else fn("tdigest_quantile", fn("tdigest_agg", castD(args.head)), castD(args(1)))),
     "quantile_tdigest_weighted" -> (args =>
-      fn("tdigest_quantile",
+      if (args.length > 3)
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args.drop(2).map(q =>
+          fn("tdigest_quantile",
+            fn("tdigest_weighted_agg", castD(args.head), castL(args(1))), castD(q))))
+      else fn("tdigest_quantile",
         fn("tdigest_weighted_agg", castD(args.head), castL(args(1))), castD(args(2)))),
     "median_tdigest_weighted" -> (args =>
       fn("tdigest_quantile",
@@ -307,9 +380,15 @@ object GraftFunctions {
       fn("moving_avg_arr", fn("collect_list", castD(args.head)),
         if (args.length > 1) args(1) else Literal(0))),
     // equi-height histogram (reference aggregate_histogram.rs), JSON
-    // bucket list [{lower,upper,ndv,count,pre_sum}...]
+    // bucket list [{lower,upper,ndv,count,pre_sum}...]. Values travel
+    // as strings so every input type keeps its native rendering
+    // (decimal scale, date text, float shortest-form); the UDF sorts
+    // numerically when every value parses as a number, else
+    // lexicographically with databend's quoted display
     "histogram" -> (args =>
-      fn("histogram_buckets", fn("collect_list", castD(args.head)),
+      fn("histogram_buckets",
+        fn("collect_list", org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.StringType)),
         if (args.length > 1) args(1) else Literal(128))),
     // retention(c1..cN) (reference aggregate_retention.rs): r[0] =
     // any(c1); r[i] = any(c1) AND any(c_i) — conditions may fire on
@@ -375,8 +454,7 @@ object GraftFunctions {
       UnresolvedFunction("date_trunc", Seq(Literal("day")) ++ args, isDistinct = false)),
     "to_string" -> (args =>
       if (args.length >= 2) fmtOrNumeric(args)
-      else org.apache.spark.sql.catalyst.expressions.Cast(args.head,
-        org.apache.spark.sql.types.StringType)),
+      else ToStringDispatch(args.head)),
     // the reference formats with strftime specifiers (datetime.rs
     // prepare_format_string; to_string/date_format/strftime aliases);
     // translate literal %-patterns to Java DateTimeFormatter
@@ -515,16 +593,26 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.DateFormatClass(
           args.head, Literal("yyyyMMddHHmmss")),
         org.apache.spark.sql.types.LongType)),
-    // variadic object/array constructors -> JSON text (variant analog)
-    "json_object" -> (args =>
-      UnresolvedFunction("to_json",
-        Seq(UnresolvedFunction("map", args, isDistinct = false)), isDistinct = false)),
-    "object_construct" -> (args =>
-      UnresolvedFunction("to_json",
-        Seq(UnresolvedFunction("map", args, isDistinct = false)), isDistinct = false)),
+    // variadic object/array constructors -> JSON text (variant analog).
+    // Values go through to_variant so heterogeneous types build (the
+    // reference's constructors return VARIANT; Spark's map()/array()
+    // would demand one common type)
+    // reference semantics (variant.rs object_construct): odd arg count
+    // errors (NULL in try_ mode), no args -> {}, plain form DROPS null
+    // values, *_keep_null keeps them
+    "json_object" -> objConstruct(keepNull = false, tryMode = false),
+    "object_construct" -> objConstruct(keepNull = false, tryMode = false),
+    "try_json_object" -> objConstruct(keepNull = false, tryMode = true),
+    "try_object_construct" -> objConstruct(keepNull = false, tryMode = true),
+    "json_object_keep_null" -> objConstruct(keepNull = true, tryMode = false),
+    "object_construct_keep_null" -> objConstruct(keepNull = true, tryMode = false),
+    "try_json_object_keep_null" -> objConstruct(keepNull = true, tryMode = true),
+    "try_object_construct_keep_null" -> objConstruct(keepNull = true, tryMode = true),
     "json_array" -> (args =>
       UnresolvedFunction("to_json",
-        Seq(UnresolvedFunction("array", args, isDistinct = false)), isDistinct = false)),
+        Seq(UnresolvedFunction("array",
+          args.map(v => fn("to_variant", v)), isDistinct = false)),
+        isDistinct = false)),
     // databend keypath get (reference scalars/variant.rs; SURVEY
     // known-hard #6): '{a,b,0}' translates at bind time to the
     // JSONPath '$.a.b[0]' of Spark's get_json_object. Digit segments
@@ -916,16 +1004,43 @@ object GraftFunctions {
     // values — ceil(ndv / max_buckets) distinct values per bucket, so
     // equal values never split across buckets (its own slt:
     // histogram(c_id) over 2 ids x 6 rows = 2 buckets of count 6).
-    spark.udf.register("histogram_buckets", udf((xs: Seq[Double], maxBuckets: Int) =>
+    spark.udf.register("histogram_buckets", udf((xs: Seq[String], maxBuckets: Int) =>
       if (xs == null || xs.isEmpty) "[]"
       else {
-        def fmt(d: Double): String =
-          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
-        // sorted distinct runs: (value, occurrences)
-        val runs = xs.sorted.foldLeft(List.empty[(Double, Int)]) {
-          case ((v, c) :: tail, x) if v == x => (v, c + 1) :: tail
+        // numeric when every value parses (ints/floats/decimals);
+        // dates/strings sort lexicographically and display quoted —
+        // the reference's own per-type slt renderings
+        val parsed = xs.map(s =>
+          try Some(scala.math.BigDecimal(s)) catch { case _: NumberFormatException => None })
+        val numeric = parsed.forall(_.isDefined)
+        def fmt(s0: String): String = {
+          // Spark's timestamp->string drops zero micros; the reference
+          // displays all six digits
+          val s =
+            if (!numeric && s0.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?""")) {
+              val dot = s0.indexOf('.')
+              if (dot < 0) s0 + ".000000"
+              else s0 + "0" * (7 + dot - s0.length)
+            } else s0
+          if (!numeric) "'" + s + "'"
+          // Spark renders integral doubles "1.0"; the reference's Rust
+          // f64 display drops the fraction. Decimal columns keep their
+          // declared scale (two-plus digits), so only a single ".0"
+          // tail strips.
+          else if (s.endsWith(".0")) s.dropRight(2)
+          else s
+        }
+        require(maxBuckets >= 1, s"1006: histogram bucket count must be >= 1, got $maxBuckets")
+        val sorted: Seq[(String, scala.math.BigDecimal)] =
+          if (numeric) xs.zip(parsed.map(_.get)).sortBy(_._2)
+          else xs.sorted.map(s => (s, scala.math.BigDecimal(0)))
+        def sameVal(a: (String, scala.math.BigDecimal), b: (String, scala.math.BigDecimal)) =
+          if (numeric) a._2 == b._2 else a._1 == b._1
+        // sorted distinct runs: (display value, occurrences)
+        val runs = sorted.foldLeft(List.empty[((String, scala.math.BigDecimal), Int)]) {
+          case ((v, c) :: tail, x) if sameVal(v, x) => (v, c + 1) :: tail
           case (acc, x) => (x, 1) :: acc
-        }.reverse.toArray
+        }.reverse.map { case (v, c) => (v._1, c) }.toArray
         val ndv = runs.length
         val b = math.max(1, math.min(maxBuckets, ndv))
         val per = math.ceil(ndv.toDouble / b).toInt
@@ -962,6 +1077,9 @@ object GraftFunctions {
     spark.udf.register("bitmap_max", udf((a: Array[Byte]) => BitmapAggs.bmMax(a)))
     spark.udf.register("bitmap_to_array", udf((a: Array[Byte]) => BitmapAggs.toArray(a)))
     spark.udf.register("bitmap_to_string", udf((a: Array[Byte]) => BitmapAggs.toStr(a)))
+    // order-preserving VARIANT sort key (GraftCoercionRule min/max/
+    // ORDER BY/array_sort over variant; reference jsonb compare)
+    spark.udf.register("variant_rank_key", udf((s: String) => VariantRank.key(s)))
     spark.udf.register("sub_bitmap",
       udf((a: Array[Byte], off: Int, len: Int) => BitmapAggs.subBitmap(a, off, len)))
     spark.udf.register("bitmap_subset_in_range",
@@ -1021,9 +1139,21 @@ object GraftFunctions {
     spark.udf.register("jq_impl",
       udf((f: String, j: String) => Jq(f, j)))
     reg.createOrReplaceTempFunction("jq",
-      (args: Seq[Expression]) =>
-        Explode(UnresolvedFunction("jq_impl", args, isDistinct = false)),
+      (args: Seq[Expression]) => {
+        val rows = UnresolvedFunction("jq_impl",
+          Seq(args.head, JsonTextDispatch(args(1))), isDistinct = false)
+        // VARIANT rows, so jq output composes with variant navigation
+        val x = org.apache.spark.sql.catalyst.expressions
+          .UnresolvedNamedLambdaVariable(Seq("__jq"))
+        Explode(org.apache.spark.sql.catalyst.expressions.ArrayTransform(rows,
+          org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+            UnresolvedFunction("parse_json", Seq(x), isDistinct = false), Seq(x))))
+      },
       "scala_udf")
+    // json text of any value (variant-aware) — used by textual
+    // rewrites that cannot build a JsonTextDispatch node directly
+    reg.createOrReplaceTempFunction("graft_json_text",
+      (args: Seq[Expression]) => JsonTextDispatch(args.head), "scala_udf")
     // sleep (reference other.rs:123 — 3s cap, returns 0) and glob
     // (comparison.rs:1969 — unix shell pattern match; * crosses
     // separators like the rust glob crate's default MatchOptions,

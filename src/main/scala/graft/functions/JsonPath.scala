@@ -39,38 +39,98 @@ object JsonPath {
     query(root, path).nonEmpty
   }
 
-  /** `json_path_match`: predicate paths of the form `$.a.b[i] op lit`
-    * (reference variant.txt:4864-4903). True when ANY node the path
-    * selects satisfies the comparison; false otherwise, including when
-    * the path selects nothing (`$.c > 0` on `{"a":1}` is false).
+  /** `json_path_match` / `@@`: predicate paths `$.a.b[i] op lit`, with
+    * top-level `||`/`&&` chains (reference variant.txt:4864-4903;
+    * `$.b[1 to last] == 2 || $.b[1 to last] == 3`). Three-valued like
+    * PostgreSQL's jsonb_path_match: an undefined comparison (container
+    * operand, cross-type) yields NULL; a path that selects nothing is
+    * plain false; any satisfied item is true.
     */
-  def pathMatch(json: String, pred: String): Boolean = {
+  def pathMatch(json: String, pred: String): Option[Boolean] = {
     val root = mapper.readTree(json)
     val p = new Parser(pred)
-    p.expect('$')
-    val steps = ArrayBuffer.empty[Step]
-    var stepping = true
-    while (stepping) {
+
+    def one(): Option[Boolean] = {
       p.skipWs()
-      if (p.atEnd) stepping = false
-      else if (p.peek == '.') { p.next(); steps += parseMember(p) }
-      else if (p.peek == '[') steps += parseSubscript(p)
-      else if (p.peek == '?') steps += parseFilter(p)
-      else stepping = false
-    }
-    var cur: Seq[JsonNode] = Seq(root)
-    for (step <- steps) cur = cur.flatMap(step)
-    if (p.atEnd) {
-      // bare path (`$.ok`): truthiness of the matched value, the
-      // PostgreSQL jsonb_path_match behavior the reference mirrors
-      cur.exists(n => n.isBoolean && n.booleanValue)
-    } else {
-      val (op, lit) = parseOpLit(p)
+      p.expect('$')
+      val steps = ArrayBuffer.empty[Step]
+      var stepping = true
+      while (stepping) {
+        p.skipWs()
+        if (p.atEnd) stepping = false
+        else if (p.peek == '.') { p.next(); steps += parseMember(p) }
+        else if (p.peek == '[') steps += parseSubscript(p)
+        else if (p.peek == '?') steps += parseFilter(p)
+        else stepping = false
+      }
+      var cur: Seq[JsonNode] = Seq(root)
+      for (step <- steps) cur = cur.flatMap(step)
       p.skipWs()
-      if (!p.atEnd) p.fail("trailing input after predicate")
-      val cmp = Cmp(Seq.empty, op, lit)
-      cur.exists(cmp.test)
+      if (p.atEnd || p.peek == '|' || p.peek == '&')
+        // bare path (`$.ok`): truthiness of the matched value
+        Some(cur.exists(n => n.isBoolean && n.booleanValue))
+      else {
+        val (op, lit) = parseOpLit(p)
+        val results = cur.map(n => cmpOpt(n, op, lit))
+        if (results.contains(Some(true))) Some(true)
+        else if (results.contains(None)) None
+        else Some(false)
+      }
     }
+    def and3(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] = (a, b) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    def or3(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] = (a, b) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    def andChain(): Option[Boolean] = {
+      var acc = one(); p.skipWs()
+      while (p.lookahead("&&")) { val r = one(); acc = and3(acc, r); p.skipWs() }
+      acc
+    }
+    var acc = andChain(); p.skipWs()
+    while (p.lookahead("||")) { val r = andChain(); acc = or3(acc, r); p.skipWs() }
+    p.skipWs()
+    if (!p.atEnd) p.fail("trailing input after predicate")
+    acc
+  }
+
+  /** three-valued comparison: None when undefined (container operand,
+    * cross-type ordering/equality)
+    */
+  private def cmpOpt(cur: JsonNode, op: String, lit: JsonNode): Option[Boolean] = op match {
+    case "startswith" =>
+      if (cur.isTextual && lit.isTextual) Some(cur.textValue.startsWith(lit.textValue))
+      else None
+    case "==" | "!=" =>
+      if (cur.isContainerNode || lit.isContainerNode) None
+      else if (cur.isNumber && lit.isNumber) {
+        val eq = cur.decimalValue.compareTo(lit.decimalValue) == 0
+        Some(if (op == "==") eq else !eq)
+      } else if (cur.isNull || lit.isNull) {
+        val eq = cur.isNull && lit.isNull
+        Some(if (op == "==") eq else !eq)
+      } else if ((cur.isTextual && lit.isTextual) || (cur.isBoolean && lit.isBoolean)) {
+        val eq = cur == lit
+        Some(if (op == "==") eq else !eq)
+      } else None
+    case _ =>
+      val c: Option[Int] =
+        if (cur.isNumber && lit.isNumber) Some(cur.decimalValue.compareTo(lit.decimalValue))
+        else if (cur.isTextual && lit.isTextual) Some(cur.textValue.compareTo(lit.textValue))
+        else None
+      c.map { v =>
+        op match {
+          case "<" => v < 0
+          case "<=" => v <= 0
+          case ">" => v > 0
+          case ">=" => v >= 0
+        }
+      }
   }
 
   def query(root: JsonNode, path: String): Seq[JsonNode] = {
@@ -119,7 +179,12 @@ object JsonPath {
     p.skipWs()
     if (p.peek == '*') {
       p.next(); p.skipWs(); p.expect(']')
-      node => if (node.isArray) elems(node) else Seq.empty
+      // lax mode (pg jsonpath, the reference's default): `[*]` over a
+      // non-array wraps the value — objects iterate their values, a
+      // scalar yields itself (so `$[*] == "b"` over `true` is an
+      // UNDEFINED comparison -> NULL, not an empty match -> false)
+      node =>
+        if (node.isArray || node.isObject) elems(node) else Seq(node)
     } else {
       // index list: item (, item)* where item = expr | expr to expr
       sealed trait Idx

@@ -25,6 +25,17 @@ object MoreAliases {
 
   private def f(name: String, as: Expression*): Expression =
     UnresolvedFunction(name, as.toSeq, isDistinct = false)
+  /** Spark's BUILTIN function, resolved directly — required whenever a
+    * registered rewrite's body calls the function name it is itself
+    * registered under: an UnresolvedFunction of that name would resolve
+    * back into this builder and the analyzer tree would grow without
+    * converging (the ported unhex suite hung analysis this way).
+    */
+  private[functions] def builtinFn(name: String, as: Expression*): Expression =
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      .getOrElse(sys.error(s"no builtin $name"))(as.toSeq)
   private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
   private def tryCast(e: Expression, t: DataType): Expression =
     Cast(e, t, None, EvalMode.TRY)
@@ -66,10 +77,6 @@ object MoreAliases {
     "try_ipv4_string_to_num" -> "inet_aton",
     "try_inet_ntoa" -> "inet_ntoa",
     "try_ipv4_num_to_string" -> "inet_ntoa",
-    "try_json_object" -> "json_object",
-    "try_json_object_keep_null" -> "json_object",
-    "json_object_keep_null" -> "json_object",
-    "object_construct_keep_null" -> "json_object",
     "strftime" -> "date_format")
 
   /** names needing argument/shape rewriting (bind-time, codegen'd) */
@@ -136,6 +143,7 @@ object MoreAliases {
     def variantGet(t: String)(args: Seq[Expression]): Expression =
       f("try_variant_get", args.head, Literal("$"), Literal(t))
 
+
     Map[String, Seq[Expression] => Expression](
       // arithmetic comparison names (reference comparisons.rs)
       "eq" -> (a => EqualTo(a.head, a(1))),
@@ -182,21 +190,20 @@ object MoreAliases {
       }),
       // object_keys works over VARIANT (and json text) in the
       // reference; Spark's json_object_keys wants the text form
-      "object_keys" -> (a => f("json_object_keys", cast(a.head, StringType))),
-      "json_object_keys" -> (a => f("json_object_keys", cast(a.head, StringType))),
+      "object_keys" -> (a => builtinFn("json_object_keys", cast(a.head, StringType))),
+      "json_object_keys" -> (a => builtinFn("json_object_keys", cast(a.head, StringType))),
       // reference error discipline: unhex rejects non-hex input
-      // (error 1006) instead of null-absorbing; space is capped
+      // (error 1006) instead of null-absorbing; space is capped.
+      // builtinFn, NOT f: these bodies call their own registered name.
       "unhex" -> (a => {
-        val u = UnresolvedFunction("unhex", Seq(cast(a.head, StringType)),
-          isDistinct = false)
+        val u = builtinFn("unhex", cast(a.head, StringType))
         ErrIf(And(IsNotNull(a.head), IsNull(u)), u,
           "1006: invalid hex string for unhex")
       }),
       "space" -> (a => {
         val n = cast(a.head, LongType)
         ErrIf(GreaterThan(n, Literal(1000000L)),
-          UnresolvedFunction("space", Seq(cast(a.head, IntegerType)),
-            isDistinct = false),
+          builtinFn("space", cast(a.head, IntegerType)),
           "1006: space length exceeds the 1000000 cap")
       }),
       // LOCATE('', s [, pos]) = pos when pos lands inside s (MySQL);
@@ -423,6 +430,16 @@ object MoreAliases {
       "json_exists_all_keys" -> (a =>
         EqualTo(Size(ArrayExcept(CreateArray(a.tail),
           f("json_object_keys", cast(a.head, StringType)))), Literal(0))),
+      // jsonb `?`: key in an object OR string element in an array;
+      // `?|`/`?&` take the key list as one array argument
+      "json_has_key_or_elem" -> (a =>
+        f("json_has_impl", JsonTextDispatch(a.head), cast(a(1), StringType))),
+      "json_has_any_keys_or_elems" -> (a =>
+        f("json_has_any_impl", JsonTextDispatch(a.head),
+          cast(a(1), ArrayType(StringType)))),
+      "json_has_all_keys_or_elems" -> (a =>
+        f("json_has_all_impl", JsonTextDispatch(a.head),
+          cast(a(1), ArrayType(StringType)))),
       // dotted/bracketed path navigation (variant.rs get_by_keypath);
       // VariantGetPath keeps VARIANT output and non-literal paths work
       "get_path" -> (a => VariantGetPath(a.head, a(1), asText = false, dotted = true)),

@@ -34,7 +34,9 @@ object MoreAliases2 {
   private def f(name: String, as: Expression*): Expression =
     UnresolvedFunction(name, as.toSeq, isDistinct = false)
   private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
-  private def jstr(e: Expression): Expression = cast(e, StringType)
+  // json text, json-null-preserving (variant null -> the text "null",
+  // not SQL NULL; see JsonTextDispatch)
+  private def jstr(e: Expression): Expression = JsonTextDispatch(e)
 
   /** DFHash byte encoding with the reference's literal typing: an int
     * literal hashes at its narrowest width (u8/u16/u32/u64 when >=0,
@@ -142,7 +144,13 @@ object MoreAliases2 {
     })),
 
     // array constructors / set-cardinality
-    "array_construct" -> (a => CreateArray(a)),
+    // the reference's array_construct returns a VARIANT array — each
+    // element goes through to_variant so mixed types build and render
+    // json-style ([1,"a"])
+    "array_construct" -> (a =>
+      if (a.isEmpty) f("parse_json", Literal("[]"))
+      else f("parse_json", f("to_json",
+        CreateArray(a.map(v => f("to_variant", v)))))),
     "array_approx_count_distinct" -> (a =>
       cast(Size(f("array_distinct", a.head)), LongType)),
 
@@ -164,11 +172,13 @@ object MoreAliases2 {
     // decimal/number/interval casts (factory: optional precision/scale)
     "to_decimal" -> (a => castDecimal(a, EvalMode.LEGACY)),
     "try_to_decimal" -> (a => castDecimal(a, EvalMode.TRY)),
+    // MoreAliases.builtinFn, NOT f: these bodies call their own
+    // registered name (f would resolve back into this builder forever)
     "to_number" -> (a =>
-      if (a.length >= 2) f("to_number", a: _*)
+      if (a.length >= 2) MoreAliases.builtinFn("to_number", a: _*)
       else cast(a.head, DecimalType(38, 10))),
     "try_to_number" -> (a =>
-      if (a.length >= 2) f("try_to_number", a: _*)
+      if (a.length >= 2) MoreAliases.builtinFn("try_to_number", a: _*)
       else Cast(a.head, DecimalType(38, 10), None, EvalMode.TRY)),
     "to_interval" -> (a => cast(a.head, CalendarIntervalType)),
     "try_to_interval" -> (a => Cast(a.head, CalendarIntervalType, None, EvalMode.TRY)),
@@ -213,8 +223,11 @@ object MoreAliases2 {
     // set-returning JSON/regexp helpers expressed through explode
     // json_each: (key, value) rows of an object's fields, value kept
     // as VARIANT (reference variant.rs json_each SRF)
-    "json_each" -> (a => Explode(
-      f("from_json", jstr(a.head), Literal("map<string,variant>")))),
+    // one (key, value) TUPLE column per field (reference renders
+    // ("a",1) rows); the FROM-position form (two columns) is a
+    // GraftSql table-factor rewrite
+    "json_each" -> (a => Explode(f("map_entries",
+      f("from_json", jstr(a.head), Literal("map<string,variant>"))))),
 
     // time_slice(ts, n, unit[, 'START'|'END']) — Snowflake-compatible
     // epoch-aligned n-unit buckets (reference datetime time_slice)
@@ -267,7 +280,13 @@ object MoreAliases2 {
     // different per-type protocol); internal operators that only need
     // a fast partitioner keep the codegen'd Spark builtin under the
     // xxh64_long spelling.
-    "xxhash64" -> (a => uhash("xxhash64_impl", a.head)),
+    // 1-arg only: the reference's xxhash64 is unary. Spark 4 routes
+    // the scala-dsl functions.xxhash64(cols*) through the registry
+    // (Column.fn), so multi-arg calls MUST fall back to the builtin —
+    // the override once silently dropped RandomTable's seed argument.
+    "xxhash64" -> (a =>
+      if (a.length == 1) uhash("xxhash64_impl", a.head)
+      else new XxHash64(a)),
     // internal spelling of Spark's builtin xxhash64 (seed 42): a fast
     // codegen'd partitioner for minhash/LSH internals, unaffected by
     // the databend-exact xxhash64 override above
@@ -319,6 +338,10 @@ object MoreAliases2 {
       f("json_object_insert_impl", jstr(a.head), jstr(a(1)), jstr(a(2)),
         if (a.length >= 4) cast(a(3), BooleanType) else Literal(false))),
     "json_strip_nulls" -> (a => f("json_strip_nulls_impl", jstr(a.head))),
+    // databend json_typeof names (jsonb type_of): NULL_VALUE/BOOLEAN/
+    // STRING/INTEGER/DECIMAL/DOUBLE/ARRAY/OBJECT, classified from the
+    // canonical json text (int syntax / '.' form / exponent form)
+    "json_typeof" -> (a => f("json_typeof_impl", jstr(a.head))),
     "json_pretty" -> (a => f("json_pretty_impl", jstr(a.head))),
     "json_contains_in_right" -> (a =>
       f("json_contains_in_right_impl", jstr(a.head), jstr(a(1)))),
@@ -328,9 +351,7 @@ object MoreAliases2 {
     // match wins before the case-insensitive scan, VARIANT output)
     "delete_by_keypath" -> (a => f("delete_by_keypath_impl", jstr(a.head), a(1))),
     "xxhash32" -> (a => f("xxhash32_impl", jstr(a.head))),
-    "to_uuid" -> (a => f("to_uuid_impl", jstr(a.head))),
-    "try_object_construct" -> (a => f("json_object", a: _*)),
-    "try_object_construct_keep_null" -> (a => f("json_object", a: _*)))
+    "to_uuid" -> (a => f("to_uuid_impl", jstr(a.head))))
 
   private def lit(e: Expression): Any = e match {
     case Literal(v, _) => v
@@ -346,6 +367,60 @@ object MoreAliases2 {
   }
 
   // ---- UDF tier -------------------------------------------------------
+
+  /** jsonb ?/?|/?& membership: key in an object, string element in an
+    * array (object-level so udf closures stay serializable)
+    */
+  private def jsonHas(j: String, k: String): Boolean = parse(j) match {
+    case o: ObjectNode => o.has(k)
+    case a: ArrayNode =>
+      var found = false
+      val it = a.elements()
+      while (it.hasNext && !found) {
+        val e = it.next()
+        if (e.isTextual && e.asText == k) found = true
+      }
+      found
+    case _ => false
+  }
+
+  // ---- variant-array helpers (object-level: udf closures referencing
+  // method-local defs capture a non-serializable frame) ---------------
+  private def jarr(j: String): ArrayNode = parse(j) match {
+    case a: ArrayNode => a
+    case o => val a = mapper.createArrayNode(); a.add(o); a
+  }
+  private def jout(a: ArrayNode): String = mapper.writeValueAsString(a)
+  private def nodes(a: ArrayNode): Vector[JsonNode] = {
+    val b = Vector.newBuilder[JsonNode]; a.forEach(b += _); b.result()
+  }
+  private def fromNodes(xs: Seq[JsonNode]): String = {
+    val a = mapper.createArrayNode(); xs.foreach(a.add); jout(a)
+  }
+  private def ns1(g: String => String) = udf((j: String) => Option(j).map(g))
+  private def ns2(g: (String, String) => String) =
+    udf((a: String, b: String) =>
+      if (a == null || b == null) None else Some(g(a, b)))
+  // rank-key bytes as ISO-8859-1 chars: lexicographic string order
+  // == unsigned byte order
+  private def rk(n: JsonNode): String = new String(
+    VariantRank.key(mapper.writeValueAsString(n)),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** canonical jsonb object order: keys sorted, recursively */
+  private def sortKeys(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      o.fieldNames().forEachRemaining(k => names += k)
+      val m = mapper.createObjectNode()
+      names.sorted.foreach(k => m.set[JsonNode](k, sortKeys(o.get(k))))
+      m
+    case a: ArrayNode =>
+      val r = mapper.createArrayNode()
+      a.forEach(e => r.add(sortKeys(e)))
+      r
+    case other => other
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -369,26 +444,39 @@ object MoreAliases2 {
     * objects contain subsets recursively, arrays contain every element
     * of the needle, scalars compare equal.
     */
-  private def contains(hay: JsonNode, needle: JsonNode): Boolean = (hay, needle) match {
-    case (h: ObjectNode, n: ObjectNode) =>
-      var ok = true
-      n.properties().forEach { e =>
-        ok = ok && h.has(e.getKey) && contains(h.get(e.getKey), e.getValue)
-      }
-      ok
-    case (h: ArrayNode, n: ArrayNode) =>
-      var ok = true
-      n.forEach { x =>
+  /** jsonb containment (@>), PostgreSQL rules the reference mirrors:
+    * object keys/values recurse; array needles match element-by-element
+    * with NO descent into nested arrays ([1,2,[1,3]] @> [1,3] is
+    * false, @> [[1,3]] is true); an array contains a bare primitive
+    * only at the TOP level.
+    */
+  private def contains(hay: JsonNode, needle: JsonNode, top: Boolean = true): Boolean = {
+    def elemMatch(y: JsonNode, x: JsonNode): Boolean =
+      if (!x.isContainerNode) !y.isContainerNode && y == x
+      else if (x.isObject) y.isObject && contains(y, x, top = false)
+      else y.isArray && contains(y, x, top = false)
+    (hay, needle) match {
+      case (h: ObjectNode, n: ObjectNode) =>
+        var ok = true
+        n.properties().forEach { e =>
+          ok = ok && h.has(e.getKey) &&
+            contains(h.get(e.getKey), e.getValue, top = false)
+        }
+        ok
+      case (h: ArrayNode, n: ArrayNode) =>
+        var ok = true
+        n.forEach { x =>
+          var found = false
+          h.forEach(y => found = found || elemMatch(y, x))
+          ok = ok && found
+        }
+        ok
+      case (h: ArrayNode, n) if top && !n.isContainerNode =>
         var found = false
-        h.forEach(y => found = found || contains(y, x))
-        ok = ok && found
-      }
-      ok
-    case (h: ArrayNode, n) =>
-      var found = false
-      h.forEach(y => found = found || contains(y, n))
-      found
-    case (h, n) => h == n
+        h.forEach(y => found = found || (!y.isContainerNode && y == n))
+        found
+      case (h, n) => h == n
+    }
   }
 
   private def nullSafe1(g: String => String) =
@@ -455,12 +543,18 @@ object MoreAliases2 {
           (n * m4 / (m2 * m2)) - 3.0 * (n - 1.0) * (n - 1) / ((n - 2.0) * (n - 3)))
       } }))
 
-    // JSON object editing on the text form (Jackson)
+    // JSON object editing on the text form (Jackson). Outputs render
+    // with SORTED keys — jsonb's canonical object order, which the
+    // reference displays (parse_json-built variants already sort via
+    // the variant dictionary; only these text-path editors must).
     spark.udf.register("json_object_delete_impl",
       udf((s: String, keys: Seq[String]) => Option(s).map { j =>
         parse(j) match {
-          case o: ObjectNode => keys.foreach(o.remove); mapper.writeValueAsString(o)
-          case other => mapper.writeValueAsString(other)
+          case o: ObjectNode =>
+            keys.filter(_ != null).foreach(o.remove)
+            mapper.writeValueAsString(sortKeys(o))
+          case _ => throw new IllegalArgumentException(
+            "1006: object_delete requires an OBJECT input")
         }
       }))
     spark.udf.register("json_object_pick_impl",
@@ -468,28 +562,177 @@ object MoreAliases2 {
         parse(j) match {
           case o: ObjectNode =>
             val out = mapper.createObjectNode()
-            keys.foreach(k => if (o.has(k)) out.set[JsonNode](k, o.get(k)))
-            mapper.writeValueAsString(out)
-          case other => mapper.writeValueAsString(other)
+            keys.filter(_ != null).foreach(k =>
+              if (o.has(k)) out.set[JsonNode](k, o.get(k)))
+            mapper.writeValueAsString(sortKeys(out))
+          case _ => throw new IllegalArgumentException(
+            "1006: object_pick requires an OBJECT input")
         }
       }))
+    // reference object_insert semantics (variant.rs): existing key
+    // without update=true errors 1006; a SQL-NULL value deletes on
+    // update, no-ops on plain insert; non-objects error
     spark.udf.register("json_object_insert_impl",
       udf((s: String, key: String, value: String, update: Boolean) =>
         Option(s).map { j =>
           parse(j) match {
             case o: ObjectNode =>
-              if (!o.has(key) || update) {
+              if (value == null) {
+                if (update) o.remove(key)
+              } else if (o.has(key) && !update) {
+                throw new IllegalArgumentException(
+                  s"1006: object_insert key '$key' already exists (use update)")
+              } else {
                 val v = try parse(value) catch {
                   case _: Exception => mapper.getNodeFactory.textNode(value)
                 }
                 o.set[JsonNode](key, v)
               }
-              mapper.writeValueAsString(o)
-            case other => mapper.writeValueAsString(other)
+              mapper.writeValueAsString(sortKeys(o))
+            case _ => throw new IllegalArgumentException(
+              "1006: object_insert requires an OBJECT input")
           }
         }))
     spark.udf.register("json_strip_nulls_impl", nullSafe1 { j =>
       mapper.writeValueAsString(stripNulls(parse(j))) })
+    // jsonb || concatenation (pg rules the reference mirrors):
+    // object||object merges (right wins), otherwise both sides coerce
+    // to arrays and concatenate
+    spark.udf.register("json_concat_impl", udf((a: String, b: String) =>
+      if (a == null || b == null) None
+      else Some {
+        (parse(a), parse(b)) match {
+          case (x: ObjectNode, y: ObjectNode) =>
+            val m = x.deepCopy[ObjectNode]()
+            m.setAll[ObjectNode](y)
+            mapper.writeValueAsString(sortKeys(m))
+          case (x, y) =>
+            val arr = mapper.createArrayNode()
+            x match { case xa: ArrayNode => arr.addAll(xa); case o => arr.add(o) }
+            y match { case ya: ArrayNode => arr.addAll(ya); case o => arr.add(o) }
+            mapper.writeValueAsString(arr)
+        }
+      }))
+    // ---- variant-array function family (reference array.rs over
+    // jsonb arrays; GraftCoercionRule routes resolved Array* nodes
+    // here when the operand is VARIANT). All work on json text; a
+    // non-array target wraps as a one-element array (jsonb rules).
+    spark.udf.register("jarr_distinct", ns1(j => fromNodes(nodes(jarr(j)).distinct)))
+    spark.udf.register("jarr_compact", ns1(j =>
+      fromNodes(nodes(jarr(j)).filterNot(_.isNull))))
+    spark.udf.register("jarr_flatten", ns1(j =>
+      fromNodes(nodes(jarr(j)).flatMap {
+        case a: ArrayNode => nodes(a)
+        case o => Seq(o)
+      })))
+    // BAG semantics (reference array.rs): except subtracts one
+    // occurrence per occurrence in b; intersect keeps min(count) copies
+    spark.udf.register("jarr_except", ns2((a, b) => {
+      val cnt = scala.collection.mutable.Map.empty[JsonNode, Int]
+      nodes(jarr(b)).foreach(n => cnt(n) = cnt.getOrElse(n, 0) + 1)
+      fromNodes(nodes(jarr(a)).filter { n =>
+        val c = cnt.getOrElse(n, 0)
+        if (c > 0) { cnt(n) = c - 1; false } else true
+      })
+    }))
+    spark.udf.register("jarr_intersect", ns2((a, b) => {
+      val cnt = scala.collection.mutable.Map.empty[JsonNode, Int]
+      nodes(jarr(b)).foreach(n => cnt(n) = cnt.getOrElse(n, 0) + 1)
+      fromNodes(nodes(jarr(a)).filter { n =>
+        val c = cnt.getOrElse(n, 0)
+        if (c > 0) { cnt(n) = c - 1; true } else false
+      })
+    }))
+    spark.udf.register("jarr_union", ns2((a, b) =>
+      fromNodes((nodes(jarr(a)) ++ nodes(jarr(b))).distinct)))
+    spark.udf.register("jarr_remove", ns2((a, x) => {
+      val n = parse(x)
+      fromNodes(nodes(jarr(a)).filterNot(_ == n))
+    }))
+    spark.udf.register("jarr_overlap", udf((a: String, b: String) =>
+      if (a == null || b == null) None
+      else Some {
+        val bs = nodes(jarr(b)).toSet
+        nodes(jarr(a)).exists(bs)
+      }))
+    spark.udf.register("jarr_contains", udf((a: String, x: String) =>
+      if (a == null || x == null) None
+      else Some(nodes(jarr(a)).contains(parse(x)))))
+    spark.udf.register("jarr_max", ns1(j =>
+      nodes(jarr(j)).filterNot(_.isNull) match {
+        case xs if xs.isEmpty => "null"
+        case xs => mapper.writeValueAsString(xs.maxBy(rk))
+      }))
+    spark.udf.register("jarr_min", ns1(j =>
+      nodes(jarr(j)).filterNot(_.isNull) match {
+        case xs if xs.isEmpty => "null"
+        case xs => mapper.writeValueAsString(xs.minBy(rk))
+      }))
+    // jsonb array insert: 0-based, negative from the end, clamped (no
+    // null padding); non-array targets wrap first
+    spark.udf.register("jarr_insert", udf((j: String, pos: java.lang.Integer, x: String) =>
+      if (j == null || pos == null || x == null) None
+      else Some {
+        val xs = nodes(jarr(j))
+        val i0 = if (pos >= 0) pos.intValue else xs.size + pos.intValue
+        val i = math.max(0, math.min(xs.size, i0))
+        fromNodes((xs.take(i) :+ parse(x)) ++ xs.drop(i))
+      }))
+    spark.udf.register("jarr_size", udf((j: String) =>
+      Option(j).map(x => nodes(jarr(x)).size)))
+    spark.udf.register("jarr_reverse", ns1(j => fromNodes(nodes(jarr(j)).reverse)))
+    spark.udf.register("jarr_slice", udf((j: String, start: java.lang.Integer, len: java.lang.Integer) =>
+      if (j == null || start == null || len == null) None
+      else Some {
+        val xs = nodes(jarr(j))
+        val s0 = if (start > 0) start - 1 else xs.size + start.intValue
+        fromNodes(xs.slice(math.max(0, s0), math.max(0, s0) + len))
+      }))
+    // jsonb `-` deletion: string removes matching array elements / an
+    // object key; int removes the array element at that index
+    // (negative counts from the end) — pg rules the reference mirrors
+    spark.udf.register("json_minus_str_impl", udf((j: String, k: String) =>
+      if (j == null || k == null) None
+      else Some(parse(j) match {
+        case o: ObjectNode =>
+          val m = o.deepCopy[ObjectNode]()
+          m.remove(k.stripPrefix("\"").stripSuffix("\""))
+          mapper.writeValueAsString(m)
+        case a: ArrayNode =>
+          val k2 = k.stripPrefix("\"").stripSuffix("\"")
+          val arr = mapper.createArrayNode()
+          a.forEach(e => if (!(e.isTextual && e.asText == k2)) arr.add(e))
+          mapper.writeValueAsString(arr)
+        case other => mapper.writeValueAsString(other)
+      })))
+    spark.udf.register("json_minus_int_impl", udf((j: String, i: java.lang.Integer) =>
+      if (j == null || i == null) None
+      else Some(parse(j) match {
+        case a: ArrayNode =>
+          val idx = if (i >= 0) i.intValue else a.size + i.intValue
+          val arr = mapper.createArrayNode()
+          var p = 0
+          a.forEach { e => if (p != idx) arr.add(e); p += 1 }
+          mapper.writeValueAsString(arr)
+        case other => mapper.writeValueAsString(other)
+      })))
+    spark.udf.register("json_has_impl", udf((j: String, k: String) =>
+      if (j == null || k == null) None else Some(jsonHas(j, k))))
+    spark.udf.register("json_has_any_impl", udf((j: String, ks: Seq[String]) =>
+      if (j == null || ks == null) None else Some(ks.exists(k => k != null && jsonHas(j, k)))))
+    spark.udf.register("json_has_all_impl", udf((j: String, ks: Seq[String]) =>
+      if (j == null || ks == null) None else Some(ks.forall(k => k != null && jsonHas(j, k)))))
+    spark.udf.register("json_typeof_impl", nullSafe1 { j =>
+      val s = j.trim
+      if (s == "null") "NULL_VALUE"
+      else if (s == "true" || s == "false") "BOOLEAN"
+      else if (s.startsWith("\"")) "STRING"
+      else if (s.startsWith("[")) "ARRAY"
+      else if (s.startsWith("{")) "OBJECT"
+      else if (s.contains("e") || s.contains("E")) "DOUBLE"
+      else if (s.contains(".")) "DECIMAL"
+      else "INTEGER"
+    })
     spark.udf.register("json_pretty_impl", nullSafe1 { j =>
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(parse(j)) })
     spark.udf.register("json_contains_in_right_impl",
@@ -516,21 +759,29 @@ object MoreAliases2 {
         if (s == null || path == null) None
         else {
           // keypath dialect: {a, b, 0} (reference variant.rs keypath)
-          val parts = path.stripPrefix("{").stripSuffix("}").split(",").map(_.trim)
+          val parts = path.stripPrefix("{").stripSuffix("}").split(",")
+            .map(_.trim).filter(_.nonEmpty)
+          // negative indices count from the end (pg jsonb #- rules)
+          def idx(ar: ArrayNode, k: String): Int = {
+            val i0 = k.toInt
+            if (i0 < 0) ar.size + i0 else i0
+          }
           val root = parse(s)
           var cur: JsonNode = root
           var i = 0
           while (i < parts.length - 1 && cur != null) {
             cur = cur match {
               case o: ObjectNode => o.get(parts(i))
-              case ar: ArrayNode => try ar.get(parts(i).toInt) catch { case _: Exception => null }
+              case ar: ArrayNode => try ar.get(idx(ar, parts(i))) catch { case _: Exception => null }
               case _ => null
             }
             i += 1
           }
           (cur, if (parts.nonEmpty) parts.last else "") match {
             case (o: ObjectNode, k) => o.remove(k)
-            case (ar: ArrayNode, k) => try ar.remove(k.toInt) catch { case _: Exception => () }
+            case (ar: ArrayNode, k) =>
+              try { val j = idx(ar, k); if (j >= 0 && j < ar.size) ar.remove(j) }
+              catch { case _: Exception => () }
             case _ => ()
           }
           Some(mapper.writeValueAsString(root))
@@ -591,7 +842,7 @@ object MoreAliases2 {
     spark.udf.register("json_path_query_impl", udf((s: String, p: String) =>
       for { x <- Option(s); q <- Option(p) } yield JsonPath.eval(x, q)))
     spark.udf.register("json_path_match_impl", udf((s: String, p: String) =>
-      for { x <- Option(s); q <- Option(p) } yield JsonPath.pathMatch(x, q)))
+      for { x <- Option(s); q <- Option(p); r <- JsonPath.pathMatch(x, q) } yield r))
   }
 
   /** CityHash64 v1.0.2 (Pike & Alakuijala, Google; the revision with

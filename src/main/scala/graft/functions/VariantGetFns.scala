@@ -138,3 +138,43 @@ object VariantGetFns {
     }
   }
 }
+
+/** Order-preserving sort key for VARIANT values (reference jsonb
+  * compare: type rank then value; databend's own mix.test sorts
+  * [true, 10, "abcd", {"k":"v"}, [1,2,3], null] ascending in exactly
+  * that order). Input is the canonical JSON text (cast variant ->
+  * string); output is a BinaryType key whose bytewise order matches:
+  *   bool(false<true) < number < string < object < array < json-null
+  * Numbers use the IEEE total-order trick (flip sign bit for
+  * positives, all bits for negatives) so the 8-byte big-endian image
+  * sorts numerically.
+  */
+object VariantRank {
+  def key(json: String): Array[Byte] = {
+    if (json == null) return null
+    val s = json.trim
+    val out = new java.io.ByteArrayOutputStream()
+    def rank(b: Int): Unit = out.write(b)
+    if (s == "true" || s == "false") {
+      rank(0); out.write(if (s == "true") 1 else 0)
+    } else if (s.startsWith("\"")) {
+      rank(2)
+      out.write(s.substring(1, math.max(1, s.length - 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else if (s.startsWith("{")) {
+      rank(3); out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else if (s.startsWith("[")) {
+      rank(4); out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else if (s == "null") {
+      rank(5)
+    } else {
+      rank(1)
+      val d = try s.toDouble catch { case _: NumberFormatException => 0.0 }
+      var bits = java.lang.Double.doubleToLongBits(d)
+      bits = if (bits < 0) ~bits else bits ^ Long.MinValue
+      var i = 56
+      while (i >= 0) { out.write(((bits >>> i) & 0xff).toInt); i -= 8 }
+    }
+    out.toByteArray
+  }
+}

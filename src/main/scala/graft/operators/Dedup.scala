@@ -53,8 +53,8 @@ object Dedup {
     val exploded = shingled
       .select(col("__id"), explode_outer(col("sh")).as("s"))
       .select(col("__id"),
-        pmod(xxhash64(col("s")), lit(2147483647L)).as("h1"),
-        (pmod(xxhash64(concat(lit("graft-salt:"), col("s"))), lit(2147483629L)) + 1L).as("h2"))
+        pmod(org.apache.spark.sql.GraftHashShim.xxh64(col("s")), lit(2147483647L)).as("h1"),
+        (pmod(org.apache.spark.sql.GraftHashShim.xxh64(concat(lit("graft-salt:"), col("s"))), lit(2147483629L)) + 1L).as("h2"))
     val minAggs = (0 until nHash).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"mh_$i"))
     val mh = exploded.groupBy(col("__id"))

@@ -215,7 +215,7 @@ object TextQueries extends QueryModule {
     val exploded = shingled
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .select(col("doc_id"),
-        pmod(xxhash64(col("s")), lit(2147483647L)).as("h1"),
+        pmod(org.apache.spark.sql.GraftHashShim.xxh64(col("s")), lit(2147483647L)).as("h1"),
         // second hash family from murmur3 (`hash`) — one string scan,
         // no salted concat allocation (measured ~15% of query time)
         (pmod(hash(col("s")).cast("long"), lit(2147483629L)) + 1L).as("h2"))

@@ -46,8 +46,11 @@ class JqSpec extends AnyFunSuite {
   test("SQL surface: jq(filter, json) explodes to rows") {
     val spark = GraftSession(cpus = 2, appName = "graft-jq-test")
     graft.functions.GraftFunctions.register(spark)
+    // jq rows are VARIANT (reference jq TVF output type); render to
+    // json text outside the generator for the assertion
     val rows = spark.sql(
-      """SELECT jq('.[] | .name', '[{"name":"Alice"},{"name":"Bob"}]') AS v""")
+      """SELECT to_json(v) AS v FROM
+        |(SELECT jq('.[] | .name', '[{"name":"Alice"},{"name":"Bob"}]') AS v)""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(rows == Seq("\"Alice\"", "\"Bob\""))
   }

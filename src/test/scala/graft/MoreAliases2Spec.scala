@@ -31,7 +31,8 @@ class MoreAliases2Spec extends AnyFunSuite {
     assert(one("delete_by_keypath('{\"a\":{\"b\":1,\"c\":2}}', '{a, b}')")
       == """{"a":{"c":2}}""")
     // update=false leaves an existing key; update=true replaces it
-    assert(one("json_object_insert('{\"a\":1}', 'a', '9')") == """{"a":1}""")
+    // reference semantics: existing key without the update flag errors
+    intercept[Exception](one("json_object_insert('{\"a\":1}', 'a', '9')"))
     assert(one("json_object_insert('{\"a\":1}', 'a', '9', true)") == """{"a":9}""")
   }
 
@@ -137,11 +138,13 @@ class MoreAliases2Spec extends AnyFunSuite {
       == "2025-01-01 00:00:00")
   }
 
-  test("json_each yields (key, variant value) rows") {
+  test("json_each yields (key, value) tuple rows") {
     graft.functions.GraftFunctions.register(spark)
+    // scalar position: one TUPLE column per field (reference renders
+    // ("a",1) rows); the two-column TVF form is FROM json_each(...)
     val rows = spark.sql(
-      """SELECT key, CAST(value AS STRING) AS v
-        |FROM (SELECT json_each(parse_json('{"a":1,"b":[2,3]}')) AS (key, value))""".stripMargin)
+      """SELECT kv.key AS key, CAST(kv.value AS STRING) AS v
+        |FROM (SELECT json_each(parse_json('{"a":1,"b":[2,3]}')) AS kv)""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(rows == Map("a" -> "1", "b" -> "[2,3]"))
   }

@@ -153,6 +153,15 @@ object Slt {
   private def formatNested(v: Any, zone: java.time.ZoneId): String = v match {
     case null => "NULL"
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // floats inside arrays/tuples render Rust-Debug style in the
+    // reference ([0.0,4999.5], not [0,4999.5]): integral values keep
+    // one fractional digit
+    case d: Double if !d.isNaN && !d.isInfinite &&
+        d == math.rint(d) && math.abs(d) < 1e16 =>
+      d.toLong.toString + ".0"
+    case f: Float if !f.isNaN && !f.isInfinite &&
+        f == math.rint(f) && math.abs(f) < 1e16 =>
+      f.toLong.toString + ".0"
     case _: java.sql.Date | _: java.sql.Timestamp | _: java.time.LocalDateTime |
          _: java.time.Instant | _: java.time.LocalDate =>
       "\"" + formatCell(v, zone) + "\""

@@ -41,7 +41,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("UPDATE / DELETE / TRUNCATE") {
     val g = sqlHead()
-    g.execute("CREATE TABLE u AS SELECT id AS k, CAST(id * 10 AS INT) AS v FROM range(10)")
+    g.execute("CREATE TABLE u AS SELECT id AS k, CAST(id * 10 AS INT) AS v FROM range(10) r(id)")
     g.execute("UPDATE u SET v = v + 1 WHERE k >= 5")
     assert(g.execute("SELECT sum(v) AS s FROM u").head.getLong(0) ==
       (0 until 10).map(i => if (i >= 5) i * 10 + 1 else i * 10).sum)
@@ -56,8 +56,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("MERGE INTO: matched update / matched-and delete / not matched insert") {
     val g = sqlHead()
-    g.execute("CREATE TABLE tgt AS SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(5)")
-    g.execute("CREATE TABLE src AS SELECT id + 3 AS k, CAST(100 AS DOUBLE) AS bal FROM range(4)")
+    g.execute("CREATE TABLE tgt AS SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(5) r(id)")
+    g.execute("CREATE TABLE src AS SELECT id + 3 AS k, CAST(100 AS DOUBLE) AS bal FROM range(4) r(id)")
     // k: tgt 0..4, src 3..6. matched: 3,4 (3 deleted by AND clause), insert 5,6
     g.execute("""MERGE INTO tgt USING (SELECT * FROM src) AS s ON tgt.k = s.k
       WHEN MATCHED AND tgt.k = 3 THEN DELETE
@@ -71,8 +71,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("MERGE INTO: UPDATE * and INSERT (cols) VALUES (exprs)") {
     val g = sqlHead()
-    g.execute("CREATE TABLE t AS SELECT id AS k, 'old' AS tag FROM range(3)")
-    g.execute("""MERGE INTO t USING (SELECT id + 2 AS k, 'new' AS tag FROM range(2)) AS s
+    g.execute("CREATE TABLE t AS SELECT id AS k, 'old' AS tag FROM range(3) r(id)")
+    g.execute("""MERGE INTO t USING (SELECT id + 2 AS k, 'new' AS tag FROM range(2) r(id)) AS s
       ON t.k = s.k
       WHEN MATCHED THEN UPDATE *
       WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, concat(s.tag, '!'))""")
@@ -83,7 +83,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("MERGE INTO: a target row matching multiple source rows raises") {
     val g = sqlHead()
-    g.execute("CREATE TABLE mt AS SELECT id AS k, CAST(0 AS DOUBLE) AS bal FROM range(3)")
+    g.execute("CREATE TABLE mt AS SELECT id AS k, CAST(0 AS DOUBLE) AS bal FROM range(3) r(id)")
     // source has k=1 twice — the reference errors on the ambiguous match
     val ex = intercept[Exception] {
       g.execute("""MERGE INTO mt USING
@@ -111,7 +111,7 @@ def gcd(a, b):
     return math.gcd(a, b)
 $$""")
     val rows = g.execute(
-      "SELECT id, py_gcd(id * 6, 4) AS g FROM range(4) ORDER BY id")
+      "SELECT id, py_gcd(id * 6, 4) AS g FROM range(4) r(id) ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == Seq((0L, 4L), (1L, 2L), (2L, 4L), (3L, 2L)))
     // python exceptions surface with the function name
@@ -151,9 +151,9 @@ $$""")
 
   test("time travel AT (SNAPSHOT | OFFSET) and CHANGES") {
     val g = sqlHead()
-    g.execute("CREATE TABLE tt AS SELECT id AS k FROM range(10)")
+    g.execute("CREATE TABLE tt AS SELECT id AS k FROM range(10) r(id)")
     g.execute("DELETE FROM tt WHERE k < 4")
-    g.execute("INSERT INTO tt SELECT id + 100 FROM range(3)")
+    g.execute("INSERT INTO tt SELECT id + 100 FROM range(3) r(id)")
     assert(g.execute("SELECT count(*) AS n FROM tt AT (SNAPSHOT => 0)").head.getLong(0) == 10)
     assert(g.execute("SELECT count(*) AS n FROM tt AT (SNAPSHOT => 1)").head.getLong(0) == 6)
     assert(g.execute("SELECT count(*) AS n FROM tt").head.getLong(0) == 9)
@@ -172,11 +172,11 @@ $$""")
 
   test("CREATE STREAM / consume via INSERT / SHOW STREAMS") {
     val g = sqlHead()
-    g.execute("CREATE TABLE base AS SELECT id AS k FROM range(5)")
+    g.execute("CREATE TABLE base AS SELECT id AS k FROM range(5) r(id)")
     g.execute("CREATE TABLE sink (k BIGINT)")
     g.execute("CREATE STREAM s1 ON TABLE base")
     assert(g.execute("SELECT count(*) AS n FROM s1").head.getLong(0) == 0)
-    g.execute("INSERT INTO base SELECT id + 10 FROM range(4)")
+    g.execute("INSERT INTO base SELECT id + 10 FROM range(4) r(id)")
     assert(g.execute("SELECT count(*) AS n FROM s1").head.getLong(0) == 4)
     // consuming DML advances the cursor
     g.execute("INSERT INTO sink SELECT k FROM s1")
@@ -195,17 +195,17 @@ $$""")
     g.execute("""INSERT FIRST
       WHEN k < 5 THEN INTO lo
       ELSE INTO hi
-      SELECT id AS k FROM range(10)""")
+      SELECT id AS k FROM range(10) r(id)""")
     assert(g.execute("SELECT count(*) AS n FROM lo").head.getLong(0) == 5)
     assert(g.execute("SELECT count(*) AS n FROM hi").head.getLong(0) == 5)
-    g.execute("INSERT ALL INTO everything INTO everything SELECT id AS k FROM range(3)")
+    g.execute("INSERT ALL INTO everything INTO everything SELECT id AS k FROM range(3) r(id)")
     assert(g.execute("SELECT count(*) AS n FROM everything").head.getLong(0) == 6)
   }
 
   test("ALTER TABLE CLUSTER BY + RECLUSTER, OPTIMIZE COMPACT, ANALYZE, VACUUM") {
     val g = sqlHead()
-    g.execute("CREATE TABLE m AS SELECT id AS a, id % 7 AS b FROM range(100)")
-    g.execute("INSERT INTO m SELECT id + 100, id % 5 FROM range(100)")
+    g.execute("CREATE TABLE m AS SELECT id AS a, id % 7 AS b FROM range(100) r(id)")
+    g.execute("INSERT INTO m SELECT id + 100, id % 5 FROM range(100) r(id)")
     g.execute("ALTER TABLE m CLUSTER BY (a, b)")
     g.execute("ALTER TABLE m RECLUSTER FINAL")
     assert(g.execute("SELECT count(*) AS n FROM m").head.getLong(0) == 200)
