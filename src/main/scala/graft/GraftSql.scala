@@ -284,7 +284,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val phys = if (stored) Some(s"$nm ${typeDdl}") else None
           ColSpec(nm, phys, Some((typeDdl, ex, stored)), None)
         case None =>
-          val dM = """(?is)\bDEFAULT\s+(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
+          // \s* not \s+: the corpus spells both `DEFAULT 1` and `DEFAULT(1)`
+          val dM = """(?is)\bDEFAULT\s*(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
             .findFirstMatchIn(c)
           ColSpec(nm, Some(c), None, dM.map(_.group(1).trim))
       }
@@ -323,6 +324,27 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     if (comp.nonEmpty) {
       computedCols(n) = comp
       declaredOrder(n) = specs.map(_.name)
+    }
+    // reference semantics (ast/statements/table.rs + crdb corpus): a
+    // LITERAL DEFAULT that cannot cast to the column type errors at
+    // CREATE time (1006), not lazily at first INSERT. Only literals
+    // validate eagerly — expression defaults (nextval, now()) may have
+    // evaluation side effects and resolve per-row.
+    for (sp <- specs; d <- sp.default; spec <- sp.physical) {
+      val lit = d.trim.stripPrefix("(").stripSuffix(")").trim
+      val isLiteral = """(?is)^('([^']|'')*'|-?\d+(\.\d+)?([eE]-?\d+)?|TRUE|FALSE|(DATE|TIMESTAMP|TIME|INTERVAL)\s+'[^']*')$"""
+        .r.matches(lit)
+      if (isLiteral && !lit.equalsIgnoreCase("NULL")) {
+        val dt = try Some(StructType.fromDDL(stripConstraints(spec)).head.dataType)
+                 catch { case _: Exception => None }
+        dt.foreach { t =>
+          val ok =
+            try !spark.sql(s"SELECT CAST(($lit) AS ${t.sql}) IS NULL").head.getBoolean(0)
+            catch { case _: Exception => false }
+          if (!ok) throw new IllegalArgumentException(
+            s"1006: invalid DEFAULT value $lit for column ${sp.name} of type ${t.sql}")
+        }
+      }
     }
     val dflts = specs.collect { case ColSpec(nm, _, None, Some(d)) => nm.toLowerCase -> d }
     if (dflts.nonEmpty) colDefaults(n) = dflts.toMap
@@ -1283,13 +1305,38 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * json_array_elements(x)` -> (value). Only FROM/JOIN-position calls
     * rewrite; select-position stays the tuple-returning SRF.
     */
+  /** quote-aware `$$...$$` -> '...' (a `$$` inside a '...'/`...`/"..."
+    * literal is untouched)
+    */
+  private def rewriteDollarQuotes(s0: String): String = {
+    val sb = new StringBuilder(s0.length)
+    var i = 0; var q = 0.toChar
+    while (i < s0.length) {
+      val c = s0.charAt(i)
+      if (q != 0) { sb.append(c); if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`' || c == '"') { q = c; sb.append(c); i += 1 }
+      else if (c == '$' && i + 1 < s0.length && s0.charAt(i + 1) == '$') {
+        val close = s0.indexOf("$$", i + 2)
+        if (close < 0) { sb.append(c); i += 1 }
+        else {
+          sb.append('\'')
+            .append(s0.substring(i + 2, close).replace("'", "''"))
+            .append('\'')
+          i = close + 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def rewriteJsonSrfTvfs(sql0: String): String = {
     var sql = sql0
     // dollar-quoted literals in expression position ($$...$$, the
-    // reference's jq-program spelling) -> standard quoted strings
-    sql = """(?s)\$\$(.*?)\$\$""".r.replaceAllIn(sql, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        "'" + m.group(1).replace("'", "''") + "'"))
+    // reference's jq-program spelling) -> standard quoted strings.
+    // Gated on a jq( call being present: an unrelated statement whose
+    // quoted literals happen to contain $$ must not be mangled.
+    if (sql.contains("$$") && """(?is)\bjq\s*\(""".r.findFirstIn(sql).isDefined)
+      sql = rewriteDollarQuotes(sql)
     // FROM jq(prog, json): one row per jq output (reference jq TVF)
     val jqRe = """(?is)\b(from|join)\s+jq\s*\(""".r
     var jm = jqRe.findFirstMatchIn(sql)
@@ -1819,8 +1866,74 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     if (cap > 0) df.limit(cap.toInt) else df
   }
 
+  /** reference ORDER BY strictness (crdb corpus order_by.test):
+    *  - 1005: `((SELECT ... ORDER BY x)) ORDER BY y` — a parenthesized
+    *    query that already carries ORDER BY takes no second one;
+    *  - 1065: `ORDER BY <alias>` where the alias is declared more than
+    *    once with DIFFERENT expressions is ambiguous (identical
+    *    expressions, e.g. `a AS foo, (a) AS foo`, stay legal).
+    */
+  private def checkOrderByConflicts(s: String): Unit = {
+    val t = s.trim.stripSuffix(";").trim
+    if (t.startsWith("(")) {
+      val close = try matchParen(t, 0) catch { case _: Exception => -1 }
+      if (close > 0 && """(?is)^\s*ORDER\s+BY\b.*""".r.matches(t.substring(close + 1))) {
+        var inner = t.substring(1, close).trim
+        while (inner.startsWith("(") && matchParen(inner, 0) == inner.length - 1)
+          inner = inner.substring(1, inner.length - 1).trim
+        if (indexOfKeyword(inner, "ORDER") >= 0)
+          throw new IllegalArgumentException(
+            "1005: multiple ORDER BY clauses not allowed on a parenthesized query")
+      }
+    }
+    if ("""(?is)^\s*SELECT\b.*""".r.matches(t)) {
+      val ob = indexOfKeyword(t, "ORDER")
+      if (ob >= 0) {
+        val listStart = indexOfKeyword(t, "SELECT") + "SELECT".length
+        val listEnd = clauseEnd(t, listStart, Set("FROM", "WHERE", "GROUP",
+          "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT",
+          "INTERSECT", "WINDOW", "QUALIFY"))
+        // EXPLICIT `AS alias` forms only — implicit trailing aliases
+        // are not reliably distinguishable from expressions by text
+        val aliasRe = """(?is)^(.*\S)\s+AS\s+`?([A-Za-z_]\w*)`?\s*$""".r
+        val pairs = splitTopLevel(t.substring(listStart, listEnd), ',').flatMap {
+          case aliasRe(e, a) => Some(a.toLowerCase -> e.replaceAll("[\\s()]+", ""))
+          case _ => None
+        }
+        val obEnd = clauseEnd(t, ob + "ORDER".length,
+          Set("LIMIT", "OFFSET", "FETCH", "SETTINGS"))
+        val obNames = splitTopLevel(
+          t.substring(ob + "ORDER".length, obEnd)
+            .replaceAll("(?is)^\\s*BY\\b", ""), ',')
+          .map(_.trim.split("\\s+").head.toLowerCase)
+          .filter(_.matches("[a-z_]\\w*"))
+        for (n <- obNames) {
+          val es = pairs.filter(_._1 == n).map(_._2).distinct
+          if (es.size > 1) throw new IllegalArgumentException(
+            s"""1065: ORDER BY "$n" is ambiguous: the alias is declared with different expressions""")
+        }
+      }
+    }
+  }
+
+  /** reference 1065: the same alias on both sides of a NATURAL/USING
+    * join (any nesting depth) — `(select 42) tbl(a) natural join
+    * (select 42) tbl(a)` — is rejected at bind time.
+    */
+  private def checkDuplicateJoinAliases(s: String): Unit = {
+    val re = ("""(?is)\)\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\([^()]*\))?\s+NATURAL\s+""" +
+      """(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?""" +
+      """JOIN\s*\([^()]*\)\s*(?:AS\s+)?([A-Za-z_]\w*)""").r
+    for (m <- re.findAllMatchIn(s))
+      if (m.group(1).equalsIgnoreCase(m.group(2)))
+        throw new IllegalArgumentException(
+          s"1065: duplicate table alias '${m.group(1)}' on both sides of a join")
+  }
+
   private def query0(s: String): DataFrame = {
-    var cur = rewriteReads(s)
+    checkOrderByConflicts(s)
+    checkDuplicateJoinAliases(s)
+    var cur = rewriteReads(rewriteUsingStar(s))
     var tries = 0
     while (tries < 5) {
       try return spark.sql(cur)
@@ -2321,6 +2434,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     for ((from, to) <- CastSpellings)
       sql = sql.replaceAll(s"(?i)::$from\\b", s"::$to")
         .replaceAll(s"(?i)\\b(as\\s+)$from\\b", s"$$1$to")
+    // MySQL CAST(x AS SIGNED|UNSIGNED [INTEGER]) — cast context only
+    sql = rewriteSignedCasts(sql)
     // ::vector(N) — fixed-dim f32 embedding cast (vector_index suite)
     sql = sql.replaceAll("(?i)::\\s*vector\\s*\\(\\s*\\d+\\s*\\)", "::array<float>")
     // HAVING without GROUP BY filters like WHERE when it references no
@@ -3084,10 +3199,46 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     "float32" -> "float", "float64" -> "double",
     "text" -> "string", "json" -> "variant",
     "bool" -> "boolean",
-    // MySQL-lineage CAST(x AS SIGNED/UNSIGNED) (reference ast
-    // type_name.rs maps them to Int64/UInt64)
-    "signed" -> "bigint", "unsigned" -> "decimal(20,0)",
     "datetime" -> "timestamp")
+
+  /** MySQL-lineage CAST(x AS SIGNED|UNSIGNED [INTEGER]) and
+    * ::signed/::unsigned (reference ast type_name.rs: Int64/UInt64),
+    * handled in CAST context only — a generic `as signed` substitution
+    * would rewrite select-list aliases named signed/unsigned and break
+    * the two-word `AS UNSIGNED INTEGER` form.
+    */
+  private def rewriteSignedCasts(sql0: String): String = {
+    var sql = sql0
+      .replaceAll("(?i)::\\s*unsigned(\\s+integer)?\\b", "::decimal(20,0)")
+      .replaceAll("(?i)::\\s*signed(\\s+integer)?\\b", "::bigint")
+    if ("""(?i)\bas\s+(un)?signed\b""".r.findFirstIn(sql).isEmpty) return sql
+    val castRe = """(?i)\b(?:try_)?cast\s*\(""".r
+    // greedy .* anchors on the LAST top-level AS — the type position
+    // of THIS cast (nested casts get their own castRe match)
+    val tailRe = """(?is)^(.*\bAS\s+)(SIGNED|UNSIGNED)(\s+INTEGER)?(\s*)$""".r
+    var changed = true
+    var guard = 0
+    while (changed && guard < 200) {
+      changed = false; guard += 1
+      val it = castRe.findAllMatchIn(sql).toSeq.iterator
+      while (it.hasNext && !changed) {
+        val m = it.next()
+        val open = m.end - 1
+        val close = matchParen(sql, open)
+        if (close > open) {
+          tailRe.findFirstMatchIn(sql.substring(open + 1, close)).foreach { t =>
+            val mapped =
+              if (t.group(2).equalsIgnoreCase("signed")) "bigint"
+              else "decimal(20,0)"
+            sql = sql.substring(0, open + 1) + t.group(1) + mapped +
+              t.group(4) + sql.substring(close)
+            changed = true
+          }
+        }
+      }
+    }
+    sql
+  }
 
   /** quote-aware paren depth at every character position */
   private def parenDepths(sql: String): Array[Int] = {
@@ -3817,6 +3968,208 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     s"SELECT * EXCEPT ($drop) FROM ($inner) __ord_q ORDER BY ${newItems.mkString(", ")} $tail"
   }
 
+  private final class StarBail extends RuntimeException(null, null, false, false)
+
+  /** output columns of a FROM-position relation (named table or
+    * parenthesized derived table text), via a LIMIT-0 analyze
+    */
+  private def relationColumns(fromText: String): Option[Seq[String]] =
+    try Some(spark.sql(rewriteReads(s"SELECT * FROM $fromText LIMIT 0")).columns.toSeq)
+    catch { case _: Exception => None }
+
+  /** Reference star-expansion order over USING/NATURAL joins
+    * (duckdb/crdb corpus; reference binder keeps the merged column at
+    * the PRESERVED side's declared position — left-table layout for
+    * INNER/LEFT, right-table layout for RIGHT — while Spark hoists the
+    * coalesced join columns to the front). Rewrites a top-level bare
+    * `SELECT * FROM <named-table join chain>` into the explicit
+    * qualified column list; also raises the reference's 1065 errors
+    * for a USING column missing from one side and for an unaliased
+    * relation repeated in a USING/NATURAL chain. Any shape the parser
+    * doesn't fully understand is left untouched for Spark.
+    */
+  private def rewriteUsingStar(sql0: String): String =
+    try rewriteUsingStar0(sql0)
+    catch {
+      case _: StarBail => sql0
+      case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).startsWith("1065") => throw e
+      case _: Exception => sql0
+    }
+
+  private def rewriteUsingStar0(sql0: String): String = {
+    def bail(): Nothing = throw new StarBail
+    val mSel = """(?is)^\s*SELECT\s+\*\s+FROM\b""".r
+      .findFirstMatchIn(sql0).getOrElse(bail())
+    val rest = sql0.substring(mSel.end)
+    if ("""(?i)\b(USING|NATURAL)\b""".r.findFirstIn(rest).isEmpty) bail()
+    val stops = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+      "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "FETCH")
+    val cut = stops.map(k => indexOfKeyword(rest, k)).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(rest.length)
+    val segText = rest.substring(0, cut)
+    val tail = rest.substring(cut)
+    var seg = segText.trim.stripSuffix(";").trim
+    // unwrap covering paren groups: FROM (a JOIN b USING(x))
+    while (seg.startsWith("(") && matchParen(seg, 0) == seg.length - 1)
+      seg = seg.substring(1, seg.length - 1).trim
+    if (indexOfKeyword(seg, "USING") < 0 && indexOfKeyword(seg, "NATURAL") < 0)
+      bail()
+
+    val joinKw = Set("JOIN", "NATURAL", "INNER", "LEFT", "RIGHT", "FULL",
+      "CROSS", "OUTER", "SEMI", "ANTI", "ASOF", "ANY", "ON", "USING")
+    var i = 0
+    def ws(): Unit = while (i < seg.length && seg.charAt(i).isWhitespace) i += 1
+    def peekWord(): Option[String] = {
+      ws(); """^[A-Za-z_]\w*""".r.findPrefixOf(seg.substring(i))
+    }
+    def takeWord(): String = {
+      val w = peekWord().getOrElse(bail()); i += w.length; w
+    }
+
+    case class Rel(alias: String, cols: Seq[String])
+    def parseRel(): Rel = {
+      ws()
+      if (i >= seg.length) bail()
+      if (seg.charAt(i) == '(') {
+        // derived table: ( <subquery> ) [AS] alias [(col, ...)]
+        val close = matchParen(seg, i)
+        val body = seg.substring(i + 1, close)
+        i = close + 1
+        var alias: String = null
+        peekWord() match {
+          case Some(w) if w.equalsIgnoreCase("AS") =>
+            i += w.length; alias = takeWord()
+          case Some(w) if !joinKw(w.toUpperCase) => i += w.length; alias = w
+          case _ => bail()
+        }
+        ws()
+        val cols: Seq[String] =
+          if (i < seg.length && seg.charAt(i) == '(') {
+            val c2 = matchParen(seg, i)
+            val lst = splitTopLevel(seg.substring(i + 1, c2), ',')
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            i = c2 + 1
+            lst
+          } else relationColumns(s"($body) __sq__").getOrElse(bail())
+        Rel(alias, cols)
+      } else {
+        val name = takeWord()
+        if (joinKw(name.toUpperCase)) bail()
+        var alias = name
+        peekWord() match {
+          case Some(w) if w.equalsIgnoreCase("AS") =>
+            i += w.length; alias = takeWord()
+          case Some(w) if !joinKw(w.toUpperCase) => i += w.length; alias = w
+          case _ =>
+        }
+        Rel(alias, relationColumns(name).getOrElse(bail()))
+      }
+    }
+
+    def consumeOn(): Unit = {
+      val boundary = Set("JOIN", "NATURAL", "INNER", "LEFT", "RIGHT", "FULL",
+        "CROSS", "SEMI", "ANTI", "ASOF")
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (c == '(') i = matchParen(seg, i) + 1
+        else if (c == '\'' || c == '"' || c == '`') {
+          val q = c; i += 1
+          while (i < seg.length && seg.charAt(i) != q) i += 1
+          i += 1
+        } else if (c == ',') return
+        else if (c.isLetter || c == '_') {
+          val w = """^[A-Za-z_]\w*""".r.findPrefixOf(seg.substring(i)).get
+          if (boundary(w.toUpperCase)) return
+          i += w.length
+        } else i += 1
+      }
+    }
+
+    def appended(left: Vector[(String, String)], r: Rel) =
+      left ++ r.cols.map(c => (s"${r.alias}.`$c`", c))
+
+    def mergeUsing(left: Vector[(String, String)], right: Rel,
+        ucols: Seq[String], jt: String): Vector[(String, String)] = {
+      if (jt != "INNER" && jt != "LEFT" && jt != "RIGHT") bail()
+      val uset = ucols.map(_.toLowerCase).toSet
+      for (u <- ucols) {
+        val inL = left.count(_._2.equalsIgnoreCase(u))
+        val inR = right.cols.count(_.equalsIgnoreCase(u))
+        if (inL == 0 || inR == 0) throw new IllegalArgumentException(
+          s"1065: column $u specified in USING clause does not exist in " +
+            (if (inL == 0) "left" else "right") + " table")
+        if (inL > 1 || inR > 1) bail()
+      }
+      if (jt == "RIGHT")
+        left.filterNot(c => uset(c._2.toLowerCase)) ++
+          right.cols.map(c => (s"${right.alias}.`$c`", c))
+      else
+        left ++ right.cols.filterNot(c => uset(c.toLowerCase))
+          .map(c => (s"${right.alias}.`$c`", c))
+    }
+
+    val first = parseRel()
+    var out: Vector[(String, String)] =
+      first.cols.map(c => (s"${first.alias}.`$c`", c)).toVector
+    val seen = mutable.Buffer[String](first.alias.toLowerCase)
+    var sawUsing = false
+    var rewriteNeeded = false
+
+    while ({ ws(); i < seg.length }) {
+      if (seg.charAt(i) == ',') { i += 1; val r = parseRel(); seen += r.alias.toLowerCase; out = appended(out, r) }
+      else {
+        var natural = false
+        var jt = "INNER"
+        var w = takeWord().toUpperCase
+        if (w == "NATURAL") { natural = true; w = takeWord().toUpperCase }
+        w match {
+          case "INNER" | "CROSS" => jt = w; w = takeWord().toUpperCase
+          case "LEFT" | "RIGHT" | "FULL" =>
+            jt = w; w = takeWord().toUpperCase
+            if (w == "OUTER") w = takeWord().toUpperCase
+          case _ =>
+        }
+        if (w != "JOIN") bail()
+        val r = parseRel()
+        seen += r.alias.toLowerCase
+        val clause = peekWord().map(_.toUpperCase)
+        if (natural) {
+          if (clause.contains("ON") || clause.contains("USING")) bail()
+          val rightSet = r.cols.map(_.toLowerCase).toSet
+          val common = out.map(_._2).filter(n => rightSet(n.toLowerCase)).distinct
+          if (common.isEmpty) bail()
+          sawUsing = true
+          out = mergeUsing(out, r, common, jt)
+          rewriteNeeded = true
+        } else clause match {
+          case Some("USING") =>
+            i += "USING".length; ws()
+            if (i >= seg.length || seg.charAt(i) != '(') bail()
+            val close = matchParen(seg, i)
+            val ucols = splitTopLevel(seg.substring(i + 1, close), ',')
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            i = close + 1
+            sawUsing = true
+            out = mergeUsing(out, r, ucols, jt)
+            rewriteNeeded = true
+          case Some("ON") =>
+            i += 2; consumeOn(); out = appended(out, r)
+          case _ if jt == "CROSS" => out = appended(out, r)
+          case _ => bail()
+        }
+      }
+    }
+    if (sawUsing && seen.distinct.size != seen.size) {
+      val dup = seen.diff(seen.distinct).head
+      throw new IllegalArgumentException(
+        s"1065: table name '$dup' specified more than once")
+    }
+    if (!rewriteNeeded) bail()
+    val sel = out.map { case (e, n) => s"$e AS `$n`" }.mkString(", ")
+    s"SELECT $sel FROM $segText$tail"
+  }
+
   /** `FROM (VALUES (..),(..))` with no explicit column list — the
     * reference's inline-table columns are col0..colN-1 (0-based),
     * Spark's col1..colN. Append the 0-based list (keeping any bare
@@ -3833,18 +4186,23 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       if (m0.isEmpty) return sql
       val m = m0.get
       val open = searchFrom + m.start
-      // LATERAL (VALUES ...) is handled by rewriteLateralValues
+      // LATERAL (VALUES ...) is handled by rewriteLateralValues; a
+      // CTE body `name(cols) AS (VALUES ...)` already names its
+      // columns through the WITH list — aliasing it would splice
+      // `__vals(...)` into the WITH clause and corrupt the statement
       val before = sql.substring(0, open).trim.toUpperCase
       val close = matchParen(sql, open)
       if (close < 0) return sql
-      if (before.endsWith("LATERAL")) searchFrom = close
+      if (before.endsWith("LATERAL") || """(?s).*\bAS$""".r.matches(before))
+        searchFrom = close
       else {
         val after = sql.substring(close + 1)
         val aliasCols = """(?is)^\s*(?:AS\s+)?\w+\s*\(""".r.findPrefixMatchOf(after)
         val bareAlias = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)""".r.findPrefixMatchOf(after)
           .filterNot(a => Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
             "UNION", "EXCEPT", "INTERSECT", "JOIN", "ON", "LEFT", "RIGHT",
-            "FULL", "INNER", "CROSS", "AS", "QUALIFY", "WINDOW", "SETTINGS")(
+            "FULL", "INNER", "CROSS", "AS", "QUALIFY", "WINDOW", "SETTINGS",
+            "SELECT", "NATURAL", "USING", "SEMI", "ANTI", "LATERAL")(
             a.group(1).toUpperCase))
         if (aliasCols.isDefined) searchFrom = close
         else {

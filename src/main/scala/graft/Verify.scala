@@ -4,6 +4,29 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, to_json}
+  import org.apache.spark.sql.types._
+
+  private def hasVariant(dt: DataType): Boolean = dt match {
+    case _: VariantType => true
+    case a: ArrayType   => hasVariant(a.elementType)
+    case m: MapType     => hasVariant(m.keyType) || hasVariant(m.valueType)
+    case s: StructType  => s.fields.exists(f => hasVariant(f.dataType))
+    case _              => false
+  }
+
+  /** Spark writes VARIANT columns with a parquet logical type the
+    * driver's pyarrow reader can't parse; render them as canonical
+    * JSON text (what the DuckDB oracle produces anyway) before dumping.
+    */
+  private def dumpable(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(f => hasVariant(f.dataType))) df
+    else df.select(df.schema.fields.toSeq.map { f =>
+      if (hasVariant(f.dataType)) to_json(col(s"`${f.name}`")).as(f.name)
+      else col(s"`${f.name}`")
+    }: _*)
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: only dump these queries (oracle_sql.json
@@ -15,7 +38,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try dumpable(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -61,8 +61,13 @@ case class ToStringDispatch(child: Expression)
         Seq(child),
         Seq(org.apache.spark.sql.types.BinaryType))
     case _ =>
+      // timezone set eagerly: ResolveTimeZone never revisits a
+      // RuntimeReplaceable's lazily-built replacement, so a bare
+      // timestamp->string cast here would stay unresolved
+      // (to_string(now()) INTERNAL_ERROR)
       org.apache.spark.sql.catalyst.expressions.Cast(
-        child, org.apache.spark.sql.types.StringType)
+        child, org.apache.spark.sql.types.StringType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
   override protected def withNewChildInternal(newChild: Expression): ToStringDispatch =
     copy(child = newChild)
@@ -87,7 +92,8 @@ case class JsonTextDispatch(child: Expression)
     case org.apache.spark.sql.types.StringType => child
     case _ =>
       org.apache.spark.sql.catalyst.expressions.Cast(
-        child, org.apache.spark.sql.types.StringType)
+        child, org.apache.spark.sql.types.StringType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
   override protected def withNewChildInternal(newChild: Expression): JsonTextDispatch =
     copy(child = newChild)

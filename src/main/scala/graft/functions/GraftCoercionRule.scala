@@ -71,10 +71,14 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Not(EqualTo(e, Cast(Literal(0), e.dataType)))
 
   /** order-preserving binary key for a VARIANT (reference jsonb
-    * type-then-value compare; see [[VariantRank]])
+    * type-then-value compare; see [[VariantRank]]). The key is built
+    * over the CANONICAL JSON text ([[JsonTextDispatch]]): a plain
+    * string cast of a variant unquotes strings and maps json null to
+    * SQL NULL, which would collapse every non-numeric string to the
+    * number-rank/0.0 key and break ORDER BY/min/max over variant.
     */
   private def rankKey(e: Expression): Expression =
-    UnresolvedFunction("variant_rank_key", Seq(Cast(e, StringType)),
+    UnresolvedFunction("variant_rank_key", Seq(JsonTextDispatch(e)),
       isDistinct = false)
 
   /** BAG except/intersect for native arrays (the reference's array.rs
@@ -90,10 +94,17 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         isDistinct = false),
       Literal(l.dataType.catalogString)), isDistinct = false)
 
-  /** the variant expression under an implicit cast, if any */
+  /** the variant expression under an ANALYZER-INSERTED implicit cast,
+    * if any. A user-written `CAST(v AS STRING) || 'x'` (tagged
+    * USER_SPECIFIED_CAST by the parser/Column API) is string
+    * concatenation in the reference and must NOT be hijacked into
+    * jsonb concat.
+    */
   private def unwrapToVariant(e: Expression): Option[Expression] = e match {
     case v if v.resolved && v.dataType == VariantType => Some(v)
-    case Cast(c, _, _, _) if c.resolved && c.dataType == VariantType => Some(c)
+    case c0 @ Cast(c, _, _, _)
+        if c0.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+          c.resolved && c.dataType == VariantType => Some(c)
     case _ => None
   }
 

@@ -198,10 +198,14 @@ object GraftFunctions {
       fn("quantile_disc_pick", fn("collect_list", castD(args.head)), castD(args(1)))
     else {
       def sortedArr = fn("sort_array", fn("collect_list", args.head))
+      // empty collect_list (all-NULL group / zero rows) would feed
+      // element_at index 0 and throw — the reference returns NULL
       CreateArray(args.tail.map { q =>
         val n = Cast(fn("size", sortedArr), DoubleType)
         val idx = Cast(Floor(Multiply(Subtract(n, Literal(1.0)), castD(q))), IntegerType)
-        ElementAt(sortedArr, Add(idx, Literal(1)))
+        fn("if", GreaterThan(fn("size", sortedArr), Literal(0)),
+          ElementAt(sortedArr, Add(idx, Literal(1))),
+          Literal(null, org.apache.spark.sql.types.NullType))
       })
     }
   }

@@ -115,6 +115,9 @@ object MoreScalarQueries extends QueryModule {
         // DuckDB DATE (datetime64) — timestamps compare cleanly
         .select(col("o_orderkey"),
           last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+          // resolves to graft's add_months (reference date_helper.rs
+          // semantics: an end-of-month input snaps to the end of the
+          // result month) — the oracle encodes the snap via CASE
           add_months(col("o_orderdate"), 2).cast("timestamp").as("plus2m"),
           date_add(col("o_orderdate"), 45).cast("timestamp").as("plus45d"),
           datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
@@ -127,7 +130,9 @@ object MoreScalarQueries extends QueryModule {
     },
     Some("""SELECT o_orderkey,
       |  last_day(o_orderdate) AS eom,
-      |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |  CAST(CASE WHEN o_orderdate = last_day(o_orderdate)
+      |       THEN last_day(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE))
+      |       ELSE CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) END AS DATE) AS plus2m,
       |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d,
       |  date_diff('day', o_orderdate, DATE '1998-12-31') AS days_to_end,
       |  strftime(o_orderdate, '%Y-%m') AS ym_str,

@@ -322,7 +322,7 @@ object RegistryQueries extends QueryModule {
       |  round(jaro_winkler_similarity(o_orderpriority, 'URGENT'), 4) AS jw,
       |  '1.23 million' AS hn,
       |  '1 MiB' AS hs,
-      |  'object' AS jt,
+      |  'OBJECT' AS jt,
       |  o_orderkey AS ai,
       |  'hi' AS astr,
       |  true AS jek,
