@@ -1431,6 +1431,62 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   /** start index of the primary expression ending just before `op`
     * (identifier chain, quoted ident, or call/paren/subscript group)
     */
+  /** Infix operator keywords Spark's parser lacks or resolves with the
+    * wrong semantics, lowered onto registered functions:
+    *   `a XOR b`            -> xor(a, b)
+    *   `a [NOT] REGEXP p`   -> [NOT] regexp_like(a, p)   (MySQL
+    *   `a [NOT] RLIKE p`    -> [NOT] regexp_like(a, p)    case-insensitive
+    *                                                      default)
+    * Operands are primary expressions (word / literal / call / paren
+    * group); anything more complex is left for Spark as before.
+    */
+  private def rewriteInfixXor(sql0: String): String = {
+    var sql = rewriteInfixKw(sql0, "XOR", (l, r, _) => s"xor($l, $r)")
+    for (kw <- Seq("REGEXP", "RLIKE"))
+      sql = rewriteInfixKw(sql, kw, (l, r, neg) =>
+        if (neg) s"(NOT regexp_like($l, $r))" else s"regexp_like($l, $r)")
+    sql
+  }
+
+  private def rewriteInfixKw(sql0: String, kw: String,
+      mk: (String, String, Boolean) => String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      var at = -1
+      var from = 0
+      // skip CALL forms `kw(...)` (incl. ones this loop just
+      // produced): only the infix keyword form rewrites
+      while (at < 0 && from < sql.length) {
+        val cand = indexOfKeywordAnyDepth(sql, kw, from)
+        if (cand < 0) from = sql.length
+        else {
+          var k = cand + kw.length
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && sql.charAt(k) == '(') from = cand + kw.length
+          else at = cand
+        }
+      }
+      if (at < 0) return sql
+      // a preceding NOT belongs to the operator (`a NOT REGEXP p`)
+      val notM = """(?is)^(.*?)\bNOT\s*$""".r
+        .findFirstMatchIn(sql.substring(0, at))
+      val neg = notM.isDefined
+      val lhsEnd = notM.map(_.group(1).length).getOrElse(at)
+      val lhsStart = arrowLhsStart(sql, lhsEnd)
+      val rhsM = """^\s*('([^']|'')*'|[\w.$]+\s*\([^()]*\)|[\w.$]+|\([^()]*\))"""
+        .r.findPrefixMatchOf(sql.substring(at + kw.length))
+      if (lhsStart >= 0 && lhsStart < lhsEnd && rhsM.isDefined) {
+        val lhs = sql.substring(lhsStart, lhsEnd).trim
+        val rhs = rhsM.get.group(1)
+        sql = sql.substring(0, lhsStart) + mk(lhs, rhs, neg) +
+          sql.substring(at + kw.length + rhsM.get.end)
+      } else return sql
+    }
+    sql
+  }
+
   private def arrowLhsStart(s: String, op: Int): Int = {
     var j = op - 1
     while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
@@ -2396,6 +2452,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = arrayLiterals(sql)
     // databend {k:v, ...} map literals -> map(k, v, ...)
     sql = mapLiterals(sql)
+    // MySQL/databend infix XOR (ast expr.rs BinaryOperator::Xor) —
+    // Spark's parser has no XOR keyword; lower `a XOR b` onto the
+    // registered xor() function (quote/paren-aware primary operands)
+    sql = rewriteInfixXor(sql)
     // databend `SELECT * EXCLUDE (c1, ...)` -> Spark's `* EXCEPT (...)`
     sql = sql.replaceAll("(?i)\\*\\s+EXCLUDE\\s*\\(", "* EXCEPT (")
     // databend's zero-arg count() (aggregator.rs) -> count(*)
@@ -5201,9 +5261,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val args =
         if (parts.length == 3 && isTs &&
             """(?i)interval|make_""".r.findFirstIn(parts(2)).isEmpty) {
-          val s = s"(${parts(2)})"
-          // 1.0* floats the chain so an int-literal product can't
-          // overflow under ANSI
+          // bare int literals get the L suffix so a literal product
+          // (12 * 3600 * 1000000) computes in BIGINT — the outer 1.0*
+          // floats only the top-level multiply, not the inner chain
+          val s = "(" + parts(2).replaceAll(
+            "(?<![\\w.])(\\d+)(?![\\w.Ll])", "$1L") + ")"
           (parts.take(2) :+ ("make_dt_interval(0, 0, 0, CASE " +
             s"WHEN abs(1.0 * $s) < 1000 THEN 1.0 * $s " +
             s"WHEN abs(1.0 * $s) < 1000000 THEN (1.0 * $s) / 1e3 " +

@@ -676,6 +676,7 @@ object DatetimeSemantics {
   /** CURRENT_TIME([p]) — the reference renders a VARCHAR time-of-day
     * (types.rs has no TIME type; ast maps it to a string render)
     */
+  // (TruncDispatch lives at file scope below)
   private def currentTimeBuilder(a: Seq[Expression]): Expression = {
     val digits = a.headOption.collect {
       case Literal(v, _) if v != null => v.toString.toInt
@@ -687,8 +688,19 @@ object DatetimeSemantics {
   /** expression-tier registrations for this module */
   val rewrites: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "typeof" -> (a => TypeOfDatabend(a.head)),
-    "trunc" -> (a => if (a.length == 2) truncBuilder(a)
-                     else TruncDate(Cast(a.head, DateType), Literal("mm"))),
+    // TRUNC is overloaded in the reference: TRUNC(number[, digits])
+    // truncates toward zero (math.rs truncate), TRUNC(date[, unit])
+    // truncates the date. A numeric/absent second arg dispatches on
+    // the first arg's RESOLVED type (TruncDispatch); a unit keyword
+    // or string goes straight to the date tier.
+    "trunc" -> (a =>
+      if (a.length == 2 && (a(1) match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(_) => true
+        case Literal(v, StringType) if v != null => true
+        case _ => false
+      })) truncBuilder(a)
+      else TruncDispatch(a.head,
+        if (a.length > 1) Cast(a(1), IntegerType) else Literal(0))),
     "current_time" -> currentTimeBuilder,
     "graft_current_time" -> currentTimeBuilder,
     // 1-arg to_date/to_timestamp carry the reference's numeric and
@@ -740,4 +752,31 @@ object DatetimeSemantics {
       ()
     }
   }
+}
+
+/** TRUNC(x[, d]) overload dispatch on the RESOLVED first-arg type:
+  * numeric input truncates toward zero at scale d (reference math.rs
+  * truncate — TRUNC(10.6) = 10, TRUNC(1.234, 2) = 1.23,
+  * TRUNC(150.45, -2) = 100); anything else takes the date tier
+  * (TRUNC(date) = month start, matching the registered 1-arg form).
+  * Replacement is built from CONCRETE expressions only — the analyzer
+  * never revisits a RuntimeReplaceable's lazily-built tree.
+  */
+case class TruncDispatch(x: Expression, d: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def left: Expression = x
+  override def right: Expression = d
+  override lazy val replacement: Expression = x.dataType match {
+    case _: NumericType =>
+      val xd = Cast(x, DoubleType)
+      val p = Pow(Literal(10.0), Cast(d, DoubleType))
+      Multiply(
+        new Signum(xd),
+        Divide(Cast(Floor(Multiply(Abs(xd), p)), DoubleType), p))
+    case _ => TruncDate(Cast(x, DateType), Literal("mm"))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TruncDispatch =
+    copy(x = newLeft, d = newRight)
 }

@@ -61,6 +61,44 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def isBool(e: Expression): Boolean =
     e.resolved && e.dataType == BooleanType
 
+  private def isStr(e: Expression): Boolean =
+    e.resolved && e.dataType == StringType
+
+  /** unwrap an ANALYZER-INSERTED cast hiding a string/bool operand
+    * (in-batch race: TypeCoercion may coerce a comparison before this
+    * rule sees it); user-written casts stay
+    */
+  private def deCast(e: Expression): Expression = e match {
+    case c @ Cast(ch, _, _, _)
+        if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty && ch.resolved &&
+          (ch.dataType == StringType || ch.dataType == BooleanType) => ch
+    case other => other
+  }
+
+  /** SQL LIKE pattern -> java regex honoring an arbitrary escape char
+    * (the reference accepts `esc`+ANY char as that literal char; Spark
+    * rejects escape before anything but %, _ or the escape itself)
+    */
+  private def likeToRegex(pat: String, esc: Char): String = {
+    val sb = new StringBuilder("(?s)^")
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == esc && i + 1 < pat.length) {
+        sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString))
+        i += 2
+      } else {
+        c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append(".")
+          case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+        }
+        i += 1
+      }
+    }
+    sb.append("$").toString
+  }
+
   private def isVariantish(e: Expression): Boolean =
     e.resolved && (e.dataType == VariantType || e.dataType == NullType)
 
@@ -376,27 +414,116 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           VariantGetDyn(c, k, asText = false)
         // `'...'::json` parses in the reference (variant.rs cast);
         // Spark's string→variant cast wraps the text as a variant
-        // string scalar instead
-        case Cast(child, VariantType, tz, mode) if child.resolved &&
-            child.dataType == StringType =>
+        // string scalar instead. USER casts only: an ANALYZER-inserted
+        // string→variant cast is comparison lifting, where the
+        // reference wraps the string as a variant string scalar
+        // (parse_json('"ab"') = 'ab' is true) — exactly Spark's native
+        // cast, so it passes through. (DML variant columns parse
+        // explicitly in GraftSql.alignCast.)
+        case c0 @ Cast(child, VariantType, tz, mode) if child.resolved &&
+            child.dataType == StringType &&
+            c0.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined =>
           UnresolvedFunction("parse_json", Seq(child), isDistinct = false)
         case And(l, r) if isNum(l) => And(truthy(l), r)
         case And(l, r) if isNum(r) => And(l, truthy(r))
         case Or(l, r) if isNum(l) => Or(truthy(l), r)
         case Or(l, r) if isNum(r) => Or(l, truthy(r))
         case Not(c) if isNum(c) => Not(truthy(c))
-        case e @ EqualTo(l, r) if isBool(l) && isNum(r) =>
-          EqualTo(Cast(l, r.dataType), r)
-        case e @ EqualTo(l, r) if isNum(l) && isBool(r) =>
-          EqualTo(l, Cast(r, l.dataType))
-        case e @ LessThan(l, r) if isBool(l) && isNum(r) =>
-          LessThan(Cast(l, r.dataType), r)
-        case e @ LessThan(l, r) if isNum(l) && isBool(r) =>
-          LessThan(l, Cast(r, l.dataType))
-        case e @ GreaterThan(l, r) if isBool(l) && isNum(r) =>
-          GreaterThan(Cast(l, r.dataType), r)
-        case e @ GreaterThan(l, r) if isNum(l) && isBool(r) =>
-          GreaterThan(l, Cast(r, l.dataType))
+        // VARIANT comparison (reference jsonb type-then-value compare,
+        // variant.rs register_comparison): both sides lower onto the
+        // order-preserving rank key; a non-variant side lifts through
+        // to_variant first (parse_json('2') > 1 is true; variants of
+        // different jsonb types order by type rank)
+        case cmp: BinaryComparison
+            if cmp.left.resolved && cmp.right.resolved &&
+              (cmp.left.dataType == VariantType ||
+               cmp.right.dataType == VariantType) &&
+              Seq(cmp.left, cmp.right).forall(e => e.dataType match {
+                case VariantType | StringType | BooleanType | NullType => true
+                case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+                     _: FloatType | _: DoubleType | _: DecimalType => true
+                case _ => false
+              }) =>
+          def key(e: Expression): Expression = {
+            val txt = e.dataType match {
+              case VariantType => JsonTextDispatch(e)
+              // plain string lifts to a variant STRING scalar — its
+              // json text is the QUOTED form (to_variant would
+              // parse_json and reject non-json text)
+              case StringType =>
+                UnresolvedFunction("json_quote_str", Seq(e), isDistinct = false)
+              // numbers/bools/null: the cast text IS the json text
+              case _ => Cast(e, StringType)
+            }
+            UnresolvedFunction("variant_rank_key", Seq(txt), isDistinct = false)
+          }
+          cmp.withNewChildren(Seq(key(cmp.left), key(cmp.right)))
+        // numeric vs BOOLEAN comparison: the reference converts the
+        // NUMBER to a boolean (nonzero test) and compares booleans —
+        // `10 = true` is true, `number = true` matches every nonzero
+        // row (02_0005_function_compare) — not MySQL's bool-to-1 cast.
+        // deCast: TypeCoercion may win the in-batch race and hide the
+        // string/bool side under an implicit cast — unwrap it (user
+        // casts carry USER_SPECIFIED_CAST and stay).
+        case cmp0: BinaryComparison
+            if cmp0.left.resolved && cmp0.right.resolved && {
+              val (l, r) = (deCast(cmp0.left), deCast(cmp0.right))
+              (isBool(l) && isNum(r)) || (isNum(l) && isBool(r)) ||
+                (isNum(l) && isStr(r)) || (isStr(l) && isNum(r))
+            } =>
+          val cmp = cmp0.withNewChildren(
+            Seq(deCast(cmp0.left), deCast(cmp0.right)))
+            .asInstanceOf[BinaryComparison]
+          def integral(e: Expression) = e.dataType match {
+            case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+            case _ => false
+          }
+          // STRING vs numeric: the reference compares numerically as
+          // float64 ('3.0' = 3 true, '3.1' = 3 false); an integral
+          // literal against an integral side keeps the exact
+          // (pushdown-friendly) typed-literal form
+          def fix(s: Expression, other: Expression): Expression = s match {
+            case Literal(v, StringType) if v != null && integral(other) &&
+                scala.util.Try(v.toString.trim.toLong).isSuccess =>
+              Literal(v.toString.trim.toLong)
+            case _ => Cast(s, DoubleType)
+          }
+          (cmp.left, cmp.right) match {
+            case (l, r) if isBool(l) && isNum(r) =>
+              cmp.withNewChildren(Seq(l, truthy(r)))
+            case (l, r) if isNum(l) && isBool(r) =>
+              cmp.withNewChildren(Seq(truthy(l), r))
+            case (l, r) if isStr(l) =>
+              cmp.withNewChildren(Seq(fix(l, r), r))
+            case (l, r) =>
+              cmp.withNewChildren(Seq(l, fix(r, l)))
+          }
+        // VARIANT input to LIKE: complex patterns traverse nested
+        // string values, simple ones match a string scalar's unquoted
+        // text (comparison.rs variant like — see [[VariantLike]])
+        case lk: Like
+            if lk.left.resolved && unwrapToVariant(lk.left).isDefined =>
+          UnresolvedFunction("variant_like_impl",
+            Seq(JsonTextDispatch(unwrapToVariant(lk.left).get), lk.right,
+              Literal(lk.escapeChar.toString)), isDistinct = false)
+        // LIKE whose literal pattern escapes a char Spark rejects
+        // (escape before anything but % _ or the escape itself): the
+        // reference treats esc+ANY as that literal char — lower onto
+        // an equivalent anchored regex
+        case lk @ Like(l, Literal(p, StringType), esc)
+            if p != null && {
+              val s = p.toString
+              var i = 0; var bad = false
+              while (i < s.length - 1) {
+                if (s.charAt(i) == esc) {
+                  val n = s.charAt(i + 1)
+                  if (n != '%' && n != '_' && n != esc) bad = true
+                  i += 2
+                } else i += 1
+              }
+              bad
+            } =>
+          RLike(l, Literal(likeToRegex(p.toString, esc)))
       }
     }
   }

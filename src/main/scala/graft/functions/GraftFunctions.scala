@@ -1084,6 +1084,13 @@ object GraftFunctions {
     // order-preserving VARIANT sort key (GraftCoercionRule min/max/
     // ORDER BY/array_sort over variant; reference jsonb compare)
     spark.udf.register("variant_rank_key", udf((s: String) => VariantRank.key(s)))
+    // json text of a plain string scalar (rank-key lifting of a
+    // non-variant comparison operand: 'ab' -> "\"ab\"")
+    spark.udf.register("json_quote_str", udf((s: String) =>
+      if (s == null) null else JsonFlatten.mapper.writeValueAsString(s)))
+    // reference variant LIKE (comparison.rs variant like; VariantLike)
+    spark.udf.register("variant_like_impl",
+      udf((j: String, p: String, e: String) => VariantLike.like(j, p, e)))
     spark.udf.register("sub_bitmap",
       udf((a: Array[Byte], off: Int, len: Int) => BitmapAggs.subBitmap(a, off, len)))
     spark.udf.register("bitmap_subset_in_range",

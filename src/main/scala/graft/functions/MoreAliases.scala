@@ -153,6 +153,13 @@ object MoreAliases {
       "lt" -> (a => LessThan(a.head, a(1))),
       "lte" -> (a => LessThanOrEqual(a.head, a(1))),
       "xor" -> (a => Not(EqualTo(cast(a.head, BooleanType), cast(a(1), BooleanType)))),
+      // reference math.rs factorial: defined on 0..=20 (21! overflows
+      // int64) and ERRORS outside — Spark's builtin returns NULL
+      "factorial" -> (a => ErrIf(
+        Or(LessThan(cast(a.head, LongType), Literal(0L)),
+           GreaterThan(cast(a.head, LongType), Literal(20L))),
+        Factorial(cast(a.head, IntegerType)),
+        "1006: factorial is defined for 0..20 only")),
       // numeric truncate-toward-zero at scale d (reference math.rs
       // truncate; NOT Spark's date trunc)
       "truncate" -> (a => {
@@ -169,6 +176,9 @@ object MoreAliases {
       "isinf" -> (a => Or(
         EqualTo(cast(a.head, DoubleType), Literal(Double.PositiveInfinity)),
         EqualTo(cast(a.head, DoubleType), Literal(Double.NegativeInfinity)))),
+      // Spark's IsNaN returns false for NULL; the reference propagates
+      "isnan" -> (a => If(IsNull(a.head),
+        Literal(null, BooleanType), IsNaN(cast(a.head, DoubleType)))),
       // two's-complement octal (MySQL OCT; conv() saturates at
       // Long.MinValue) — string.rs oct
       "oct" -> (a => f("oct_impl", cast(a.head, LongType))),

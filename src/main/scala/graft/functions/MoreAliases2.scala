@@ -94,9 +94,15 @@ object MoreAliases2 {
       "json_path_exists", "json_path_match")(name)
 
   val rewrites: Map[String, Seq[Expression] => Expression] = Map[String, Seq[Expression] => Expression](
-    // variadic boolean sugar (reference and_filters/or_filters)
-    "and_filters" -> (a => a.map(cast(_, BooleanType)).reduce(And(_, _))),
-    "or_filters" -> (a => a.map(cast(_, BooleanType)).reduce(Or(_, _))),
+    // variadic boolean sugar (reference and_filters/or_filters) —
+    // FILTER semantics: a NULL operand counts as false (the reference
+    // returns false, not NULL, for or_filters(false, false, null))
+    "and_filters" -> (a => a.map(x =>
+      Coalesce(Seq(cast(x, BooleanType), Literal(false))): Expression)
+      .reduce(And(_, _))),
+    "or_filters" -> (a => a.map(x =>
+      Coalesce(Seq(cast(x, BooleanType), Literal(false))): Expression)
+      .reduce(Or(_, _))),
 
     // benchmark sink: evaluates to constant FALSE whatever the args
     // (reference scalars/other.rs:199-215 FunctionFactory "ignore")

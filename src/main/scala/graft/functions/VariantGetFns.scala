@@ -178,3 +178,91 @@ object VariantRank {
     out.toByteArray
   }
 }
+
+/** Reference variant LIKE (comparison.rs variant_vectorize_like_jsonb):
+  * a COMPLEX pattern (any unescaped `_`, a mid-string `%`, or any
+  * escaped wildcard) traverses every nested STRING value and matches
+  * if any does; a SIMPLE pattern (exact / prefix% / %suffix /
+  * %infix%... no — infix is complex too, see
+  * variant_like_requires_traversal) matches only a top-level string
+  * scalar's unquoted text (a non-string variant is false). A custom
+  * ESCAPE char is normalized to backslash first
+  * (convert_escape_pattern).
+  */
+object VariantLike {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def normalizeEscape(pat: String, esc: String): String =
+    if (esc == null || esc.isEmpty || esc == "\\") pat
+    else {
+      val e = esc.charAt(0)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        val c = pat.charAt(i)
+        if (c == e && i + 1 < pat.length) {
+          sb.append('\\').append(pat.charAt(i + 1)); i += 2
+        } else if (c == '\\') { sb.append("\\\\"); i += 1 }
+        else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** comparison.rs variant_like_requires_traversal: true unless the
+    * pattern is exact / starts-with / ends-with / surround-by-percent
+    * with NO escaped wildcards... the reference additionally keeps
+    * traversal for escaped exact/prefix/suffix forms.
+    */
+  private def requiresTraversal(p: String): Boolean = {
+    // any escaped wildcard forces traversal
+    if (p.sliding(2).exists(w => w.length == 2 && w(0) == '\\' &&
+      (w(1) == '%' || w(1) == '_' || w(1) == '\\'))) return true
+    // simple (string-scalar-only) patterns: constant, 'xxx%', '%xxx' —
+    // no `_`, and `%` only at exactly one boundary; everything else
+    // (mid-string %, both-end %, any _) traverses nested strings
+    if (p.contains('_')) return true
+    val lead = p.startsWith("%")
+    val trail = p.endsWith("%") && !p.endsWith("\\%")
+    val inner = p.substring(if (lead) 1 else 0,
+      p.length - (if (trail && p.length > (if (lead) 1 else 0)) 1 else 0))
+    inner.contains('%') || (lead && trail)
+  }
+
+  private def likeRegex(p: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder("(?s)^")
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) {
+        sb.append(java.util.regex.Pattern.quote(p.charAt(i + 1).toString)); i += 2
+      } else {
+        c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append(".")
+          case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+        }
+        i += 1
+      }
+    }
+    java.util.regex.Pattern.compile(sb.append("$").toString)
+  }
+
+  private def anyString(n: com.fasterxml.jackson.databind.JsonNode,
+      p: java.util.regex.Pattern): Boolean = {
+    import scala.jdk.CollectionConverters._
+    if (n.isTextual) p.matcher(n.asText).matches()
+    else if (n.isArray || n.isObject) n.elements().asScala.exists(anyString(_, p))
+    else false
+  }
+
+  def like(jsonText: String, pat0: String, esc: String): java.lang.Boolean = {
+    if (jsonText == null || pat0 == null) return null
+    val pat = normalizeEscape(pat0, esc)
+    val rx = likeRegex(pat)
+    val node = try mapper.readTree(jsonText)
+               catch { case _: Exception => return rx.matcher(jsonText).matches() }
+    if (requiresTraversal(pat)) anyString(node, rx)
+    else if (node.isTextual) rx.matcher(node.asText).matches()
+    else false
+  }
+}
