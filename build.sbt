@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the container's default locale is C (ASCII): file paths and
+// sun.jnu conversions would mangle unicode table names
+Test / envVars += ("LC_ALL" -> "C.utf8")
+run / envVars += ("LC_ALL" -> "C.utf8")
 // pass forked-app stdout through verbatim (no [info] prefix) so the
 // one-line JSON from Bench/Verify stays machine-parseable
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
@@ -29,5 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container runs LANG=C: without this, every default-charset
+  // hop (variant json parse/render included) mangles non-ASCII
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
+  "-Dstdout.encoding=UTF-8",
+  "-Dstderr.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

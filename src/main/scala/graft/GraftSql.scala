@@ -1431,6 +1431,57 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   /** start index of the primary expression ending just before `op`
     * (identifier chain, quoted ident, or call/paren/subscript group)
     */
+  /** Multiple `unnest(...)` items in ONE select list iterate in
+    * LOCKSTEP in the reference (PostgreSQL multi-SRF semantics:
+    * `SELECT unnest(a) AS x, unnest(b) AS y` zips positionally,
+    * padding the shorter with NULL) — independent explodes would make
+    * a cross product. Lowered onto one explode over an index-zipped
+    * struct array; WHERE stays pre-explode, ORDER/LIMIT post.
+    */
+  private def rewriteZipUnnest(sql0: String): String = {
+    if ("""(?i)\bunnest\s*\(""".r.findAllIn(sql0).length < 2) return sql0
+    val selM = """(?is)^\s*SELECT\s+""".r.findPrefixMatchOf(sql0).getOrElse(return sql0)
+    val listStart = selM.end
+    val listEnd = clauseEnd(sql0, listStart, Set("FROM"))
+    if (listEnd >= sql0.length) return sql0
+    val items = splitTopLevel(sql0.substring(listStart, listEnd), ',')
+    val uRe = """(?is)^unnest\s*\((.*)\)\s*(?:(?:AS\s+)?(\w+))?\s*$""".r
+    case class U(idx: Int, expr: String, alias: Option[String])
+    val us = items.zipWithIndex.flatMap { case (it, i) =>
+      uRe.findFirstMatchIn(it.trim).map(m =>
+        U(i, m.group(1), Option(m.group(2))))
+    }
+    if (us.length < 2) return sql0
+    val rest = sql0.substring(listEnd)
+    if (Seq("GROUP", "HAVING", "QUALIFY", "WINDOW")
+        .exists(k => indexOfKeyword(rest, k) >= 0)) return sql0
+    val outerCut = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(k => indexOfKeyword(rest, k)).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(rest.length)
+    val inner = rest.substring(0, outerCut).trim.stripSuffix(";")
+    val outerTail = rest.substring(outerCut)
+    val sizes = us.map(u => s"size(${u.expr})").mkString(", ")
+    val fields = us.zipWithIndex.map { case (u, k) =>
+      s"try_element_at(${u.expr}, __zi) AS __zc$k" }.mkString(", ")
+    // slice truncates the probe row when every array is empty/null
+    val zipped = s"slice(transform(sequence(1, greatest($sizes, 1)), " +
+      s"__zi -> struct($fields)), 1, greatest($sizes, 0))"
+    val newItems = items.zipWithIndex.map { case (it0, i) =>
+      val it = it0.trim
+      us.find(_.idx == i) match {
+        case Some(u) =>
+          val k = us.indexWhere(_.idx == i)
+          s"__zr.__zc$k AS ${u.alias.getOrElse("unnest")}"
+        case None if it == "*" => "* EXCEPT (__zr)"
+        case None if """(?is)^\*\s+(EXCLUDE|EXCEPT)\s*\(.*\)$""".r.matches(it) =>
+          it.patch(it.lastIndexOf(')'), ", __zr", 0)
+        case None => it
+      }
+    }
+    s"SELECT ${newItems.mkString(", ")} FROM (SELECT *, " +
+      s"explode($zipped) AS __zr $inner) __zq $outerTail"
+  }
+
   /** Infix operator keywords Spark's parser lacks or resolves with the
     * wrong semantics, lowered onto registered functions:
     *   `a XOR b`            -> xor(a, b)
@@ -1485,6 +1536,32 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       } else return sql
     }
     sql
+  }
+
+  /** databend's lexer takes bare unicode identifiers (`SELECT 1 AS
+    * 中文`, tables/columns named in CJK — alias/unicode_ident suite);
+    * Spark's unquoted-identifier grammar is ASCII — backtick-quote
+    * every identifier run containing a non-ASCII letter (outside
+    * string/backtick literals).
+    */
+  private def quoteUnicodeIdents(sql: String): String = {
+    if (!sql.exists(_ > 127.toChar)) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0; var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { sb.append(c); if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; sb.append(c); i += 1 }
+      else if (Character.isLetter(c) || c == '_') {
+        val start = i
+        while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
+          sql.charAt(i) == '_')) i += 1
+        val word = sql.substring(start, i)
+        if (word.exists(_ > 127.toChar)) sb.append('`').append(word).append('`')
+        else sb.append(word)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def arrowLhsStart(s: String, op: Int): Int = {
@@ -1557,6 +1634,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     s = stripBlockComments(s).trim.stripSuffix(";").trim
     s = stripLineComments(s).trim.stripSuffix(";").trim
     s = preserveUnknownEscapes(s)
+    s = quoteUnicodeIdents(s)
     // $name / getvariable('name') -> stored literals (except inside a
     // SET VARIABLE statement itself, whose RHS must evaluate fresh,
     // and CREATE POLICY bodies, which re-bind GETVARIABLE at every
@@ -2181,6 +2259,21 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // Spark uses backticks — convert outside string literals first so
     // every later pass sees one identifier spelling
     var sql = identQuotes(sql0)
+    // a bare VALUES query (e.g. a CTAS body `... AS VALUES (1),(2)`)
+    // names its columns col0.. 0-based in the reference (Spark: col1..)
+    if ("""(?is)^\s*VALUES\s*\(.*""".r.matches(sql)) {
+      val body = sql.trim.stripSuffix(";")
+      val rowsTxt = body.replaceAll("(?is)^\\s*VALUES\\s*", "")
+      val arity = splitTopLevel(rowsTxt, ',').headOption.map(_.trim) match {
+        case Some(r) if r.startsWith("(") && matchParen(r, 0) == r.length - 1 =>
+          splitTopLevel(r.substring(1, r.length - 1), ',').length
+        case _ => -1
+      }
+      if (arity > 0) {
+        val cols = (0 until arity).map(i => s"col$i").mkString(", ")
+        sql = s"SELECT * FROM ($body) __vals($cols)"
+      }
+    }
     // databend's default null ordering is NULLS LAST in BOTH sort
     // directions; Spark's ASC default is NULLS FIRST — make it explicit
     sql = rewriteOrderNulls(sql)
@@ -2328,7 +2421,20 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             if (close < 0) go = false
             else {
               val args = s2.substring(open + 1, close)
-              val rep = s"${m.group(1)}${m.group(2)}(SELECT id AS `range` FROM range($args))"
+              // Spark's range TVF wants FOLDABLE args; non-literal
+              // ones (scalar subqueries, casts) take the sequence path
+              val parts = splitTopLevel(args, ',').map(_.trim)
+              val foldable = parts.forall(_.matches("""(?i)-?\d+[lL]?"""))
+              val rep =
+                if (foldable)
+                  s"${m.group(1)}${m.group(2)}(SELECT id AS `range` FROM range($args))"
+                else {
+                  val step = if (parts.length >= 3) parts(2) else "1"
+                  s"${m.group(1)}${m.group(2)}(SELECT explode(sequence(" +
+                    s"CAST((${parts(0)}) AS BIGINT), " +
+                    s"CAST((${parts(1)}) AS BIGINT) - CAST(sign($step) AS BIGINT), " +
+                    s"CAST(($step) AS BIGINT))) AS `range`)"
+                }
               s2 = s2.substring(0, from + m.start) + rep + s2.substring(close + 1)
               from = from + m.start + rep.length
             }
@@ -2452,6 +2558,8 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     sql = arrayLiterals(sql)
     // databend {k:v, ...} map literals -> map(k, v, ...)
     sql = mapLiterals(sql)
+    // multiple select-position unnest() items zip in lockstep
+    sql = rewriteZipUnnest(sql)
     // MySQL/databend infix XOR (ast expr.rs BinaryOperator::Xor) —
     // Spark's parser has no XOR keyword; lower `a XOR b` onto the
     // registered xor() function (quote/paren-aware primary operands)
@@ -2496,6 +2604,41 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         .replaceAll(s"(?i)\\b(as\\s+)$from\\b", s"$$1$to")
     // MySQL CAST(x AS SIGNED|UNSIGNED [INTEGER]) — cast context only
     sql = rewriteSignedCasts(sql)
+    // `CAST(x AS <type> [NOT] NULL)` — databend nullability markers on
+    // the cast target type; Spark's grammar has no slot for them
+    sql = sql.replaceAll(
+      "(?i)\\b(AS\\s+\\w+(\\s*\\(\\s*\\d+(\\s*,\\s*\\d+)?\\s*\\))?)\\s+(NOT\\s+)?NULL\\s*\\)",
+      "$1)")
+    // `LIKE p ESCAPE ''` — an empty escape string means NO escape
+    // char (the reference accepts it); Spark rejects at parse time
+    sql = sql.replaceAll("(?i)\\s+ESCAPE\\s+''", "")
+    // `x LIKE ANY|SOME|ALL (SELECT ...)` — pattern SUBQUERY form
+    // (issues/issue_19562): EXISTS over the correlated LIKE
+    sql = {
+      var s2 = sql
+      val re = """(?i)\bLIKE\s+(ANY|SOME|ALL)\s*\(\s*SELECT\b""".r
+      var guard = 0
+      var m0 = re.findFirstMatchIn(s2)
+      while (m0.isDefined && guard < 20) {
+        guard += 1
+        val m = m0.get
+        val open = s2.indexOf('(', m.start)
+        val close = matchParen(s2, open)
+        val lhsStart = arrowLhsStart(s2, m.start)
+        if (lhsStart < 0 || lhsStart >= m.start) m0 = None
+        else {
+          val lhs = s2.substring(lhsStart, m.start).trim
+          val sub = s2.substring(open + 1, close)
+          val all = m.group(1).equalsIgnoreCase("ALL")
+          val rep =
+            if (all) s"NOT EXISTS (SELECT 1 FROM ($sub) __lp(__p) WHERE NOT ($lhs LIKE __p))"
+            else s"EXISTS (SELECT 1 FROM ($sub) __lp(__p) WHERE $lhs LIKE __p)"
+          s2 = s2.substring(0, lhsStart) + rep + s2.substring(close + 1)
+          m0 = re.findFirstMatchIn(s2)
+        }
+      }
+      s2
+    }
     // ::vector(N) — fixed-dim f32 embedding cast (vector_index suite)
     sql = sql.replaceAll("(?i)::\\s*vector\\s*\\(\\s*\\d+\\s*\\)", "::array<float>")
     // HAVING without GROUP BY filters like WHERE when it references no
@@ -3272,10 +3415,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       .replaceAll("(?i)::\\s*unsigned(\\s+integer)?\\b", "::decimal(20,0)")
       .replaceAll("(?i)::\\s*signed(\\s+integer)?\\b", "::bigint")
     if ("""(?i)\bas\s+(un)?signed\b""".r.findFirstIn(sql).isEmpty) return sql
-    val castRe = """(?i)\b(?:try_)?cast\s*\(""".r
+    val castRe = """(?i)\b(try_)?cast\s*\(""".r
     // greedy .* anchors on the LAST top-level AS — the type position
     // of THIS cast (nested casts get their own castRe match)
-    val tailRe = """(?is)^(.*\bAS\s+)(SIGNED|UNSIGNED)(\s+INTEGER)?(\s*)$""".r
+    val tailRe = """(?is)^(.*)\b(AS\s+)(SIGNED|UNSIGNED)(\s+INTEGER)?(\s*)$""".r
     var changed = true
     var guard = 0
     while (changed && guard < 200) {
@@ -3287,11 +3430,21 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         val close = matchParen(sql, open)
         if (close > open) {
           tailRe.findFirstMatchIn(sql.substring(open + 1, close)).foreach { t =>
-            val mapped =
-              if (t.group(2).equalsIgnoreCase("signed")) "bigint"
-              else "decimal(20,0)"
-            sql = sql.substring(0, open + 1) + t.group(1) + mapped +
-              t.group(4) + sql.substring(close)
+            val isTry = m.group(1) != null
+            val unsigned = t.group(3).equalsIgnoreCase("unsigned")
+            if (isTry && unsigned) {
+              // try_cast to UNSIGNED of a NEGATIVE value is NULL in
+              // the reference; decimal(20,0) would happily hold it
+              val e = t.group(1).trim
+              sql = sql.substring(0, m.start) +
+                s"(CASE WHEN try_cast(($e) AS decimal(20,0)) < 0 THEN NULL " +
+                s"ELSE try_cast(($e) AS decimal(20,0)) END)" +
+                sql.substring(close + 1)
+            } else {
+              val mapped = if (unsigned) "decimal(20,0)" else "bigint"
+              sql = sql.substring(0, open + 1) + t.group(1) + t.group(2) +
+                mapped + t.group(5) + sql.substring(close)
+            }
             changed = true
           }
         }

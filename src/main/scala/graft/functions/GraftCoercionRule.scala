@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Max, MaxBy, Min, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
+import scala.collection.mutable
 
 /** Reference coercion/navigation semantics beyond the datetime tier
   * (see [[DatetimeCoercionRule]]):
@@ -185,6 +186,33 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val p1 = plan.resolveOperatorsUp {
       case f @ Filter(cond, child) if isNum(cond) =>
         Filter(truthy(cond), child)
+      // Spark rejects NON-DETERMINISTIC expressions inside aggregate
+      // arguments (uniq(gen_random_uuid())); the reference evaluates
+      // them per input row — hoist them into a pre-aggregation Project
+      case agg: Aggregate
+          if agg.resolved && agg.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.children.exists(c => !c.deterministic)
+            case _ => false
+          }) =>
+        val pulled = mutable.Buffer[NamedExpression]()
+        val newAggs = agg.aggregateExpressions.map(_.transformUp {
+          case ae: AggregateExpression
+              if ae.aggregateFunction.children.exists(c => !c.deterministic) =>
+            val fn2 = ae.aggregateFunction.withNewChildren(
+              ae.aggregateFunction.children.map {
+                case c if !c.deterministic =>
+                  val al = Alias(c, s"__nondet${pulled.size}")()
+                  pulled += al
+                  al.toAttribute
+                case c => c
+              })
+            ae.copy(aggregateFunction =
+              fn2.asInstanceOf[AggregateFunction])
+        }.asInstanceOf[NamedExpression])
+        if (pulled.isEmpty) agg
+        else agg.copy(aggregateExpressions = newAggs,
+          child = Project(agg.child.output ++ pulled, agg.child))
       case s @ Sort(orders, global, child, hint)
           if orders.exists(o => o.child.resolved && o.child.dataType == VariantType) =>
         val fixed = orders.map { o =>
@@ -429,6 +457,16 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Or(l, r) if isNum(l) => Or(truthy(l), r)
         case Or(l, r) if isNum(r) => Or(l, truthy(r))
         case Not(c) if isNum(c) => Not(truthy(c))
+        // Spark rejects a NON-DETERMINISTIC aggregate FILTER
+        // (`count(*) FILTER (WHERE length(uuid()) = 36)`); the
+        // reference evaluates it per-row — equivalent CASE WHEN form
+        case ae @ AggregateExpression(fn, _, isDistinct, Some(filt), _)
+            if filt.resolved && !filt.deterministic &&
+              fn.children.length == 1 && !isDistinct =>
+          ae.copy(aggregateFunction = fn.withNewChildren(Seq(
+            CaseWhen(Seq(filt -> fn.children.head), None)))
+            .asInstanceOf[AggregateFunction],
+            filter = None)
         // VARIANT comparison (reference jsonb type-then-value compare,
         // variant.rs register_comparison): both sides lower onto the
         // order-preserving rank key; a non-variant side lifts through

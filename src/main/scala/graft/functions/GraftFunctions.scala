@@ -245,8 +245,21 @@ object GraftFunctions {
   private val combinators: Map[String, Seq[Expression] => Expression] =
     combinatorBases.flatMap { case (b, sparkName, ign) =>
       Seq(
-        s"${b}_if" -> ((a: Seq[Expression]) =>
-          unresolved(sparkName, a.init, filter = Some(a.last), ignoreNulls = ign)),
+        // single-value bases spell the condition as CASE WHEN instead
+        // of FILTER: Spark rejects a NON-DETERMINISTIC filter
+        // (count_if(length(uuid()) = 36) is legal in the reference),
+        // and agg(CASE WHEN c THEN x END) is value-identical
+        s"${b}_if" -> ((a: Seq[Expression]) => {
+          def caseWhen(v: Expression) =
+            org.apache.spark.sql.catalyst.expressions.CaseWhen(
+              Seq(org.apache.spark.sql.catalyst.expressions.Cast(a.last,
+                org.apache.spark.sql.types.BooleanType) -> v), None)
+          if (a.length == 2)
+            unresolved(sparkName, Seq(caseWhen(a.head)), ignoreNulls = ign)
+          else if (a.length == 1 && b == "count")
+            unresolved("count", Seq(caseWhen(Literal(1))))
+          else unresolved(sparkName, a.init, filter = Some(a.last), ignoreNulls = ign)
+        }),
         s"${b}_distinct" -> ((a: Seq[Expression]) =>
           unresolved(sparkName, a, distinct = true, ignoreNulls = ign)))
     }.toMap
@@ -282,11 +295,16 @@ object GraftFunctions {
       else throw new IllegalArgumentException(
         s"1065: if expects an odd argument count >= 3, got ${args.length}")),
     // count_if is both Spark's 1-arg builtin (count rows where pred)
-    // and databend's 2-arg combinator (count x where cond) — express
-    // both as count + FILTER so neither spelling shadows the other
-    "count_if" -> (args =>
-      if (args.length <= 1) unresolved("count", Seq(Literal(1)), filter = args.headOption)
-      else unresolved("count", args.init, filter = Some(args.last))),
+    // and databend's 2-arg combinator (count x where cond). CASE WHEN,
+    // not FILTER: Spark rejects a non-deterministic FILTER
+    // (count_if(length(uuid()) = 36) is legal in the reference)
+    "count_if" -> (args => {
+      val cond = org.apache.spark.sql.catalyst.expressions.Cast(
+        args.last, org.apache.spark.sql.types.BooleanType)
+      val v = if (args.length <= 1) Literal(1) else args.head
+      unresolved("count", Seq(
+        org.apache.spark.sql.catalyst.expressions.CaseWhen(Seq(cond -> v), None)))
+    }),
     // ---- aggregate surface (reference aggregates/aggregator.rs) ------
     // count_distinct(x, ...) = count(DISTINCT x, ...) — an identity
     // alias cannot express the DISTINCT flag, so it is a rewrite
@@ -1084,6 +1102,18 @@ object GraftFunctions {
     // order-preserving VARIANT sort key (GraftCoercionRule min/max/
     // ORDER BY/array_sort over variant; reference jsonb compare)
     spark.udf.register("variant_rank_key", udf((s: String) => VariantRank.key(s)))
+    // the reference's PERMISSIVE json text grammar (strict fast path
+    // first; see LenientJson) — try_ form nulls instead of erroring
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("parse_json",
+      a => LenientParseJson(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a.head, org.apache.spark.sql.types.StringType), tryMode = false),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("try_parse_json",
+      a => LenientParseJson(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a.head, org.apache.spark.sql.types.StringType), tryMode = true),
+      "scala_udf")
     // json text of a plain string scalar (rank-key lifting of a
     // non-variant comparison operand: 'ab' -> "\"ab\"")
     spark.udf.register("json_quote_str", udf((s: String) =>
@@ -1101,7 +1131,9 @@ object GraftFunctions {
       udf((b: Array[Byte]) => if (b == null) 0L else BitmapAggs.deser(b).getLongCardinality))
     // IPv4 conversions (reference scalars: inet_aton/inet_ntoa,
     // function_list.txt:36-37) — tiny non-hot-path UDFs
-    spark.udf.register("inet_aton", udf((s: String) =>
+    // *_impl stays permissive (NULL on malformed) for the try_ aliases;
+    // the bare names are STRICT like the reference (error 1006)
+    spark.udf.register("inet_aton_impl", udf((s: String) =>
       if (s == null) None
       else {
         val p = s.split('.')
@@ -1109,16 +1141,19 @@ object GraftFunctions {
         else try Some(p.foldLeft(0L)((acc, o) => acc * 256 + o.toInt))
         catch { case _: NumberFormatException => None }
       }))
+    for (strict <- Seq("inet_aton", "ipv4_string_to_num"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(strict,
+        args => {
+          def impl = UnresolvedFunction("inet_aton_impl", args, isDistinct = false)
+          ErrIf(org.apache.spark.sql.catalyst.expressions.And(
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                args.head, org.apache.spark.sql.types.StringType)),
+            org.apache.spark.sql.catalyst.expressions.IsNull(impl)),
+            impl, s"1006: invalid IPv4 address for $strict")
+        }, "scala_udf")
     spark.udf.register("inet_ntoa", udf((n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"))
-    spark.udf.register("ipv4_string_to_num", udf((s: String) =>
-      if (s == null) None
-      else {
-        val p = s.split('.')
-        if (p.length != 4) None
-        else try Some(p.foldLeft(0L)((acc, o) => acc * 256 + o.toInt))
-        catch { case _: NumberFormatException => None }
-      }))
     spark.udf.register("ipv4_num_to_string", udf((n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"))
     // geohash (reference geographic/geo.rs:145-196)

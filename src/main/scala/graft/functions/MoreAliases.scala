@@ -73,8 +73,9 @@ object MoreAliases {
     "bit_shift_right" -> "shiftright",
     "is_not_null" -> "isnotnull",
     "try_from_base64" -> "unbase64",
-    "try_inet_aton" -> "inet_aton",
-    "try_ipv4_string_to_num" -> "inet_aton",
+    // the bare names are strict (error on malformed); try_ stays NULL
+    "try_inet_aton" -> "inet_aton_impl",
+    "try_ipv4_string_to_num" -> "inet_aton_impl",
     "try_inet_ntoa" -> "inet_ntoa",
     "try_ipv4_num_to_string" -> "inet_ntoa",
     "strftime" -> "date_format")
@@ -665,16 +666,56 @@ object MoreAliases {
     // vector distances (reference scalars/vector.rs:60-172; arrays of
     // float/double; the benched ANN paths use the codegen'd zip_with
     // forms — these names are the scalar-call surface)
-    spark.udf.register("cosine_distance", udf((a: Seq[Double], b: Seq[Double]) => {
-      val d = dot(a, b)
-      val n = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
-      if (n == 0) 1.0 else 1.0 - d / n
-    }))
+    spark.udf.register("cosine_distance", udf((a: Seq[Double], b: Seq[Double]) =>
+      if (a == null || b == null) None
+      else {
+        val d = dot(a, b)
+        val n = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        Some(if (n == 0) 1.0 else 1.0 - d / n)
+      }))
     spark.udf.register("l2_distance", udf((a: Seq[Double], b: Seq[Double]) =>
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)))
+      if (a == null || b == null) None
+      else Some(math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))))
     spark.udf.register("l1_distance", udf((a: Seq[Double], b: Seq[Double]) =>
-      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum))
-    spark.udf.register("inner_product", udf((a: Seq[Double], b: Seq[Double]) => dot(a, b)))
+      if (a == null || b == null) None
+      else Some(a.zip(b).map { case (x, y) => math.abs(x - y) }.sum)))
+    spark.udf.register("inner_product", udf((a: Seq[Double], b: Seq[Double]) =>
+      if (a == null || b == null) None else Some(dot(a, b))))
+    // MySQL conv(): negative to_base renders SIGNED; negative from_base
+    // reads as |base|; unsigned 64-bit accumulation saturates at max
+    // (string.rs conv semantics)
+    spark.udf.register("conv_impl", udf((s0: String, from: Int, to: Int) => {
+      if (s0 == null) None
+      else {
+        val fb = math.abs(from); val tb = math.abs(to)
+        if (fb < 2 || fb > 36 || tb < 2 || tb > 36) None
+        else {
+          val s = s0.trim
+          val neg = s.startsWith("-")
+          val digits = (if (neg) s.substring(1) else s)
+          val valid = digits.takeWhile(c => Character.digit(c, fb) >= 0)
+          if (valid.isEmpty) Some("0")
+          else {
+            var v = 0L; var sat = false
+            for (c <- valid) {
+              val d = Character.digit(c, fb)
+              val nv = v * fb + d
+              if (!sat && java.lang.Long.compareUnsigned(nv, v) < 0) sat = true
+              v = nv
+            }
+            if (sat) v = -1L
+            if (neg) v = -v
+            Some(
+              if (to < 0) java.lang.Long.toString(v, tb).toUpperCase
+              else java.lang.Long.toUnsignedString(v, tb).toUpperCase)
+          }
+        }
+      }
+    }))
+    reg.createOrReplaceTempFunction("conv",
+      a => UnresolvedFunction("conv_impl", Seq(cast(a.head, StringType),
+        cast(a(1), IntegerType), cast(a(2), IntegerType)),
+        isDistinct = false), "scala_udf")
     // haversine(lat1, lon1, lat2, lon2) in km (reference geo.rs)
     spark.udf.register("haversine", udf((lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
       val dLat = math.toRadians(lat2 - lat1) / 2

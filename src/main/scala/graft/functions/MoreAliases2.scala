@@ -189,10 +189,12 @@ object MoreAliases2 {
     "to_interval" -> (a => cast(a.head, CalendarIntervalType)),
     "try_to_interval" -> (a => Cast(a.head, CalendarIntervalType, None, EvalMode.TRY)),
 
-    // variant accessors (Spark 4 native VARIANT)
-    "to_variant" -> (a =>
+    // variant accessors (Spark 4 native VARIANT); a SQL NULL input
+    // yields SQL NULL (variant.rs to_variant), not a json-null variant
+    "to_variant" -> (a => CaseWhen(
+      Seq((IsNull(a.head), Literal.create(null, VariantType))),
       f("variant_get", f("parse_json", f("to_json", CreateArray(Seq(a.head)))),
-        Literal("$[0]"), Literal("variant"))),
+        Literal("$[0]"), Literal("variant")))),
     "as_object" -> (a => CaseWhen(Seq((
       f("startswith", f("schema_of_variant", a.head), Literal("OBJECT")),
       a.head)), None)),

@@ -106,8 +106,10 @@ object Slt {
   def formatCell(v: Any, zone: java.time.ZoneId): String = v match {
     case null => "NULL"
     case vv: org.apache.spark.unsafe.types.VariantVal =>
-      try sortedJson(graft.functions.JsonFlatten.mapper.readTree(vv.toString)).toString
-      catch { case _: Exception => vv.toString }
+      // toJson, not toString: the debug toString mangles non-ASCII
+      try sortedJson(graft.functions.JsonFlatten.mapper.readTree(
+        vv.toJson(zone))).toString
+      catch { case _: Exception => vv.toJson(zone) }
     case d: java.lang.Double => formatDouble(d)
     case f: java.lang.Float => formatDouble(f.doubleValue())
     // plain form: BigDecimal.toString switches to scientific notation
