@@ -3373,7 +3373,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // tdigest forms. intersect_count('a','b')(bm, tag) and
     // histogram(n)(x) are the reference's other two-stage aggregates
     // (aggregate_bitmap.rs / aggregate_histogram.rs)
-    """(?i)\b(quantile_tdigest_weighted|quantile_tdigest|quantile_cont|quantile_disc|quantile|median_tdigest|intersect_count|histogram)\s*\(""".r
+    """(?i)\b(quantile_tdigest_weighted|quantile_tdigest|quantile_cont|quantile_disc|quantile|median_tdigest|intersect_count|histogram|window_funnel|retention)\s*\(""".r
 
   private def rewriteParamAggCall(sql: String): String = {
     val m0 = ParamAggRe.findFirstMatchIn(sql)
@@ -3389,9 +3389,16 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     val open2 = close1 + 1 + second.get.end - 1
     val close2 = matchParen(sql, open2)
     val params = sql.substring(open1 + 1, close1)
-    val argsTxt = sql.substring(open2 + 1, close2)
-    sql.substring(0, m.start) +
-      s"${m.group(1)}($argsTxt, $params)" +
+    // parenthesize each argument: a bare `event = 1000` condition
+    // would read as Spark named-argument syntax
+    val argsTxt = splitTopLevel(sql.substring(open2 + 1, close2), ',')
+      .map(a => s"(${a.trim})").mkString(", ")
+    // window_funnel's flat spelling takes the window FIRST
+    val flat =
+      if (m.group(1).equalsIgnoreCase("window_funnel"))
+        s"${m.group(1)}($params, $argsTxt)"
+      else s"${m.group(1)}($argsTxt, $params)"
+    sql.substring(0, m.start) + flat +
       rewriteParamAggCall(sql.substring(close2 + 1))
   }
 

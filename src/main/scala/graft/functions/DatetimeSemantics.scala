@@ -466,7 +466,7 @@ object DatetimeSemantics {
 
   private val TsRe = ("""^(\d{1,4})-(\d{1,2})-(\d{1,2})""" +
     """(?:[ T](\d{1,2})?(?::(\d{1,2})?(?::(\d{1,2})?(?:\.(\d{1,9})\d*)?)?)?)?""" +
-    """(Z|[+-]\d{2}:?\d{2})?$""").r
+    """\s*(Z|[+-]\d{2}(?::?\d{2})?)?$""").r
 
   /** permissive ISO-ish parse to epoch micros (see
     * DatabendStringToTimestamp); returns None on no-match or
@@ -478,7 +478,11 @@ object DatetimeSemantics {
   private def zoneOf(off: String): java.time.ZoneOffset = off match {
     case null | "Z" => java.time.ZoneOffset.UTC
     case o =>
-      val norm = if (o.contains(":")) o else o.take(3) + ":" + o.drop(3)
+      // accept +HH (hour-only), +HHMM and +HH:MM
+      val norm =
+        if (o.contains(":")) o
+        else if (o.length == 3) o + ":00"
+        else o.take(3) + ":" + o.drop(3)
       java.time.ZoneOffset.of(norm)
   }
 
@@ -779,4 +783,22 @@ case class TruncDispatch(x: Expression, d: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TruncDispatch =
     copy(x = newLeft, d = newRight)
+}
+
+/** numeric time axis for window_funnel/sessionize tiers: DATE counts
+  * DAYS, TIMESTAMP counts MICROSECONDS (the reference's own units for
+  * the funnel window), everything else casts numerically. Concrete
+  * replacement — the analyzer never revisits RuntimeReplaceable trees.
+  */
+case class NumifyTemporal(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    // UnixDate/UnixMicros, not casts: ANSI rejects date->int casts
+    case DateType => Cast(UnixDate(child), DoubleType)
+    case TimestampType => Cast(UnixMicros(child), DoubleType)
+    case _ => Cast(child, DoubleType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NumifyTemporal =
+    copy(child = newChild)
 }

@@ -432,7 +432,7 @@ object GraftFunctions {
     "window_funnel" -> (args =>
       fn("funnel_eval",
         fn("collect_list",
-          fn("struct", castD(args(1)), fn("array", args.drop(2): _*))),
+          fn("struct", NumifyTemporal(args(1)), fn("array", args.drop(2): _*))),
         castD(args.head))),
     // ISO day-of-week, Monday=1..Sunday=7 (reference date_helper.rs
     // ToDayOfWeek uses to_monday_one_offset); Spark's dayofweek is

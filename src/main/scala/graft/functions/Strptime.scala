@@ -155,8 +155,9 @@ object Strptime {
         j += 1; i += 1
       }
     }
-    while (j < s.length && s.charAt(j).isWhitespace) j += 1
-    if (j < s.length) err(s"unparsed trailing input at $j")
+    // format exhausted: TRAILING input is ignored (reference jiff
+    // strptime — to_timestamp('...8时58分59秒', '%Y年%m月%d日，%H')
+    // parses the hour and drops the rest)
 
     epoch match {
       case Some(sec) => sec * 1000000L
