@@ -519,6 +519,7 @@ object DatetimeSemantics {
     """(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9})\d*)?)?\s*(Z|[+-]\d{2}:?\d{2})?)?"""
   private val MonDashRe = ("""^(\d{1,2})-([A-Za-z]{3})-(\d{4})""" + TimeTail + "$").r
   private val SlashRe = ("""^(\d{1,2})/(\d{1,2})/(\d{4})""" + TimeTail + "$").r
+  private val YSlashRe = ("""^(\d{4})/(\d{1,2})/(\d{1,2})""" + TimeTail + "$").r
   private val Rfc2822Re = ("""^(?:[A-Za-z]{3},\s+)?(\d{1,2})\s+([A-Za-z]{3})\s+(\d{4})""" +
     """\s+(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9})\d*)?)?""" +
     """(?:\s+([AaPp][Mm]))?(?:\s+(Z|[+-]\d{2}:?\d{2}|[+-]\d{4}))?$""").r
@@ -553,6 +554,8 @@ object DatetimeSemantics {
       case MonDashRe(d, mon, y, h, mi, se, frac, off) =>
         MonthNum.get(mon.toLowerCase).flatMap(m =>
           toMicrosOffset(y.toInt, m, d.toInt, i(h), i(mi), i(se), frac, off, zone))
+      case YSlashRe(y, m, d, h, mi, se, frac, off) if m.toInt <= 12 =>
+        toMicrosOffset(y.toInt, m.toInt, d.toInt, i(h), i(mi), i(se), frac, off, zone)
       case SlashRe(m, d, y, h, mi, se, frac, off) if m.toInt <= 12 =>
         toMicrosOffset(y.toInt, m.toInt, d.toInt, i(h), i(mi), i(se), frac, off, zone)
       // day-first disambiguation when the first field can't be a month

@@ -473,7 +473,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(
           args.head, org.apache.spark.sql.types.DateType), Literal("year"))),
     "to_start_of_day" -> (args =>
-      UnresolvedFunction("date_trunc", Seq(Literal("day")) ++ args, isDistinct = false)),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        UnresolvedFunction("date_trunc", Seq(Literal("day")) ++ args,
+          isDistinct = false),
+        org.apache.spark.sql.types.TimestampType)),
     "to_string" -> (args =>
       if (args.length >= 2) fmtOrNumeric(args)
       else ToStringDispatch(args.head)),

@@ -385,14 +385,13 @@ object MoreAliases {
       "to_previous_friday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Friday"))),
       "to_previous_saturday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Saturday"))),
       "to_previous_sunday" -> (a => f("next_day", f("date_sub", cast(a.head, DateType), Literal(8)), Literal("Sunday"))),
-      "to_start_of_five_minutes" -> (a => f("timestamp_seconds",
-        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(300.0))), LongType), Literal(300L)))),
-      "to_start_of_ten_minutes" -> (a => f("timestamp_seconds",
-        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(600.0))), LongType), Literal(600L)))),
-      "to_start_of_fifteen_minutes" -> (a => f("timestamp_seconds",
-        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(900.0))), LongType), Literal(900L)))),
-      "time_slot" -> (a => f("timestamp_seconds",
-        Multiply(cast(f("floor", Divide(f("unix_seconds", cast(a.head, TimestampType)), Literal(1800.0))), LongType), Literal(1800L)))),
+      // N-minute buckets on LOCAL wall time, not UTC epoch seconds —
+      // the reference truncates the civil minute (the Kathmandu +5:45
+      // vectors in 02_0012 expose UTC-epoch bucketing)
+      "to_start_of_five_minutes" -> (a => minuteBucket(a.head, 5)),
+      "to_start_of_ten_minutes" -> (a => minuteBucket(a.head, 10)),
+      "to_start_of_fifteen_minutes" -> (a => minuteBucket(a.head, 15)),
+      "time_slot" -> (a => minuteBucket(a.head, 30)),
       "to_start_of_iso_year" -> (a => cast(f("date_trunc", Literal("week"),
         f("make_date", f("date_part", Literal("YEAROFWEEK"), a.head), Literal(1), Literal(4))), DateType)),
       "to_microsecond" -> (a => cast(Pmod(f("unix_micros", cast(a.head, TimestampType)), Literal(1000000L)), IntegerType)),
@@ -576,6 +575,16 @@ object MoreAliases {
     val s = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
     s"$s ${units(i)}"
+  }
+
+  /** truncate the session-local civil minute to an N-minute boundary */
+  private def minuteBucket(x: Expression, n: Int): Expression = {
+    val ts = cast(x, TimestampType)
+    f("make_timestamp", f("year", ts), f("month", ts), f("day", ts),
+      f("hour", ts),
+      Multiply(cast(Divide(cast(f("minute", ts), IntegerType),
+        Literal(n)), IntegerType), Literal(n)),
+      Literal(0.0))
   }
 
   def register(spark: SparkSession): Unit = {

@@ -33,9 +33,13 @@ case class Strptime(child: Expression, fmt: String, forDate: Boolean,
     java.time.ZoneId.of(if (zoneId == null) "UTC" else zoneId)
 
   override def nullSafeEval(input: Any): Any = {
-    val micros = Strptime.parse(input.toString, fmt, zone)
-    if (forDate) java.lang.Math.floorDiv(micros, 86400000000L).toInt
-    else micros
+    // a DATE result is the CIVIL date as written — parse at UTC so a
+    // non-UTC session zone can't shift it across midnight
+    // (to_date('9999/12/31','%Y/%m/%d') under Asia/Shanghai)
+    if (forDate) {
+      val micros = Strptime.parse(input.toString, fmt, java.time.ZoneOffset.UTC)
+      java.lang.Math.floorDiv(micros, 86400000000L).toInt
+    } else Strptime.parse(input.toString, fmt, zone)
   }
   override protected def withNewChildInternal(newChild: Expression): Strptime =
     copy(child = newChild)
@@ -64,6 +68,8 @@ object Strptime {
     var off: java.time.ZoneOffset = null
     var pm: Option[Boolean] = None
     var epoch: Option[Long] = None
+    var isoWeek = -1; var isoDow = -1
+    var civil = false // any non-%s field parsed
 
     var i = 0 // format position
     var j = 0 // input position
@@ -93,15 +99,19 @@ object Strptime {
             val neg = j < s.length && (s.charAt(j) == '-' || s.charAt(j) == '+')
             val sign = if (neg && s.charAt(j) == '-') -1 else 1
             if (neg) j += 1
-            y = sign * digits(4)
+            y = sign * digits(4); civil = true
+          // ISO week / ISO weekday (with %G week-based year)
+          case 'V' => isoWeek = digits(2); civil = true
+          case 'u' => isoDow = digits(1); civil = true
           case 'y' =>
             val v = digits(2); y = if (v < 70) 2000 + v else 1900 + v
-          case 'm' => mo = digits(2)
-          case 'd' | 'e' => d = digits(2)
-          case 'H' | 'k' => h = digits(2)
-          case 'I' | 'l' => h = digits(2)
-          case 'M' => mi = digits(2)
-          case 'S' => se = digits(2)
+            civil = true
+          case 'm' => mo = digits(2); civil = true
+          case 'd' | 'e' => d = digits(2); civil = true
+          case 'H' | 'k' => h = digits(2); civil = true
+          case 'I' | 'l' => h = digits(2); civil = true
+          case 'M' => mi = digits(2); civil = true
+          case 'S' => se = digits(2); civil = true
           case 'f' =>
             val start = j
             while (j < s.length && s.charAt(j).isDigit) j += 1
@@ -159,6 +169,10 @@ object Strptime {
     // strptime — to_timestamp('...8时58分59秒', '%Y年%m月%d日，%H')
     // parses the hour and drops the rest)
 
+    // %s (epoch seconds) combines with NO civil field (reference:
+    // to_timestamp('200,2000', '%s,%Y') is error 1006)
+    if (epoch.isDefined && civil)
+      err("%s cannot combine with other datetime fields")
     epoch match {
       case Some(sec) => sec * 1000000L
       case None =>
@@ -167,8 +181,18 @@ object Strptime {
           case Some(false) => if (h == 12) 0 else h
           case None => h
         }
-        val ldt = try java.time.LocalDateTime.of(y, mo, d, hour, mi, se, micros * 1000)
-        catch { case e: Exception => err(e.getMessage) }
+        val ldt = try {
+          val date =
+            if (isoWeek >= 0)
+              java.time.LocalDate.ofYearDay(y, 4) // week 1 always holds Jan 4
+                .`with`(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR,
+                  isoWeek.toLong)
+                .`with`(java.time.temporal.ChronoField.DAY_OF_WEEK,
+                  (if (isoDow >= 1) isoDow else 1).toLong)
+            else java.time.LocalDate.of(y, mo, d)
+          java.time.LocalDateTime.of(date,
+            java.time.LocalTime.of(hour, mi, se, micros * 1000))
+        } catch { case e: Exception => err(e.getMessage) }
         val zdt = if (off != null) ldt.atOffset(off).toZonedDateTime else ldt.atZone(zone)
         val inst = zdt.toInstant
         val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
