@@ -1550,7 +1550,13 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     var i = 0; var q: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (q != 0) { sb.append(c); if (c == q) q = 0; i += 1 }
+      if (q != 0) {
+        // honor backslash escapes inside single/double quotes so an
+        // escaped quote (\') doesn't end the literal early
+        if (c == '\\' && q != '`' && i + 1 < sql.length) {
+          sb.append(c).append(sql.charAt(i + 1)); i += 2
+        } else { sb.append(c); if (c == q) q = 0; i += 1 }
+      }
       else if (c == '\'' || c == '"' || c == '`') { q = c; sb.append(c); i += 1 }
       else if (Character.isLetter(c) || c == '_') {
         val start = i
@@ -6083,12 +6089,24 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     case UpdateRe(name, setPart, wherePart) =>
       val n = resolveKey(name)
       val t = table(n)
+      val tgtSchema = t.read().schema
       val pairs = splitTopLevel(setPart, ',').map { a =>
         val eq = indexOfTopLevel(a, '=')
         require(eq > 0, s"bad assignment: $a")
+        val col = norm(a.take(eq)).split('.').last
         // value expressions may embed subqueries over other tables —
-        // route them through the same read rewrite as standalone queries
-        norm(a.take(eq)).split('.').last -> expr(rewriteReads(a.drop(eq + 1).trim))
+        // route them through the same read rewrite as standalone
+        // queries. A VARIANT target PARSES a string value like the
+        // reference's UPDATE binder (a plain cast would wrap the text
+        // as a variant string scalar — alignCast's rule)
+        val rhs = rewriteReads(a.drop(eq + 1).trim)
+        val isVariantTgt = tgtSchema.fields.exists(f =>
+          f.name.equalsIgnoreCase(col) &&
+            f.dataType == org.apache.spark.sql.types.VariantType)
+        // graft_json_text, not a plain string cast: a variant RHS
+        // renders canonically (cast would unquote string scalars)
+        col -> (if (isVariantTgt) expr(s"parse_json(graft_json_text(($rhs)))")
+                else expr(rhs))
       }
       // reference errors (1006) on duplicated assignments and on
       // assignments to columns the table does not have — both would

@@ -450,7 +450,8 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // explicitly in GraftSql.alignCast.)
         case c0 @ Cast(child, VariantType, tz, mode) if child.resolved &&
             child.dataType == StringType &&
-            c0.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined =>
+            (c0.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined ||
+             c0.getTagValue(Cast.BY_TABLE_INSERTION).isDefined) =>
           UnresolvedFunction("parse_json", Seq(child), isDistinct = false)
         case And(l, r) if isNum(l) => And(truthy(l), r)
         case And(l, r) if isNum(r) => And(l, truthy(r))
