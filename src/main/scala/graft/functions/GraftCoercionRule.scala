@@ -70,8 +70,11 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * rule sees it); user-written casts stay
     */
   private def deCast(e: Expression): Expression = e match {
-    case c @ Cast(ch, _, _, _)
-        if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty && ch.resolved &&
+    // never unwrap TRY casts: try_cast(s AS t) >= 0 must compare the
+    // CAST result (NULL-on-malformed), not re-coerce the raw string
+    case c @ Cast(ch, _, _, mode)
+        if mode != EvalMode.TRY &&
+          c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty && ch.resolved &&
           (ch.dataType == StringType || ch.dataType == BooleanType) => ch
     case other => other
   }
