@@ -37,6 +37,9 @@ object GraftSession {
       .config("spark.sql.variable.substitute", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference map semantics (map.rs map_cat/map_insert): a
+      // duplicated key keeps the LAST value, never errors
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")

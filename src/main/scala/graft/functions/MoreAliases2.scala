@@ -319,10 +319,12 @@ object MoreAliases2 {
       if (a.length >= 3) a(2) else Literal("")))),
 
     // map edits via map_filter lambdas (codegen'd, no UDF)
+    // the key list is either variadic scalars or ONE array argument
+    // (map.rs map_pick/map_delete accept both spellings)
     "map_pick" -> (a => f("map_filter", a.head,
-      lambda2((k, v) => ArrayContains(CreateArray(a.tail), k)))),
+      lambda2((k, v) => KeyInList(MapKeysArg(a.tail), k)))),
     "map_delete" -> (a => f("map_filter", a.head,
-      lambda2((k, v) => Not(ArrayContains(CreateArray(a.tail), k))))),
+      lambda2((k, v) => Not(KeyInList(MapKeysArg(a.tail), k))))),
 
     // vectors
     "vector_dims" -> (a => Size(a.head)),

@@ -266,3 +266,39 @@ object VariantLike {
     else false
   }
 }
+
+/** key-list argument of map_pick/map_delete: variadic scalars OR one
+  * array argument (dispatch on the resolved type)
+  */
+case class MapKeysArg(keys: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def children: Seq[Expression] = keys
+  override lazy val replacement: Expression = keys match {
+    case Seq(one) if one.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] => one
+    case _ => org.apache.spark.sql.catalyst.expressions.CreateArray(keys)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MapKeysArg = copy(keys = cs)
+}
+
+/** array_contains with the probe cast to the list's element type —
+  * an EMPTY map's NullType key lambda var would otherwise fail
+  * analysis (map_delete({}, 'k'))
+  */
+case class KeyInList(arr: Expression, k: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def left: Expression = arr
+  override def right: Expression = k
+  override lazy val replacement: Expression = {
+    val et = arr.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    org.apache.spark.sql.catalyst.expressions.ArrayContains(arr,
+      if (k.dataType == et) k
+      else org.apache.spark.sql.catalyst.expressions.Cast(k, et))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KeyInList = copy(arr = l, k = r)
+}
