@@ -84,6 +84,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * columns with these — reference fills declared defaults, not NULL)
     */
   private val colDefaults = mutable.LinkedHashMap[String, Map[String, String]]()
+  private val bitmapCols = mutable.LinkedHashMap[String, Set[String]]()
 
   // ---- table indexes (reference query/index suites: INVERTED /
   // NGRAM / VECTOR / SPATIAL index DDL + AGGREGATING INDEX) ------------
@@ -284,8 +285,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val phys = if (stored) Some(s"$nm ${typeDdl}") else None
           ColSpec(nm, phys, Some((typeDdl, ex, stored)), None)
         case None =>
-          // \s* not \s+: the corpus spells both `DEFAULT 1` and `DEFAULT(1)`
-          val dM = """(?is)\bDEFAULT\s*(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
+          // the corpus spells both `DEFAULT 1` and `DEFAULT(1)`; the
+          // keyword needs whitespace OR an open paren after it so a
+          // column NAMED default_value doesn't grow a bogus default
+          val dM = """(?is)\bDEFAULT(?:\s+|\s*(?=\())(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
             .findFirstMatchIn(c)
           ColSpec(nm, Some(c), None, dM.map(_.group(1).trim))
       }
@@ -310,6 +313,16 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     */
   private def registerColumnMeta(n: String, specs: Seq[ColSpec]): Unit = {
     computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n)
+    // declared-BITMAP columns store as BINARY; remember them so string
+    // INSERT cells parse via to_bitmap ('5, 6' -> roaring), matching
+    // the reference's string->bitmap cast
+    bitmapCols.remove(n)
+    val bms = specs.collect {
+      case ColSpec(nm, Some(spec), None, _)
+          if """(?i)^\s*[`"\w]+\s+bitmap\b""".r.findFirstIn(spec).isDefined =>
+        nm.toLowerCase
+    }
+    if (bms.nonEmpty) bitmapCols(n) = bms.toSet
     val compNames = specs.filter(_.computed.isDefined).map(_.name.toLowerCase).toSet
     val comp = specs.flatMap { sp =>
       sp.computed.map { case (typeDdl, ex, stored) =>
@@ -338,9 +351,24 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         val dt = try Some(StructType.fromDDL(stripConstraints(spec)).head.dataType)
                  catch { case _: Exception => None }
         dt.foreach { t =>
-          val ok =
-            try !spark.sql(s"SELECT CAST(($lit) AS ${t.sql}) IS NULL").head.getBoolean(0)
-            catch { case _: Exception => false }
+          import org.apache.spark.sql.types._
+          // integral literals range-check in Scala — a non-ANSI cast
+          // would silently WRAP an out-of-range default instead of
+          // raising the reference's CREATE-time 1006
+          val intRange: Option[(BigDecimal, BigDecimal)] = t match {
+            case ByteType => Some((BigDecimal(Byte.MinValue), BigDecimal(Byte.MaxValue)))
+            case ShortType => Some((BigDecimal(Short.MinValue), BigDecimal(Short.MaxValue)))
+            case IntegerType => Some((BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)))
+            case LongType => Some((BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)))
+            case _ => None
+          }
+          val numLit = scala.util.Try(BigDecimal(lit)).toOption
+          val ok = (intRange, numLit) match {
+            case (Some((lo, hi)), Some(v)) => v >= lo && v <= hi
+            case _ =>
+              try !spark.sql(s"SELECT CAST(($lit) AS ${t.sql}) IS NULL").head.getBoolean(0)
+              catch { case _: Exception => false }
+          }
           if (!ok) throw new IllegalArgumentException(
             s"1006: invalid DEFAULT value $lit for column ${sp.name} of type ${t.sql}")
         }
@@ -901,7 +929,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       // before creating)
       tables.remove(n).foreach { t =>
         spark.catalog.dropTempView(viewName(n)); rmrf(t.path) }
-      computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n)
+      computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n); bitmapCols.remove(n)
       tableIndexes.remove(n)
       throw e
     }
@@ -1168,7 +1196,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             // email-ish token, not prefix-abs
             (sym != "@" || idx == 0 ||
               (s.charAt(idx - 1) != '<' && s.charAt(idx - 1) != '@' &&
-               !isWord(s.charAt(idx - 1))))) {
+               !isWord(s.charAt(idx - 1)))) &&
+            // `FROM @stage` / `JOIN @stage` is a stage read, not abs
+            (sym != "@" || {
+              val before = s.substring(0, idx)
+              !"""(?is).*\b(FROM|JOIN)\s*$""".r.matches(before)
+            })) {
           rightPrimary(s, idx + sym.length) match {
             case Some((rs, re)) =>
               s = s.substring(0, idx) + fn + "(" + s.substring(rs, re) + ")" +
@@ -1488,52 +1521,268 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     *   `a [NOT] REGEXP p`   -> [NOT] regexp_like(a, p)   (MySQL
     *   `a [NOT] RLIKE p`    -> [NOT] regexp_like(a, p)    case-insensitive
     *                                                      default)
-    * Operands are primary expressions (word / literal / call / paren
-    * group); anything more complex is left for Spark as before.
+    * XOR binds looser than comparison (MySQL: AND > XOR > OR), so its
+    * operands extend one comparison/arithmetic level around the
+    * primaries (`a = 1 XOR b = 2` -> `xor(a = 1, b = 2)`); REGEXP sits
+    * AT comparison level, so its operands stay primary/arithmetic.
+    * Shapes the capture cannot confidently bound (an adjacent AND for
+    * XOR, multi-operator chains) are left untouched — Spark's parser
+    * then rejects the keyword loudly instead of us rewriting partial
+    * operands into a silently different grouping.
     */
   private def rewriteInfixXor(sql0: String): String = {
-    var sql = rewriteInfixKw(sql0, "XOR", (l, r, _) => s"xor($l, $r)")
+    var sql = rewriteInfixKw(sql0, "XOR", cmpLevel = true,
+      (l, r, _) => s"xor($l, $r)")
     for (kw <- Seq("REGEXP", "RLIKE"))
-      sql = rewriteInfixKw(sql, kw, (l, r, neg) =>
+      sql = rewriteInfixKw(sql, kw, cmpLevel = false, (l, r, neg) =>
         if (neg) s"(NOT regexp_like($l, $r))" else s"regexp_like($l, $r)")
     sql
   }
 
-  private def rewriteInfixKw(sql0: String, kw: String,
+  /** word tokens that safely BOUND an infix operand (clause keywords
+    * and looser-binding operators) */
+  private val InfixBoundaryKw: Set[String] = Set(
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "OFFSET", "UNION", "EXCEPT", "INTERSECT", "JOIN", "ON", "USING",
+    "WHEN", "THEN", "ELSE", "END", "CASE", "AS", "BY", "ASC", "DESC",
+    "NULLS", "OR", "SETTINGS", "WINDOW", "QUALIFY", "DISTINCT", "ALL",
+    "VALUES", "SET", "RETURNING", "OVER", "PARTITION", "INTERVAL")
+
+  /** forward-scan one primary expression (literal / ident chain /
+    * call / balanced paren group / backtick ident, with `::type` and
+    * trailing subscript chains) starting at or after `i0`; returns
+    * (start, end) or null if none */
+  private def primSpanAt(s: String, i0: Int): (Int, Int) = {
+    var i = i0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length) return null
+    val start = i
+    var e = -1
+    s.charAt(i) match {
+      case '\'' =>
+        var k = i + 1
+        while (e < 0 && k < s.length) {
+          if (s.charAt(k) == '\'') {
+            if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
+            else e = k + 1
+          } else k += 1
+        }
+      case '(' =>
+        try e = matchParen(s, i) + 1
+        catch { case _: IllegalArgumentException => return null }
+      case '`' =>
+        val k = s.indexOf('`', i + 1)
+        if (k >= 0) e = k + 1
+      case c if c.isLetterOrDigit || c == '_' || c == '.' || c == '$' =>
+        var k = i
+        while (k < s.length && (s.charAt(k).isLetterOrDigit ||
+          "._$".contains(s.charAt(k)))) k += 1
+        var k2 = k
+        while (k2 < s.length && s.charAt(k2).isWhitespace) k2 += 1
+        if (k2 < s.length && s.charAt(k2) == '(' &&
+            !InfixBoundaryKw(s.substring(i, k).toUpperCase)) {
+          try e = matchParen(s, k2) + 1
+          catch { case _: IllegalArgumentException => return null }
+        } else e = k
+      case _ => return null
+    }
+    if (e < 0) return null
+    // absorb `::type` casts and `[...]` subscripts
+    var more = true
+    while (more && e < s.length) {
+      more = false
+      if (e + 1 < s.length && s.charAt(e) == ':' && s.charAt(e + 1) == ':') {
+        var k = e + 2
+        while (k < s.length && (s.charAt(k).isLetterOrDigit ||
+          "._$".contains(s.charAt(k)))) k += 1
+        if (k > e + 2) { e = k; more = true }
+      } else if (s.charAt(e) == '[') {
+        var depth = 0; var k = e; var done = -1
+        while (done < 0 && k < s.length) {
+          s.charAt(k) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) done = k + 1
+            case _ =>
+          }
+          k += 1
+        }
+        if (done > 0) { e = done; more = true }
+      }
+    }
+    (start, e)
+  }
+
+  /** is the [start,end) slice a bare SQL keyword (not a real operand)? */
+  private def isBoundaryWord(s: String, start: Int, end: Int): Boolean =
+    InfixBoundaryKw(s.substring(start, end).trim.toUpperCase)
+
+  /** the maximal operator-char run ending at j (inclusive), or null */
+  private def opRunBefore(s: String, j0: Int): (Int, Int) = {
+    val opChars = "=<>!+-*/%|&^"
+    var j = j0
+    while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    if (j < 0 || !opChars.contains(s.charAt(j))) return null
+    val end = j + 1
+    while (j >= 0 && opChars.contains(s.charAt(j))) j -= 1
+    (j + 1, end)
+  }
+
+  private val CmpOps = Set("=", "==", "<", ">", "<=", ">=", "<>", "!=", "<=>")
+  private val ArithOps = Set("+", "-", "*", "/", "%", "||")
+
+  /** start of the infix-LHS operand ending at `end0` (exclusive), or
+    * -1 when there is no confidently-boundable operand (caller then
+    * treats the keyword occurrence as a call form / leaves the SQL
+    * unchanged). `cmpLevel` = the operator binds LOOSER than
+    * comparison (XOR), so one comparison step and NOT prefixes are
+    * absorbed into the operand. */
+  private def infixLhsStartChecked(s: String, end0: Int,
+      cmpLevel: Boolean): Int = {
+    var end = end0
+    while (end > 0 && s.charAt(end - 1).isWhitespace) end -= 1
+    if (end <= 0) return -1
+    var start = arrowLhsStart(s, end)
+    if (start < 0 || start >= end || isBoundaryWord(s, start, end)) return -1
+    var absorbedCmp = false
+    var guard = 0
+    while (guard < 20) {
+      guard += 1
+      var j = start - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      if (j < 0) return start
+      val c = s.charAt(j)
+      if (c == '(' || c == ',' || c == ';') return start
+      if (c.isLetterOrDigit || c == '_') {
+        var k = j
+        while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
+        val word = s.substring(k + 1, j + 1).toUpperCase
+        if (word == "NOT") {
+          // NOT binds tighter than XOR -> part of the operand; for a
+          // comparison-level keyword it bounds the operand instead
+          if (cmpLevel) { start = k + 1 } else return start
+        } else if (InfixBoundaryKw(word)) return start
+        // a tighter-binding word operator (AND/IS/LIKE/IN/BETWEEN/
+        // DIV/MOD...) makes this a partial operand: bail
+        else return -1
+      } else opRunBefore(s, j) match {
+        case null => return start
+        case (os, oe) =>
+          val op = s.substring(os, oe)
+          val tighter = ArithOps(op) || (cmpLevel && CmpOps(op))
+          if (!tighter || (CmpOps(op) && absorbedCmp)) return -1
+          val p = arrowLhsStart(s, os)
+          if (p >= 0 && p < os && !isBoundaryWord(s, p, os)) {
+            if (CmpOps(op)) absorbedCmp = true
+            start = p
+          } else if ((op == "-" || op == "+") && {
+            // unary sign: nothing usable before the run
+            var q = os - 1
+            while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
+            q < 0 || "(,;".contains(s.charAt(q)) || {
+              var k = q
+              while (k >= 0 && (s.charAt(k).isLetterOrDigit ||
+                s.charAt(k) == '_')) k -= 1
+              k < q && InfixBoundaryKw(s.substring(k + 1, q + 1).toUpperCase)
+            }
+          }) return os
+          else return -1
+      }
+    }
+    start
+  }
+
+  /** end of the infix-RHS operand starting at or after `from`, or -1
+    * when no confidently-bounded operand parses there */
+  private def infixRhsEndChecked(s: String, from: Int,
+      cmpLevel: Boolean): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    // NOT prefix folds into a looser-than-comparison operand
+    if (cmpLevel && s.regionMatches(true, i, "NOT", 0, 3) &&
+        (i + 3 >= s.length || !s.charAt(i + 3).isLetterOrDigit &&
+          s.charAt(i + 3) != '_')) {
+      val e = infixRhsEndChecked(s, i + 3, cmpLevel)
+      return e
+    }
+    // leading sign
+    if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
+    val p = primSpanAt(s, i)
+    if (p == null || isBoundaryWord(s, p._1, p._2)) return -1
+    var e = p._2
+    var absorbedCmp = false
+    var guard = 0
+    while (guard < 20) {
+      guard += 1
+      var j = e
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j >= s.length) return e
+      val c = s.charAt(j)
+      if (c == ')' || c == ',' || c == ';' || c == ']') return e
+      if (c.isLetterOrDigit || c == '_') {
+        var k = j
+        while (k < s.length && (s.charAt(k).isLetterOrDigit ||
+          s.charAt(k) == '_')) k += 1
+        val word = s.substring(j, k).toUpperCase
+        // another occurrence of a loose operator, a clause keyword, or
+        // (for cmpLevel) an alias: the operand ends here. A
+        // tighter-binding word (AND, IS, LIKE, IN, BETWEEN, DIV, MOD)
+        // would make it partial: bail for those we know bind tighter.
+        if (Set("AND", "IS", "LIKE", "ILIKE", "IN", "BETWEEN", "DIV",
+            "MOD", "SOUNDS", "MEMBER", "COLLATE")(word))
+          return if (cmpLevel) -1 else e
+        return e
+      }
+      val opChars = "=<>!+-*/%|&^"
+      if (!opChars.contains(c)) return e
+      var k = j
+      while (k < s.length && opChars.contains(s.charAt(k))) k += 1
+      val op = s.substring(j, k)
+      val tighter = ArithOps(op) || (cmpLevel && CmpOps(op))
+      if (!tighter || (CmpOps(op) && absorbedCmp))
+        return if (CmpOps(op) && !cmpLevel) e else -1
+      val p2 = primSpanAt(s, k)
+      if (p2 == null || isBoundaryWord(s, p2._1, p2._2)) return -1
+      if (CmpOps(op)) absorbedCmp = true
+      e = p2._2
+    }
+    e
+  }
+
+  private def rewriteInfixKw(sql0: String, kw: String, cmpLevel: Boolean,
       mk: (String, String, Boolean) => String): String = {
     var sql = sql0
     var guard = 0
     while (guard < 100) {
       guard += 1
       var at = -1
+      var lhsStartF = -1
+      var lhsEndF = -1
+      var negF = false
       var from = 0
-      // skip CALL forms `kw(...)` (incl. ones this loop just
-      // produced): only the infix keyword form rewrites
+      // a keyword occurrence only rewrites as infix when a real LHS
+      // operand precedes it — `xor(a, b)` / `SELECT xor (a, b)` are
+      // call forms, but `a XOR (b = 1)` is infix with a paren RHS
       while (at < 0 && from < sql.length) {
         val cand = indexOfKeywordAnyDepth(sql, kw, from)
         if (cand < 0) from = sql.length
         else {
-          var k = cand + kw.length
-          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
-          if (k < sql.length && sql.charAt(k) == '(') from = cand + kw.length
-          else at = cand
+          // a preceding NOT belongs to the operator (`a NOT REGEXP p`)
+          val notM = """(?is)^(.*?)\bNOT\s*$""".r
+            .findFirstMatchIn(sql.substring(0, cand))
+          val neg = !cmpLevel && notM.isDefined
+          val lhsEnd = if (neg) notM.get.group(1).length else cand
+          val lhsStart = infixLhsStartChecked(sql, lhsEnd, cmpLevel)
+          if (lhsStart < 0) from = cand + kw.length
+          else { at = cand; lhsStartF = lhsStart; lhsEndF = lhsEnd; negF = neg }
         }
       }
       if (at < 0) return sql
-      // a preceding NOT belongs to the operator (`a NOT REGEXP p`)
-      val notM = """(?is)^(.*?)\bNOT\s*$""".r
-        .findFirstMatchIn(sql.substring(0, at))
-      val neg = notM.isDefined
-      val lhsEnd = notM.map(_.group(1).length).getOrElse(at)
-      val lhsStart = arrowLhsStart(sql, lhsEnd)
-      val rhsM = """^\s*('([^']|'')*'|[\w.$]+\s*\([^()]*\)|[\w.$]+|\([^()]*\))"""
-        .r.findPrefixMatchOf(sql.substring(at + kw.length))
-      if (lhsStart >= 0 && lhsStart < lhsEnd && rhsM.isDefined) {
-        val lhs = sql.substring(lhsStart, lhsEnd).trim
-        val rhs = rhsM.get.group(1)
-        sql = sql.substring(0, lhsStart) + mk(lhs, rhs, neg) +
-          sql.substring(at + kw.length + rhsM.get.end)
-      } else return sql
+      val rhsEnd = infixRhsEndChecked(sql, at + kw.length, cmpLevel)
+      if (rhsEnd < 0) return sql
+      val lhs = sql.substring(lhsStartF, lhsEndF).trim
+      val rhs = sql.substring(at + kw.length, rhsEnd).trim
+      sql = sql.substring(0, lhsStartF) + mk(lhs, rhs, negF) +
+        sql.substring(rhsEnd)
     }
     sql
   }
@@ -1656,13 +1905,22 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // trailing IGNORE_RESULT (databend statement suffix: run, discard
     // rows — tests/sqllogictests suites use it on large results)
     s = s.replaceAll("(?is)\\s+IGNORE_RESULT\\s*$", "")
+    // databend's lexer keeps `\"` VERBATIM inside single-quoted
+    // strings (only \' \\ etc. unescape — insert_into_values /
+    // insert_into_variant vectors); Spark's lexer unescapes it, so
+    // double the backslash. $$-bodied statements (python UDFs) skip.
+    if (s.contains("\\\"") && !s.contains("$$"))
+      s = databendDquoteEscapes(s)
     // dialect-level operator spellings (skip CREATE FUNCTION / CREATE
     // POLICY so script and policy bodies — which use `->` as the body
     // arrow — pass through untouched)
     // ... and COPY INTO, whose @stage references the pg prefix-abs
     // rewrite would mangle into abs(stage)
     if (!"""(?is)^\s*(COPY\b|CREATE\s+(OR\s+REPLACE\s+)?(FUNCTION\b|(MASKING|ROW\s+ACCESS)\s+POLICY\b))""".r
-          .findPrefixMatchOf(s).isDefined)
+          .findPrefixMatchOf(s).isDefined &&
+        // a CTE-prologued COPY (`WITH s AS (...) COPY INTO @x`) must
+        // keep its @stage out of the pg prefix-abs rewrite too
+        !"""(?is)\bCOPY\s+INTO\s+@""".r.findFirstIn(s).isDefined)
       s = dialectOps(s)
     // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
     // (ast/statements/statement.rs StatementWithSettings). Most knobs
@@ -1757,7 +2015,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("SHOW TASKS")) showTasks(s.substring("SHOW TASKS".length))
     else if (is("CREATE") && up.contains("STREAM") &&
              CreateStreamRe.findFirstIn(s).isDefined) createStream(s)
-    else if (is("CREATE") && CreateStageRe.findFirstIn(s).isDefined) createStage(s)
+    else if (is("CREATE") && (CreateStageRe.findFirstIn(s).isDefined ||
+             CreateBareStageRe.pattern.matcher(s).matches())) createStage(s)
+    else if (is("DROP STAGE")) dropStage(s)
+    else if (is("REMOVE ") || is("REMOVE\t") || is("REMOVE @")) removeStage(s)
+    else if (is("CREATE") && CreateLambdaFnRe.pattern.matcher(s).matches())
+      createLambdaFunction(s)
     else if (is("CREATE") && CreatePyFnRe.findFirstIn(s).isDefined) createPyFunction(s)
     else if (is("DROP FUNCTION") && DropFnRe.findFirstIn(s).isDefined) dropFunction(s)
     else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(DATABASE|SCHEMA)\\b.*"))
@@ -1804,6 +2067,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     else if (is("UPDATE")) update(s)
     else if (is("DELETE")) delete(s)
     else if (is("MERGE")) merge(s)
+    else if (is("COPY") &&
+             """(?is)^\s*COPY\s+INTO\s+(@|')""".r.findPrefixMatchOf(s).isDefined)
+      copyExport(s)
     else if (is("COPY")) copy(s)
     else if (is("ALTER TABLE")) alterTable(s)
     else if (is("ALTER DATABASE") &&
@@ -2036,16 +2302,26 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         // EXPLICIT `AS alias` forms only — implicit trailing aliases
         // are not reliably distinguishable from expressions by text
         val aliasRe = """(?is)^(.*\S)\s+AS\s+`?([A-Za-z_]\w*)`?\s*$""".r
+        // normalized expression text compares case-INsensitively:
+        // `upper(a) AS foo, UPPER(a) AS foo` is the same declaration
         val pairs = splitTopLevel(t.substring(listStart, listEnd), ',').flatMap {
-          case aliasRe(e, a) => Some(a.toLowerCase -> e.replaceAll("[\\s()]+", ""))
+          case aliasRe(e, a) =>
+            Some(a.toLowerCase -> e.replaceAll("[\\s()]+", "").toLowerCase)
           case _ => None
         }
         val obEnd = clauseEnd(t, ob + "ORDER".length,
           Set("LIMIT", "OFFSET", "FETCH", "SETTINGS"))
+        // an ORDER BY item only REFERENCES an alias when the whole item
+        // (minus ASC/DESC/NULLS FIRST|LAST) is a lone identifier —
+        // `foo + 1` is an expression over the underlying column, not an
+        // ambiguous alias use
         val obNames = splitTopLevel(
           t.substring(ob + "ORDER".length, obEnd)
             .replaceAll("(?is)^\\s*BY\\b", ""), ',')
-          .map(_.trim.split("\\s+").head.toLowerCase)
+          .map(_.trim
+            .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+            .replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "")
+            .trim.toLowerCase)
           .filter(_.matches("[a-z_]\\w*"))
         for (n <- obNames) {
           val es = pairs.filter(_._1 == n).map(_._2).distinct
@@ -2265,8 +2541,20 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // Spark uses backticks — convert outside string literals first so
     // every later pass sees one identifier spelling
     var sql = identQuotes(sql0)
+    // lambda UDFs (CREATE FUNCTION f AS (a,b) -> body) inline at call
+    // sites so the body flows through every later dialect rewrite
+    sql = expandLambdaFns(sql)
+    // `FROM @stage` table factors read the stage's data files
+    // (reference: SELECT from stage)
+    if (sql.contains("@")) sql = rewriteStageReads(sql)
     // a bare VALUES query (e.g. a CTAS body `... AS VALUES (1),(2)`)
     // names its columns col0.. 0-based in the reference (Spark: col1..)
+    if ("""(?is)^\s*(EXPLAIN\s+)?VALUES\s*\(.*""".r.matches(sql)) {
+      splitTopLevel(
+        sql.trim.stripSuffix(";")
+          .replaceAll("(?is)^\\s*(EXPLAIN\\s+)?VALUES\\s*", ""), ',')
+        .foreach(checkNoAggInValuesRow)
+    }
     if ("""(?is)^\s*VALUES\s*\(.*""".r.matches(sql)) {
       val body = sql.trim.stripSuffix(";")
       val rowsTxt = body.replaceAll("(?is)^\\s*VALUES\\s*", "")
@@ -2431,15 +2719,30 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
               // ones (scalar subqueries, casts) take the sequence path
               val parts = splitTopLevel(args, ',').map(_.trim)
               val foldable = parts.forall(_.matches("""(?i)-?\d+[lL]?"""))
+              if (parts.length < 1 || parts.length > 3 ||
+                  parts.exists(_.isEmpty))
+                throw new IllegalArgumentException(
+                  s"1028: range() takes (end) or (start, end[, step]), got: range($args)")
               val rep =
                 if (foldable)
                   s"${m.group(1)}${m.group(2)}(SELECT id AS `range` FROM range($args))"
+                else if (parts.length == 1)
+                  s"${m.group(1)}${m.group(2)}(SELECT explode(CASE " +
+                    s"WHEN CAST((${parts(0)}) AS BIGINT) > 0 THEN " +
+                    s"sequence(0L, CAST((${parts(0)}) AS BIGINT) - 1L) " +
+                    s"ELSE CAST(array() AS ARRAY<BIGINT>) END) AS `range`)"
                 else {
                   val step = if (parts.length >= 3) parts(2) else "1"
-                  s"${m.group(1)}${m.group(2)}(SELECT explode(sequence(" +
-                    s"CAST((${parts(0)}) AS BIGINT), " +
-                    s"CAST((${parts(1)}) AS BIGINT) - CAST(sign($step) AS BIGINT), " +
-                    s"CAST(($step) AS BIGINT))) AS `range`)"
+                  val b = s"CAST((${parts(0)}) AS BIGINT)"
+                  val e = s"CAST((${parts(1)}) AS BIGINT)"
+                  val st = s"CAST(($step) AS BIGINT)"
+                  // empty (not sequence()'s boundary error) when the
+                  // step doesn't move start toward the END-EXCLUSIVE
+                  // bound — incl. start == end
+                  s"${m.group(1)}${m.group(2)}(SELECT explode(CASE " +
+                    s"WHEN sign($e - $b) = sign($st) THEN " +
+                    s"sequence($b, $e - CAST(sign($st) AS BIGINT), $st) " +
+                    s"ELSE CAST(array() AS ARRAY<BIGINT>) END) AS `range`)"
                 }
               s2 = s2.substring(0, from + m.start) + rep + s2.substring(close + 1)
               from = from + m.start + rep.length
@@ -2570,8 +2873,43 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // Spark's parser has no XOR keyword; lower `a XOR b` onto the
     // registered xor() function (quote/paren-aware primary operands)
     sql = rewriteInfixXor(sql)
+    // `a SOUNDS LIKE b` (MySQL): soundex equality
+    sql = """(?is)\bSOUNDS\s+LIKE\b""".r.replaceAllIn(sql, "SOUNDS_LIKE")
+    sql = rewriteInfixKw(sql, "SOUNDS_LIKE", cmpLevel = false,
+      (l, r, _) => s"(soundex($l) = soundex($r))")
+    // postgres interval '... ago' suffix: negated interval
+    sql = """(?i)\bINTERVAL\s+'([^']*?)\s+ago'""".r.replaceAllIn(sql,
+      m => scala.util.matching.Regex.quoteReplacement(
+        s"(- INTERVAL '${m.group(1)}')"))
+    // `WITH x AS MATERIALIZED (...)`: accept and inline (Catalyst CSE
+    // + the cache layer stand in for the reference's materialization)
+    sql = sql.replaceAll("(?is)\\bAS\\s+MATERIALIZED\\s*\\(", "AS (")
+    // databend split() takes a LITERAL separator (string.rs) — route
+    // the SQL spelling onto split_literal; Spark's regex split stays
+    // for the DataFrame API. Quote-aware keyword scan.
+    if (sql.toLowerCase.contains("split")) {
+      var from = 0
+      while (from < sql.length) {
+        val at = indexOfKeywordAnyDepth(sql, "SPLIT", from)
+        if (at < 0) from = sql.length
+        else {
+          var k = at + "SPLIT".length
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && sql.charAt(k) == '(') {
+            sql = sql.substring(0, at) + "split_literal" + sql.substring(at + 5)
+            from = at + "split_literal".length
+          } else from = at + 5
+        }
+      }
+    }
+    // databend COLUMNS() select items (ast: ColumnsExpr) — star-exclude,
+    // name-regex and name-lambda forms. BEFORE the bare star-exclude
+    // rewrites, which would otherwise rewrite inside COLUMNS(...)
+    sql = rewriteColumnsFn(sql)
     // databend `SELECT * EXCLUDE (c1, ...)` -> Spark's `* EXCEPT (...)`
     sql = sql.replaceAll("(?i)\\*\\s+EXCLUDE\\s*\\(", "* EXCEPT (")
+    // paren-less single-column form: `* EXCLUDE c1`
+    sql = sql.replaceAll("(?i)\\*\\s+EXCLUDE\\s+(`[^`]+`|\\w+)", "* EXCEPT ($1)")
     // databend's zero-arg count() (aggregator.rs) -> count(*)
     sql = sql.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
     // length-less VARCHAR casts (databend treats VARCHAR as unbounded)
@@ -2603,10 +2941,23 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         }
       }
     }
+    // `Nullable(T)` in cast position is just T (databend nullability
+    // wrapper; every Spark type is nullable)
+    if (sql.toLowerCase.contains("nullable")) {
+      var n = sql
+      var go = true
+      while (go) { // innermost-first for Nullable(Array(Int32))
+        val n2 = n.replaceAll(
+          "(?i)\\b(as\\s+|::\\s*)nullable\\s*\\(\\s*([^()]*?)\\s*\\)", "$1$2")
+        go = n2 != n; n = n2
+      }
+      sql = n
+    }
     // databend sized-int / float cast spellings in query position
-    // (src/query/ast types; unsigned widens per SURVEY §1.2)
+    // (src/query/ast types; unsigned widens per SURVEY §1.2). `::` may
+    // carry whitespace before the type name (`x :: Int16`).
     for ((from, to) <- CastSpellings)
-      sql = sql.replaceAll(s"(?i)::$from\\b", s"::$to")
+      sql = sql.replaceAll(s"(?i)::(\\s*)$from\\b", s"::$$1$to")
         .replaceAll(s"(?i)\\b(as\\s+)$from\\b", s"$$1$to")
     // MySQL CAST(x AS SIGNED|UNSIGNED [INTEGER]) — cast context only
     sql = rewriteSignedCasts(sql)
@@ -3379,7 +3730,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // tdigest forms. intersect_count('a','b')(bm, tag) and
     // histogram(n)(x) are the reference's other two-stage aggregates
     // (aggregate_bitmap.rs / aggregate_histogram.rs)
-    """(?i)\b(quantile_tdigest_weighted|quantile_tdigest|quantile_cont|quantile_disc|quantile|median_tdigest|intersect_count|histogram|window_funnel|retention)\s*\(""".r
+    """(?i)\b(quantile_tdigest_weighted|quantile_tdigest|quantile_cont|quantile_disc|quantile|median_tdigest|intersect_count|histogram|window_funnel|retention|approx_count_distinct|uniq|to_decimal|try_to_decimal)\s*\(""".r
 
   private def rewriteParamAggCall(sql: String): String = {
     val m0 = ParamAggRe.findFirstMatchIn(sql)
@@ -3861,6 +4212,12 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
             // groups the COLUMN k — the reference falls back the same
             // way, since grouping by an aggregate is circular)
             .filterNot { case (_, e) => AggLikeRe.findFirstIn(e).isDefined }
+            // ...nor to an alias of an SRF item when the name shadows a
+            // source column: the reference groups the COLUMN first and
+            // expands the SRF per group (group_by unnest vectors)
+            .filterNot { case (_, e) =>
+              """(?i)\b(unnest|explode|posexplode|explode_outer|flatten)\s*\(""".r
+                .findFirstIn(e).isDefined }
           if (aliasMap.isEmpty) { pos = listEnd }
           else {
             val items = splitTopLevel(sql.substring(listStart, listEnd), ',')
@@ -3900,7 +4257,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
               }
             }.mkString(", ")
             if (changed)
-              sql = sql.substring(0, listStart) + rebuilt + sql.substring(listEnd)
+              // trailing space: listEnd sits AT the next clause keyword
+              // and the rebuilt list is trimmed
+              sql = sql.substring(0, listStart) + rebuilt + " " +
+                sql.substring(listEnd)
             pos = listStart + rebuilt.length
           }
         }
@@ -4146,9 +4506,21 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       depth != 0 || sql.charAt(j) != '}'
     }) j += 1
     val inner = sql.substring(open + 1, j)
-    val entries = splitTopLevel(inner, ',').map { kv =>
+    val keyTexts = splitTopLevel(inner, ',').map { kv =>
       val colon = indexOfTopLevel(kv, ':')
       require(colon > 0, s"bad map entry: $kv")
+      kv.take(colon).trim
+    }
+    // a duplicated literal key in a map literal is error 1006 in the
+    // reference ({100:'k1',100:'k2'}), not last-wins
+    val dupKey = keyTexts.groupBy(identity).collectFirst {
+      case (k, vs) if vs.length > 1 &&
+        k.matches("""(?s)-?\d+(\.\d+)?|'(?:[^']|'')*'""") => k
+    }
+    require(dupKey.isEmpty,
+      s"1006: duplicate map key ${dupKey.getOrElse("")}")
+    val entries = splitTopLevel(inner, ',').map { kv =>
+      val colon = indexOfTopLevel(kv, ':')
       s"${kv.take(colon).trim}, ${mapLiterals(kv.drop(colon + 1).trim)}"
     }
     sql.substring(0, open) + s"map(${entries.mkString(", ")})" +
@@ -5157,16 +5529,63 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   /** Rewrite db-qualified table references (`db.t`, backtick-quoted
     * parts) onto their flattened instance views.
     */
+  /** words that may follow a table factor without being its alias */
+  private val NotAnAliasKw = Set(
+    "WHERE", "ON", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+    "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "INNER",
+    "OUTER", "CROSS", "FULL", "NATURAL", "SEMI", "ANTI", "ASOF",
+    "USING", "SET", "WHEN", "QUALIFY", "WINDOW", "SETTINGS", "AT",
+    "CHANGES", "VALUES", "SAMPLE", "TABLESAMPLE", "PIVOT", "UNPIVOT",
+    "LATERAL", "RETURNING", "FOR", "MATCHED", "SELECT", "FETCH")
+
   private def qualifiedRefs(sql: String): String = {
     val dotted = tables.keys.filter(_.contains(".")).toSeq.sortBy(-_.length)
     val afterDotted = dotted.foldLeft(sql) { (acc, key) =>
       val parts = key.split('.')
+      val base = parts.last
       val pat = parts.map(p =>
         "(?:`" + java.util.regex.Pattern.quote(p) + "`|" +
           java.util.regex.Pattern.quote(p) + ")")
         .mkString("\\s*\\.\\s*")
-      ("(?i)" + pat).r.replaceAllIn(acc,
-        scala.util.matching.Regex.quoteReplacement(viewName(key)))
+      // in FROM/JOIN position with no explicit alias and no further
+      // `.member`, alias the flattened view back to the TABLE name so
+      // `t.col` / `db.t.col` qualified references keep resolving (the
+      // reference resolves `select t.id2 from db.t order by t.id2`).
+      // Skipped when the bare name ALSO resolves here (current db owns
+      // it): prefixRefs then renames every bare `t` token to the same
+      // view, and an alias would orphan those rewritten qualifiers.
+      val re = ("(?i)(\\b(?:FROM|JOIN)\\s+)?" + pat).r
+      val bareResolvesHere =
+        scala.util.Try(resolveKey(base) == key).getOrElse(false)
+      val v = viewName(key)
+      def factorInfo(mm: scala.util.matching.Regex.Match): (Boolean, Boolean) = {
+        val intro = Option(mm.group(1)).getOrElse("")
+        val afterTrim = mm.after.toString.dropWhile(_.isWhitespace)
+        val isQualifier = afterTrim.startsWith(".")
+        val hasAlias = {
+          val m2 = """^(?i)(?:AS\s+)?([A-Za-z_]\w*|`[^`]+`)""".r
+            .findFirstMatchIn(afterTrim)
+          m2.exists(g => !NotAnAliasKw(g.group(1).toUpperCase))
+        }
+        (intro.nonEmpty && !isQualifier, hasAlias)
+      }
+      // one aliasing decision per key per statement: if ANY table
+      // factor for it takes the implicit base-name alias, qualifier
+      // uses (`db.t.col`, `db.t.*`) must rewrite to `base.` too
+      val aliased = !bareResolvesHere && !base.equalsIgnoreCase(v) &&
+        re.findAllMatchIn(acc).exists { mm =>
+          val (factor, hasAlias) = factorInfo(mm); factor && !hasAlias
+        }
+      re.replaceAllIn(acc, mm => {
+        val intro = Option(mm.group(1)).getOrElse("")
+        val afterTrim = mm.after.toString.dropWhile(_.isWhitespace)
+        val isQualifier = afterTrim.startsWith(".")
+        val (factor, hasAlias) = factorInfo(mm)
+        scala.util.matching.Regex.quoteReplacement(
+          if (aliased && factor && !hasAlias) s"$intro$v AS `$base`"
+          else if (aliased && isQualifier) s"$intro`$base`"
+          else s"$intro$v")
+      })
     }
     // backtick-quoted single-part refs in table position
     // (`FROM "rates"`) — the word scanner in prefixRefs skips quoted
@@ -5442,7 +5861,17 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           val s = if (parts.length >= 3) parts(2) else "1"
           (parts.take(2) :+ s"make_interval(0, 0, 0, $s)").mkString(", ")
         } else args0
-      s"(SELECT explode(sequence($args)) AS generate_series)"
+      if (!isTs && !isDate && parts.length >= 2 && parts.length <= 3) {
+        // numeric series: empty result (not sequence()'s boundary
+        // error) when the step points away from the INCLUSIVE end
+        val step = if (parts.length >= 3) parts(2) else "1"
+        val b = s"CAST((${parts(0)}) AS BIGINT)"
+        val e = s"CAST((${parts(1)}) AS BIGINT)"
+        s"(SELECT explode(CASE WHEN sign($e - $b) * sign(CAST(($step) " +
+          s"AS BIGINT)) >= 0 THEN sequence($args) " +
+          s"ELSE CAST(array() AS ARRAY<BIGINT>) END) AS generate_series)"
+      } else
+        s"(SELECT explode(sequence($args)) AS generate_series)"
     }
     var sql = sql0; var pos = 0
     while (true) {
@@ -5592,7 +6021,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
           catch { case e: Throwable =>
             tables.remove(n).foreach { t =>
               spark.catalog.dropTempView(viewName(n)); rmrf(t.path) }
-            computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n)
+            computedCols.remove(n); declaredOrder.remove(n); colDefaults.remove(n); bitmapCols.remove(n)
             throw e
           }
       }
@@ -5763,7 +6192,7 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     }
     tables.remove(name).foreach { t =>
       spark.catalog.dropTempView(viewName(name))
-      computedCols.remove(name); declaredOrder.remove(name); colDefaults.remove(name)
+      computedCols.remove(name); declaredOrder.remove(name); colDefaults.remove(name); bitmapCols.remove(name)
       if (purge) rmrf(t.path)
       else {
         droppedSeq += 1
@@ -5848,18 +6277,20 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * (insert_into_map.test). Non-VALUES bodies pass through.
     */
   private def castValuesBody(body: String, colList: Option[String],
-      tgtSchema: StructType): String = {
+      tgtSchema: StructType,
+      dflts: Map[String, String] = Map.empty,
+      bitmapSet: Set[String] = Set.empty): String = {
     // braces first: splitTopLevel does not track {..} nesting
     val bt = mapLiterals(body.trim)
     if (!bt.toUpperCase.startsWith("VALUES")) return bt
-    val types: Seq[org.apache.spark.sql.types.DataType] = colList match {
-      case Some(cl) => splitTopLevel(cl, ',').map { c =>
-        val n = norm(c)
-        tgtSchema.fields.find(_.name.equalsIgnoreCase(n))
-          .getOrElse(throw new IllegalArgumentException(
-            s"unknown column $n")).dataType
-      }
-      case None => tgtSchema.fields.map(_.dataType).toSeq
+    val colNames: Seq[String] = colList match {
+      case Some(cl) => splitTopLevel(cl, ',').map(c => norm(c))
+      case None => tgtSchema.fieldNames.toSeq
+    }
+    val types: Seq[org.apache.spark.sql.types.DataType] = colNames.map { n =>
+      tgtSchema.fields.find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown column $n")).dataType
     }
     val rows = splitTopLevel(bt.substring("VALUES".length), ',')
     val ok = rows.nonEmpty && rows.forall { r0 =>
@@ -5868,17 +6299,76 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         splitTopLevel(r.substring(1, r.length - 1), ',').length == types.length
     }
     if (!ok) return bt
+    rows.foreach(checkNoAggInValuesRow)
     rows.map { r0 =>
       val r = r0.trim
       val cells = splitTopLevel(r.substring(1, r.length - 1), ',')
-      "SELECT " + cells.zip(types).map { case (c, ty) =>
+      "SELECT " + cells.lazyZip(types).lazyZip(colNames).map { (c0, ty, cn) =>
+        // a bare DEFAULT cell takes the column's declared default
+        // (NULL without one) — reference insert_default semantics
+        val c =
+          if (c0.trim.equalsIgnoreCase("default"))
+            dflts.getOrElse(cn.toLowerCase, "NULL")
+          else c0
         ty match {
           case org.apache.spark.sql.types.VariantType =>
-            s"parse_json(CAST(($c) AS STRING))"
+            // graft_json_text, NOT a string cast: casting an
+            // already-variant cell (parse_json('"abcd"')) to string
+            // UNQUOTES json strings, so the re-parse saw `abcd` and
+            // raised 1006 on a value the reference accepts
+            s"parse_json(graft_json_text(($c)))"
+          case org.apache.spark.sql.types.BinaryType
+              if bitmapSet(cn.toLowerCase) && c.trim.startsWith("'") =>
+            // string literal into a declared-BITMAP column parses as a
+            // value list, not utf8 bytes
+            s"to_bitmap(${c.trim})"
+          case st: StructType
+              if st.fieldNames.sameElements(Array("us", "offset_minutes")) &&
+                c.trim.startsWith("'") =>
+            // TIMESTAMP WITH TIME ZONE column: parse the literal
+            // offset-preserving
+            s"to_timestamp_tz(${c.trim})"
           case _ => s"CAST(($c) AS ${ty.sql})"
         }
       }.mkString(", ")
     }.mkString(" UNION ALL ")
+  }
+
+  private val ValuesAggRe =
+    ("""(?i)\b(count|sum|avg|min|max|array_agg|string_agg|group_concat|""" +
+     """listagg|stddev|stddev_pop|stddev_samp|var_samp|var_pop|variance|""" +
+     """median|quantile|approx_count_distinct|approx_percentile|arg_min|""" +
+     """arg_max|covar_pop|covar_samp|corr|uniq|retention|window_funnel)""" +
+     """\s*\(""").r
+
+  /** reference 1065: a VALUES row cannot contain aggregate/window
+    * calls (Spark would quietly evaluate them over a one-row frame)
+    */
+  private def checkNoAggInValuesRow(row: String): Unit = {
+    // strip string literals so 'max(...)' text never false-positives
+    val bare = row.replaceAll("'(?:[^']|'')*'", "''")
+    if (ValuesAggRe.findFirstIn(bare).isDefined ||
+        """(?i)\bOVER\s*\(""".r.findFirstIn(bare).isDefined)
+      throw new IllegalArgumentException(
+        "1065: aggregate or window functions are not allowed in VALUES")
+  }
+
+  /** the reference's per-type zero value (table.rs default_expr absent
+    * on a NOT NULL column): 0 / '' / false / epoch
+    */
+  private def typeZeroLiteral(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => "0"
+      case _: StringType => "''"
+      case _: BooleanType => "false"
+      case _: DateType => "DATE'1970-01-01'"
+      case _: TimestampType => "TIMESTAMP'1970-01-01 00:00:00'"
+      case _: BinaryType => "X''"
+      case _: ArrayType => "array()"
+      case _ => "NULL"
+    }
   }
 
   /** align a statement's source rows (col list + body) to `t`'s schema */
@@ -5918,10 +6408,20 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val tgtSchema = StructType(physSchema.fields
         .filterNot(f => storedComp.exists(_._1.equalsIgnoreCase(f.name))))
       val tgtCols = tgtSchema.fieldNames.toSeq
+      // a DEFAULT cell on a NOT NULL column without a declared default
+      // takes the TYPE's zero value in the reference (insert_default:
+      // `c float not null` -> 0.0), not NULL
+      val dflts = colDefaults.getOrElse(n, Map.empty) ++
+        notNullCols.getOrElse(n, Set.empty)
+          .filterNot(colDefaults.getOrElse(n, Map.empty).contains)
+          .flatMap { c =>
+            tgtSchema.fields.find(_.name.equalsIgnoreCase(c))
+              .map(f => c.toLowerCase -> typeZeroLiteral(f.dataType))
+          }
       val df0 = spark.sql(rewriteReads(
-        castValuesBody(body, Option(colList), tgtSchema)))
+        castValuesBody(body, Option(colList), tgtSchema, dflts,
+          bitmapCols.getOrElse(n, Set.empty))))
       val explicit = Option(colList).map(splitTopLevel(_, ',').map(c => norm(c)))
-      val dflts = colDefaults.getOrElse(n, Map.empty)
       val df1 = explicit match {
         case Some(cols) =>
           cols.foreach(c => require(!compNames(c.toLowerCase),
@@ -5985,7 +6485,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       // reading a STREAM in a DML consumes it (advances the cursor)
       lastStreamRefs.foreach(n0 => streams(n0).consume(_ => ()))
       refreshView(n)
-      status("table" -> n, "op" -> (if (overwrite) "overwrite" else "insert"))
+      // the reference returns the affected-row count as INSERT's
+      // result set (issue_17581); footer-summed, no source re-run
+      import spark.implicits._
+      Seq(t.lastWrittenRows).toDF("number of rows inserted")
     case _ => throw new IllegalArgumentException(s"cannot parse INSERT: $s")
   }
 
@@ -6345,15 +6848,236 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
 
   private def dropFunction(s: String): DataFrame = s match {
     case DropFnRe(name) =>
+      lambdaFns.remove(norm(name).toLowerCase)
       graft.functions.PyScalarUdf.drop(spark, norm(name))
       status("function" -> norm(name), "op" -> "drop-function")
     case _ => throw new IllegalArgumentException(s"cannot parse DROP FUNCTION: $s")
+  }
+
+  /** reference scalar lambda UDFs (ast/statements/udf.rs UDFDefinition
+    * ::LambdaUDF: `CREATE FUNCTION f AS (a, b) -> <expr>`): kept as
+    * SQL text and inlined at call sites — the body is databend-dialect
+    * SQL and must run through the same rewrite pipeline as the query.
+    */
+  private val lambdaFns =
+    mutable.LinkedHashMap[String, (Seq[String], String)]()
+
+  private def createLambdaFunction(s: String): DataFrame = s match {
+    case CreateLambdaFnRe(orReplace, ifNotExists, name, params, body) =>
+      val key = norm(name).toLowerCase
+      if (lambdaFns.contains(key) && orReplace == null && ifNotExists == null)
+        throw new IllegalArgumentException(
+          s"2603: UDF $key already exists")
+      if (!(lambdaFns.contains(key) && ifNotExists != null))
+        lambdaFns(key) = (
+          splitTopLevel(params, ',').map(_.trim).filter(_.nonEmpty),
+          body.trim)
+      status("function" -> key, "op" -> "create-function",
+        "language" -> "sql")
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE FUNCTION: $s")
+  }
+
+  /** inline every registered lambda-UDF call; iterates so UDFs may
+    * reference other UDFs (cycles stop at the guard and surface as an
+    * unresolved function downstream)
+    */
+  private def expandLambdaFns(sql0: String): String = {
+    if (lambdaFns.isEmpty) return sql0
+    var sql = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 20) {
+      changed = false
+      guard += 1
+      for ((name, (params, body)) <- lambdaFns) {
+        var from = 0
+        while (from < sql.length) {
+          val at = indexOfKeywordAnyDepth(sql, name, from)
+          if (at < 0) from = sql.length
+          else {
+            var k = at + name.length
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            if (k < sql.length && sql.charAt(k) == '(') {
+              val close = matchParen(sql, k)
+              val args = splitTopLevel(sql.substring(k + 1, close), ',')
+                .map(_.trim)
+              if (args.length == params.length ||
+                  (params.isEmpty && args == Seq(""))) {
+                // two-phase substitution: an ARGUMENT may spell
+                // another parameter's name (cal(b, 5) with params
+                // (a, b)) — placeholders keep it from being
+                // re-substituted
+                var b = body
+                for ((p, i) <- params.zipWithIndex)
+                  b = substituteIdentsOutsideStrings(b,
+                    Map(p.toLowerCase -> s"__lfn_arg${i}__"))
+                for ((a, i) <- args.zipWithIndex)
+                  b = b.replace(s"__lfn_arg${i}__", s"($a)")
+                sql = sql.substring(0, at) + s"($b)" + sql.substring(close + 1)
+                changed = true
+                from = at + 1
+              } else from = close + 1
+            } else from = at + name.length
+          }
+        }
+      }
+    }
+    sql
   }
 
   private def createStage(s: String): DataFrame = s match {
     case CreateStageRe(name, url) =>
       stages(norm(name)) = url
       status("stage" -> norm(name), "url" -> url)
+    case CreateBareStageRe(name) =>
+      // URL-less internal stage: a managed dir under the warehouse
+      val dir = s"$warehouse/stages/${norm(name)}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      stages(norm(name)) = dir
+      status("stage" -> norm(name), "url" -> dir)
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE STAGE: $s")
+  }
+
+  private def dropStage(s: String): DataFrame = s match {
+    case DropStageRe(name) =>
+      val n = norm(name)
+      if (!stages.contains(n) &&
+          !"""(?is)IF\s+EXISTS""".r.findFirstIn(s).isDefined)
+        throw new IllegalArgumentException(s"2501: unknown stage $n")
+      stages.remove(n).foreach { dir =>
+        if (dir.startsWith(s"$warehouse/stages/")) rmrf(dir)
+      }
+      status("stage" -> n, "op" -> "drop")
+    case _ => throw new IllegalArgumentException(s"cannot parse DROP STAGE: $s")
+  }
+
+  private def removeStage(s: String): DataFrame = s match {
+    case RemoveStageRe(tgt) =>
+      val dir = resolveStagePath(tgt.trim)
+      val p = java.nio.file.Paths.get(dir)
+      var n = 0
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .filter(q => q != p)
+          .forEach { q => java.nio.file.Files.deleteIfExists(q); n += 1 }
+      }
+      status("op" -> "remove", "location" -> dir, "files_removed" -> n)
+    case _ => throw new IllegalArgumentException(s"cannot parse REMOVE: $s")
+  }
+
+  /** databend COLUMNS() select items (ast/expr.rs ColumnsExpr):
+    *   COLUMNS(* EXCLUDE x)   -> * EXCEPT (x)
+    *   COLUMNS('regex')       -> the FROM table's matching columns
+    *   COLUMNS(a -> pred(a))  -> columns whose NAME satisfies pred
+    * The name forms resolve against the statement's (single) FROM
+    * table; the predicate evaluates once over an inline VALUES list of
+    * the column names.
+    */
+  private def rewriteColumnsFn(sql0: String): String = {
+    if (!sql0.toLowerCase.contains("columns")) return sql0
+    var sql = sql0
+    var guard = 0
+    while (guard < 30) {
+      guard += 1
+      // quote-aware scan: `columns` inside a string literal never fires
+      var at = -1
+      var from = 0
+      var open = -1
+      while (at < 0 && from < sql.length) {
+        val cand = indexOfKeywordAnyDepth(sql, "COLUMNS", from)
+        if (cand < 0) from = sql.length
+        else {
+          var k = cand + "COLUMNS".length
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && sql.charAt(k) == '(') { at = cand; open = k }
+          else from = cand + "COLUMNS".length
+        }
+      }
+      if (at < 0) return sql
+      val mStart = at
+      val close = matchParen(sql, open)
+      val inner = sql.substring(open + 1, close).trim
+      val repl: String =
+        if (inner.startsWith("*")) {
+          val ex = inner.substring(1).trim
+          val exList = """(?is)^EXCLUDE\s*\(?\s*(.*?)\s*\)?$""".r
+            .findFirstMatchIn(ex).map(_.group(1)).getOrElse("")
+          if (exList.nonEmpty) s"* EXCEPT ($exList)" else "*"
+        } else {
+          // resolve the owning FROM table's column names
+          val fromM = """(?i)\bFROM\s+(`[^`]+`|[\w.]+)""".r
+            .findFirstMatchIn(sql.substring(close))
+          val cols: Seq[String] = fromM.flatMap { fm =>
+            val t = norm(fm.group(1))
+            scala.util.Try(
+              spark.table(viewName(resolveKey(t))).columns.toSeq).toOption
+          }.getOrElse(throw new IllegalArgumentException(
+            "1065: COLUMNS() needs a resolvable FROM table"))
+          val matched: Seq[String] = inner match {
+            case re if re.startsWith("'") && re.endsWith("'") =>
+              val pat = re.substring(1, re.length - 1)
+              cols.filter(c => java.util.regex.Pattern.compile(pat)
+                .matcher(c).find())
+            case lam if """(?s)^\w+\s*->.*""".r.matches(lam) =>
+              val arrow = lam.indexOf("->")
+              val v = lam.take(arrow).trim
+              val pred = lam.substring(arrow + 2).trim
+              val valuesList = cols.map(c =>
+                "('" + c.replace("'", "''") + "')").mkString(", ")
+              spark.sql(
+                s"SELECT `$v` FROM (VALUES $valuesList) AS __cn(`$v`) " +
+                s"WHERE $pred").collect().map(_.getString(0)).toSeq
+            case other => splitTopLevel(other, ',').map(c => norm(c))
+                .filter(c => cols.exists(_.equalsIgnoreCase(c)))
+          }
+          if (matched.isEmpty)
+            throw new IllegalArgumentException(
+              s"1065: COLUMNS($inner) matches no column")
+          matched.map(c => s"`$c`").mkString(", ")
+        }
+      sql = sql.substring(0, mStart) + repl + sql.substring(close + 1)
+    }
+    sql
+  }
+
+  /** shared FILE_FORMAT=(...) parse: (sparkFormat, reader/writer opts) */
+  private def parseFileFormat(rest: String): (String, Map[String, String]) =
+    FileFormatRe.findFirstMatchIn(rest) match {
+      case None => ("parquet", Map.empty[String, String])
+      case Some(fm) =>
+        val kvs = splitTopLevel(fm.group(1), ',').flatMap { kv =>
+          val eq = indexOfTopLevel(kv, '=')
+          if (eq < 0) None
+          else Some(norm(kv.take(eq)) -> kv.drop(eq + 1).trim.stripPrefix("'").stripSuffix("'"))
+        }.toMap
+        val tpe = kvs.getOrElse("type", "parquet").toLowerCase
+        val sparkFmt = tpe match {
+          case "csv" | "tsv" => "csv"
+          case "ndjson" | "json" => "json"
+          case other => other
+        }
+        val o = mutable.LinkedHashMap[String, String]()
+        if (tpe == "tsv") o("sep") = "\t"
+        kvs.get("field_delimiter").foreach(o("sep") = _)
+        kvs.get("skip_header").foreach(h => o("header") = (h.toInt > 0).toString)
+        (sparkFmt, o.toMap)
+    }
+
+  /** COPY INTO @stage FROM <table|(query)>: unload as data files */
+  private def copyExport(s: String): DataFrame = s match {
+    case CopyExportRe(tgt, src0, rest0) =>
+      val dir = resolveStagePath(tgt.trim)
+      val src = src0.trim
+      val df =
+        if (src.startsWith("("))
+          spark.sql(rewriteReads(src.substring(1, matchParen(src, 0))))
+        else spark.table(viewName(resolveKey(src)))
+      val (fmt, opts0) = parseFileFormat(Option(rest0).getOrElse(""))
+      val opts = if (fmt == "csv") opts0 else opts0 - "sep" - "header"
+      df.write.format(fmt).options(opts).mode("append").save(dir)
+      status("op" -> "copy-unload", "location" -> dir,
+        "rows_unloaded" -> df.count())
+    case _ => throw new IllegalArgumentException(s"cannot parse COPY INTO <location>: $s")
   }
 
   private def copy(s: String): DataFrame = s match {
@@ -6389,6 +7113,50 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
         "files_loaded" -> loaded.size, "files_skipped" -> skipped.size)
     case _ => throw new IllegalArgumentException(s"cannot parse COPY: $s")
   }
+
+  /** inside '...' literals, `\"` stays a literal backslash+quote in
+    * the reference's lexer — spell it `\\"` for Spark's
+    */
+  private def databendDquoteEscapes(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0; var q = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!q) { if (c == '\'') q = true; sb.append(c); i += 1 }
+      else c match {
+        case '\\' if i + 1 < s.length =>
+          val n = s.charAt(i + 1)
+          if (n == '"') { sb.append("\\\\\""); i += 2 }
+          else { sb.append(c).append(n); i += 2 }
+        case '\'' => q = false; sb.append(c); i += 1
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** `FROM @stage[/sub]` reads the stage directory's data files;
+    * format detected from file extensions (parquet default)
+    */
+  private def rewriteStageReads(sql: String): String =
+    """(?i)\b(FROM|JOIN)\s+@([\w./-]+)""".r.replaceAllIn(sql, m => {
+      val dir = resolveStagePath("@" + m.group(2))
+      val p = java.nio.file.Paths.get(dir)
+      val exts =
+        if (java.nio.file.Files.isDirectory(p))
+          graft.Fs.list(p).iterator.map(_.getFileName.toString)
+            .filter(!_.startsWith(".")).flatMap(n =>
+              n.split('.').lastOption).toSet
+        else Set.empty[String]
+      val df =
+        if (exts.contains("csv"))
+          spark.read.option("inferSchema", "true").csv(dir)
+        else if (exts.contains("json") || exts.contains("ndjson"))
+          spark.read.json(dir)
+        else spark.read.parquet(dir)
+      scala.util.matching.Regex.quoteReplacement(
+        m.group(1) + " " + freshView(df))
+    })
 
   private def resolveStagePath(src: String): String = {
     val v = src.stripPrefix("'").stripSuffix("'")
@@ -7710,6 +8478,13 @@ object GraftSql {
         .replaceAll("(?i)\\s+DEFAULT\\b.*$", "")
         .replaceAll("(?i)\\s+NULL$", "")
         .replaceAll("(?i)\\bbool$", "boolean")
+        // TIMESTAMP WITH TIME ZONE columns store as the TzTs struct
+        // (functions/TimestampTz — us + offset_minutes); string cells
+        // parse via to_timestamp_tz in castValuesBody
+        .replaceAll("(?i)\\btimestamp\\s+with\\s+time\\s+zone$",
+          "struct<us: bigint, offset_minutes: int>")
+        .replaceAll("(?i)\\btimestamp_tz$",
+          "struct<us: bigint, offset_minutes: int>")
         .replaceAll("(?i)\\bdatetime$", "timestamp")
         // sized datetime/timestamp spellings (databend DATETIME(6));
         // parquet timestamps are fixed micro precision here
@@ -7842,6 +8617,16 @@ object GraftSql {
     """(?is)\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
   private val CopyRe =
     """(?is)\s*COPY\s+INTO\s+(\w+)\s+FROM\s+('(?:[^']*)'|@[\w./-]+)(.*)""".r
+  /** COPY INTO @stage FROM <table | (query)> — the UNLOAD direction
+    * (reference copy.rs CopyIntoLocation) */
+  private val CopyExportRe =
+    """(?is)\s*COPY\s+INTO\s+(@[\w./-]+|'[^']+')\s+FROM\s+(.+?)((?:\s+FILE_FORMAT|\s+SINGLE|\s+MAX_FILE_SIZE|\s+DETAILED_OUTPUT|\s+INCLUDE_QUERY_ID|\s+OVERWRITE)\s*=.*)?\s*""".r
+  private val CreateBareStageRe =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:FILE_FORMAT\s*=.*|COMMENT\s*=.*)?""".r
+  private val DropStageRe =
+    """(?is)\s*DROP\s+STAGE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val RemoveStageRe =
+    """(?is)\s*REMOVE\s+(@[\w./-]+)\s*(?:PATTERN\s*=\s*'[^']*')?\s*""".r
   private val FileFormatRe =
     """(?is)FILE_FORMAT\s*=\s*\((.*?)\)""".r
   private val CreateStageRe =
@@ -7856,6 +8641,13 @@ object GraftSql {
      """AS\s+\$\$(.*)\$\$\s*""").r
   private val DropFnRe =
     """(?is)\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  /** scalar lambda UDF DDL (udf.rs UDFDefinition::LambdaUDF):
+    * CREATE [OR REPLACE] FUNCTION f AS (a, b) -> expr [DESC = '...']
+    */
+  private val CreateLambdaFnRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+""" +
+     """(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+AS\s*\(([\w\s,]*)\)\s*->\s*""" +
+     """(.+?)(?:\s+DESC\s*=\s*'[^']*')?\s*""").r
   private val CreateStreamRe =
     ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(`[^`]+`|[\w.]+)\s+ON\s+TABLE\s+(`[^`]+`|[\w.]+)""" +
      """(?:\s+AT\s*\(\s*STREAM\s*=>\s*(`[^`]+`|[\w.]+)\s*\))?""" +
@@ -7964,7 +8756,13 @@ object GraftSql {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != 0) { cur += c; if (c == q) q = 0 }
+      if (q != 0) {
+        // a backslash escape inside '...' must not end the literal
+        // ('a\'b' — databend/Spark both accept it)
+        if (q == '\'' && c == '\\' && i + 1 < s.length) {
+          cur += c; cur += s.charAt(i + 1); i += 1
+        } else { cur += c; if (c == q) q = 0 }
+      }
       else c match {
         case '\'' | '"' | '`' => q = c; cur += c
         case '(' | '[' => depth += 1; cur += c
@@ -8025,7 +8823,11 @@ object GraftSql {
     var depth = 0; var q: Char = 0; var i = open
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != 0) { if (c == q) q = 0 }
+      if (q != 0) {
+        // skip backslash escapes inside '...' ('a\'b' stays one literal)
+        if (q == '\'' && c == '\\' && i + 1 < s.length) i += 1
+        else if (c == q) q = 0
+      }
       else c match {
         case '\'' | '"' | '`' => q = c
         case '(' => depth += 1

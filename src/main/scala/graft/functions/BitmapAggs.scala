@@ -193,6 +193,25 @@ object BitmapAggs {
       else new String(a, java.nio.charset.StandardCharsets.UTF_8)
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
   }
+  /** JSON text for a BinaryType value entering VARIANT: a roaring
+    * payload becomes its value ARRAY ([0,1] — the reference's
+    * bitmap->variant cast), anything else the base64 STRING Spark's
+    * to_json renders for binary. Called from ToVariantJsonText.
+    */
+  def bytesToVariantJson(a: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (a == null) return null
+    val isRoaring = a.length >= 4 && {
+      val cookie = (a(0) & 0xff) | ((a(1) & 0xff) << 8)
+      cookie == 12346 || cookie == 12347
+    }
+    val s =
+      if (isRoaring)
+        try "[" + toStr(a) + "]"
+        catch { case _: Exception =>
+          "\"" + java.util.Base64.getEncoder.encodeToString(a) + "\"" }
+      else "\"" + java.util.Base64.getEncoder.encodeToString(a) + "\""
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
   /** sub_bitmap(b, offset, len): `len` values starting at position `offset` */
   def subBitmap(a: Array[Byte], offset: Int, len: Int): Array[Byte] =
     buildBitmap(deser(a).toArray.toSeq.slice(offset, offset + len))

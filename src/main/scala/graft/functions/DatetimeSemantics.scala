@@ -223,6 +223,28 @@ class DatetimeCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if child.resolved && child.dataType == StringType =>
           DatabendStringToDate(child, failOnError = mode != EvalMode.TRY,
             strict = strictParser, auto = autoDetect)
+        // array<string> -> array<DATE/TIMESTAMP>: element-wise through
+        // the reference parser (Spark's native cast would accept
+        // 5-digit years the reference rejects with 1006)
+        case Cast(child, ArrayType(DateType, _), _, mode)
+            if child.resolved && (child.dataType match {
+              case ArrayType(StringType, _) => true
+              case _ => false
+            }) =>
+          val v = UnresolvedNamedLambdaVariable(Seq("__dtc"))
+          ArrayTransform(child, LambdaFunction(
+            DatabendStringToDate(v, failOnError = mode != EvalMode.TRY,
+              strict = strictParser, auto = autoDetect), Seq(v)))
+        case Cast(child, ArrayType(TimestampType, _), _, mode)
+            if child.resolved && (child.dataType match {
+              case ArrayType(StringType, _) => true
+              case _ => false
+            }) =>
+          val v = UnresolvedNamedLambdaVariable(Seq("__dtc"))
+          ArrayTransform(child, LambdaFunction(
+            DatabendStringToTimestamp(v, failOnError = mode != EvalMode.TRY,
+              strict = strictParser, auto = autoDetect,
+              zoneId = sessionZone), Seq(v)))
         // int -> DATE: days since epoch
         case c @ Cast(child, DateType, _, _) if isIntegral(child) =>
           DateFromUnixDate(clampedDays(child))
@@ -348,7 +370,10 @@ case class DatabendStringToTimestamp(child: Expression, failOnError: Boolean,
   override def foldable: Boolean = child.foldable
   @transient private lazy val zone = java.time.ZoneId.of(zoneId)
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.trim
+    val s0 = input.toString.trim
+    // MySQL-lineage zero date maps to the epoch (insert_into_values
+    // golden: '0000-00-00 00:00:00' -> 1970-01-01 00:00:00)
+    val s = if (s0.startsWith("0000-00-00")) "1970-01-01" + s0.drop(10) else s0
     DatetimeSemantics.parseTimestampMicrosTs(s, strict, auto, zone) match {
       case Some(micros) => micros
       case None =>
@@ -376,7 +401,9 @@ case class DatabendStringToDate(child: Expression, failOnError: Boolean,
   override def foldable: Boolean = child.foldable
   @transient private lazy val zone = java.time.ZoneId.of(zoneId)
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.trim
+    val s1 = input.toString.trim
+    // MySQL-lineage zero date maps to the epoch
+    val s = if (s1.startsWith("0000-00-00")) "1970-01-01" + s1.drop(10) else s1
     // a purely numeric string under auto-detect follows to_date(int):
     // DAYS since epoch with the MIN-on-invalid clamp
     if (auto && s.matches("[+-]?\\d+")) {

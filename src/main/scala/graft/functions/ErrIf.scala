@@ -98,3 +98,61 @@ case class JsonTextDispatch(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): JsonTextDispatch =
     copy(child = newChild)
 }
+
+/** databend's 1-arg to_binary (binary.rs): a STRING is its UTF-8
+  * bytes (Spark's to_binary defaults to HEX decoding), a VARIANT is
+  * its canonical JSON text's bytes, BINARY passes through. The 2-arg
+  * format form keeps Spark's builtin (hex/base64/utf-8 agree).
+  */
+case class ToBinaryDispatch(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => child
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.sql.catalyst.expressions.Encode(
+        child, org.apache.spark.sql.catalyst.expressions.Literal("UTF-8"))
+    case org.apache.spark.sql.types.VariantType =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        JsonTextDispatch(child), org.apache.spark.sql.types.BinaryType)
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          child, org.apache.spark.sql.types.StringType,
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
+        org.apache.spark.sql.types.BinaryType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ToBinaryDispatch =
+    copy(child = newChild)
+}
+
+/** JSON text of a value wrapped in a one-element ARRAY, for
+  * to_variant's lowering (`variant_get(parse_json(this), '$[0]')`):
+  * BINARY dispatches through [[graft.functions.BitmapAggs
+  * .bytesToVariantJson]] so a roaring-bitmap payload becomes its
+  * value array (the reference's bitmap->variant cast) instead of a
+  * base64 string; everything else renders via to_json.
+  */
+case class ToVariantJsonText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType =>
+      org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal("["),
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.functions.BitmapAggs.getClass,
+          org.apache.spark.sql.types.StringType,
+          "bytesToVariantJson",
+          Seq(child),
+          Seq(org.apache.spark.sql.types.BinaryType)),
+        org.apache.spark.sql.catalyst.expressions.Literal("]")))
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        Map.empty[String, String],
+        org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(child)),
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ToVariantJsonText =
+    copy(child = newChild)
+}

@@ -216,6 +216,34 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (pulled.isEmpty) agg
         else agg.copy(aggregateExpressions = newAggs,
           child = Project(agg.child.output ++ pulled, agg.child))
+      // GROUP BY a VARIANT expression: Spark rejects VariantType
+      // grouping (not orderable); the reference groups jsonb values by
+      // equality (group_by suites). Group on the CANONICAL JSON text
+      // and re-parse the key for the output column, keeping the
+      // original exprIds so parents' references stay valid.
+      case agg: Aggregate if agg.resolved &&
+          agg.groupingExpressions.exists(g => g.dataType == VariantType) =>
+        val vges = agg.groupingExpressions.filter(_.dataType == VariantType)
+        def reparse(g: Expression): Expression =
+          UnresolvedFunction("parse_json", Seq(JsonTextDispatch(g)),
+            isDistinct = false)
+        val newGes = agg.groupingExpressions.map {
+          case g if g.dataType == VariantType => JsonTextDispatch(g)
+          case g => g
+        }
+        def fix(e: Expression): Expression = e match {
+          case ae: AggregateExpression => ae
+          case x if vges.exists(_.semanticEquals(x)) => reparse(x)
+          case other => other.mapChildren(fix)
+        }
+        val newAes = agg.aggregateExpressions.map {
+          case a: AttributeReference if vges.exists(_.semanticEquals(a)) =>
+            Alias(reparse(a), a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          case ne => fix(ne).asInstanceOf[NamedExpression]
+        }
+        agg.copy(groupingExpressions = newGes,
+          aggregateExpressions = newAes)
       case s @ Sort(orders, global, child, hint)
           if orders.exists(o => o.child.resolved && o.child.dataType == VariantType) =>
         val fixed = orders.map { o =>
@@ -548,6 +576,75 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           UnresolvedFunction("variant_like_impl",
             Seq(JsonTextDispatch(unwrapToVariant(lk.left).get), lk.right,
               Literal(lk.escapeChar.toString)), isDistinct = false)
+        // BINARY -> STRING casts dispatch through the display helper so
+        // a roaring-bitmap payload renders as its value list (the
+        // reference's bitmap::string); plain utf8 bytes are unchanged
+        case c0 @ Cast(child, StringType, _, mode)
+            if mode != EvalMode.TRY && child.resolved &&
+              child.dataType == BinaryType &&
+              !child.isInstanceOf[ToStringDispatch] =>
+          ToStringDispatch(child)
+        // lag/lead DEFAULT coerces to the value type in the reference
+        // (Spark demands an exact match: lag(arr, 8, [123]) rejects)
+        case l @ Lag(in, off, d, ig)
+            if in.resolved && d.resolved && d.dataType != in.dataType &&
+              d.dataType != NullType &&
+              Cast.canCast(d.dataType, in.dataType) =>
+          Lag(in, off, Cast(d, in.dataType), ig)
+        case l @ Lead(in, off, d, ig)
+            if in.resolved && d.resolved && d.dataType != in.dataType &&
+              d.dataType != NullType &&
+              Cast.canCast(d.dataType, in.dataType) =>
+          Lead(in, off, Cast(d, in.dataType), ig)
+        // databend length()/size over containers and VARIANT arrays
+        // (array.rs length; Spark's Length is string/binary-only)
+        case Length(c) if c.resolved &&
+            (c.dataType.isInstanceOf[ArrayType] ||
+             c.dataType.isInstanceOf[MapType]) =>
+          Size(c)
+        case Length(c) if c.resolved && c.dataType == VariantType =>
+          UnresolvedFunction("jarr_size", Seq(JsonTextDispatch(c)),
+            isDistinct = false)
+        // VARIANT operand in arithmetic: the reference runs jsonb
+        // numbers as float64 (parse_json('1') + 1 = 2)
+        case ba: BinaryArithmetic
+            if ba.left.resolved && ba.right.resolved &&
+              (ba.left.dataType == VariantType ||
+               ba.right.dataType == VariantType) &&
+              Seq(ba.left, ba.right).forall(e => e.dataType match {
+                case VariantType | _: ByteType | _: ShortType |
+                     _: IntegerType | _: LongType | _: FloatType |
+                     _: DoubleType | _: DecimalType => true
+                case _ => false
+              }) =>
+          ba.withNewChildren(Seq(ba.left, ba.right).map(e =>
+            if (e.dataType == VariantType) Cast(e, DoubleType) else e))
+        // databend's contains() over ARRAY/MAP is membership (array.rs
+        // contains); Spark's builtin is string-only and ResolveFunctions
+        // may already have built it with an implicit string cast on the
+        // probe side
+        case c @ Contains(l, r)
+            if l.resolved && l.dataType.isInstanceOf[ArrayType] =>
+          // unwrap the implicit to-string cast ResolveFunctions put on
+          // the probe side (user casts stay)
+          val probe = r match {
+            case c2 @ Cast(ch, _, _, mode)
+                if mode != EvalMode.TRY &&
+                  c2.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+                  ch.resolved => ch
+            case other => other
+          }
+          ArrayContains(l, probe)
+        case u: UnresolvedFunction
+            if u.nameParts.length == 1 &&
+              u.nameParts.head.equalsIgnoreCase("contains") &&
+              u.arguments.length == 2 && u.arguments.head.resolved &&
+              (u.arguments.head.dataType.isInstanceOf[ArrayType] ||
+               u.arguments.head.dataType.isInstanceOf[MapType]) =>
+          if (u.arguments.head.dataType.isInstanceOf[ArrayType])
+            ArrayContains(u.arguments.head, u.arguments(1))
+          else UnresolvedFunction("map_contains_key",
+            u.arguments, isDistinct = false)
         // LIKE whose literal pattern escapes a char Spark rejects
         // (escape before anything but % _ or the escape itself): the
         // reference treats esc+ANY as that literal char — lower onto

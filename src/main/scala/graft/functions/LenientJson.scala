@@ -53,9 +53,12 @@ object LenientJson {
     }
     HexRe.findFirstMatchIn(s).foreach { m =>
       val sign = if (m.group(1) == "-") -1.0 else 1.0
-      val whole = java.lang.Long.parseLong(m.group(2), 16).toDouble
+      // BigInteger, not Long.parseLong: hex scalars above Long.MaxValue
+      // (0xffffffffffffffff) must degrade to a lossy double, not throw
+      // an NFE that escapes the lenient-parse contract
+      val whole = new java.math.BigInteger(m.group(2), 16).doubleValue
       val frac = Option(m.group(3)).map { f =>
-        java.lang.Long.parseLong(f, 16).toDouble / math.pow(16, f.length)
+        new java.math.BigInteger(f, 16).doubleValue / math.pow(16, f.length)
       }.getOrElse(0.0)
       val v = sign * (whole + frac)
       return if (v == math.rint(v) && math.abs(v) < 1e15)

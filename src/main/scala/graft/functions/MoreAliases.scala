@@ -72,6 +72,7 @@ object MoreAliases {
     "bit_shift_left" -> "shiftleft",
     "bit_shift_right" -> "shiftright",
     "is_not_null" -> "isnotnull",
+    "is_null" -> "isnull",
     "try_from_base64" -> "unbase64",
     // the bare names are strict (error on malformed); try_ stays NULL
     "try_inet_aton" -> "inet_aton_impl",
@@ -569,11 +570,13 @@ object MoreAliases {
   }
 
   private def humanSize(v: Double): String = {
-    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")
     var x = v; var i = 0
     while (math.abs(x) >= 1024 && i < units.length - 1) { x /= 1024; i += 1 }
+    // always two decimals (reference: 1.00 KiB) — unlike
+    // humanize_number, which strips trailing zeros
     val s = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      .bigDecimal.stripTrailingZeros.toPlainString
+      .bigDecimal.toPlainString
     s"$s ${units(i)}"
   }
 
@@ -738,5 +741,33 @@ object MoreAliases {
       if (a == null || b == null) None else Some(jaroWinkler(a, b))))
     spark.udf.register("humanize_number", udf((v: Double) => humanNumber(v)))
     spark.udf.register("humanize_size", udf((v: Double) => humanSize(v)))
+    // databend split: LITERAL separator (string.rs), Spark's is a
+    // regex — '127.0.0.1' split '.' is 4 parts, not empties. Trailing
+    // empty fields drop; a fully-empty result is [""]
+    def dbSplit(s: String, sep: String): Array[String] =
+      if (s == null || sep == null) null
+      else if (sep.isEmpty) Array(s)
+      else {
+        val parts = s.split(java.util.regex.Pattern.quote(sep), -1)
+        val t = parts.reverse.dropWhile(_.isEmpty).reverse
+        if (t.isEmpty) Array("") else t
+      }
+    // registered as split_literal, NOT split: Column.fn resolves
+    // through the session registry in Spark 4, so overriding `split`
+    // would hijack the engine's own regex splits (inverted-index
+    // tokenization). GraftSql's statement head rewrites databend's
+    // split( onto this name.
+    spark.udf.register("split_literal", udf((s: String, sep: String) => dbSplit(s, sep)))
+    // databend split_part: index 0 behaves like 1, negatives count
+    // from the end, out of range is the EMPTY string (string.rs)
+    spark.udf.register("split_part", udf((s: String, sep: String, n: Int) => {
+      val parts = dbSplit(s, sep)
+      if (parts == null) null
+      else {
+        val idx = if (n == 0) 1 else n
+        val i = if (idx > 0) idx - 1 else parts.length + idx
+        if (i >= 0 && i < parts.length) parts(i) else ""
+      }
+    }))
   }
 }

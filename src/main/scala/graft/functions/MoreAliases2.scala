@@ -193,7 +193,9 @@ object MoreAliases2 {
     // yields SQL NULL (variant.rs to_variant), not a json-null variant
     "to_variant" -> (a => CaseWhen(
       Seq((IsNull(a.head), Literal.create(null, VariantType))),
-      f("variant_get", f("parse_json", f("to_json", CreateArray(Seq(a.head)))),
+      // ToVariantJsonText, not plain to_json: a roaring-bitmap BINARY
+      // becomes its value array (reference bitmap->variant cast)
+      f("variant_get", f("parse_json", ToVariantJsonText(a.head)),
         Literal("$[0]"), Literal("variant")))),
     "as_object" -> (a => CaseWhen(Seq((
       f("startswith", f("schema_of_variant", a.head), Literal("OBJECT")),
@@ -204,8 +206,21 @@ object MoreAliases2 {
       f("try_variant_get", a.head, Literal("$"),
         Literal(if (a.length >= 3) s"decimal(${lit(a(1))},${lit(a(2))})" else "decimal(38,10)"))),
     "to_jsonb_binary" -> (a => cast(jstr(a.head), BinaryType)),
+    // 1-arg to_binary is UTF-8 bytes in the reference (binary.rs),
+    // not Spark's hex default; explicit-format form keeps the builtin
+    "to_binary" -> (a =>
+      if (a.length >= 2) MoreAliases.builtinFn("to_binary", a: _*)
+      else ToBinaryDispatch(a.head)),
+    "try_to_binary" -> (a =>
+      if (a.length >= 2) MoreAliases.builtinFn("try_to_binary", a: _*)
+      else ToBinaryDispatch(a.head)),
     "strip_null_value" -> (a => f("json_strip_nulls_impl", jstr(a.head))),
     "is_not_error" -> (a => IsNotNull(a.head)),
+    // the TRY-tier error predicates (reference expression.rs): a
+    // TRY-evaluated error surfaces as NULL here, so error-ness tests
+    // lower onto null tests and error_or onto coalesce
+    "is_error" -> (a => IsNull(a.head)),
+    "error_or" -> (a => Coalesce(a)),
 
     // SQL/JSON path family on the full evaluator (JsonPath.scala):
     // member / wildcard / subscript-list / `last` arithmetic / filter

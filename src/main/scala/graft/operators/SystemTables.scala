@@ -73,9 +73,13 @@ object SystemTables {
     // registers "<NAME> Storage Engine"); FUSE here is GraftTable,
     // DELTA/ICEBERG/PAIMON the lake readers, RANDOM RandomTable,
     // STREAM GraftStream, MEMORY temp views
-    Seq("DELTA", "FUSE", "ICEBERG", "MEMORY", "NULL", "PAIMON", "PROXY",
-      "RANDOM", "STREAM", "VIEW")
-      .map(e => (e, s"$e Storage Engine"))
+    (Seq("DELTA", "FUSE", "ICEBERG", "MEMORY", "NULL", "PAIMON", "PROXY",
+      "RANDOM", "STREAM")
+      .map(e => (e, s"$e Storage Engine")) ++ Seq(
+      // the reference's two special descriptors (show_engines golden)
+      ("MATERIALIZED_VIEW", "Materialized View (Fuse-backed)"),
+      ("VIEW", "VIEW Storage (LOGICAL VIEW)")))
+      .sortBy(_._1)
       .toDF("Engine", "Comment")
   }
 

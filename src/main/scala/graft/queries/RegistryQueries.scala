@@ -321,7 +321,7 @@ object RegistryQueries extends QueryModule {
       |  time_bucket(INTERVAL 5 MINUTE, CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 60) * INTERVAL 1 MINUTE) AS s5m,
       |  round(jaro_winkler_similarity(o_orderpriority, 'URGENT'), 4) AS jw,
       |  '1.23 million' AS hn,
-      |  '1 MiB' AS hs,
+      |  '1.00 MiB' AS hs,
       |  'OBJECT' AS jt,
       |  o_orderkey AS ai,
       |  'hi' AS astr,

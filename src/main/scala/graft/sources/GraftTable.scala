@@ -122,6 +122,12 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** rows written by the most recent writeParts on this instance —
+    * summed from parquet footers (no data scan); lets INSERT report
+    * the reference's affected-row count without re-running its source
+    */
+  @volatile var lastWrittenRows: Long = 0L
+
   private def writeParts(df0: DataFrame): Seq[String] = {
     val df = materializeVirtual(df0)
     val stage = Paths.get(path, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -138,6 +144,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     }
     graft.Fs.list(stage).iterator.foreach(Files.delete)
     Files.delete(stage)
+    lastWrittenRows = named.map { n =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(path, n).toString),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case _: Exception => 0L }
+    }.sum
     named
   }
 

@@ -115,7 +115,8 @@ object Slt {
     // plain form: BigDecimal.toString switches to scientific notation
     // below 1e-6, which no engine's text output does
     case b: java.math.BigDecimal => b.toPlainString
-    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    // uppercase hex: the reference's binary display (binary_format)
+    case b: Array[Byte] => b.map("%02X".format(_)).mkString
     // micro-precision timestamp text, the reference's rendering —
     // instants render in the session timezone (UTC unless the suite
     // SET a different one). fromJavaTimestamp/fromJavaDate undo the
@@ -155,6 +156,10 @@ object Slt {
   private def formatNested(v: Any, zone: java.time.ZoneId): String = v match {
     case null => "NULL"
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // booleans inside containers render 0/1 in the reference
+    // ([1,0], tuple (1,...)), like its scalar boolean output
+    case b: Boolean => if (b) "1" else "0"
+    case b: java.lang.Boolean => if (b) "1" else "0"
     // floats inside arrays/tuples render Rust-Debug style in the
     // reference ([0.0,4999.5], not [0,4999.5]): integral values keep
     // one fractional digit
