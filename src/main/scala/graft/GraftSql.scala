@@ -86,6 +86,21 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
   private val colDefaults = mutable.LinkedHashMap[String, Map[String, String]]()
   private val bitmapCols = mutable.LinkedHashMap[String, Set[String]]()
 
+  /** databend settings this instance SET into the shared SparkSession */
+  private val sessionSetKeys = mutable.Set[String]()
+
+  /** unset every databend setting this instance SET — harnesses that
+    * drive many logical sessions over one SparkSession call this
+    * between suites (the reference's runner gets a fresh session each
+    * suite, so suites never reset knobs like max_result_rows)
+    */
+  def resetSessionSettings(): Unit = {
+    sessionSetKeys.foreach { k =>
+      try spark.conf.unset(k) catch { case _: Exception => () }
+    }
+    sessionSetKeys.clear()
+  }
+
   // ---- table indexes (reference query/index suites: INVERTED /
   // NGRAM / VECTOR / SPATIAL index DDL + AGGREGATING INDEX) ------------
   private case class IndexDef(name: String, family: String,
@@ -1918,9 +1933,11 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     // rewrite would mangle into abs(stage)
     if (!"""(?is)^\s*(COPY\b|CREATE\s+(OR\s+REPLACE\s+)?(FUNCTION\b|(MASKING|ROW\s+ACCESS)\s+POLICY\b))""".r
           .findPrefixMatchOf(s).isDefined &&
-        // a CTE-prologued COPY (`WITH s AS (...) COPY INTO @x`) must
-        // keep its @stage out of the pg prefix-abs rewrite too
-        !"""(?is)\bCOPY\s+INTO\s+@""".r.findFirstIn(s).isDefined)
+        // a CTE-prologued COPY (`WITH s AS (...) COPY INTO @x`) and
+        // REMOVE @stage must keep their @stage out of the pg
+        // prefix-abs rewrite too
+        !"""(?is)\bCOPY\s+INTO\s+@""".r.findFirstIn(s).isDefined &&
+        !"""(?is)^\s*REMOVE\s+@""".r.findPrefixMatchOf(s).isDefined)
       s = dialectOps(s)
     // `SETTINGS (k = v, ...) <stmt>` per-statement settings prefix
     // (ast/statements/statement.rs StatementWithSettings). Most knobs
@@ -2100,11 +2117,20 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       status("op" -> "set", "setting" -> "timezone", "value" -> tz)
     }
     else if (is("SET ") &&
-             """(?is)^SET\s+(GLOBAL|SESSION)\s+\w+\s*=.*""".r
-               .findPrefixMatchOf(s).isDefined)
-      // databend SET GLOBAL/SESSION <setting> = v — scope-qualified
-      // settings (Spark's SET has no scope keyword)
-      spark.sql("SET " + s.replaceAll("(?is)^SET\\s+(GLOBAL|SESSION)\\s+", ""))
+             """(?is)^SET\s+(GLOBAL\s+|SESSION\s+)?\w+\s*=.*""".r
+               .pattern.matcher(s.trim.stripSuffix(";")).matches()) {
+      // databend SET [GLOBAL|SESSION] <setting> = v. The key is
+      // recorded so a harness driving many logical sessions over one
+      // SparkSession can reset between them (resetSessionSettings) —
+      // the reference's harness gets a fresh session per suite, so
+      // its suites never UNSET result-shaping knobs like
+      // max_result_rows.
+      """(?is)^SET\s+(?:GLOBAL\s+|SESSION\s+)?(\w+)\s*=.*""".r
+        .findFirstMatchIn(s).foreach(m =>
+          sessionSetKeys += m.group(1).toLowerCase)
+      spark.sql("SET " + s.trim.stripSuffix(";")
+        .replaceAll("(?is)^SET\\s+(GLOBAL\\s+|SESSION\\s+)?", ""))
+    }
     else if (is("UNSET ") &&
              s.substring(6).trim.stripSuffix(";").equalsIgnoreCase("timezone")) {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -6345,8 +6371,10 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
     * calls (Spark would quietly evaluate them over a one-row frame)
     */
   private def checkNoAggInValuesRow(row: String): Unit = {
-    // strip string literals so 'max(...)' text never false-positives
+    // strip string literals so 'max(...)' text never false-positives;
+    // an aggregate inside a (SELECT ...) scalar subquery is legal
     val bare = row.replaceAll("'(?:[^']|'')*'", "''")
+    if ("""(?i)\bSELECT\b""".r.findFirstIn(bare).isDefined) return
     if (ValuesAggRe.findFirstIn(bare).isDefined ||
         """(?i)\bOVER\s*\(""".r.findFirstIn(bare).isDefined)
       throw new IllegalArgumentException(
@@ -7509,7 +7537,9 @@ final class GraftSql(val spark: SparkSession, val warehouse: String) {
       val rest = t.substring(5)
       val lim = indexOfKeyword(rest, "LIMIT")
       val cond = if (lim < 0) rest else rest.substring(0, lim)
-      d = d.where(cond.trim)
+      // identQuotes: a databend "Engine" identifier would parse as a
+      // STRING literal in Spark's where()
+      d = d.where(identQuotes(cond.trim))
       t = if (lim < 0) "" else rest.substring(lim).trim
     }
     """(?is)^LIMIT\s+(\d+)""".r.findPrefixMatchOf(t).foreach { m =>

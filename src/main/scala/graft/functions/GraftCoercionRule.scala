@@ -605,6 +605,15 @@ class GraftCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Length(c) if c.resolved && c.dataType == VariantType =>
           UnresolvedFunction("jarr_size", Seq(JsonTextDispatch(c)),
             isDistinct = false)
+        // sum/avg over VARIANT: jsonb numbers aggregate as float64
+        case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+            if s.child.resolved && s.child.dataType == VariantType =>
+          s.withNewChildren(Seq(Cast(s.child, DoubleType)))
+            .asInstanceOf[Expression]
+        case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+            if a.child.resolved && a.child.dataType == VariantType =>
+          a.withNewChildren(Seq(Cast(a.child, DoubleType)))
+            .asInstanceOf[Expression]
         // VARIANT operand in arithmetic: the reference runs jsonb
         // numbers as float64 (parse_json('1') + 1 = 2)
         case ba: BinaryArithmetic

@@ -558,8 +558,10 @@ object MoreAliases {
 
   private def humanNumber(v: Double): String = {
     val abs = math.abs(v)
+    // tiers end at quadrillion (reference: 1e18 -> "1000 quadrillion")
     val (scaled, unit) =
-      if (abs >= 1e12) (v / 1e12, " trillion")
+      if (abs >= 1e15) (v / 1e15, " quadrillion")
+      else if (abs >= 1e12) (v / 1e12, " trillion")
       else if (abs >= 1e9) (v / 1e9, " billion")
       else if (abs >= 1e6) (v / 1e6, " million")
       else if (abs >= 1e3) (v / 1e3, " thousand")

@@ -22,6 +22,7 @@ object SltRunner {
         try Slt.runWith(g.execute, java.nio.file.Paths.get(path).getFileName.toString,
           java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
         catch { case e: Throwable => Seq(s"$path: harness error: $e") }
+        finally g.resetSessionSettings()
       if (failures.isEmpty) println(s"== PASS $path")
       else {
         bad += 1

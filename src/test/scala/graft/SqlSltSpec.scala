@@ -28,8 +28,10 @@ class SqlSltSpec extends AnyFunSuite {
       java.nio.file.Files.createDirectories(base)
       val wh = java.nio.file.Files.createTempDirectory(base, "sqlslt").toString
       val g = GraftSql(spark, wh)
-      val failures = Slt.runWith(g.execute, path.getFileName.toString,
-        java.nio.file.Files.readString(path))
+      val failures =
+        try Slt.runWith(g.execute, path.getFileName.toString,
+          java.nio.file.Files.readString(path))
+        finally g.resetSessionSettings()
       assert(failures.isEmpty, failures.mkString("\n"))
     }
   }
