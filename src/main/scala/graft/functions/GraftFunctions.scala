@@ -889,6 +889,12 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
+    // once per session: query fns defensively call register() on every
+    // build, so the bench paid the full ~700-function re-registration
+    // (registry churn + UDF encoder construction) on every sample.
+    // Registration is idempotent, so skipping repeats changes nothing
+    // (round-13; driver-side overhead, guide §1.2 step 2).
+    if (spark.conf.getOption("spark.graft.functionsRegistered").contains("true")) return
     val reg = spark.sessionState.functionRegistry
     for ((name, target) <- aliases if name != target) {
       reg.createOrReplaceTempFunction(
@@ -1239,6 +1245,7 @@ object GraftFunctions {
         }
         Some(s.matches(sb.toString))
       } catch { case _: Exception => Some(false) }))
+    spark.conf.set("spark.graft.functionsRegistered", "true")
   }
 
   /** true if the alias layer is active in this session */

@@ -165,6 +165,18 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("cluster")).localCheckpoint()
+    // Convergence check: min-label propagation only ever DECREASES a
+    // label, so sum(cluster) strictly decreases on any change and
+    // stays equal exactly at the fixpoint. Comparing sums is one tiny
+    // aggregate per round over the already-checkpointed frame; the
+    // previous shape re-joined next against labels and counted
+    // differences — a full extra join per round (round-13, guide §2.4).
+    // DECIMAL(38,0) keeps the sum exact for any id domain.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -173,10 +185,10 @@ object Dedup {
       val next = labels.select(col("id"), col("cluster")).union(prop)
         .groupBy("id").agg(org.apache.spark.sql.functions.min("cluster").as("cluster"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels

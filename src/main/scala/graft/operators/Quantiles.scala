@@ -83,9 +83,13 @@ object Quantiles {
       .withColumn("__n", sum(col("__pt")).over(totW))
       .drop("__pt")
 
-    // row covers 0-indexed positions [cum - w, cum - 1]
+    // row covers 0-indexed positions [cum - w, cum - 1]. offsets is
+    // slice-count-sized (≤ #partitions + #groups rows), never
+    // data-sized: broadcast it explicitly so a missing size estimate
+    // can never demote this to a sort-merge join that would re-shuffle
+    // the wide side (round-13, guide §3.1)
     val ranked = local
-      .join(offsets, "__pid" +: groupCols)
+      .join(broadcast(offsets), "__pid" +: groupCols)
       .withColumn("__cum", col("__lcum") + col("__off"))
 
     def pos(q: Double): Column = (col("__n") - 1) * q

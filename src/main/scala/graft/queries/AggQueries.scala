@@ -124,18 +124,29 @@ object AggQueries extends QueryModule {
       // Spark's built-in `percentile` merges per-group value maps on a
       // single reducer — for the ~all-distinct price column that map is
       // the whole column. The sort-based plan stays distributed.
-      val qty = graft.operators.Quantiles.cont(x.lineitem,
-        Seq("l_linestatus"), "l_quantity",
-        Seq(0.25, 0.5, 0.75), Seq("q25r", "q50r", "q75r"))
-      val price = graft.operators.Quantiles.cont(x.lineitem,
-        Seq("l_linestatus"), "l_extendedprice", Seq(0.9), Seq("p90r"))
-      qty.join(price, "l_linestatus")
+      //
+      // ONE pass for both measures (round-13, guide §2.4): tag each
+      // measure with stack() and group by (l_linestatus, tag) instead
+      // of running the whole dedup+sort pipeline once per column and
+      // joining — per-group quantiles are unchanged because each
+      // (group, tag) slice holds exactly the rows of one measure.
+      val tagged = x.lineitem.selectExpr("l_linestatus",
+        "stack(2, 'q', CAST(l_quantity AS DOUBLE), 'p', CAST(l_extendedprice AS DOUBLE)) AS (which, v)")
+      val qr = graft.operators.Quantiles.cont(tagged,
+        Seq("l_linestatus", "which"), "v",
+        Seq(0.25, 0.5, 0.75, 0.9), Seq("q25r", "q50r", "q75r", "p90r"))
+      qr.groupBy(col("l_linestatus"))
+        .agg(
+          min(when(col("which") === "q", col("q25r"))).as("q25m"),
+          min(when(col("which") === "q", col("q50r"))).as("q50m"),
+          min(when(col("which") === "q", col("q75r"))).as("q75m"),
+          min(when(col("which") === "p", col("p90r"))).as("p90m"))
         .select(col("l_linestatus"),
-          round(col("q25r"), 6).as("q25"),
-          round(col("q50r"), 6).as("q50"),
-          round(col("q75r"), 6).as("q75"),
-          round(col("p90r"), 4).as("p90_price"),
-          round(col("q50r"), 6).as("med_qty"))
+          round(col("q25m"), 6).as("q25"),
+          round(col("q50m"), 6).as("q50"),
+          round(col("q75m"), 6).as("q75"),
+          round(col("p90m"), 4).as("p90_price"),
+          round(col("q50m"), 6).as("med_qty"))
         .orderBy(col("l_linestatus"))
     },
     Some("""SELECT l_linestatus,

@@ -146,6 +146,9 @@ object TextQueries extends QueryModule {
             """transform(
                  sequence(1, greatest(size(tk) - 2, 1)),
                  i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
+        // both self-join sides read the checkpoint instead of
+        // re-shingling the corpus (round-13, guide §2.4)
+        .localCheckpoint()
       val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
@@ -449,6 +452,10 @@ object TextQueries extends QueryModule {
             """transform(
                  sequence(1, greatest(size(tk) - 2, 1)),
                  i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
+        // feeds BOTH self-join sides and the vertex set: without the
+        // checkpoint the scan + shingling subtree ran three times
+        // (round-13, guide §2.4; same pattern as minhashLsh)
+        .localCheckpoint()
       val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))

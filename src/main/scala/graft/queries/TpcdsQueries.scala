@@ -3102,6 +3102,10 @@ object TpcdsQueries extends QueryModule {
        HAVING sum(${p}_quantity * CAST(round(${p}_list_price * 100) AS BIGINT)) >
          (SELECT average_sales_c FROM avg_sales)"""
 
+  // round-13 note: cross_items/avg_sales are referenced 3x but
+  // qPersist was MEASURED SLOWER here (2.80s -> 3.09s at sf0.1):
+  // AQE's runtime exchange reuse already dedupes the identical
+  // inlined subtrees, so the persist only added cache-build cost.
   private val q14 = q(s"""
     WITH cross_items AS
       (SELECT i_item_sk ss_item_sk

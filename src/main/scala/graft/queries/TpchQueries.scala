@@ -256,6 +256,13 @@ object TpchQueries extends QueryModule {
   private val q17 = q(
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // round-13 note: a window rewrite (per-partkey avg over
+      // Brand#5-filtered rows, one scan) was tried and MEASURED SLOWER
+      // at sf0.1 (0.54s -> 0.82s): the avgQty aggregate is cheap and
+      // its broadcast rides the same scan stage, while the window form
+      // added an exchange+sort stage. Unlike q21, the join-back side
+      // here is parts-sized (bounded), so the original shape is also
+      // scale-safe. Reverted.
       val avgQty = t.lineitem.groupBy(col("l_partkey").as("ap"))
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
       t.lineitem
@@ -276,10 +283,17 @@ object TpchQueries extends QueryModule {
     (spark, dir) => {
       val t = Tables(spark, dir)
       val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      // per order: max shipdate, supplier count
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(max(col("l_shipdate")).as("max_ship"), countDistinct(col("l_suppkey")).as("n_supp"))
-      li.join(perOrder, col("l_orderkey") === col("ok"))
+      // per order: max shipdate, supplier count — as two window
+      // functions over ONE hash exchange on l_orderkey (round-13).
+      // The previous groupBy(perOrder) + join-back shape computed a
+      // per-ORDER aggregate and joined it to lineitem, which at scale
+      // either broadcasts an orders-sized table or re-shuffles
+      // lineitem a second time (guide §2.4: windows partitioned like
+      // the data need no second shuffle; lineitems per order are
+      // bounded, so the window frame is bounded too).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      li.withColumn("max_ship", max(col("l_shipdate")).over(w))
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
         .filter(col("l_shipdate") === col("max_ship") && col("n_supp") > 1)
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
@@ -588,23 +602,35 @@ object TpchQueries extends QueryModule {
   private val q20 = q(
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // round-13 restructure (results identical, proven vs oracle):
+      //  - the selective %widget% part filter joins BELOW the
+      //    (partkey, suppkey) aggregate (broadcast) — per-partkey sums
+      //    and averages are per-key, so pre-filtering partkeys changes
+      //    nothing for the kept keys while the aggregate runs over ~1%
+      //    of lineitem (same trick as Q17/Q2; guide §3.2);
+      //  - avg-per-part is a window over the SAME frame instead of a
+      //    second groupBy + self-join, removing one aggregate pipeline
+      //    and one join (the round-12 plan scanned lineitem twice);
+      //  - the supplier semi-join build side (distinct suppkeys,
+      //    bounded by |supplier|) is broadcast instead of a sort-merge
+      //    shuffle of both sides.
+      val widgetParts = t.part.filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"))
       val qty = t.lineitem
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
-      val avgQ = qty.groupBy(col("l_partkey").as("ap"))
-        .agg(avg(col("qty")).as("aq"))
+      val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
       val excess = qty
-        .join(avgQ, col("l_partkey") === col("ap"))
-        .join(t.part.filter(col("p_name").like("%widget%")),
-          col("l_partkey") === col("p_partkey"))
+        .withColumn("aq", avg(col("qty")).over(wPart))
         .filter(col("qty") > col("aq") * lit(1.5))
         .select(col("l_suppkey")).distinct()
       val asiaNations = broadcast(
         t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey")))
       t.supplier
-        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .join(asiaNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
         .select(col("s_name"), col("s_acctbal"))
         .orderBy(col("s_name"))

@@ -145,6 +145,13 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf("agg_quantiles")
     assert(!plan.contains("percentile"), plan)
     assert(plan.contains("Window"), plan)
+    // round-13: the slice-offsets join must stay a broadcast — a
+    // sort-merge fallback would re-shuffle the full distinct-value
+    // frame on (__pid, group)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // round-13: ONE tagged quantile pass — a single stack() generator
+    // feeds both measures, so lineitem is scanned once, not per-column
+    assert(plan.contains("Generate stack"), plan)
   }
 
   test("geo_radius_join is an equi-join on grid cells, no NLJ") {
