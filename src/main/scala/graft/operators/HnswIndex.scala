@@ -305,12 +305,15 @@ object HnswIndex {
     * pre-generational r8 layout, which rebuilds clean)
     */
   private def genFiles(spark: SparkSession, indexPath: String): Map[Long, Seq[String]] =
-    try {
-      val meta = spark.read.parquet(s"$indexPath/meta")
-      if (!meta.columns.contains("gen")) Map.empty
-      else meta.select(col("gen").cast("long"), col("source_files")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
-    } catch { case _: Exception => Map.empty }
+    MetaCache.cached(
+        s"hnsw-gens:$indexPath:" + MetaCache.dirSignature(s"$indexPath/meta")) {
+      try {
+        val meta = spark.read.parquet(s"$indexPath/meta")
+        if (!meta.columns.contains("gen")) Map.empty[Long, Seq[String]]
+        else meta.select(col("gen").cast("long"), col("source_files")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      } catch { case _: Exception => Map.empty[Long, Seq[String]] }
+    }
 
   /** Search every bucket graph in parallel (one task per bucket, beam
     * width ef) and merge the per-bucket top-k. Returns (id, cos).
@@ -318,9 +321,13 @@ object HnswIndex {
   def search(spark: SparkSession, indexPath: String, qv: Array[Double],
              k: Int = 10, ef: Int = 64,
              excludeIds: Seq[Long] = Nil): DataFrame = {
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
-    val m = meta.getAs[Int]("m")
-    val efC = meta.getAs[Int]("ef_construction")
+    // mtime-keyed MetaCache: one row, but the head() was a
+    // driver-blocking job on EVERY probe (round-13)
+    val (m, efC) = MetaCache.cached(
+        s"hnsw-meta:$indexPath:" + MetaCache.dirSignature(s"$indexPath/meta")) {
+      val meta = spark.read.parquet(s"$indexPath/meta").head()
+      (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"))
+    }
     val qn = normalize(qv.clone())
     val excl = excludeIds.toSet
     val bq = spark.sparkContext.broadcast((qn, excl))

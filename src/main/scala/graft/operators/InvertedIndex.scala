@@ -106,12 +106,17 @@ object InvertedIndex {
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
       .sortBy(_.getName).toSeq
 
-  /** the file set a generation covers (empty on unreadable meta) */
+  /** the file set a generation covers (empty on unreadable meta);
+    * mtime-keyed MetaCache — this ran a collect() job per generation
+    * on EVERY probe (round-13)
+    */
   private def genSourceFiles(spark: SparkSession, genDir: String): Set[String] =
-    try spark.read.parquet(s"$genDir/meta")
-      .select(col("source_files"), col("total_dl"))
-      .collect().flatMap(_.getSeq[String](0)).toSet
-    catch { case _: Exception => Set.empty }
+    MetaCache.cached(s"ii-files:$genDir:" + MetaCache.dirSignature(s"$genDir/meta")) {
+      try spark.read.parquet(s"$genDir/meta")
+        .select(col("source_files"), col("total_dl"))
+        .collect().flatMap(_.getSeq[String](0)).toSet
+      catch { case _: Exception => Set.empty[String] }
+    }
 
   /** Union of every generation's pinned files (empty if no index). */
   private def pinnedFiles(spark: SparkSession, indexPath: String): Set[String] =
@@ -174,12 +179,19 @@ object InvertedIndex {
              all: Boolean = true, k: Int = 10): DataFrame = {
     val normTerms = terms.map(_.toLowerCase).distinct
     // merge generations: integer totals sum exactly, so avgdl over the
-    // merged corpus is the same double a single-generation build yields
-    val meta = spark.read.parquet(s"$indexPath/gen-*/meta")
-      .agg(sum(col("n_docs")), sum(col("total_dl")), sum(col("n_dl_docs"))).head()
-    val nDocs = meta.getLong(0)
-    val avgdl = if (meta.getLong(2) == 0L) 0.0
-                else meta.getLong(1).toDouble / meta.getLong(2)
+    // merged corpus is the same double a single-generation build yields.
+    // mtime-keyed MetaCache: this agg was a driver-blocking head() job
+    // on EVERY probe (round-13)
+    val metaSig = generations(indexPath)
+      .map(g => MetaCache.dirSignature(g.getPath + "/meta")).mkString("|")
+    val (nDocs, avgdl) = MetaCache.cached(s"ii-meta:$indexPath:$metaSig") {
+      val meta = spark.read.parquet(s"$indexPath/gen-*/meta")
+        .agg(sum(col("n_docs")), sum(col("total_dl")), sum(col("n_dl_docs"))).head()
+      val n = meta.getLong(0)
+      val a = if (meta.getLong(2) == 0L) 0.0
+              else meta.getLong(1).toDouble / meta.getLong(2)
+      (n, a)
+    }
     val post = spark.read.parquet(s"$indexPath/gen-*/postings")
       .filter(col("token").isin(normTerms: _*))
     val stats = spark.read.parquet(s"$indexPath/gen-*/stats")

@@ -106,8 +106,13 @@ object VectorIndex {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // mtime-keyed MetaCache: k<=16 rows, but the collect() was a
+    // driver-blocking job on EVERY probe (round-13)
+    val cents = MetaCache.cached(
+        s"ivf-cent:$indexPath:" + MetaCache.dirSignature(s"$indexPath/centroids")) {
+      spark.read.parquet(s"$indexPath/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    }
     val probe = cents.sortBy { case (_, c) => l2sq(c, qv) }.take(nProbe).map(_._1)
     val q = broadcast(
       spark.createDataFrame(Seq(Tuple1(qv.toSeq))).toDF("qv"))
@@ -140,12 +145,15 @@ object VectorIndex {
     * rebuilds clean)
     */
   private def genFiles(spark: SparkSession, indexPath: String): Map[Long, Seq[String]] =
-    try {
-      val meta = spark.read.parquet(s"$indexPath/meta")
-      if (!meta.columns.contains("gen")) Map.empty
-      else meta.select(col("gen").cast("long"), col("source_files")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
-    } catch { case _: Exception => Map.empty }
+    MetaCache.cached(
+        s"ivf-gens:$indexPath:" + MetaCache.dirSignature(s"$indexPath/meta")) {
+      try {
+        val meta = spark.read.parquet(s"$indexPath/meta")
+        if (!meta.columns.contains("gen")) Map.empty[Long, Seq[String]]
+        else meta.select(col("gen").cast("long"), col("source_files")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      } catch { case _: Exception => Map.empty[Long, Seq[String]] }
+    }
 
   /** Generation-local maintenance (reference indexes per-block at
     * write — fuse_pruner.rs:88-93): each `ensure` sync is a file-set

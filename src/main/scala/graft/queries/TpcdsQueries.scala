@@ -103,9 +103,13 @@ object TpcdsQueries extends QueryModule {
     (spark, dir) => {
       Tpcds.ensure(spark, dir)
       val (ctes, main) = splitWith(sql)
+      // A/B switch (round-13): with AQE exchange reuse the persist's
+      // value is in question (q14's was measured pure overhead); this
+      // flag lets a bench run compare both arms on identical code
+      val noPersist = sys.env.get("SPARK_GRAFT_NO_PERSIST").contains("1")
       for ((name, body) <- ctes) {
         val df = spark.sql(body)
-        val out = if (persist(name))
+        val out = if (!noPersist && persist(name))
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else df
         out.createOrReplaceTempView(name)
