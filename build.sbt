@@ -11,6 +11,44 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Parallel forked test groups (round-14): the suite grew past 1100
+// tests and a single sequential forked JVM exceeded the verification
+// driver's window (r13 `tests_ok: false`, output truncated mid-suite).
+// Each group below runs in its OWN forked JVM (own SparkSession,
+// warehouse, temp dirs — no shared session state), up to 6 at a time
+// (groups are mostly driver-bound single-task jobs, so modest thread
+// oversubscription of the 32 hardware threads measures faster than
+// idle tail slots; 6 x 8g heap fits the 128 GiB sandbox).
+//  - each SqlSltSpec shard is its own group (the slt_sql corpus is the
+//    bulk of the wall clock);
+//  - specs that materialize the SHARED staged datasets/indexes under
+//    /tmp/graft_tpcds | /tmp/graft_stage | /tmp/graft_index (their
+//    ensure() is marker-checked but only JVM-locally synchronized) are
+//    pinned to ONE group so generation can never race across JVMs;
+//  - everything else is round-robined by sorted class name.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val fo = (Test / forkOptions).value
+  val stagedDataSpecs = Set("graft.SmokeSpec", "graft.PlanSpec",
+    "graft.QuerySurfaceManifestSpec", "graft.ExtensionsSpec")
+  val rest = tests.map(_.name)
+    .filterNot(n => n.startsWith("graft.SqlSltSpec") || stagedDataSpecs(n))
+    .sorted.zipWithIndex.map { case (n, i) => n -> s"misc${i % 4}" }.toMap
+  def groupOf(name: String): String =
+    if (name.startsWith("graft.SqlSltSpec")) name.stripPrefix("graft.")
+    else if (stagedDataSpecs(name)) "entry"
+    else rest(name)
+  tests.groupBy(t => groupOf(t.name)).map { case (g, ts) =>
+    Tests.Group(g, ts.sortBy(_.name), Tests.SubProcess(fo))
+  }.toSeq.sortBy(_.name)
+}
+// REPLACE the default restriction set: sbt's default contains
+// Tags.limit(Tags.ForkedTestGroup, 1) and limits AND together, so a
+// `+=` of a higher limit would not relax it.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(12),
+  Tags.limit(Tags.ForkedTestGroup, 6),
+)
 // the container's default locale is C (ASCII): file paths and
 // sun.jnu conversions would mangle unicode table names
 Test / envVars += ("LC_ALL" -> "C.utf8")

@@ -24,7 +24,14 @@ object PlanDump {
       val fn = SparkEntry.queries(name)
       try {
         val df = fn(spark, sfDir)
-        val txt = df.queryExecution.explainString(
+        // SPARK_GRAFT_PLAN_EXEC=1: execute first (noop sink) and dump
+        // the FINALIZED AQE plan — runtime join-strategy decisions
+        // (BHJ picked from actual sizes without hints) are invisible
+        // in the static dump (round-14)
+        val txt = if (sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")) {
+          df.collect()
+          df.queryExecution.executedPlan.toString
+        } else df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val f = new java.io.File(outDir, s"${name}_$suffix.txt")
         val w = new java.io.PrintWriter(f, "UTF-8")

@@ -73,15 +73,23 @@ object Tables {
   // caching pattern as sources.Tpcds.ensure). This caches the analyzed
   // DataFrame handles (metadata), never query results; the fixture
   // dirs are immutable within a session.
+  //
+  // Deliberately a STRONG per-JVM cache (round-13 advisory): the value
+  // (Tables.spark) references the key, so weak keys could never be
+  // collected anyway. Entries live for the JVM — fine for this
+  // engine's long-lived singleton sessions; a caller that stops and
+  // recreates sessions in one JVM should call invalidate(session).
   private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Tables]]
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, Tables]]
 
   def apply(spark: SparkSession, dir: String): Tables = {
     GraftSession.tune(spark)
-    val m = cache.synchronized {
-      cache.computeIfAbsent(spark,
+    cache.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Tables])
-    }
-    m.computeIfAbsent(dir, d => new Tables(spark, d))
+      .computeIfAbsent(dir, d => new Tables(spark, d))
   }
+
+  /** Drop every cached handle of `spark` (use after SparkSession.stop). */
+  def invalidate(spark: SparkSession): Unit = cache.remove(spark)
 }

@@ -63,12 +63,13 @@ object Dedup {
     // materialize the signature frame ONCE: the bucket self-join below
     // references it on both sides, and without a checkpoint each side
     // replays the full shingle -> 32-way min-agg pipeline (ReuseExchange
-    // does not fire across the differing join-side aliases)
-    val banded = mh.select(col("__id"), col("mh"),
+    // does not fire across the differing join-side aliases).
+    // Ckpt.stage = localCheckpoint locally, reliable/persist on a
+    // cluster (round-14 scale-mode policy, guide §5)
+    val banded = Ckpt.stage(mh.select(col("__id"), col("mh"),
         posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
           b -> xxh64_long(concat_ws(',', transform(slice(mh, b * $rows + 1, $rows), v -> CAST(v AS STRING)))))""")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .localCheckpoint()
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val l = banded.select(col("band"), col("bucket"), col("__id").as("id_a"), col("mh").as("mh_a"))
     val r = banded.select(col("band"), col("bucket"), col("__id").as("id_b"), col("mh").as("mh_b"))
     l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
@@ -160,35 +161,45 @@ object Dedup {
     * @return (id, cluster) where cluster = min id reachable
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
+    val und = Ckpt.stage(edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("cluster")).localCheckpoint()
-    // Convergence check: min-label propagation only ever DECREASES a
-    // label, so sum(cluster) strictly decreases on any change and
-    // stays equal exactly at the fixpoint. Comparing sums is one tiny
-    // aggregate per round over the already-checkpointed frame; the
-    // previous shape re-joined next against labels and counted
-    // differences — a full extra join per round (round-13, guide §2.4).
-    // DECIMAL(38,0) keeps the sum exact for any id domain.
+      .distinct())
+    var labels = Ckpt.stage(vertices.select(col("id"), col("id").as("cluster")))
+    // Convergence check, NUMERIC ids only: min-label propagation only
+    // ever DECREASES a label, so sum(cluster) strictly decreases on any
+    // change and stays equal exactly at the fixpoint. Comparing sums is
+    // one tiny aggregate per round over the already-checkpointed frame;
+    // the join-based shape (next vs labels, count differences) is a
+    // full extra join per round (round-13, guide §2.4). DECIMAL(38,0)
+    // keeps the sum exact for any numeric id domain. For NON-numeric
+    // ids the cast would yield null and the sum would 'converge'
+    // immediately with wrong clusters (round-13 advisory), so those
+    // fall back to the join-based changed-row check.
+    val numericId = labels.schema("cluster").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericId) labelSum(labels) else null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = labels.join(und, labels("id") === und("a"))
         .select(und("b").as("id"), labels("cluster"))
-      val next = labels.select(col("id"), col("cluster")).union(prop)
-        .groupBy("id").agg(org.apache.spark.sql.functions.min("cluster").as("cluster"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      val next = Ckpt.stage(labels.select(col("id"), col("cluster")).union(prop)
+        .groupBy("id").agg(org.apache.spark.sql.functions.min("cluster").as("cluster")))
+      if (numericId) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(!(col("n.cluster") <=> col("p.cluster")))
+          .isEmpty
+      }
       labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
       iter += 1
     }
     labels

@@ -305,15 +305,15 @@ object HnswIndex {
     * pre-generational r8 layout, which rebuilds clean)
     */
   private def genFiles(spark: SparkSession, indexPath: String): Map[Long, Seq[String]] =
-    MetaCache.cached(
+    // catch OUTSIDE cached(): a transient read failure must not be
+    // memoized as 'no generations' (r13 advisory)
+    try MetaCache.cached(
         s"hnsw-gens:$indexPath:" + MetaCache.dirSignature(s"$indexPath/meta")) {
-      try {
-        val meta = spark.read.parquet(s"$indexPath/meta")
-        if (!meta.columns.contains("gen")) Map.empty[Long, Seq[String]]
-        else meta.select(col("gen").cast("long"), col("source_files")).collect()
-          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
-      } catch { case _: Exception => Map.empty[Long, Seq[String]] }
-    }
+      val meta = spark.read.parquet(s"$indexPath/meta")
+      if (!meta.columns.contains("gen")) Map.empty[Long, Seq[String]]
+      else meta.select(col("gen").cast("long"), col("source_files")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    } catch { case _: Exception => Map.empty[Long, Seq[String]] }
 
   /** Search every bucket graph in parallel (one task per bucket, beam
     * width ef) and merge the per-bucket top-k. Returns (id, cos).

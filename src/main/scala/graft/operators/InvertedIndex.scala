@@ -111,12 +111,13 @@ object InvertedIndex {
     * on EVERY probe (round-13)
     */
   private def genSourceFiles(spark: SparkSession, genDir: String): Set[String] =
-    MetaCache.cached(s"ii-files:$genDir:" + MetaCache.dirSignature(s"$genDir/meta")) {
-      try spark.read.parquet(s"$genDir/meta")
+    // catch OUTSIDE cached(): a transient read failure must not be
+    // memoized as 'no files' until the signature changes (r13 advisory)
+    try MetaCache.cached(s"ii-files:$genDir:" + MetaCache.dirSignature(s"$genDir/meta")) {
+      spark.read.parquet(s"$genDir/meta")
         .select(col("source_files"), col("total_dl"))
         .collect().flatMap(_.getSeq[String](0)).toSet
-      catch { case _: Exception => Set.empty[String] }
-    }
+    } catch { case _: Exception => Set.empty[String] }
 
   /** Union of every generation's pinned files (empty if no index). */
   private def pinnedFiles(spark: SparkSession, indexPath: String): Set[String] =

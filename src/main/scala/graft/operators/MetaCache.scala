@@ -12,9 +12,11 @@ package graft.operators
 object MetaCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  /** Recursive name@mtime signature of `dir` — pure filesystem
+  /** Recursive name@mtime:size signature of `dir` — pure filesystem
     * metadata, no file reads. Point it at the small meta/centroids
-    * directories, not at data directories.
+    * directories, not at data directories. Size is part of the key so
+    * an in-place rewrite with identical names within mtime granularity
+    * still changes the signature (round-13 advisory).
     */
   def dirSignature(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
@@ -23,13 +25,21 @@ object MetaCache {
     val w = java.nio.file.Files.walk(root)
     try w.sorted().forEach { p =>
       sb.append(p.getFileName).append('@')
-      try sb.append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      catch { case _: Exception => sb.append('?') }
+      try {
+        sb.append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        sb.append(':').append(java.nio.file.Files.size(p))
+      } catch { case _: Exception => sb.append('?') }
       sb.append(';')
     } finally w.close()
     sb.toString
   }
 
+  /** Memoizes `load`. A `load` that THROWS leaves the entry absent
+    * (computeIfAbsent semantics) so a transient read failure is retried
+    * on the next probe instead of caching a wrong fallback — callers
+    * must keep their catch-branch fallbacks OUTSIDE this call
+    * (round-13 advisory).
+    */
   def cached[T <: AnyRef](key: String)(load: => T): T =
     cache.computeIfAbsent(key, _ => load).asInstanceOf[T]
 

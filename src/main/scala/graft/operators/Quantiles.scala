@@ -40,9 +40,19 @@ object Quantiles {
     * @param valueCol  numeric column (nulls skipped, like percentile_cont)
     * @param qs        quantile fractions in [0,1]
     * @param outNames  one output column name per q
+    * @param smallGroupDomain caller-asserted bound on the group-key
+    *   cardinality: when true (default) the slice-offsets side
+    *   (≤ #partitions + #groups rows) is broadcast-hinted so a missing
+    *   size estimate can never demote the join to a sort-merge that
+    *   re-shuffles the wide side (round-13, guide §3.1). A HARD hint
+    *   bypasses autoBroadcastJoinThreshold, so with an UNBOUNDED group
+    *   domain (millions of groups) it can OOM the driver — pass false
+    *   there and let AQE pick the strategy from the runtime size
+    *   (round-13 advisory).
     */
   def cont(df: DataFrame, groupCols: Seq[String], valueCol: String,
-           qs: Seq[Double], outNames: Seq[String]): DataFrame = {
+           qs: Seq[Double], outNames: Seq[String],
+           smallGroupDomain: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.length == outNames.length)
     val g = groupCols.map(col)
     val v = col(valueCol).cast("double")
@@ -85,11 +95,13 @@ object Quantiles {
 
     // row covers 0-indexed positions [cum - w, cum - 1]. offsets is
     // slice-count-sized (≤ #partitions + #groups rows), never
-    // data-sized: broadcast it explicitly so a missing size estimate
-    // can never demote this to a sort-merge join that would re-shuffle
-    // the wide side (round-13, guide §3.1)
+    // data-sized: broadcast it explicitly (when the caller bounds the
+    // group domain) so a missing size estimate can never demote this to
+    // a sort-merge join that would re-shuffle the wide side (round-13,
+    // guide §3.1; hint gated per the round-13 advisory — see scaladoc)
+    val offsetsSide = if (smallGroupDomain) broadcast(offsets) else offsets
     val ranked = local
-      .join(broadcast(offsets), "__pid" +: groupCols)
+      .join(offsetsSide, "__pid" +: groupCols)
       .withColumn("__cum", col("__lcum") + col("__off"))
 
     def pos(q: Double): Column = (col("__n") - 1) * q

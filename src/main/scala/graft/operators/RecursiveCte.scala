@@ -32,7 +32,8 @@ object RecursiveCte {
       frontier = step(frontier)
       if (!frontier.isEmpty) {
         acc = acc.union(frontier)
-        if (i % 8 == 7) { acc = acc.localCheckpoint(); frontier = frontier.localCheckpoint() }
+        // Ckpt.stage: scale-mode materialization policy (round-14, guide §5)
+        if (i % 8 == 7) { acc = Ckpt.stage(acc); frontier = Ckpt.stage(frontier) }
       }
       i += 1
     }

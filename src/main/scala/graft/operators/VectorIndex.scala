@@ -145,15 +145,15 @@ object VectorIndex {
     * rebuilds clean)
     */
   private def genFiles(spark: SparkSession, indexPath: String): Map[Long, Seq[String]] =
-    MetaCache.cached(
+    // catch OUTSIDE cached(): a transient read failure must not be
+    // memoized as 'no generations' (r13 advisory)
+    try MetaCache.cached(
         s"ivf-gens:$indexPath:" + MetaCache.dirSignature(s"$indexPath/meta")) {
-      try {
-        val meta = spark.read.parquet(s"$indexPath/meta")
-        if (!meta.columns.contains("gen")) Map.empty[Long, Seq[String]]
-        else meta.select(col("gen").cast("long"), col("source_files")).collect()
-          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
-      } catch { case _: Exception => Map.empty[Long, Seq[String]] }
-    }
+      val meta = spark.read.parquet(s"$indexPath/meta")
+      if (!meta.columns.contains("gen")) Map.empty[Long, Seq[String]]
+      else meta.select(col("gen").cast("long"), col("source_files")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    } catch { case _: Exception => Map.empty[Long, Seq[String]] }
 
   /** Generation-local maintenance (reference indexes per-block at
     * write — fuse_pruner.rs:88-93): each `ensure` sync is a file-set

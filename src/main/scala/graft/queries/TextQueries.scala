@@ -146,9 +146,11 @@ object TextQueries extends QueryModule {
             """transform(
                  sequence(1, greatest(size(tk) - 2, 1)),
                  i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
-        // both self-join sides read the checkpoint instead of
-        // re-shingling the corpus (round-13, guide §2.4)
-        .localCheckpoint()
+        // both self-join sides read the staged frame instead of
+        // re-shingling the corpus (round-13, guide §2.4; round-14:
+        // Ckpt.stage picks localCheckpoint locally, reliable/persist
+        // on a cluster — guide §5)
+        .transform(graft.operators.Ckpt.stage)
       val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
@@ -234,8 +236,9 @@ object TextQueries extends QueryModule {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       // materialized ONCE: the planner broadcasts one side of the
       // self-join (no exchange to reuse), which would otherwise replay
-      // the whole signature pipeline for each side
-      .localCheckpoint()
+      // the whole signature pipeline for each side (Ckpt.stage =
+      // scale-mode materialization policy, round-14, guide §5)
+      .transform(graft.operators.Ckpt.stage)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -454,8 +457,9 @@ object TextQueries extends QueryModule {
                  i -> concat_ws(' ', slice(tk, i, 3)))""")).as("sh"))
         // feeds BOTH self-join sides and the vertex set: without the
         // checkpoint the scan + shingling subtree ran three times
-        // (round-13, guide §2.4; same pattern as minhashLsh)
-        .localCheckpoint()
+        // (round-13, guide §2.4; same pattern as minhashLsh; round-14:
+        // Ckpt.stage scale-mode policy, guide §5)
+        .transform(graft.operators.Ckpt.stage)
       val a = shingles.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = shingles.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))

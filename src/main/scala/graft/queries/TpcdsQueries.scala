@@ -3114,25 +3114,41 @@ object TpcdsQueries extends QueryModule {
     WITH cross_items AS
       (SELECT i_item_sk ss_item_sk
        FROM item,
-         (SELECT iss.i_brand_id brand_id,
-                 iss.i_class_id class_id,
-                 iss.i_category_id category_id
-          FROM store_sales, item iss, date_dim d1
-          WHERE ss_item_sk = iss.i_item_sk
-            AND ss_sold_date_sk = d1.d_date_sk
-            AND d1.d_year BETWEEN 1999 AND 1999 + 2
-          INTERSECT
-          SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
-          FROM catalog_sales, item ics, date_dim d2
-          WHERE cs_item_sk = ics.i_item_sk
-            AND cs_sold_date_sk = d2.d_date_sk
-            AND d2.d_year BETWEEN 1999 AND 1999 + 2
-          INTERSECT
-          SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
-          FROM web_sales, item iws, date_dim d3
-          WHERE ws_item_sk = iws.i_item_sk
-            AND ws_sold_date_sk = d3.d_date_sk
-            AND d3.d_year BETWEEN 1999 AND 1999 + 2) sq1
+         -- round-14 rewrite (results identical, oracle-verified): the
+         -- 3-way INTERSECT planned as 3 distinct aggregates + 2
+         -- left-semi joins + a final distinct (6 aggregate/join
+         -- pipelines). A set appears in the intersection iff it appears
+         -- in ALL THREE channels, so one distinct over the channel-
+         -- tagged UNION ALL (one wide exchange with map-side partial
+         -- dedup) + a tiny count-per-set aggregate computes the same
+         -- set in 2 passes (guide §2.4; DISTINCT/GROUP BY and INTERSECT
+         -- share null-safe grouping semantics, so NULL keys behave
+         -- identically). Same SQL runs in the DuckDB oracle.
+         (SELECT brand_id, class_id, category_id
+          FROM
+            (SELECT DISTINCT chan, brand_id, class_id, category_id
+             FROM
+               (SELECT 1 chan, iss.i_brand_id brand_id,
+                       iss.i_class_id class_id,
+                       iss.i_category_id category_id
+                FROM store_sales, item iss, date_dim d1
+                WHERE ss_item_sk = iss.i_item_sk
+                  AND ss_sold_date_sk = d1.d_date_sk
+                  AND d1.d_year BETWEEN 1999 AND 1999 + 2
+                UNION ALL
+                SELECT 2 chan, ics.i_brand_id, ics.i_class_id, ics.i_category_id
+                FROM catalog_sales, item ics, date_dim d2
+                WHERE cs_item_sk = ics.i_item_sk
+                  AND cs_sold_date_sk = d2.d_date_sk
+                  AND d2.d_year BETWEEN 1999 AND 1999 + 2
+                UNION ALL
+                SELECT 3 chan, iws.i_brand_id, iws.i_class_id, iws.i_category_id
+                FROM web_sales, item iws, date_dim d3
+                WHERE ws_item_sk = iws.i_item_sk
+                  AND ws_sold_date_sk = d3.d_date_sk
+                  AND d3.d_year BETWEEN 1999 AND 1999 + 2) raw) chans
+          GROUP BY brand_id, class_id, category_id
+          HAVING count(*) = 3) sq1
        WHERE i_brand_id = brand_id
          AND i_class_id = class_id
          AND i_category_id = category_id),

@@ -612,13 +612,20 @@ object TpchQueries extends QueryModule {
       //    second groupBy + self-join, removing one aggregate pipeline
       //    and one join (the round-12 plan scanned lineitem twice);
       //  - the supplier semi-join build side (distinct suppkeys,
-      //    bounded by |supplier|) is broadcast instead of a sort-merge
-      //    shuffle of both sides.
+      //    bounded by |supplier|) joins as BHJ at local sizes.
+      // round-14: the r13 forced broadcast() hints on widgetParts and
+      // excess are GONE — both sides scale with SF (part is SF x 200k
+      // rows, excess is bounded by |supplier| = SF x 10k), and a hard
+      // hint bypasses the size check: at ~100 TB it OOMs the driver
+      // where AQE would have picked SMJ (r13 verdict #1/advisory).
+      // AQE's runtime size check still selects BHJ whenever the side
+      // actually fits (verified in plans/r14/tpch_q20_after.txt).
+      // asiaNations keeps its hint: nation is 25 rows at every SF.
       val widgetParts = t.part.filter(col("p_name").like("%widget%"))
         .select(col("p_partkey"))
       val qty = t.lineitem
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
-        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(widgetParts, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
       val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
@@ -630,7 +637,7 @@ object TpchQueries extends QueryModule {
         t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey")))
       t.supplier
-        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .join(asiaNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
         .select(col("s_name"), col("s_acctbal"))
         .orderBy(col("s_name"))

@@ -110,6 +110,25 @@ class PlanSpec extends AnyFunSuite {
       s"min-per-part should not self-join:\n$plan")
   }
 
+  test("tpch_q20 semi joins pick hash strategies under AQE, no forced broadcast") {
+    // round-14: the r13 forced broadcast() hints on the SF-scaling
+    // widget-parts and excess sides are gone (a hard hint bypasses the
+    // size check and OOMs at large SF). The property that must hold
+    // instead: AQE's runtime size check still picks hash joins — the
+    // FINAL plan may not fall back to a sort-merge of supplier vs the
+    // tiny excess set. Execute first: the no-hint strategy decision is
+    // made at runtime, so only the finalized plan is meaningful.
+    val df = SparkEntry.all("tpch_q20").fn(spark, sf)
+    df.collect() // finalize AQE on df's own queryExecution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"AQE plan not finalized:\n${plan.take(300)}")
+    // the dump appends the pre-AQE "== Initial Plan ==" (where SMJ is
+    // expected without hints) — assert on the Final Plan section only
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"q20 semi joins degraded to sort-merge:\n$finalSection")
+  }
+
   test("tpch_q11 threshold is a broadcast, not a shuffled join") {
     val plan = planOf("tpch_q11")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),

@@ -212,7 +212,21 @@ object Slt {
               text: String): Seq[String] = {
     parse(text).flatMap {
       case Statement(sql, line, expectError) =>
-        val r = try { exec(sql).write.format("noop").mode("overwrite").save(); None }
+        val r = try {
+          val df = exec(sql)
+          // commands (CREATE/INSERT/DROP/SET...) already ran eagerly —
+          // spark.sql wraps them in CommandResult, GraftSql's statement
+          // heads return LocalRelation handles. Skipping the noop sink
+          // for those saves one Spark job per statement (~half the slt
+          // corpus), which is most of the suite's wall clock; lazy
+          // SELECT plans still execute through the sink.
+          val analyzed = df.queryExecution.analyzed
+          val alreadyRun =
+            analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.CommandResult] ||
+            analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+          if (!alreadyRun) df.write.format("noop").mode("overwrite").save()
+          None
+        }
         catch { case e: Throwable => Some(e) }
         (r, expectError) match {
           case (None, true) => Seq(s"$name:$line expected error, statement succeeded")

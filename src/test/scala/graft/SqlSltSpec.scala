@@ -7,10 +7,18 @@ import scala.jdk.CollectionConverters._
   * reference's own harness shape (CREATE/INSERT/DROP/UPDATE/... drive
   * the versioned table layer; SELECTs pass through to Catalyst with
   * the databend name surface + numbers() TVF rewrite active).
+  *
+  * Sharded (round-14): the corpus grew to ~480 files and a single
+  * sequential spec exceeded the verification driver's test window
+  * (r13 `tests_ok: false`, run truncated mid-suite). Each shard class
+  * takes every `nShards`-th file and runs as its own forked-JVM test
+  * group (build.sbt `Test / testGrouping`), so shards execute
+  * concurrently with fully isolated SparkSessions, warehouses and temp
+  * dirs. Shard assignment is by sorted index, deterministic.
   */
-class SqlSltSpec extends AnyFunSuite {
+abstract class SqlSltShard(shard: Int, nShards: Int) extends AnyFunSuite {
   private lazy val spark = {
-    val s = GraftSession(cpus = 8, appName = "graft-sqlslt-test")
+    val s = GraftSession(cpus = 8, appName = s"graft-sqlslt-test-$shard")
     graft.functions.GraftFunctions.register(s)
     s
   }
@@ -19,8 +27,9 @@ class SqlSltSpec extends AnyFunSuite {
   private val suites: Seq[java.nio.file.Path] =
     java.nio.file.Files.list(suiteDir).iterator().asScala.toSeq
       .filter(_.toString.endsWith(".slt")).sortBy(_.toString)
+      .zipWithIndex.collect { case (p, i) if i % nShards == shard => p }
 
-  assert(suites.nonEmpty, s"no .slt suites under $suiteDir")
+  assert(suites.nonEmpty, s"no .slt suites under $suiteDir for shard $shard/$nShards")
 
   for (path <- suites) {
     test(s"slt-sql ${path.getFileName}") {
@@ -36,3 +45,12 @@ class SqlSltSpec extends AnyFunSuite {
     }
   }
 }
+
+class SqlSltSpec0 extends SqlSltShard(0, 8)
+class SqlSltSpec1 extends SqlSltShard(1, 8)
+class SqlSltSpec2 extends SqlSltShard(2, 8)
+class SqlSltSpec3 extends SqlSltShard(3, 8)
+class SqlSltSpec4 extends SqlSltShard(4, 8)
+class SqlSltSpec5 extends SqlSltShard(5, 8)
+class SqlSltSpec6 extends SqlSltShard(6, 8)
+class SqlSltSpec7 extends SqlSltShard(7, 8)
